@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query ids follow SURVEY.md §2's operator inventory; implementations live in
+``boletia_kubernetes_kafka_mongodb_spark/``.
 """
 
 from __future__ import annotations
@@ -13,26 +15,77 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from boletia_kubernetes_kafka_mongodb_spark.operators import (
+    aggregates,
+    cdc,
+    joins,
+    mutations,
+    notifications,
+    scans,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: J4 availability join on sf0.001 (SURVEY.md §7 Phase 0)."""
+    return joins.join_availability(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # §2.2 scans / filters / projections
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "lookup_pk": scans.lookup_pk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        # §2.3 mutations (batch oracle form)
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
+        "cancel_increment": mutations.cancel_increment,
+        "event_cancel_update": mutations.event_cancel_update,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
+        # §2.4 joins
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_exists_anti": joins.join_exists_anti,
+        "join_cascade": joins.join_cascade,
+        "join_availability": joins.join_availability,
+        # §2.5 aggregations
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        # §2.1 sources/sinks (batch oracle form)
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "notify_render": notifications.notify_render,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query id (same parquet views)."""
+    return {
+        "scan_full_eventos": scans.scan_full_eventos_oracle(),
+        "scan_full_inventario": scans.scan_full_inventario_oracle(),
+        "lookup_point_unique": scans.lookup_point_unique_oracle(),
+        "lookup_pk": scans.lookup_pk_oracle(),
+        "filter_compound_eq": scans.filter_compound_eq_oracle(),
+        "filter_range_guard": scans.filter_range_guard_oracle(),
+        "filter_state_machine": cdc.filter_state_machine_oracle(),
+        "project_rename_detreserva": scans.project_rename_detreserva_oracle(),
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement_oracle(),
+        "cancel_increment": mutations.cancel_increment_oracle(),
+        "event_cancel_update": mutations.event_cancel_update_oracle(),
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall_oracle(),
+        "reserva_cancel_flag": mutations.reserva_cancel_flag_oracle(),
+        "insert_dedup_unique": mutations.insert_dedup_unique_oracle(),
+        "join_cancel_inventory": joins.join_cancel_inventory_oracle(),
+        "join_exists_anti": joins.join_exists_anti_oracle(),
+        "join_cascade": joins.join_cascade_oracle(),
+        "join_availability": joins.join_availability_oracle(),
+        "agg_running_capacity": aggregates.agg_running_capacity_oracle(),
+        "agg_count_reservations": aggregates.agg_count_reservations_oracle(),
+        "sink_upsert_clone": cdc.sink_upsert_clone_oracle(),
+        "notify_render": notifications.notify_render_oracle(),
+    }

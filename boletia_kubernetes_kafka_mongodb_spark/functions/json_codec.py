@@ -1,0 +1,41 @@
+"""F1-F3: the double-encoded JSON codec.
+
+The reference's Kafka Connect runs the JsonConverter with
+``schemas.enable=false`` (``kafka-mongodb-connect.yaml:9-12``), which delivers
+each CDC document as a JSON **string literal** — i.e. the payload is
+JSON-quoted and consumers must unquote before parsing
+(``strconv.Unquote`` at ``inventario/main.go:70``,
+``notificaciones/main.go:57``). F2/F3 are the ordinary parse/serialize pair
+(``json.Unmarshal`` / ``json.Marshal``).
+
+Everything is a native Column expression; the unquote trick wraps the quoted
+scalar in an object so ``from_json`` (whose root must be a struct) can decode
+the JSON string escapes exactly like ``strconv.Unquote``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def unquote_json_string(col: Column | str) -> Column:
+    """F1: decode a JSON string literal (``"{\\"a\\":1}"`` → ``{"a":1}``).
+
+    Equivalent DuckDB: ``json_extract_string(col, '$')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(F.concat(F.lit('{"v":'), c, F.lit("}")), "v string")["v"]
+
+
+def parse_document(col: Column | str, schema: StructType | str) -> Column:
+    """F2: parse a JSON document into a typed struct; unknown fields drop
+    silently — matching Go-struct decode semantics (SURVEY.md §1.3)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, schema)
+
+
+def serialize_document(*cols: Column | str) -> Column:
+    """F3: serialize columns to a JSON document (``json.Marshal`` analogue)."""
+    return F.to_json(F.struct(*cols))

@@ -1,0 +1,80 @@
+"""Aggregations — SURVEY.md §2.5 (A1-A2).
+
+The reference has exactly one aggregate semantic: the per-event availability
+counter, maintained incrementally one document at a time
+(``reservas/main.go:153`` decrement, ``inventario/main.go:118`` restitution).
+Batch-equivalently that is a keyed ledger sum. Catalyst compiles both to
+partial (map-side) + final hash aggregation — the shuffle moves at most one
+row per (group key, partition), which is what keeps this viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..oracle import with_domain
+
+
+def agg_running_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the per-event capacity ledger.
+
+    Every reservation ever admitted decremented the counter once (−cantidad);
+    user cancels (estado X) restored it (+cantidad); organizer cascades
+    (estado C) never restore (``README.md:503``). Net change per event is
+    therefore −Σ cantidad over estados {A, C}; X rows net to zero.
+    """
+    res = tables.reservas(spark, sf_dir)
+    return (
+        res.groupBy("evento")
+        .agg(
+            F.sum(F.when(F.col("estado").isin("A", "C"), -F.col("cantidad")).otherwise(0))
+            .cast("long")
+            .alias("delta_capacidad"),
+            F.sum(F.when(F.col("estado") == "X", F.col("cantidad")).otherwise(0))
+            .cast("long")
+            .alias("restituido"),
+            F.count(F.lit(1)).cast("long").alias("n_reservas"),
+        )
+    )
+
+
+def agg_running_capacity_oracle() -> str:
+    return with_domain(
+        """SELECT evento,
+                  CAST(SUM(CASE WHEN estado IN ('A','C') THEN -cantidad ELSE 0 END) AS BIGINT) AS delta_capacidad,
+                  CAST(SUM(CASE WHEN estado = 'X' THEN cantidad ELSE 0 END) AS BIGINT) AS restituido,
+                  CAST(COUNT(*) AS BIGINT) AS n_reservas
+           FROM reservas GROUP BY evento"""
+    )
+
+
+def agg_count_reservations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-(evento,email) reservation grouping — the read-side listing.
+
+    Reference: the compound-index listing ``Find({evento, email}).All``
+    (``reservas/main.go:92-109``) generalized over all clients, with the
+    per-group totals the HTTP reply would render.
+    """
+    res = tables.reservas(spark, sf_dir)
+    return (
+        res.groupBy("evento", "email")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reservas"),
+            F.sum("cantidad").cast("long").alias("total_entradas"),
+            F.sum(F.when(F.col("estado") == "A", F.col("cantidad")).otherwise(0))
+            .cast("long")
+            .alias("entradas_activas"),
+        )
+    )
+
+
+def agg_count_reservations_oracle() -> str:
+    return with_domain(
+        """SELECT evento, email,
+                  CAST(COUNT(*) AS BIGINT) AS n_reservas,
+                  CAST(SUM(cantidad) AS BIGINT) AS total_entradas,
+                  CAST(SUM(CASE WHEN estado = 'A' THEN cantidad ELSE 0 END) AS BIGINT) AS entradas_activas
+           FROM reservas GROUP BY evento, email"""
+    )

@@ -1,0 +1,112 @@
+"""Joins — SURVEY.md §2.4 (J1-J4), including the flagship availability join.
+
+The reference's joins are keyed lookups of a Kafka message against a MongoDB
+collection; batch-equivalently they are equi joins where the collection side
+is a small dimension — so every join here broadcasts the dim side and never
+shuffles the fact table for the join itself. Catalyst/AQE would usually pick
+this anyway; the explicit ``broadcast()`` pins the right plan at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..oracle import with_domain
+
+
+def join_cancel_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: cancel-message × inventario — the restitution lookup.
+
+    Reference: on a user-cancel message (estado "X"), find the inventory row
+    by ``nombre = reserva.Evento`` with ``estado = "A"``
+    (``inventario/main.go:125-129``); at most one match (unique index).
+    Physical: broadcast inner equi-join, dim side = eventos.
+    """
+    cancels = tables.reservas(spark, sf_dir).where(F.col("estado") == "X")
+    ev = tables.eventos(spark, sf_dir).where(F.col("estado") == "A")
+    return cancels.join(F.broadcast(ev), cancels["evento"] == ev["nombre"], "inner").select(
+        cancels["_id"].alias("reserva_id"),
+        cancels["evento"].alias("evento"),
+        cancels["email"].alias("email"),
+        cancels["cantidad"].alias("cantidad"),
+        ev["capacidad"].alias("capacidad"),
+        ev["categoria"].alias("categoria"),
+    )
+
+
+def join_cancel_inventory_oracle() -> str:
+    return with_domain(
+        """SELECT r._id      AS reserva_id,
+                  r.evento   AS evento,
+                  r.email    AS email,
+                  r.cantidad AS cantidad,
+                  e.capacidad AS capacidad,
+                  e.categoria AS categoria
+           FROM reservas r
+           JOIN eventos e ON r.evento = e.nombre AND e.estado = 'A'
+           WHERE r.estado = 'X'"""
+    )
+
+
+def join_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: existence probe as a left-anti join — "insert if not exists".
+
+    Reference: the idempotent materializer relies on the unique-``_id`` index
+    violation to skip already-inserted reservations
+    (``inventario/main.go:89-95``). Batch form: candidate messages LEFT ANTI
+    JOIN the already-materialized target on ``_id``; survivors are the rows to
+    append. Here: first-line reservations are "already materialized"; the
+    anti join keeps the rest.
+    """
+    res = tables.reservas(spark, sf_dir)
+    existing = res.where(F.col("seq") % 10 == 1).select("_id")
+    return res.join(existing, "_id", "left_anti")
+
+
+def join_exists_anti_oracle() -> str:
+    return with_domain(
+        """SELECT * FROM reservas r
+           WHERE NOT EXISTS (
+               SELECT 1 FROM reservas x WHERE x.seq % 10 = 1 AND x._id = r._id
+           )"""
+    )
+
+
+def join_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: organizer-cancelled event × its active reservations (to flip).
+
+    Reference: ``UpdateAll({evento: e, estado: "A"}, {$set: {estado: "C"}})``
+    (``inventario/main.go:99-103``) — the join selects the update set; the
+    flip itself is M4. One-to-many equi join + residual state predicate.
+    """
+    cancelled = tables.eventos(spark, sf_dir).where(F.col("estado") == "C").select("nombre")
+    res = tables.reservas(spark, sf_dir).where(F.col("estado") == "A")
+    return res.join(F.broadcast(cancelled), res["evento"] == cancelled["nombre"], "inner").select(
+        res["_id"], res["evento"], res["estado"], res["email"], res["cantidad"], res["seq"]
+    )
+
+
+def join_cascade_oracle() -> str:
+    return with_domain(
+        """SELECT r._id, r.evento, r.estado, r.email, r.cantidad, r.seq
+           FROM reservas r
+           JOIN eventos e ON r.evento = e.nombre
+           WHERE e.estado = 'C' AND r.estado = 'A'"""
+    )
+
+
+def join_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — FLAGSHIP: current availability per event.
+
+    The implicit business query behind the whole reference pipeline
+    (``README.md:266,441-454``): availability = capacity − Σ active
+    reservations. Physical plan: partial+final hash agg on the fact side,
+    broadcast join against the event dim (see tables.inventario).
+    """
+    return tables.inventario(spark, sf_dir)
+
+
+def join_availability_oracle() -> str:
+    return with_domain("SELECT * FROM inventario")

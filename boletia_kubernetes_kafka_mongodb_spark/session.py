@@ -1,0 +1,45 @@
+"""Tuned SparkSession builder.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+configuration below is chosen to also be the right *shape* for a large
+cluster run (AQE on, skew-join handling, partial-agg-friendly shuffle
+sizing, Arrow for the few pandas-UDF operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "boletia-spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Scale notes (100 TB design):
+    - AQE handles runtime partition coalescing and skew-join splitting, so a
+      fixed ``spark.sql.shuffle.partitions`` here is only the *upper bound*
+      for local runs; on a real cluster set it ~2-3x total cores.
+    - Broadcast threshold is raised: the dimension side of every domain join
+      (``eventos`` ⇐ part) is tiny relative to the fact side (``reservas`` ⇐
+      lineitem), so broadcast-hash-join is the right physical plan at any SF.
+    - Arrow is enabled for the pandas-UDF extension operators (MinHash,
+      embedding ops); core relational operators never leave the JVM.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

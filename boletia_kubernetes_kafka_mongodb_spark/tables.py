@@ -1,0 +1,156 @@
+"""Testdata loaders and the boletia domain views.
+
+The reference's data model (SURVEY.md §1.4; reference
+``clientes-go/contratos/contratos.go:7-37``) has three collections:
+
+- ``eventos``   (_id 24-hex, nombre unique, capacidad int, categoria, estado A|C)
+- ``reservas``  (_id 24-hex, evento FK→eventos.nombre, estado A|X|C, email, cantidad)
+- ``inventario`` (clone of eventos where capacidad means *available*)
+
+Per FIXTURES.md §3 those are mapped deterministically onto the TPC-H-ish
+testdata so the DuckDB oracle can check every operator:
+
+- ``eventos``  ⇐ ``part``:     one event per part key; capacity = p_size*10
+- ``reservas`` ⇐ ``lineitem``: one reservation per line item; estado from
+  l_returnflag (N→A active, R→X user-cancelled, A→C organizer-cancelled);
+  ``seq`` = l_orderkey*10 + l_linenumber gives the deterministic total order
+  that replaces the reference's 1-partition-per-topic Kafka FIFO
+  (``clientes.yaml:151-152``).
+- ``inventario`` ⇐ the availability join (eventos ⟕ active-reservation sums)
+  — the consistency invariant capacidad_available = capacidad − Σ active
+  (reference ``README.md:266,441-454``).
+
+The *same* mapping is declared in SQL form in :mod:`..oracle` — keep both in
+sync; the driver hash-compares their outputs.
+
+Scale notes: the views are pure narrow projections over the parquet scans —
+Catalyst pushes filters/column pruning through them, so e.g. a point lookup
+on ``eventos`` compiles to a parquet scan of ``part`` with PushedFilters on
+``p_partkey``. Nothing here materializes or collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → column pruning + predicate
+    pushdown come free downstream.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects by default — the legacy conf reads it as a plain long (ns since
+    epoch), which is also what the oracle uses (``epoch_ns(ts)``), so both
+    sides agree on values. Set per-call: the driver owns the SparkSession.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+# ---------------------------------------------------------------------------
+# Domain views (keep in lock-step with oracle.DOMAIN_CTE)
+# ---------------------------------------------------------------------------
+
+def eventos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event catalog view ⇐ ``part``.
+
+    Matches the ``Evento`` contract (reference ``contratos/contratos.go:7-13``):
+    _id 24-hex (F4/F5 hex-id semantics), unique nombre (the reference enforces
+    a unique index, ``eventos/main.go:25-30``), capacidad, categoria, estado.
+    """
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        F.format_string("%024x", F.col("p_partkey")).alias("_id"),
+        F.format_string("Evento %06d", F.col("p_partkey")).alias("nombre"),
+        (F.col("p_size") * F.lit(10)).cast("int").alias("capacidad"),
+        F.col("p_brand").alias("categoria"),
+        F.when(F.col("p_partkey") % 10 == 0, F.lit("C")).otherwise(F.lit("A")).alias("estado"),
+    )
+
+
+def reservas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservations view ⇐ ``lineitem``.
+
+    Matches the ``Reserva`` contract (reference ``contratos/contratos.go:23-29``;
+    states A/X/C per ``README.md:400``). ``seq`` is the explicit arrival-order
+    column standing in for Kafka per-topic FIFO order.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity) is the
+    # minimal unique key of the synthetic lineitem (verified at every SF;
+    # quantity is always integral); pack it into one bigint so ``_id`` is a
+    # true primary key and ``seq`` a deterministic total order. Slots:
+    # ok·1e12 | ln·1e11 | pk·1e6 | sk·1e2 | qty — headroom holds while
+    # ok<9.2e6, pk<1e5, sk<1e4, qty<100 (true through sf≈0.5).
+    seq = (
+        F.col("l_orderkey") * F.lit(1_000_000_000_000)
+        + F.col("l_linenumber").cast("long") * F.lit(100_000_000_000)
+        + F.col("l_partkey") * F.lit(1_000_000)
+        + F.col("l_suppkey") * F.lit(100)
+        + F.col("l_quantity").cast("long")
+    ).cast("long")
+    return li.select(
+        F.format_string("%024x", seq).alias("_id"),
+        F.format_string("Evento %06d", F.col("l_partkey")).alias("evento"),
+        F.when(F.col("l_returnflag") == "N", F.lit("A"))
+        .when(F.col("l_returnflag") == "R", F.lit("X"))
+        .otherwise(F.lit("C"))
+        .alias("estado"),
+        F.format_string("user%d@example.com", F.col("l_suppkey")).alias("email"),
+        F.col("l_quantity").cast("int").alias("cantidad"),
+        seq.alias("seq"),
+    )
+
+
+def inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory view: eventos enriched with current availability.
+
+    The reference maintains this incrementally as a per-document counter
+    (``reservas/main.go:151-165`` decrement, ``inventario/main.go:116-129``
+    restitution); batch-equivalently it is the availability join J4:
+    disponible = capacidad − Σ cantidad of *active* reservations
+    (``README.md:266,441-454``).
+
+    Physical plan: partial+final hash aggregate of reservas (map-side combine
+    shrinks the shuffle to ≤1 row per event), then broadcast-hash-join of that
+    aggregate against eventos — the fact table is shuffled only on the groupBy
+    key; the join itself moves no big data. The aggregate side is broadcast
+    (≤ |eventos| rows) so the left-outer preserves all events.
+    """
+    ev = eventos(spark, sf_dir)
+    res = reservas(spark, sf_dir)
+    reserved = (
+        res.where(F.col("estado") == "A")
+        .groupBy("evento")
+        .agg(F.sum("cantidad").cast("long").alias("reservado"))
+    )
+    return (
+        ev.join(F.broadcast(reserved), ev["nombre"] == reserved["evento"], "left")
+        .select(
+            ev["_id"],
+            ev["nombre"],
+            ev["capacidad"],
+            ev["categoria"],
+            ev["estado"],
+            F.coalesce(F.col("reservado"), F.lit(0)).cast("long").alias("reservado"),
+            (F.col("capacidad") - F.coalesce(F.col("reservado"), F.lit(0))).cast("long").alias("disponible"),
+        )
+    )

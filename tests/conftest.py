@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from boletia_kubernetes_kafka_mongodb_spark.session import get_spark
+
+    s = get_spark("boletia-tests", cpus=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_CORRECT}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def compare_with_oracle(spark, duck, query_fn, sql, sf_dir=SF_CORRECT):
+    """Mimic the driver: row-count + column names + order-insensitive values."""
+    sdf = query_fn(spark, sf_dir)
+    spark_rows = sdf.collect()
+    duck_df = duck.execute(sql).fetchdf()
+    assert len(spark_rows) == len(duck_df), (
+        f"row count: spark={len(spark_rows)} duck={len(duck_df)}"
+    )
+    s_cols = sorted(sdf.columns)
+    d_cols = sorted(duck_df.columns)
+    assert s_cols == d_cols, f"columns: spark={s_cols} duck={d_cols}"
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            return round(v, 6)
+        if isinstance(v, int):
+            return int(v)
+        return str(v)
+
+    import math
+
+    def norm_duck(v):
+        try:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+        except (TypeError, ValueError):
+            pass
+        if hasattr(v, "item"):
+            v = v.item()
+        return norm(v)
+
+    s_set = sorted(
+        tuple(norm(r[c]) for c in s_cols) for r in spark_rows
+    )
+    d_set = sorted(
+        tuple(norm_duck(row[c]) for c in d_cols)
+        for _, row in duck_df.iterrows()
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
