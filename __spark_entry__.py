@@ -18,10 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from boletia_kubernetes_kafka_mongodb_spark.operators import (
     aggregates,
     cdc,
+    dedup,
     joins,
+    multimodal,
     mutations,
     notifications,
     scans,
+    similarity,
+    text,
 )
 
 
@@ -60,6 +64,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.1 sources/sinks (batch oracle form)
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "notify_render": notifications.notify_render,
+        # §2.9 extensions: dedup
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_simhash": dedup.ext_dedup_simhash,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        # §2.9 extensions: similarity search
+        "ext_topk_similarity": similarity.ext_topk_similarity,
+        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        # §2.9 extensions: text analysis
+        "ext_text_tokens": text.ext_text_tokens,
+        "ext_text_langid": text.ext_text_langid,
+        "ext_text_quality": text.ext_text_quality,
+        "ext_text_fingerprint": text.ext_text_fingerprint,
+        # §2.9 extensions: multimodal
+        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
+        "ext_multimodal_features": multimodal.ext_multimodal_features,
     }
 
 
@@ -88,4 +110,19 @@ def oracle_sql() -> dict[str, str]:
         "agg_count_reservations": aggregates.agg_count_reservations_oracle(),
         "sink_upsert_clone": cdc.sink_upsert_clone_oracle(),
         "notify_render": notifications.notify_render_oracle(),
+        # extensions with exact SQL oracles
+        "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),
+        "ext_dedup_embedding": dedup.ext_dedup_embedding_oracle(),
+        "ext_topk_similarity": similarity.ext_topk_similarity_oracle(),
+        "ext_text_tokens": text.ext_text_tokens_oracle(),
+        "ext_text_langid": text.ext_text_langid_oracle(),
+        "ext_text_quality": text.ext_text_quality_oracle(),
+        "ext_text_fingerprint": text.ext_text_fingerprint_oracle(),
+        "ext_multimodal_meta": multimodal.ext_multimodal_meta_oracle(),
+        "ext_multimodal_features": multimodal.ext_multimodal_features_oracle(),
+        # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
+        # ext_ann_ivf_topk are Spark-hash- or approximation-dependent →
+        # intentionally no SQL oracle (driver records rows-only); their
+        # semantics are asserted against python references in tests/.
     }

@@ -1,0 +1,330 @@
+"""Deduplication operators (SURVEY.md §2.9 / BASELINE.json extensions).
+
+Four families over ``documents`` (+ one over ``embeddings``):
+
+- exact        — fingerprint groupBy (hash dedup; keep-min winner)
+- n-gram Jaccard — token-set similarity pairs within blocking keys
+- MinHash+LSH  — shingle → minhash signature → banded bucket join →
+                 candidate pairs → exact-Jaccard verification
+- SimHash      — 64-bit bit-majority signature via an Arrow-batched pandas
+                 UDF; near-dup = small Hamming distance
+- embedding    — cosine near-dup pairs (exact; the LSH scale path is in
+                 ``similarity.py``)
+
+Scale design: exact dedup and MinHash banding are the 100 TB paths — both
+are groupBy/join on derived keys, shuffling only (key, id) pairs, never
+full documents; candidate verification joins back to fetch token sets for
+the (tiny) candidate set only. The all-pairs variants are correctness
+oracles, blocked on a key (here ``lang``) to bound the quadratic term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .. import tables
+from .text import TOKEN_RE, tokens_col
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 32          # signature length
+LSH_BANDS = 8               # 8 bands × 4 rows — high recall at 0.5 threshold
+SHINGLE_N = 3               # word-shingle width
+EMBED_DUP_THRESHOLD = 0.45  # cosine near-dup threshold (data max ≈ 0.51)
+SIMHASH_MAX_HAMMING = 8
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint; survivor = min doc_id.
+
+    The classic hash-groupBy: shuffle only (fingerprint, doc_id); at 100 TB
+    this is one shuffle of ~32 bytes/row. Emits survivor + duplicate count.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("survivor_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def ext_dedup_exact_oracle() -> str:
+    return r"""
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+               CAST(MIN(doc_id) AS BIGINT) AS survivor_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token-set) Jaccard pairs
+# ---------------------------------------------------------------------------
+
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard ≥ 0.5, blocked by ``lang``.
+
+    The blocking key bounds the quadratic pair space (same-language docs
+    only) — the standard exact-verification step of any near-dedup pipeline.
+    Jaccard entirely via JVM array intrinsics (array_intersect/array_union).
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.array_distinct(tokens_col("text")).alias("toks")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        "inner",
+    )
+    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def ext_dedup_ngram_jaccard_oracle() -> str:
+    return f"""
+        SELECT doc_a, doc_b, lang, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+            FROM (SELECT doc_id, lang,
+                         list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS toks
+                  FROM documents) a
+            JOIN (SELECT doc_id, lang,
+                         list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS toks
+                  FROM documents) b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingles(toks):
+    """Word n-gram shingles as strings (higher-order functions, JVM-side)."""
+    n = SHINGLE_N
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → array<long> MinHash signature (MINHASH_PERMS seeded hashes).
+
+    Each permutation is min(xxhash64(shingle, seed)) — computed with
+    ``transform``+``array_min`` entirely inside codegen; no UDF, no shuffle.
+    """
+    toks = tokens_col("text")
+    sh = _shingles(toks).alias("shingles")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, seed=k: F.xxhash64(s, F.lit(seed)))
+            )
+            for k in range(MINHASH_PERMS)
+        ]
+    )
+    return docs.select("doc_id", sh).where(F.size("shingles") > 0).select(
+        "doc_id", sig.alias("sig")
+    )
+
+
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
+
+    Pipeline (all built-ins): shingle → 32-perm minhash signature → split
+    into 8 bands of 4 → hash each band to a bucket key → explode → self-join
+    on (band, bucket) → distinct candidate pairs → verify exact shingle
+    Jaccard ≥ threshold.
+
+    Scale: the banded join shuffles only (band_hash, doc_id); verification
+    re-joins token sets for candidates only — the O(n²) term never
+    materializes. Spark-hash-dependent ⇒ rows-only driver check; recall vs
+    the exhaustive oracle is asserted in tests/test_dedup.py.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shingle_sets = docs.select(
+        "doc_id", _shingles(tokens_col("text")).alias("sh")
+    )
+    verified = (
+        candidates.join(
+            shingle_sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 64-bit SimHash via an Arrow-batched pandas UDF.
+
+    Bit-majority voting over per-token 64-bit hashes is genuinely awkward as
+    SQL (64 conditional sums); the idiomatic Spark escape hatch is a
+    vectorized pandas UDF over the token-hash arrays — Arrow batches in, one
+    numpy popcount-style fold, longs out (SURVEY.md §2.8 policy).
+    """
+    from ._pandas_udfs import simhash_from_token_hashes
+
+    token_hashes = F.transform(
+        F.array_distinct(tokens_col("text")), lambda t: F.xxhash64(t)
+    )
+    return docs.select("doc_id", simhash_from_token_hashes(token_hashes).alias("simhash"))
+
+
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ SIMHASH_MAX_HAMMING.
+
+    Pairs blocked by ``lang`` (same rationale as the Jaccard blocker); the
+    Hamming test is ``bit_count(a XOR b)`` — back to pure JVM bit intrinsics.
+    Spark-hash + UDF dependent ⇒ rows-only driver check; behavior asserted
+    against a python reference in tests/test_dedup.py.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs over the vector dim).
+
+    cosine = dot/(‖a‖·‖b‖) computed in double via zip_with/aggregate — JVM
+    higher-order functions, no UDF. Exact all-pairs is the verification
+    oracle; the sub-quadratic scale path is the LSH/IVF bucketing in
+    ``similarity.py``.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings")
+    withnorm = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("norm")
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"), "inner")
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+    )
+
+
+def ext_dedup_embedding_oracle() -> str:
+    return f"""
+        SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= {EMBED_DUP_THRESHOLD}
+    """

@@ -1,0 +1,190 @@
+"""Multimodal column plumbing (SURVEY.md §2.9): binary payloads + metadata.
+
+Media items are opaque ``binary`` columns with a typed metadata struct —
+the layout a 100 TB media corpus uses (payload bytes or object-store
+pointers + schema-checked metadata). The Spark-side plumbing (schemas,
+``mapInPandas`` batch shape, partition sizing) is real and tested; the
+actual codec decode is stubbed behind ``NotImplementedError`` with a
+deterministic fake, because no image/audio libraries exist in this
+container (mandate: stub the decode, make the plumbing real).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import tables
+
+FORMATS = ("png", "jpeg", "webp")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_format", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_format", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("feat_mean_byte", LongType(), True),
+        StructField("feat_head_sum", LongType(), True),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` → media table: binary payload + typed metadata.
+
+    Payload = utf-8 bytes of the text (the deterministic stand-in for real
+    image bytes); metadata derived deterministically so the oracle can check
+    the plumbing end-to-end.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("media_format"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        (F.col("doc_id") % 640 + 16).cast("long").alias("width"),
+        (F.col("doc_id") * 7 % 480 + 16).cast("long").alias("height"),
+    )
+
+
+def decode_media(payload: bytes, media_format: str) -> bytes:
+    """Decode a media payload to raw pixels/samples.
+
+    STUB: real decode needs an image/audio codec library (PIL/ffmpeg), not
+    present in this environment. The Spark-side plumbing that calls this is
+    real; swap this function for the codec call in production.
+    """
+    raise NotImplementedError(
+        "media decode requires a codec library (PIL/libjpeg/ffmpeg); "
+        "use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes) -> bytes:
+    """Deterministic fake decode: identity bytes (tests the batch plumbing)."""
+    return payload
+
+
+def extract_features(
+    spark: SparkSession, media: DataFrame, use_fake_decode: bool = True
+) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``.
+
+    The real Arrow path: payload bytes stream per-batch into pandas, a
+    vectorized feature fold runs per batch (here: byte statistics standing
+    in for a CNN/fft), and a typed frame streams back. Batch shape and
+    schema are exactly what a real extractor would use.
+
+    The closure is self-contained (no references to module-level functions):
+    executor workers don't share the driver's sys.path, so anything captured
+    must pickle by value.
+    """
+    if use_fake_decode:
+        def decode(p):  # identity fake — deterministic plumbing test
+            return p
+    else:
+        def decode(p):
+            raise NotImplementedError(
+                "media decode requires a codec library (PIL/libjpeg/ffmpeg)"
+            )
+
+    def featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats_mean = []
+            feats_head = []
+            for payload in pdf["payload"]:
+                raw = np.frombuffer(decode(bytes(payload)), dtype=np.uint8)
+                feats_mean.append(int(raw.mean()) if raw.size else 0)
+                feats_head.append(int(raw[:16].sum()) if raw.size else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": pdf["media_format"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat_mean_byte": feats_mean,
+                    "feat_head_sum": feats_head,
+                }
+            )
+
+    return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked query: media metadata projection (payload dropped).
+
+    Checks the binary-column plumbing (encode → octet_length → typed
+    metadata) against plain SQL; the payload itself never reaches the
+    driver — at scale you project metadata without touching bytes (column
+    pruning keeps the binary column out of the scan entirely).
+    """
+    return media_table(spark, sf_dir).select(
+        "doc_id", "media_format", "n_bytes", "width", "height"
+    )
+
+
+def ext_multimodal_meta_oracle() -> str:
+    return """
+        SELECT doc_id,
+               ['png','jpeg','webp'][(doc_id % 3 + 1)::INTEGER] AS media_format,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+               CAST(doc_id * 7 % 480 + 16 AS BIGINT) AS height
+        FROM documents
+    """
+
+
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked query: the mapInPandas feature-extraction path.
+
+    The fake decode is identity bytes, so the extracted features are
+    deterministic byte statistics — SQL-expressible, which lets the driver
+    hash-check the *entire Arrow round-trip* (Spark → pandas → Spark)
+    against DuckDB.
+    """
+    return extract_features(spark, media_table(spark, sf_dir))
+
+
+def ext_multimodal_features_oracle() -> str:
+    # mean over uint8 bytes == floor(sum/len): numpy .mean() + int() truncates
+    # the same way for non-negative values. Text is ASCII (verified) so
+    # per-char ord == per-byte value.
+    return """
+        SELECT d.doc_id,
+               ['png','jpeg','webp'][(d.doc_id % 3 + 1)::INTEGER] AS media_format,
+               CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+               CAST(s.byte_sum // s.n AS BIGINT) AS feat_mean_byte,
+               CAST(h.head_sum AS BIGINT) AS feat_head_sum
+        FROM documents d
+        JOIN (SELECT doc_id, SUM(ord(ch)) AS byte_sum, COUNT(*) AS n
+              FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+              GROUP BY doc_id) s ON d.doc_id = s.doc_id
+        JOIN (SELECT doc_id, SUM(ord(ch)) AS head_sum
+              FROM (SELECT doc_id, unnest(string_split(substr(text, 1, 16), '')) AS ch
+                    FROM documents)
+              GROUP BY doc_id) h ON d.doc_id = h.doc_id
+    """

@@ -1,0 +1,194 @@
+"""Text-analysis operators (SURVEY.md §2.9 extensions) over ``documents``.
+
+Everything here is native Column expressions — tokenization via
+``regexp_extract_all``, scoring via arithmetic — so the hot path never
+leaves the JVM and the whole stage codegens. Each operator has an exact
+DuckDB oracle.
+
+Scale: all per-row narrow maps (no shuffle at all except the explicit
+aggregations); at 100 TB these pipeline straight over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+
+TOKEN_RE = "[a-z0-9]+"
+
+# tiny per-language stopword lists for the n-gram/stopword lang-id heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "fr": ("le", "la", "les", "et", "des", "est", "dans", "pour"),
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Lowercased word tokens (the whitespace+BPE-ish regex tokenizer)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-word tokens, distinct tokens, length stats."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(
+            F.length(F.array_join(toks, "")) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def ext_text_tokens_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               ROUND(length(list_aggregate(regexp_extract_all(lower(text), '{TOKEN_RE}'), 'string_agg', ''))
+                     / GREATEST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1), 6) AS avg_token_len
+        FROM documents
+    """
+
+
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit voting with deterministic tie-break.
+
+    Real lang-id would use char n-gram models; the deterministic stopword
+    vote is the same *shape* (per-row array intersection against broadcast
+    lexicons — a literal array here, a broadcast join for big lexicons).
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"hits_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.lit("und")
+    # fixed iteration order ⇒ deterministic tie-break (first max wins)
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang_labeled", *[f"hits_{lang}" for lang in LANG_STOPWORDS],
+        pred.alias("lang_pred"),
+    )
+
+
+def ext_text_langid_oracle() -> str:
+    hit_cols = ",\n".join(
+        f"len(list_intersect(toks, {list(words)!r})) AS hits_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    # build the tie-break CASE in the same fixed order as the Spark ladder
+    langs = list(LANG_STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+        SELECT doc_id, lang_labeled, {", ".join(f"CAST(hits_{lang} AS INTEGER) AS hits_{lang}" for lang in langs)},
+               {case} AS lang_pred
+        FROM (
+            SELECT doc_id, lang AS lang_labeled,
+                   {hit_cols}
+            FROM (
+                SELECT doc_id, lang, text,
+                       list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS toks
+                FROM documents
+            )
+        )
+    """
+
+
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio heuristics.
+
+    The standard pretraining-corpus filters (C4/Gopher-style): doc length,
+    mean word length, symbol-to-word ratio, stopword ratio; combined into a
+    single [0,1] score. All arithmetic — JVM-side, shuffle-free.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_en))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    len_ok = (F.length("text") >= 50) & (F.length("text") <= 100_000)
+    q = (
+        F.when(len_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(n_stop > 0, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopword_hits"),
+        F.round(q, 6).alias("quality_score"),
+    )
+
+
+def ext_text_quality_oracle() -> str:
+    words = list(LANG_STOPWORDS["en"])
+    return f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_intersect(list_distinct(toks), {words!r})) AS BIGINT) AS n_stopword_hits,
+               -- ::DOUBLE everywhere: bare 0.5/0.25 literals are DECIMAL in
+               -- DuckDB and the driver's value hash renders DECIMAL ≠ DOUBLE
+               ROUND(
+                 (CASE WHEN length(text) >= 50 AND length(text) <= 100000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                 + (CASE WHEN len(list_intersect(list_distinct(toks), {words!r})) > 0 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+                 + (CASE WHEN length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                          / GREATEST(length(text), 1) < 0.1 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END), 6) AS quality_score
+        FROM (
+            SELECT *, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+            FROM documents
+        )
+    """
+
+
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text.
+
+    The exact-dedup key (rolling-hash fingerprints reduce to the same
+    groupBy-able digest column at engine level). Shuffle-free map.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.substring(F.md5(normalized), 1, 8).alias("fingerprint_prefix"),
+    )
+
+
+def ext_text_fingerprint_oracle() -> str:
+    return r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+               substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fingerprint_prefix
+        FROM documents
+    """

@@ -48,11 +48,17 @@ def compare_with_oracle(spark, duck, query_fn, sql, sf_dir=SF_CORRECT):
     d_cols = sorted(duck_df.columns)
     assert s_cols == d_cols, f"columns: spark={s_cols} duck={d_cols}"
 
+    import decimal
+
     def norm(v):
         if v is None:
             return None
         if isinstance(v, bool):
             return bool(v)
+        # deliberately NOT coercing Decimal to float: a DECIMAL-typed oracle
+        # column must be caught as a mismatch (the driver's hash would differ)
+        if isinstance(v, decimal.Decimal):
+            return ("decimal", str(v))
         if isinstance(v, float):
             return round(v, 6)
         if isinstance(v, int):

@@ -1,0 +1,86 @@
+"""Semantic tests for the approximate dedup operators (no SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from boletia_kubernetes_kafka_mongodb_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+
+def _exhaustive_shingle_jaccard_pairs(spark, sf_dir, threshold):
+    """Reference: exact all-pairs shingle Jaccard (no LSH)."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators.dedup import _shingles
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(tokens_col("text")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return {(r.doc_a, r.doc_b) for r in pairs.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    truth = _exhaustive_shingle_jaccard_pairs(spark, SF_SMOKE, dedup.JACCARD_THRESHOLD)
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ext_dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    # verification step ⇒ perfect precision (every emitted pair really is ≥ t)
+    assert found.issubset(truth), f"false positives: {found - truth}"
+    # banded minhash at 8×4 over t=0.5 ⇒ high recall; demand ≥ 0.8 if truth nonempty
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_simhash_matches_python_reference(spark):
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    docs = tables.load(spark, SF_SMOKE, "documents").limit(50)
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    # python reference over the same spark-computed token hashes
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+
+    hashes_df = docs.select(
+        "doc_id",
+        F.transform(F.array_distinct(tokens_col("text")), lambda t: F.xxhash64(t)).alias("h"),
+    )
+    for row in hashes_df.collect():
+        hs = [h & ((1 << 64) - 1) for h in row.h]
+        sig = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if ones * 2 >= len(hs):
+                sig |= 1 << b
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        assert sigs[row.doc_id] == sig, f"doc {row.doc_id}"
+
+
+def test_simhash_pairs_symmetric_threshold(spark):
+    out = dedup.ext_dedup_simhash(spark, SF_SMOKE)
+    rows = out.collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING
+
+
+def test_exact_dedup_total_count_preserved(spark):
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    n_docs = tables.load(spark, SF_SMOKE, "documents").count()
+    agg = dedup.ext_dedup_exact(spark, SF_SMOKE).agg(F.sum("n_copies")).first()[0]
+    assert agg == n_docs  # partition of the corpus: every doc in exactly one group

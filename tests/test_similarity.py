@@ -1,0 +1,38 @@
+"""Semantic tests for the approximate similarity operators."""
+
+from __future__ import annotations
+
+from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+from tests.conftest import SF_SMOKE
+
+
+def _brute_topk_ids(spark):
+    return [
+        r.vec_id for r in similarity.ext_topk_similarity(spark, SF_SMOKE).collect()
+    ]
+
+
+def test_ann_lsh_recall(spark):
+    truth = set(_brute_topk_ids(spark))
+    approx = {r.vec_id for r in similarity.ext_ann_lsh_topk(spark, SF_SMOKE).collect()}
+    # embeddings are near-orthogonal synthetic noise (max pairwise cosine
+    # ≈0.51) — the 6×8 banding targets ≈0.46 expected recall there while
+    # pruning ~88% of the corpus; assert a floor well below expectation
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} (truth {sorted(truth)})"
+
+
+def test_ann_ivf_recall(spark):
+    truth = set(_brute_topk_ids(spark))
+    approx = {r.vec_id for r in similarity.ext_ann_ivf_topk(spark, SF_SMOKE).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_topk_ordering_and_bounds(spark):
+    rows = similarity.ext_topk_similarity(spark, SF_SMOKE).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    sims = [r.cosine for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(r.vec_id != similarity.QUERY_VEC_ID for r in rows)
