@@ -27,6 +27,7 @@ from boletia_kubernetes_kafka_mongodb_spark.operators import (
     similarity,
     text,
 )
+from boletia_kubernetes_kafka_mongodb_spark.streaming import admission
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -53,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
         "reserva_cancel_flag": mutations.reserva_cancel_flag,
         "insert_dedup_unique": mutations.insert_dedup_unique,
+        # §7 Phase 4: TRUE sequential-admission semantics (rejected requests
+        # consume nothing) — applyInPandas fold; oracle = recursive CTE
+        "reserve_admission_exact": admission.admission_ledger_batch,
         # §2.4 joins
         "join_cancel_inventory": joins.join_cancel_inventory,
         "join_exists_anti": joins.join_exists_anti,
@@ -102,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "cascade_cancel_updateall": mutations.cascade_cancel_updateall_oracle(),
         "reserva_cancel_flag": mutations.reserva_cancel_flag_oracle(),
         "insert_dedup_unique": mutations.insert_dedup_unique_oracle(),
+        "reserve_admission_exact": admission.admission_oracle_sql(),
         "join_cancel_inventory": joins.join_cancel_inventory_oracle(),
         "join_exists_anti": joins.join_exists_anti_oracle(),
         "join_cascade": joins.join_cascade_oracle(),

@@ -20,6 +20,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def json_quote_string(col: Column | str) -> Column:
+    """Inverse of F1: encode a string as a JSON string literal
+    (``{"a":1}`` → ``"{\\"a\\":1}"``) — what the JsonConverter with
+    ``schemas.enable=false`` does to every document on the wire.
+
+    ``to_json`` only accepts container types, so quote via a 1-element array
+    and strip the brackets: ``to_json(array(s)) = [<quoted>]``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.to_json(F.array(c))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
 def unquote_json_string(col: Column | str) -> Column:
     """F1: decode a JSON string literal (``"{\\"a\\":1}"`` → ``{"a":1}``).
 

@@ -26,6 +26,41 @@ except Exception:  # pragma: no cover - older cloudpickle without the API
     pass
 
 
+def admission_fold_pandas(pdf):
+    """The sequential admission fold over one event's rows (seq-sorted).
+
+    Shared by the batch ``applyInPandas`` ledger and (logic-wise) the
+    streaming state processor — see streaming/admission.py. Lives here so it
+    pickles by value (executor workers can't import the package).
+    """
+    pdf = pdf.sort_values("seq")
+    available = int(pdf["capacidad"].iloc[0])
+    admitted, after = [], []
+    for op, qty in zip(pdf["op"], pdf["cantidad"]):
+        qty = int(qty)
+        if op == "reserve":
+            ok = available >= qty
+            if ok:
+                available -= qty
+        else:  # cancel: unguarded restitution
+            ok = True
+            available += qty
+        admitted.append(ok)
+        after.append(available)
+    return pd.DataFrame(
+        {
+            "evento": pdf["evento"],
+            "seq": pdf["seq"],
+            "_id": pdf["_id"],
+            "email": pdf["email"],
+            "op": pdf["op"],
+            "cantidad": pdf["cantidad"],
+            "admitted": admitted,
+            "disponible_despues": after,
+        }
+    )
+
+
 @pandas_udf(LongType())
 def simhash_from_token_hashes(hash_arrays: pd.Series) -> pd.Series:
     """array<long> of per-token 64-bit hashes → 64-bit SimHash signature.

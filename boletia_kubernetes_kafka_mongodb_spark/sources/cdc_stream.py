@@ -1,0 +1,108 @@
+"""CDC message-log emulation (SURVEY.md §2.1 S1, §7 Phase 3a).
+
+The reference's change feed is: MongoDB change stream → Connect source with
+``publish.full.document.only=true`` → topic ``boletia.<collection>`` with the
+document as a JSON-quoted string value (``kafka-mongodb-connect.yaml:9-21``).
+
+Here the same feed is emulated deterministically from the domain views:
+``build_message_log`` produces the interleaved, seq-ordered message history a
+run of the reference would emit (event creates → inventory clones →
+reservation admits → cancels), with the double-encoded values and ~5%
+duplicate redeliveries (at-least-once). ``write_stream_fixture`` lands it as
+seq-ordered parquet files so ``read_message_stream`` can replay it as a
+Structured Streaming source with controllable batch boundaries
+(``maxFilesPerTrigger``) — the stand-in for the Kafka source in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from .catalog import (
+    MESSAGE_SCHEMA,
+    TOPIC_EVENTOS,
+    TOPIC_INVENTARIO,
+    TOPIC_RESERVAS,
+)
+
+
+def _double_encode(doc_json):
+    """Value encoding F1: the document JSON, itself JSON-quoted (the
+    schemas.enable=false JsonConverter artifact consumers must unquote)."""
+    from ..functions.json_codec import json_quote_string
+
+    return json_quote_string(doc_json)
+
+
+def build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int = 20) -> DataFrame:
+    """Deterministic interleaved CDC history over the domain views.
+
+    Message order (``seq`` column): all event-create messages first (the
+    catalog exists before reservations — reference §3.1), then
+    reservation-lifecycle messages in reservas.seq order. Every
+    ``seq % dup_fraction_mod == 7`` message is emitted twice (redelivery).
+    """
+    ev = tables.eventos(spark, sf_dir)
+    res = tables.reservas(spark, sf_dir)
+
+    ev_msgs = ev.select(
+        F.col("_id").alias("key"),
+        F.lit(TOPIC_EVENTOS).alias("topic"),
+        _double_encode(F.to_json(F.struct("_id", "nombre", "capacidad", "categoria", "estado"))).alias("value"),
+        # events come first: seq below any reservation seq (reservas seq ≥ 1e11)
+        F.row_number().over(Window.orderBy("_id")).cast("long").alias("seq"),
+    )
+
+    res_msgs = res.select(
+        F.col("_id").alias("key"),
+        F.lit(TOPIC_RESERVAS).alias("topic"),
+        _double_encode(F.to_json(F.struct("_id", "evento", "estado", "email", "cantidad"))).alias("value"),
+        F.col("seq"),
+    )
+
+    log = ev_msgs.select("seq", "topic", "key", "value").unionAll(
+        res_msgs.select("seq", "topic", "key", "value")
+    )
+    dups = log.where(F.col("seq") % dup_fraction_mod == 7)
+    return log.unionAll(dups)
+
+
+def write_ordered_files(
+    df: DataFrame, path: str, n_files: int = 8, order_col: str = "seq"
+) -> None:
+    """Land a frame as order-range-partitioned parquet files.
+
+    Each file covers a contiguous ``order_col`` range (``ntile``), written
+    sequentially so file modification times follow arrival order — a
+    ``maxFilesPerTrigger=1`` replay then feeds micro-batches in that order,
+    the 1-partition-per-topic Kafka FIFO analogue (FileStreamSource orders
+    pending files by timestamp).
+    """
+    with_bucket = df.withColumn(
+        "bucket", F.ntile(n_files).over(Window.orderBy(order_col))
+    )
+    for b in range(1, n_files + 1):
+        (
+            with_bucket.where(F.col("bucket") == b)
+            .drop("bucket")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
+def write_stream_fixture(log: DataFrame, path: str, n_files: int = 8) -> None:
+    """Land the message log as seq-range-partitioned parquet files."""
+    write_ordered_files(log, path, n_files=n_files, order_col="seq")
+
+
+def read_message_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Replay the fixture as a stream (schema-declared parquet source)."""
+    reader = spark.readStream.schema(MESSAGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

@@ -1,0 +1,174 @@
+"""Per-key admission state — the exact M1/M2 semantics (SURVEY.md §7 Phase 4).
+
+The reference's core operator is the guarded atomic decrement
+(``reservas/main.go:151-165``): a reservation is admitted iff the event's
+*current* availability covers it; a rejected reservation consumes nothing.
+That last clause is what the plain window/prefix-sum batch oracle
+(operators/mutations.py M1) cannot express — it needs a sequential fold.
+
+Two implementations share one fold:
+
+- ``admission_ledger_batch`` — ``groupBy(evento).applyInPandas``: one
+  Arrow batch per event, fold in seq order. Deterministic under any input
+  partitioning (the groupBy gathers the key), so it is driver-checkable —
+  and DuckDB *can* express the fold as a recursive CTE, giving the true
+  semantics an exact SQL oracle (``admission_oracle_sql``).
+- ``admission_ledger_stream`` — ``applyInPandasWithState`` keyed by evento,
+  carrying ``available`` across micro-batches: the production streaming
+  form. Equivalence with the batch fold is asserted in tests (same input →
+  same ledger), which is exactly SURVEY §7's Phase-4 test strategy.
+
+Scale: state is one long per event key; the shuffle is on the natural key
+``evento``; skew on hot events is bounded by AQE + the fact the fold is
+O(rows-of-key). The reference serializes *everything* through one Kafka
+partition (``README.md:540``) — per-key serialization with cross-key
+parallelism is strictly stronger.
+
+Ops semantics per row (in seq order):
+- op "reserve" (cantidad n): admit iff available ≥ n → available -= n
+- op "cancel"  (cantidad n): available += n (unguarded M2 restitution;
+  the canres=−1 sentinel lives in the emitted echo, handled by the router)
+
+Closures below are self-contained (stdlib+pandas only): executor workers
+don't share the driver's sys.path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import tables
+from ..oracle import with_domain
+
+LEDGER_SCHEMA = StructType(
+    [
+        StructField("evento", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("_id", StringType(), False),
+        StructField("email", StringType(), True),
+        StructField("op", StringType(), False),
+        StructField("cantidad", IntegerType(), False),
+        StructField("admitted", BooleanType(), False),
+        StructField("disponible_despues", LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = StructType([StructField("available", LongType(), False)])
+
+
+def request_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission input: active reservation requests in arrival order,
+    carrying the event's capacity (broadcast dim join)."""
+    res = tables.reservas(spark, sf_dir).where(F.col("estado") == "A")
+    ev = tables.eventos(spark, sf_dir).select("nombre", "capacidad")
+    return res.join(F.broadcast(ev), res["evento"] == ev["nombre"], "inner").select(
+        "evento", "seq", "_id", "email",
+        F.lit("reserve").alias("op"), "cantidad", "capacidad",
+    )
+
+
+def admission_ledger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query ``reserve_admission_exact``: the true sequential-admission
+    ledger (rejected requests consume no capacity), per event, batch form."""
+    from ..operators._pandas_udfs import admission_fold_pandas
+
+    reqs = request_stream_batch(spark, sf_dir)
+    return reqs.groupBy("evento").applyInPandas(admission_fold_pandas, schema=LEDGER_SCHEMA)
+
+
+def admission_oracle_sql() -> str:
+    """The same fold as a DuckDB recursive CTE (exact oracle for Phase 4)."""
+    return with_domain(
+        """, ordered AS (
+            SELECT r.evento, r.seq, r._id, r.email,
+                   'reserve' AS op, r.cantidad, e.capacidad,
+                   row_number() OVER (PARTITION BY r.evento ORDER BY r.seq) AS rn
+            FROM reservas r
+            JOIN eventos e ON r.evento = e.nombre
+            WHERE r.estado = 'A'
+        ),
+        sim AS (
+            SELECT evento, seq, _id, email, op, cantidad, rn,
+                   (cantidad <= capacidad) AS admitted,
+                   CAST(CASE WHEN cantidad <= capacidad
+                             THEN capacidad - cantidad ELSE capacidad END AS BIGINT)
+                       AS disponible_despues
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.evento, o.seq, o._id, o.email, o.op, o.cantidad, o.rn,
+                   (o.cantidad <= s.disponible_despues) AS admitted,
+                   CAST(CASE WHEN o.cantidad <= s.disponible_despues
+                             THEN s.disponible_despues - o.cantidad
+                             ELSE s.disponible_despues END AS BIGINT)
+            FROM ordered o
+            JOIN sim s ON o.evento = s.evento AND o.rn = s.rn + 1
+        )
+        SELECT evento, seq, _id, email, op, cantidad, admitted, disponible_despues
+        FROM sim"""
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def admission_ledger_stream(requests: DataFrame) -> DataFrame:
+    """Streaming twin: ``applyInPandasWithState`` keyed by evento.
+
+    ``requests`` must carry (evento, seq, _id, email, op, cantidad,
+    capacidad). State = available:long, initialized from ``capacidad`` on
+    first sight of the key; rows within each micro-batch are folded in seq
+    order; ordering *across* batches is the source's responsibility (the
+    seq-ordered file replay / 1-partition topic).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold_with_state(key, pdf_iter, state):
+        import pandas as pd
+
+        rows = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(rows).sort_values("seq") if rows else None
+        if pdf is None or pdf.empty:
+            return
+        if state.exists:
+            (available,) = state.get
+        else:
+            available = int(pdf["capacidad"].iloc[0])
+        admitted, after = [], []
+        for op, qty in zip(pdf["op"], pdf["cantidad"]):
+            qty = int(qty)
+            if op == "reserve":
+                ok = available >= qty
+                if ok:
+                    available -= qty
+            else:
+                ok = True
+                available += qty
+            admitted.append(ok)
+            after.append(available)
+        state.update((available,))
+        yield pd.DataFrame(
+            {
+                "evento": pdf["evento"],
+                "seq": pdf["seq"],
+                "_id": pdf["_id"],
+                "email": pdf["email"],
+                "op": pdf["op"],
+                "cantidad": pdf["cantidad"],
+                "admitted": admitted,
+                "disponible_despues": after,
+            }
+        )
+
+    return requests.groupBy("evento").applyInPandasWithState(
+        fold_with_state,
+        outputStructType=LEDGER_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

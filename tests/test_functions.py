@@ -1,0 +1,108 @@
+"""Unit tests for the scalar function surface (F1-F9) and P9/P10 helpers."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from boletia_kubernetes_kafka_mongodb_spark.functions.ids import (
+    gen_hex_id,
+    is_valid_hex24,
+    long_to_hex24,
+)
+from boletia_kubernetes_kafka_mongodb_spark.functions.json_codec import (
+    json_quote_string,
+    parse_document,
+    serialize_document,
+    unquote_json_string,
+)
+from boletia_kubernetes_kafka_mongodb_spark.functions.templates import (
+    render_notification,
+    template_index,
+)
+from boletia_kubernetes_kafka_mongodb_spark.operators.scans import (
+    defaults_on_insert,
+    validate_positive_cantidad,
+)
+
+
+def test_json_quote_unquote_roundtrip(spark):
+    docs = [
+        '{"a": 1, "b": "x"}',
+        '{"nested": "with \\"quotes\\" and \\\\ backslash"}',
+        'plain text with "quotes"',
+        "",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = df.select(
+        "doc", unquote_json_string(json_quote_string("doc")).alias("roundtrip")
+    ).collect()
+    for r in out:
+        assert r.roundtrip == r.doc
+    # and the quoted form is exactly python json.dumps
+    quoted = df.select(json_quote_string("doc").alias("q")).collect()
+    for r, d in zip(quoted, docs):
+        assert r.q == json.dumps(d)
+
+
+def test_parse_document_drops_unknown_fields(spark):
+    # Go-struct decode semantics: unknown fields silently dropped (SURVEY §1.3)
+    df = spark.createDataFrame(
+        [('{"nombre": "E1", "capacidad": 5, "EXTRA": 99}',)], "value string"
+    )
+    parsed = df.select(
+        parse_document("value", "nombre string, capacidad int").alias("doc")
+    ).collect()[0]["doc"]
+    assert parsed.asDict() == {"nombre": "E1", "capacidad": 5}
+
+
+def test_serialize_document(spark):
+    df = spark.createDataFrame([("a", 1)], "x string, y int")
+    out = df.select(serialize_document("x", "y").alias("j")).collect()[0].j
+    assert json.loads(out) == {"x": "a", "y": 1}
+
+
+def test_hex24_functions(spark):
+    df = spark.createDataFrame([(255,), (0,)], "n long")
+    rows = df.select(
+        long_to_hex24("n").alias("h"),
+        is_valid_hex24(long_to_hex24("n")).alias("ok"),
+    ).collect()
+    assert rows[0].h == "0" * 22 + "ff" and rows[0].ok
+    assert rows[1].h == "0" * 24 and rows[1].ok
+    bad = spark.createDataFrame([("xyz",), ("ABCDEF0123456789ABCDEF01",)], "s string")
+    flags = [r.ok for r in bad.select(is_valid_hex24("s").alias("ok")).collect()]
+    assert flags == [False, False]  # wrong length / uppercase rejected
+
+
+def test_gen_hex_id_deterministic_and_unique(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 1)], "x string, y int")
+    ids = [r.i for r in df.select(gen_hex_id("x", "y").alias("i")).collect()]
+    assert ids[0] == ids[2] and ids[0] != ids[1]
+    assert all(len(i) == 24 for i in ids)
+
+
+def test_template_index_and_render(spark):
+    df = spark.createDataFrame(
+        [("r1", 2, "E1", "A"), ("r2", 1, "E2", "C"), ("r3", 3, "E3", "X"), ("r4", 1, "E4", "Z")],
+        "rid string, qty int, ev string, estado string",
+    )
+    rows = df.select(
+        template_index("estado").alias("idx"),
+        render_notification("rid", "qty", "ev", "estado").alias("body"),
+    ).collect()
+    assert [r.idx for r in rows] == [1, 2, 3, 0]
+    assert "esta confirmada" in rows[0].body
+    assert "suspendido por los organizadores" in rows[1].body
+    assert "a peticion suya" in rows[2].body
+    assert rows[3].body is None  # invalid state → NULL for the error route
+
+
+def test_defaults_and_validation(spark):
+    df = spark.createDataFrame([("E1", 2), ("E2", 0), ("E3", -1)], "evento string, cantidad int")
+    ok = validate_positive_cantidad(df)
+    assert [r.evento for r in ok.collect()] == ["E1"]
+    withdefs = defaults_on_insert(ok)
+    row = withdefs.collect()[0]
+    assert row.estado == "A" and len(row._id) == 24

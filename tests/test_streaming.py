@@ -1,0 +1,219 @@
+"""Streaming layer tests: router/loop-breaker, admission state, MERGE sinks.
+
+Mirrors the reference's implicit invariants (SURVEY.md §5.1):
+(vi) replayed messages are no-ops; (vii) echo messages never loop; plus the
+Phase-4 contract: streaming admission ≡ batch admission fold on one input.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from boletia_kubernetes_kafka_mongodb_spark.sources import cdc_stream
+from boletia_kubernetes_kafka_mongodb_spark.sources.catalog import (
+    TOPIC_INVENTARIO,
+    TOPIC_RESERVAS,
+)
+from boletia_kubernetes_kafka_mongodb_spark.streaming import admission, router, sinks
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="boletia_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# router + loop-breaker (static frames; same Columns run on streams)
+# ---------------------------------------------------------------------------
+
+def test_router_routes_and_loop_breaker(spark):
+    log = cdc_stream.build_message_log(spark, SF_SMOKE)
+    routed = router.route_messages(log)
+    counts = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    # reservas topic: only X passes, A/C are state-skips
+    assert router.ROUTE_RESTITUTE in counts
+    assert router.ROUTE_SKIP_STATE in counts
+    # eventos-topic messages are not this consumer's
+    assert counts.get(router.ROUTE_IGNORE, 0) > 0
+    surviving = router.loop_breaker(routed)
+    assert set(r["route"] for r in surviving.select("route").distinct().collect()) <= {
+        router.ROUTE_MATERIALIZE,
+        router.ROUTE_CASCADE,
+        router.ROUTE_RESTITUTE,
+    }
+
+
+def test_router_breaks_sentinel_echo(spark):
+    """A canres=-1 inventario echo must be dropped (README.md:518)."""
+    rows = [
+        # sentinel echo after restitution
+        (1, TOPIC_INVENTARIO, "k1",
+         '"{\\"_id\\": \\"a\\", \\"nombre\\": \\"E1\\", \\"capacidad\\": 10, '
+         '\\"estado\\": \\"A\\", \\"canres\\": -1}"'),
+        # clone echo (no canres)
+        (2, TOPIC_INVENTARIO, "k2",
+         '"{\\"_id\\": \\"b\\", \\"nombre\\": \\"E2\\", \\"capacidad\\": 5, '
+         '\\"estado\\": \\"A\\"}"'),
+        # genuine enriched reservation → materialize
+        (3, TOPIC_INVENTARIO, "k3",
+         '"{\\"_id\\": \\"c\\", \\"nombre\\": \\"E3\\", \\"capacidad\\": 7, '
+         '\\"estado\\": \\"A\\", \\"idres\\": \\"r1\\", \\"email\\": \\"u@x\\", \\"canres\\": 2}"'),
+        # user cancel on reservas topic → restitute
+        (4, TOPIC_RESERVAS, "k4",
+         '"{\\"_id\\": \\"r2\\", \\"evento\\": \\"E1\\", \\"estado\\": \\"X\\", '
+         '\\"email\\": \\"u@x\\", \\"cantidad\\": 1}"'),
+    ]
+    msgs = spark.createDataFrame(rows, "seq long, topic string, key string, value string")
+    routed = router.route_messages(msgs)
+    got = {r.seq: r.route for r in routed.collect()}
+    assert got == {
+        1: router.ROUTE_SKIP_ECHO_SENTINEL,
+        2: router.ROUTE_SKIP_ECHO_CLONE,
+        3: router.ROUTE_MATERIALIZE,
+        4: router.ROUTE_RESTITUTE,
+    }
+    alive = router.loop_breaker(routed)
+    assert {r.seq for r in alive.collect()} == {3, 4}
+    det = router.materialize_detreserva(alive)
+    row = det.collect()[0]
+    assert (row._id, row.evento, row.cantidad) == ("r1", "E3", 2)
+
+
+# ---------------------------------------------------------------------------
+# admission: streaming ≡ batch fold
+# ---------------------------------------------------------------------------
+
+def test_admission_stream_equals_batch(spark, tmpdir):
+    reqs = admission.request_stream_batch(spark, SF_SMOKE)
+    # limit to a subset of events to keep the stream run quick but multi-key
+    some = reqs.where(F.col("evento") < "Evento 000050")
+    cdc_stream.write_ordered_files(some, f"{tmpdir}/reqs", n_files=5)
+
+    batch_ledger = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in admission.admission_ledger_batch(spark, SF_SMOKE)
+        .where(F.col("evento") < "Evento 000050")
+        .collect()
+    }
+
+    stream_reqs = (
+        spark.readStream.schema(some.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmpdir}/reqs")
+    )
+    ledger_stream = admission.admission_ledger_stream(stream_reqs)
+    q = (
+        ledger_stream.writeStream.format("memory")
+        .queryName("ledger_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in spark.sql("select * from ledger_out").collect()
+    }
+    assert got == batch_ledger
+    # invariant (v): no oversell — availability never negative
+    assert all(d >= 0 for _, d in got.values())
+
+
+# ---------------------------------------------------------------------------
+# sinks: idempotent MERGE under replay (invariant vi)
+# ---------------------------------------------------------------------------
+
+def _as_sorted_tuples(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_upsert_keep_last_replay_idempotent(spark, tmpdir):
+    t = sinks.ParquetMergeTable(spark, f"{tmpdir}/t1", key="key", order_col="seq")
+    b1 = spark.createDataFrame(
+        [("k1", 1, "v1"), ("k2", 2, "v2")], "key string, seq long, val string"
+    )
+    b2 = spark.createDataFrame(
+        [("k1", 3, "v1b"), ("k3", 4, "v3")], "key string, seq long, val string"
+    )
+    t.upsert_keep_last(b1)
+    t.upsert_keep_last(b2)
+    state1 = _as_sorted_tuples(t.read())
+    # replay both batches (at-least-once) → identical state
+    t.upsert_keep_last(b1)
+    t.upsert_keep_last(b2)
+    assert _as_sorted_tuples(t.read()) == state1
+    vals = {r.key: (r.seq, r.val) for r in t.read().collect()}
+    assert vals == {"k1": (3, "v1b"), "k2": (2, "v2"), "k3": (4, "v3")}
+
+
+def test_insert_if_absent_replay_idempotent(spark, tmpdir):
+    t = sinks.ParquetMergeTable(spark, f"{tmpdir}/t2", key="_id", order_col="seq")
+    b1 = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 9), ("b", 3, 7)], "_id string, seq long, qty int"
+    )
+    t.insert_if_absent(b1)
+    first = {r._id: (r.seq, r.qty) for r in t.read().collect()}
+    assert first == {"a": (1, 5), "b": (3, 7)}  # first occurrence wins
+    # replay + a new key
+    b2 = spark.createDataFrame(
+        [("a", 9, 1), ("c", 4, 2)], "_id string, seq long, qty int"
+    )
+    t.insert_if_absent(b2)
+    t.insert_if_absent(b2)
+    got = {r._id: (r.seq, r.qty) for r in t.read().collect()}
+    assert got == {"a": (1, 5), "b": (3, 7), "c": (4, 2)}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: CDC fixture → router → materialize → idempotent sink, twice
+# ---------------------------------------------------------------------------
+
+def test_pipeline_replay_twice_same_state(spark, tmpdir):
+    log = cdc_stream.build_message_log(spark, SF_SMOKE)  # includes ~5% dups
+    cdc_stream.write_stream_fixture(log.limit(2000), f"{tmpdir}/msgs", n_files=4)
+
+    def run_once(run: int):
+        table = sinks.ParquetMergeTable(
+            spark, f"{tmpdir}/reservas_{run}", key="_id", order_col="seq"
+        )
+        msgs = cdc_stream.read_message_stream(spark, f"{tmpdir}/msgs", max_files_per_trigger=2)
+        routed = router.loop_breaker(router.route_messages(msgs))
+        restitutions = routed.where(F.col("route") == router.ROUTE_RESTITUTE).select(
+            F.col("doc_res._id").alias("_id"),
+            F.col("doc_res.evento").alias("evento"),
+            F.col("doc_res.estado").alias("estado"),
+            F.col("doc_res.email").alias("email"),
+            F.col("doc_res.cantidad").alias("cantidad"),
+            F.col("seq"),
+        )
+        q = (
+            restitutions.writeStream.foreachBatch(t_handler(table))
+            .option("checkpointLocation", f"{tmpdir}/ckpt_{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return table
+
+    def t_handler(table):
+        def h(batch_df, batch_id):
+            table.insert_if_absent(batch_df)
+
+        return h
+
+    t_a = run_once("a")
+    t_b = run_once("b")
+    assert _as_sorted_tuples(t_a.read()) == _as_sorted_tuples(t_b.read())
+    # duplicates collapsed: _id unique
+    n = t_a.read().count()
+    assert t_a.read().select("_id").distinct().count() == n
