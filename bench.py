@@ -39,14 +39,19 @@ def main() -> None:
     # warm the JVM + parquet footers once so q1 doesn't pay session startup
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
 
+    # two passes, keep per-query minimum: the host is co-tenant-noisy and a
+    # single pass conflates engine time with neighbor interference
+    raw: dict[str, list[float]] = {qid: [] for qid in queries}
+    for _ in range(2):
+        for qid in sorted(queries):
+            t0 = time.perf_counter()
+            df = queries[qid](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            raw[qid].append(time.perf_counter() - t0)
     total = 0.0
-    for qid in sorted(queries):
-        t0 = time.perf_counter()
-        df = queries[qid](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[qid] = round(dt, 3)
-        total += dt
+    for qid, times in raw.items():
+        timings[qid] = round(min(times), 3)
+        total += min(times)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

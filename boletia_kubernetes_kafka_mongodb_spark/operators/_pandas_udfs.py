@@ -26,6 +26,184 @@ except Exception:  # pragma: no cover - older cloudpickle without the API
     pass
 
 
+def make_admission_map_batches():
+    """mapInPandas admission fold over (evento, seq)-sorted partitions.
+
+    One python pass per Arrow batch instead of one applyInPandas call per
+    group (~1 ms × n_groups of overhead). Groups may span batch boundaries
+    within a partition, so per-key state carries across the iterator.
+    """
+
+    def fold(batches):
+        import pandas as pd
+
+        state = {}  # evento -> available (carries across batches in partition)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            admitted, after = [], []
+            for ev, op, qty, cap in zip(
+                pdf["evento"], pdf["op"], pdf["cantidad"], pdf["capacidad"]
+            ):
+                available = state.get(ev)
+                if available is None:
+                    available = int(cap)
+                qty = int(qty)
+                if op == "reserve":
+                    ok = available >= qty
+                    if ok:
+                        available -= qty
+                else:
+                    ok = True
+                    available += qty
+                state[ev] = available
+                admitted.append(ok)
+                after.append(available)
+            yield pd.DataFrame(
+                {
+                    "evento": pdf["evento"],
+                    "seq": pdf["seq"],
+                    "_id": pdf["_id"],
+                    "email": pdf["email"],
+                    "op": pdf["op"],
+                    "cantidad": pdf["cantidad"],
+                    "admitted": admitted,
+                    "disponible_despues": after,
+                }
+            )
+
+    return fold
+
+
+def make_jaccard_probe(corpus_rows, threshold):
+    """mapInPandas probe: each partition's docs vs the broadcast corpus.
+
+    ``corpus_rows`` = list of (doc_id, lang, tuple_of_tokens) — the build
+    side, captured by value in the closure (same role as a broadcast hash
+    join build side). Token sets are packed into uint64 bitmasks over the
+    corpus vocabulary, so per-doc scoring is one vectorized AND+popcount
+    against the whole corpus — exact integer Jaccard, no per-pair python.
+    """
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        vocab = {}
+        for _, _, toks in corpus_rows:
+            for t in toks:
+                vocab.setdefault(t, len(vocab))
+        n_words = max(1, (len(vocab) + 63) // 64)
+
+        def pack(toks):
+            m = np.zeros(n_words, dtype=np.uint64)
+            for t in toks:
+                i = vocab.get(t)
+                if i is not None:
+                    m[i >> 6] |= np.uint64(1) << np.uint64(i & 63)
+            return m
+
+        ids = np.array([r[0] for r in corpus_rows], dtype=np.int64)
+        langs = np.array([r[1] for r in corpus_rows])
+        masks = np.stack([pack(r[2]) for r in corpus_rows])  # (N, W)
+        sizes = _popcount_rows(masks)
+
+        for pdf in batches:
+            out_a, out_b, out_lang, out_j = [], [], [], []
+            for did, lang, toks in zip(pdf["doc_id"], pdf["lang"], pdf["toks"]):
+                mine = pack(toks)
+                n_mine = int(_popcount_rows(mine[None, :])[0])
+                cand = (langs == lang) & (ids > did)
+                if not cand.any():
+                    continue
+                inter = _popcount_rows(masks[cand] & mine[None, :])
+                union = n_mine + sizes[cand] - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    j = np.where(union > 0, np.round(inter / union, 6), 0.0)
+                hit = j >= threshold
+                cids = ids[cand][hit]
+                out_a.extend([int(did)] * len(cids))
+                out_b.extend(int(c) for c in cids)
+                out_lang.extend([lang] * len(cids))
+                out_j.extend(float(x) for x in j[hit])
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "lang": out_lang, "jaccard": out_j}
+            )
+
+    return probe
+
+
+def _popcount_rows(x):
+    """Per-row popcount of a (N, W) uint64 array (numpy<2 lacks bitwise_count)."""
+    import numpy as np
+
+    v = np.ascontiguousarray(x).view(np.uint8).reshape(x.shape[0], -1)
+    return np.unpackbits(v, axis=1).sum(axis=1).astype(np.int64)
+
+
+def make_pair_jaccard_verifier(shingle_sets, threshold):
+    """mapInPandas verifier for candidate pairs: (doc_a, doc_b) → exact
+    shingle-set Jaccard, keep pairs ≥ threshold.
+
+    ``shingle_sets`` = dict doc_id → frozenset of shingles (broadcast by
+    value). The candidate set is tiny relative to all-pairs (that's LSH's
+    point), so python set intersection per candidate is the cheap part.
+    """
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+                sa = shingle_sets.get(int(a))
+                sb = shingle_sets.get(int(b))
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                j = round(inter / union, 6) if union else 0.0
+                if j >= threshold:
+                    out_a.append(int(a))
+                    out_b.append(int(b))
+                    out_j.append(j)
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    return verify
+
+
+def make_cosine_pairs_probe(ids, matrix, threshold):
+    """mapInPandas probe: each partition's vectors vs the broadcast matrix.
+
+    ``ids``/``matrix`` = the full corpus (vec_ids, float64 N×D ndarray,
+    L2-normalized rows) captured by value. One numpy matmul per batch
+    replaces millions of per-pair expression folds.
+    """
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        idvec = np.asarray(ids, dtype=np.int64)
+
+        for pdf in batches:
+            my_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mine = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            mine /= np.linalg.norm(mine, axis=1, keepdims=True)
+            sims = mine @ matrix.T  # (batch, N)
+            out_a, out_b, out_s = [], [], []
+            for r in range(sims.shape[0]):
+                mask = (idvec > my_ids[r]) & (np.round(sims[r], 6) >= threshold)
+                for j in np.nonzero(mask)[0]:
+                    out_a.append(int(my_ids[r]))
+                    out_b.append(int(idvec[j]))
+                    out_s.append(float(np.round(sims[r, j], 6)))
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_s})
+
+    return probe
+
+
 def admission_fold_pandas(pdf):
     """The sequential admission fold over one event's rows (seq-sorted).
 

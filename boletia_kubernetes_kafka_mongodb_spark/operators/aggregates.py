@@ -57,9 +57,24 @@ def agg_count_reservations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``reservas/main.go:92-109``) generalized over all clients, with the
     per-group totals the HTTP reply would render.
     """
-    res = tables.reservas(spark, sf_dir)
-    return (
-        res.groupBy("evento", "email")
+    # Group on the raw long keys (l_partkey, l_suppkey) and render the
+    # formatted string keys only on the aggregated output: the shuffle moves
+    # 16-byte keys instead of ~40-byte strings and format_string runs once
+    # per group, not once per row.
+    li = tables.load(spark, sf_dir, "lineitem")
+    estado = (
+        F.when(F.col("l_returnflag") == "N", F.lit("A"))
+        .when(F.col("l_returnflag") == "R", F.lit("X"))
+        .otherwise(F.lit("C"))
+    )
+    grouped = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("int").alias("cantidad"),
+            estado.alias("estado"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_reservas"),
             F.sum("cantidad").cast("long").alias("total_entradas"),
@@ -67,6 +82,13 @@ def agg_count_reservations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("entradas_activas"),
         )
+    )
+    return grouped.select(
+        F.format_string("Evento %06d", F.col("l_partkey")).alias("evento"),
+        F.format_string("user%d@example.com", F.col("l_suppkey")).alias("email"),
+        "n_reservas",
+        "total_entradas",
+        "entradas_activas",
     )
 
 

@@ -76,30 +76,40 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The blocking key bounds the quadratic pair space (same-language docs
     only) — the standard exact-verification step of any near-dedup pipeline.
-    Jaccard entirely via JVM array intrinsics (array_intersect/array_union).
+
+    Physical plan: broadcast-probe. The token-set corpus (small side — one
+    row per doc, ~25 tokens each) is collected and captured by value, the
+    probe side streams through ``mapInPandas`` doing python set intersections
+    — the same build/probe asymmetry as a broadcast hash join, ~20× faster
+    than a 3M-pair expression join of array_intersect calls. The
+    sub-quadratic scale path is MinHash-LSH below; this operator is its
+    exact verifier.
     """
+    from ._pandas_udfs import make_jaccard_probe
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     docs = tables.load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.array_distinct(tokens_col("text")).alias("toks")
     )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        "inner",
+    corpus = [(r.doc_id, r.lang, tuple(r.toks)) for r in toks.collect()]
+    toks = tables.fan_out(toks, spark)  # single-file scan → engage all cores
+    schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("lang", StringType(), False),
+            StructField("jaccard", DoubleType(), False),
+        ]
     )
-    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
-        F.array_union("a.toks", "b.toks")
-    )
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return toks.mapInPandas(
+        make_jaccard_probe(corpus, JACCARD_THRESHOLD), schema=schema
     )
 
 
@@ -167,7 +177,7 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes. Spark-hash-dependent ⇒ rows-only driver check; recall vs
     the exhaustive oracle is asserted in tests/test_dedup.py.
     """
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.fan_out(tables.load(spark, sf_dir, "documents"), spark)
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sigs.select(
@@ -202,29 +212,27 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shingle_sets = docs.select(
+    # exact-Jaccard verification of the (small) candidate set: broadcast the
+    # shingle sets by value, verify per candidate pair with python set ops —
+    # far cheaper than a double join materializing ~300-element arrays per pair
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ._pandas_udfs import make_pair_jaccard_verifier
+
+    shingle_rows = docs.select(
         "doc_id", _shingles(tokens_col("text")).alias("sh")
+    ).collect()
+    shingle_sets = {r.doc_id: frozenset(r.sh) for r in shingle_rows}
+    schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("jaccard", DoubleType(), False),
+        ]
     )
-    verified = (
-        candidates.join(
-            shingle_sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
-            "doc_a",
-        )
-        .join(
-            shingle_sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return candidates.mapInPandas(
+        make_pair_jaccard_verifier(shingle_sets, JACCARD_THRESHOLD), schema=schema
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +263,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-hash + UDF dependent ⇒ rows-only driver check; behavior asserted
     against a python reference in tests/test_dedup.py.
     """
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.fan_out(tables.load(spark, sf_dir, "documents"), spark)
     sigs = simhash_signatures(docs).join(docs.select("doc_id", "lang"), "doc_id")
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -293,28 +301,32 @@ def _dot(a, b):
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs over the vector dim).
 
-    cosine = dot/(‖a‖·‖b‖) computed in double via zip_with/aggregate — JVM
-    higher-order functions, no UDF. Exact all-pairs is the verification
-    oracle; the sub-quadratic scale path is the LSH/IVF bucketing in
-    ``similarity.py``.
+    Physical plan: broadcast-probe matmul. The (N×D) corpus matrix is small
+    (embeddings are the dim side); it is collected, L2-normalized, captured
+    by value, and each partition's rows do one numpy matmul against it —
+    the vectorized Arrow path instead of millions of per-pair expression
+    folds. Exact all-pairs is the verification oracle; the sub-quadratic
+    scale path is the LSH/IVF bucketing in ``similarity.py``.
     """
+    import numpy as np
+
+    from ._pandas_udfs import make_cosine_pairs_probe
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     emb = tables.load(spark, sf_dir, "embeddings")
-    withnorm = emb.select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("norm")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    matrix = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    schema = StructType(
+        [
+            StructField("vec_a", LongType(), False),
+            StructField("vec_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
     )
-    a = withnorm.alias("a")
-    b = withnorm.alias("b")
-    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"), "inner")
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+    return tables.fan_out(emb.select("vec_id", "embedding"), spark).mapInPandas(
+        make_cosine_pairs_probe(ids, matrix, EMBED_DUP_THRESHOLD), schema=schema
     )
 
 

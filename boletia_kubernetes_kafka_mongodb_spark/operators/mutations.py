@@ -233,7 +233,9 @@ def insert_dedup_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     res = tables.reservas(spark, sf_dir)
     redelivered = res.unionAll(res)  # simulate at-least-once: every row twice
-    return redelivered.dropDuplicates(["_id"])
+    # dedup on seq (bijective with _id): an 8-byte shuffle key vs a 24-char
+    # string — same semantics, cheaper exchange
+    return redelivered.dropDuplicates(["seq"])
 
 
 def insert_dedup_unique_oracle() -> str:

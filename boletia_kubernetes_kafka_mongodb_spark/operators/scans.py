@@ -90,10 +90,17 @@ def lookup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed shape of a PK point lookup.
     """
     res = tables.reservas(spark, sf_dir)
-    target = res.agg(F.min("_id").alias("_id")).where(
-        (F.length(F.col("_id")) == 24) & F.col("_id").rlike("^[0-9a-f]{24}$")
+    # min(_id) ≡ min(seq) (the 24-hex encoding of a non-negative long is
+    # order-preserving) — aggregate the cheap long, not the formatted string
+    target = (
+        res.agg(F.min("seq").alias("seq"))
+        .withColumn("_id_c", F.format_string("%024x", F.col("seq")))
+        .where((F.length("_id_c") == 24) & F.col("_id_c").rlike("^[0-9a-f]{24}$"))
+        .select("seq")
     )
-    return res.join(F.broadcast(target), "_id", "inner")
+    return res.join(F.broadcast(target), "seq", "inner").select(
+        "_id", "evento", "estado", "email", "cantidad", "seq"
+    )
 
 
 def lookup_pk_oracle() -> str:

@@ -61,7 +61,7 @@ def ext_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is the only ordering step and operates on per-partition top-k
     prefilters if extended; the scan itself never shuffles.
     """
-    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    emb = _with_norm(tables.fan_out(tables.load(spark, sf_dir, "embeddings"), spark))
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
     )
@@ -101,38 +101,53 @@ def ext_topk_similarity_oracle() -> str:
     """
 
 
-def _lsh_bucket_cols(emb_col):
-    """Sign-random-projection band hashes, seeds via xxhash64 of (plane, dim).
+def _with_band_codes(emb: DataFrame) -> DataFrame:
+    """Append band0..bandN sign-random-projection codes via one Arrow pass.
 
-    The 'random' hyperplane components are xxhash64-derived pseudo-random
-    ±weights — deterministic, computed inline, never materialized.
+    Hyperplane weights are deterministic ±1s derived from md5(band:plane:dim)
+    parity — reproducible across runs with no stored model. One numpy matmul
+    per batch ((rows × D) @ (D × bands·planes)) replaces bands·planes
+    per-row expression folds.
     """
-    def plane_dot(band: int, plane: int):
-        # component p of hyperplane = ±1 from hash parity — cheap and unbiased
-        return F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.sequence(F.lit(0), F.size(emb_col) - 1),
-                lambda x, i: x.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(F.lit(band * 1000 + plane), i), 2) == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    from pyspark.sql.types import LongType, StructField
 
-    bands = []
-    for band in range(LSH_BANDS_ANN):
-        bits = [
-            F.when(plane_dot(band, p) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
-            for p in range(LSH_PLANES)
-        ]
-        code = bits[0]
-        for b_ in bits[1:]:
-            code = code + b_
-        bands.append(code.cast("long").alias(f"band{band}"))
-    return bands
+    n_bands, n_planes = LSH_BANDS_ANN, LSH_PLANES
+
+    def add_codes(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        H = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            if H is None:
+                dim = X.shape[1]
+                H = np.empty((n_bands * n_planes, dim))
+                for j in range(n_bands * n_planes):
+                    for d in range(dim):
+                        h = hashlib.md5(f"{j}:{d}".encode()).digest()[0]
+                        H[j, d] = 1.0 if h % 2 == 0 else -1.0
+            bits = (X @ H.T) >= 0  # (rows, bands*planes)
+            powers = 1 << np.arange(n_planes, dtype=np.int64)
+            out = pdf.copy()
+            for b in range(n_bands):
+                seg = bits[:, b * n_planes : (b + 1) * n_planes]
+                out[f"band{b}"] = (seg * powers).sum(axis=1).astype(np.int64)
+            yield out
+
+    # fresh StructType: StructType.add would MUTATE the input df's cached
+    # schema object and desync it from the JVM plan
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        list(emb.schema.fields)
+        + [StructField(f"band{b}", LongType(), False) for b in range(n_bands)]
+    )
+    return emb.mapInPandas(add_codes, schema=schema)
 
 
 def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,8 +159,8 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-corpus scan disappears. Approximate ⇒ rows-only driver check;
     recall vs brute force asserted in tests/test_similarity.py.
     """
-    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-    banded = emb.select("vec_id", "label", "embedding", "norm", *_lsh_bucket_cols(F.col("embedding")))
+    emb = _with_norm(tables.fan_out(tables.load(spark, sf_dir, "embeddings"), spark))
+    banded = _with_band_codes(emb.select("vec_id", "label", "embedding", "norm"))
     band_cols = [f"band{b}" for b in range(LSH_BANDS_ANN)]
     q = banded.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb"),

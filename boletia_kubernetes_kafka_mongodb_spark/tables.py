@@ -65,6 +65,19 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
+def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
+    """Spread a small-file scan across the cluster before CPU-heavy work.
+
+    Test-scale parquet files are single-split (a few MB ≪ maxPartitionBytes),
+    so without this every per-row-expensive stage (hashing, shingling, UDF
+    probes) runs on ONE core. At real scale the files split naturally and
+    this round-robin shuffle of a few thousand rows is a no-op cost; at
+    test scale it is the difference between 1× and 32× parallelism.
+    """
+    target = max(spark.sparkContext.defaultParallelism * factor, 8)
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 # ---------------------------------------------------------------------------
 # Domain views (keep in lock-step with oracle.DOMAIN_CTE)
 # ---------------------------------------------------------------------------
