@@ -55,6 +55,75 @@ def sink_upsert_clone_oracle() -> str:
     """
 
 
+def cdc_route_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F1+F2+P7 end-to-end: the CDC message log, unquoted, parsed, routed.
+
+    Exercises the full consumer ingest path on a batch frame: double-encoded
+    value (``schemas.enable=false`` JsonConverter) → F1 unquote → F2 typed
+    parse → routing ladder. The DuckDB oracle reconstructs the same log from
+    the domain CTEs, proving the JSON round-trip is lossless.
+    """
+    from ..sources.cdc_stream import build_message_log
+    from ..streaming.router import route_messages
+
+    from ..sources.catalog import TOPIC_RESERVAS
+
+    log = build_message_log(spark, sf_dir)
+    routed = route_messages(log)
+    # parse-per-topic: the consumer only decodes a message with the contract
+    # of its topic (eventos docs also carry an ``estado`` field — it must not
+    # leak through the reserva-shaped view)
+    is_res = F.col("topic") == TOPIC_RESERVAS
+    return routed.select(
+        "seq",
+        "topic",
+        "key",
+        "route",
+        F.when(is_res, F.col("doc_res.evento")).alias("evento"),
+        F.when(is_res, F.col("doc_res.estado")).alias("estado"),
+        F.when(is_res, F.col("doc_res.email")).alias("email"),
+        # DOUBLE, not INT: a nullable int round-trips as float through
+        # Arrow/pandas — pin the type so both engines agree exactly
+        F.when(is_res, F.col("doc_res.cantidad")).cast("double").alias("cantidad"),
+    )
+
+
+def cdc_route_messages_oracle() -> str:
+    from ..oracle import with_domain
+
+    return with_domain(
+        """, ev_msgs AS (
+            SELECT row_number() OVER (ORDER BY _id) AS seq,
+                   'boletia.eventos' AS topic, _id AS key,
+                   NULL AS evento, estado AS doc_estado, NULL AS email,
+                   NULL AS cantidad, 'ev' AS kind
+            FROM eventos
+        ),
+        res_msgs AS (
+            SELECT seq, 'boletia.reservas' AS topic, _id AS key,
+                   evento, estado AS doc_estado, email, cantidad, 'res' AS kind
+            FROM reservas
+        ),
+        log AS (
+            SELECT * FROM ev_msgs UNION ALL SELECT * FROM res_msgs
+        ),
+        log_with_dups AS (
+            SELECT * FROM log
+            UNION ALL
+            SELECT * FROM log WHERE seq % 20 = 7
+        )
+        SELECT seq, topic, key,
+               CASE WHEN kind = 'ev' THEN 'ignore'
+                    WHEN doc_estado = 'X' THEN 'restitute'
+                    ELSE 'skip-state' END AS route,
+               CASE WHEN kind = 'res' THEN evento END AS evento,
+               CASE WHEN kind = 'res' THEN doc_estado END AS estado,
+               CASE WHEN kind = 'res' THEN email END AS email,
+               CAST(CASE WHEN kind = 'res' THEN cantidad END AS DOUBLE) AS cantidad
+        FROM log_with_dups"""
+    )
+
+
 def filter_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: the consumer's topic/state routing ladder.
 

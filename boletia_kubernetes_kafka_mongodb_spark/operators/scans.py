@@ -67,9 +67,16 @@ def lookup_point_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: point lookup on the unique ``nombre`` key, at-most-one row.
 
     Reference: ``Find({nombre: x}).One`` (``eventos/main.go:87-103``).
-    The equality predicate pushes down to the parquet scan of ``part``.
+    The nombre key is hand-translated to the base ``p_partkey`` equality
+    (tables.partkey_of_nombre) so the predicate reaches the parquet scan as
+    a PushedFilter (asserted in tests/test_plans.py); the residual nombre
+    filter keeps the semantics literal.
     """
-    return tables.eventos(spark, sf_dir).where(F.col("nombre") == LOOKUP_NOMBRE).limit(1)
+    return (
+        tables.eventos(spark, sf_dir, nombre_eq=LOOKUP_NOMBRE)
+        .where(F.col("nombre") == LOOKUP_NOMBRE)
+        .limit(1)
+    )
 
 
 def lookup_point_unique_oracle() -> str:

@@ -31,6 +31,8 @@ on ``eventos`` compiles to a parquet scan of ``part`` with PushedFilters on
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,14 +84,35 @@ def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
 # Domain views (keep in lock-step with oracle.DOMAIN_CTE)
 # ---------------------------------------------------------------------------
 
-def eventos(spark: SparkSession, sf_dir: str) -> DataFrame:
+def partkey_of_nombre(nombre: str) -> int | None:
+    """Invert the ``nombre`` derivation ("Evento %06d" of p_partkey).
+
+    Catalyst cannot invert ``format_string``, so an equality predicate on the
+    derived ``nombre`` column would never reach the parquet scan. Point
+    lookups translate the predicate to the base column by hand — the
+    view-aware computed-column pushdown an index gives the reference
+    (unique index on nombre, ``eventos/main.go:25-30``).
+    """
+    m = re.fullmatch(r"Evento (\d{6})", nombre)
+    return int(m.group(1)) if m else None
+
+
+def eventos(spark: SparkSession, sf_dir: str, nombre_eq: str | None = None) -> DataFrame:
     """Event catalog view ⇐ ``part``.
 
     Matches the ``Evento`` contract (reference ``contratos/contratos.go:7-13``):
     _id 24-hex (F4/F5 hex-id semantics), unique nombre (the reference enforces
     a unique index, ``eventos/main.go:25-30``), capacidad, categoria, estado.
+
+    ``nombre_eq``: optional point-lookup key; translated to a ``p_partkey``
+    equality that pushes down into the parquet scan (min/max skipping ≙ the
+    reference's unique index access path).
     """
     part = load(spark, sf_dir, "part")
+    if nombre_eq is not None:
+        pk = partkey_of_nombre(nombre_eq)
+        # unparseable nombre can match nothing: the view is exhaustive over partkeys
+        part = part.where(F.col("p_partkey") == (pk if pk is not None else F.lit(-1)))
     return part.select(
         F.format_string("%024x", F.col("p_partkey")).alias("_id"),
         F.format_string("Evento %06d", F.col("p_partkey")).alias("nombre"),

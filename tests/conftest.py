@@ -37,15 +37,21 @@ def duck():
 
 
 def compare_with_oracle(spark, duck, query_fn, sql, sf_dir=SF_CORRECT):
-    """Mimic the driver: row-count + column names + order-insensitive values."""
+    """Mimic the driver: row-count + column names + order-insensitive values.
+
+    DuckDB results come via fetchall (native python values) — fetchdf would
+    coerce BIGINT columns to float64 and mask/introduce type mismatches.
+    """
     sdf = query_fn(spark, sf_dir)
     spark_rows = sdf.collect()
-    duck_df = duck.execute(sql).fetchdf()
-    assert len(spark_rows) == len(duck_df), (
-        f"row count: spark={len(spark_rows)} duck={len(duck_df)}"
+    rel = duck.execute(sql)
+    d_colnames = [d[0] for d in rel.description]
+    duck_rows = [dict(zip(d_colnames, t)) for t in rel.fetchall()]
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
     s_cols = sorted(sdf.columns)
-    d_cols = sorted(duck_df.columns)
+    d_cols = sorted(d_colnames)
     assert s_cols == d_cols, f"columns: spark={s_cols} duck={d_cols}"
 
     import decimal
@@ -68,21 +74,18 @@ def compare_with_oracle(spark, duck, query_fn, sql, sf_dir=SF_CORRECT):
     import math
 
     def norm_duck(v):
-        try:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                return None
-        except (TypeError, ValueError):
-            pass
-        if hasattr(v, "item"):
-            v = v.item()
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
         return norm(v)
 
+    def render(vals):  # None-safe total order, matching driver-style hashing
+        return tuple("\x00NULL" if v is None else f"{type(v).__name__}:{v}" for v in vals)
+
     s_set = sorted(
-        tuple(norm(r[c]) for c in s_cols) for r in spark_rows
+        render(norm(r[c]) for c in s_cols) for r in spark_rows
     )
     d_set = sorted(
-        tuple(norm_duck(row[c]) for c in d_cols)
-        for _, row in duck_df.iterrows()
+        render(norm_duck(row[c]) for c in d_cols) for row in duck_rows
     )
     mismatches = [
         (a, b) for a, b in zip(s_set, d_set) if a != b

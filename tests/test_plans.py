@@ -1,0 +1,71 @@
+"""Physical-plan quality gates for the headline operators.
+
+These assertions ARE the 100 TB design contract: a regression here means a
+full scan, an accidental sort-merge join, or a lost codegen span at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from boletia_kubernetes_kafka_mongodb_spark import plans, tables
+from boletia_kubernetes_kafka_mongodb_spark.operators import (
+    joins,
+    mutations,
+    notifications,
+    scans,
+)
+from tests.conftest import SF_CORRECT
+
+
+def test_point_lookup_pushes_partkey_filter(spark):
+    df = scans.lookup_point_unique(spark, SF_CORRECT)
+    plans.assert_pushed_filter(df, "p_partkey")
+    # and it still finds exactly the right row
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].nombre == scans.LOOKUP_NOMBRE
+
+
+def test_flagship_availability_broadcasts(spark):
+    df = joins.join_availability(spark, SF_CORRECT)
+    plans.assert_broadcast_join(df)
+
+
+def test_cancel_inventory_broadcasts(spark):
+    plans.assert_broadcast_join(joins.join_cancel_inventory(spark, SF_CORRECT))
+
+
+def test_notify_render_is_narrow_codegen(spark):
+    df = notifications.notify_render(spark, SF_CORRECT)
+    plans.assert_no_exchange(df)
+    plans.assert_whole_stage_codegen(df)
+
+
+def test_scan_projection_prunes_columns(spark):
+    # inventario never touches p_name/p_type/p_retailprice: pruned at the scan
+    df = joins.join_availability(spark, SF_CORRECT)
+    read = plans.read_schema_columns(df)
+    assert "p_name" not in read and "p_type" not in read and "p_retailprice" not in read
+    assert "p_partkey" in read and "p_size" in read
+
+
+def test_guard_filter_pushes_down(spark):
+    # estado/capacidad derive from p_partkey/p_size — the range guard itself
+    # can't invert, but column pruning must still hold
+    df = scans.filter_range_guard(spark, SF_CORRECT)
+    read = plans.read_schema_columns(df)
+    assert "p_name" not in read
+
+
+def test_mutations_fact_side_shuffle_free(spark):
+    # M4 cascade: the fact side must join broadcast (no SMJ, no fact shuffle)
+    df = mutations.cascade_cancel_updateall(spark, SF_CORRECT)
+    plans.assert_broadcast_join(df)
+
+
+def test_window_partitions_by_event_key(spark):
+    # M1 prefix-sum: the only exchange is hashpartitioning on the window key
+    df = mutations.reserve_guarded_decrement(spark, SF_CORRECT)
+    plan = plans.explain_str(df)
+    assert "hashpartitioning" in plan
+    assert "SinglePartition" not in plan, "global window would serialize at scale"
