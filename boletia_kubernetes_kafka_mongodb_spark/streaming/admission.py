@@ -76,6 +76,36 @@ def request_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# offset placing every cancel op after all reserve ops while staying in long
+# range (reservas.seq < 1.6e18; long max 9.2e18)
+CANCEL_SEQ_OFFSET = 4_000_000_000_000_000_000
+
+
+def op_stream_with_cancels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reserve + cancel op stream: the full M1+M2 lifecycle per event.
+
+    Every reservation (estado A or X) issues a reserve op at its ``seq``;
+    every user-cancelled one (X) additionally issues a cancel op later
+    (seq + offset) — M2's unguarded restitution (``inventario/main.go:116-133``),
+    which the reference tolerates because cancels only arrive for real
+    reservations.
+    """
+    res = tables.reservas(spark, sf_dir).where(F.col("estado").isin("A", "X"))
+    ev = tables.eventos(spark, sf_dir).select("nombre", "capacidad")
+    joined = res.join(F.broadcast(ev), res["evento"] == ev["nombre"], "inner")
+    reserves = joined.select(
+        "evento", "seq", "_id", "email",
+        F.lit("reserve").alias("op"), "cantidad", "capacidad",
+    )
+    cancels = joined.where(F.col("estado") == "X").select(
+        "evento",
+        (F.col("seq") + F.lit(CANCEL_SEQ_OFFSET)).alias("seq"),
+        "_id", "email",
+        F.lit("cancel").alias("op"), "cantidad", "capacidad",
+    )
+    return reserves.unionAll(cancels)
+
+
 def admission_ledger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query ``reserve_admission_exact``: the true sequential-admission
     ledger (rejected requests consume no capacity), per event, batch form.
@@ -86,10 +116,15 @@ def admission_ledger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-python-call-per-group (~1 ms × n_events of pure overhead). Same
     fold, same ledger, ~5× faster at sf0.1.
     """
+    return fold_requests_batch(request_stream_batch(spark, sf_dir))
+
+
+def fold_requests_batch(requests: DataFrame) -> DataFrame:
+    """Fold any (evento, seq, _id, email, op, cantidad, capacidad) request
+    frame into the admission ledger — one shuffle on the key, one Arrow pass."""
     from ..operators._pandas_udfs import make_admission_map_batches
 
-    reqs = request_stream_batch(spark, sf_dir)
-    arranged = reqs.repartition("evento").sortWithinPartitions("evento", "seq")
+    arranged = requests.repartition("evento").sortWithinPartitions("evento", "seq")
     return arranged.mapInPandas(make_admission_map_batches(), schema=LEDGER_SCHEMA)
 
 
