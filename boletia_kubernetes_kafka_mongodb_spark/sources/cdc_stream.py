@@ -69,6 +69,129 @@ def build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int = 
     return log.unionAll(dups)
 
 
+def build_lifecycle_message_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-transition CDC history — the saga replay fixture.
+
+    Unlike :func:`build_message_log` (one message per final state, for the
+    oracle-checked parse/route query), this emits every transition the
+    reference topology would produce, in causal seq order:
+
+    1. event clone echo on ``boletia.inventario`` (canres absent ⇒ echo-skip)
+    2. per reservation: the *enriched inventario* message the guarded
+       decrement produces (idres/email/canres set) ⇒ consumer materializes
+       the reservation (``README.md:441-454``)
+    3. reservas-topic estado="A" echo after materialize ⇒ state-skip
+    4. per user-cancel (X): reservas-topic estado="X" ⇒ restitution, then the
+       canres=−1 sentinel echo on inventario ⇒ sentinel-skip
+    5. per organizer-cancelled event (estado "C"): the inventario-topic "C"
+       clone ⇒ cascade flips its active reservations
+
+    Offsets place phases after one another per seq-range while preserving
+    per-reservation causality (reservas.seq < 1.6e18 ≪ long max).
+    """
+    ev = tables.eventos(spark, sf_dir)
+    res = tables.reservas(spark, sf_dir)
+    # per-reservation messages get seq*4+phase (admit=0, echoA=1, cancelX=2,
+    # sentinel=3): globally unique, per-reservation causality preserved,
+    # cancels interleave realistically after their own admit. Event clones
+    # (rn ≤ |eventos|) come first; organizer cancels (OFF_C + rn) come last.
+    # Ranges: 4·max(seq) ≈ 6.4e18 < OFF_C = 8e18 < long max.
+    OFF_C = 8_000_000_000_000_000_000
+
+    inv_clone_echo = ev.select(
+        F.col("_id").alias("key"),
+        F.lit(TOPIC_INVENTARIO).alias("topic"),
+        _double_encode(
+            F.to_json(F.struct("_id", "nombre", "capacidad", "categoria", "estado"))
+        ).alias("value"),
+        F.row_number().over(Window.orderBy("_id")).cast("long").alias("seq"),
+    )
+
+    # the enriched doc: event fields + idres/email/canres (reservas/main.go:154-157)
+    enriched = (
+        res.join(ev.select(F.col("nombre"), F.col("_id").alias("ev_id"), "capacidad", "categoria"),
+                 res["evento"] == F.col("nombre"), "inner")
+        .select(
+            F.col("ev_id").alias("key"),
+            F.lit(TOPIC_INVENTARIO).alias("topic"),
+            _double_encode(
+                F.to_json(
+                    F.struct(
+                        F.col("ev_id").alias("_id"),
+                        F.col("nombre"),
+                        F.col("capacidad"),
+                        F.col("categoria"),
+                        F.lit("A").alias("estado"),
+                        F.col("_id").alias("idres"),
+                        F.col("email"),
+                        F.col("cantidad").alias("canres"),
+                    )
+                )
+            ).alias("value"),
+            (F.col("seq") * 4).alias("seq"),
+        )
+    )
+
+    res_echo_a = res.select(
+        F.col("_id").alias("key"),
+        F.lit(TOPIC_RESERVAS).alias("topic"),
+        _double_encode(
+            F.to_json(
+                F.struct("_id", "evento", F.lit("A").alias("estado"), "email", "cantidad")
+            )
+        ).alias("value"),
+        (F.col("seq") * 4 + 1).alias("seq"),
+    )
+
+    cancels_x = res.where(F.col("estado") == "X")
+    res_msg_x = cancels_x.select(
+        F.col("_id").alias("key"),
+        F.lit(TOPIC_RESERVAS).alias("topic"),
+        _double_encode(
+            F.to_json(F.struct("_id", "evento", F.lit("X").alias("estado"), "email", "cantidad"))
+        ).alias("value"),
+        (F.col("seq") * 4 + 2).alias("seq"),
+    )
+    sentinel_echo = (
+        cancels_x.join(ev.select("nombre", F.col("_id").alias("ev_id"), "capacidad", "categoria"),
+                       cancels_x["evento"] == F.col("nombre"), "inner")
+        .select(
+            F.col("ev_id").alias("key"),
+            F.lit(TOPIC_INVENTARIO).alias("topic"),
+            _double_encode(
+                F.to_json(
+                    F.struct(
+                        F.col("ev_id").alias("_id"),
+                        F.col("nombre"),
+                        F.col("capacidad"),
+                        F.col("categoria"),
+                        F.lit("A").alias("estado"),
+                        F.col("_id").alias("idres"),
+                        F.col("email"),
+                        F.lit(-1).alias("canres"),
+                    )
+                )
+            ).alias("value"),
+            (F.col("seq") * 4 + 3).alias("seq"),
+        )
+    )
+
+    cancel_c_events = ev.where(F.col("estado") == "C").select(
+        F.col("_id").alias("key"),
+        F.lit(TOPIC_INVENTARIO).alias("topic"),
+        _double_encode(
+            F.to_json(F.struct("_id", "nombre", "capacidad", "categoria", "estado"))
+        ).alias("value"),
+        (F.row_number().over(Window.orderBy("_id")).cast("long") + F.lit(OFF_C)).alias("seq"),
+    )
+
+    parts = [inv_clone_echo, enriched, res_echo_a, res_msg_x, sentinel_echo, cancel_c_events]
+    log = parts[0]
+    for p in parts[1:]:
+        log = log.unionAll(p.select("key", "topic", "value", "seq"))
+    return log.select("seq", "topic", "key", "value")
+
+
 def write_ordered_files(
     df: DataFrame, path: str, n_files: int = 8, order_col: str = "seq"
 ) -> None:

@@ -45,7 +45,9 @@ class ParquetMergeTable:
 
     def _replace_with(self, df: DataFrame) -> None:
         """Atomic-ish snapshot replace (write new, swap directories)."""
-        tmp = tempfile.mkdtemp(prefix="merge_", dir=os.path.dirname(self.path) or ".")
+        parent = os.path.dirname(self.path) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="merge_", dir=parent)
         df.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
