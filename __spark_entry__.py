@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notify_render": notifications.notify_render,
         # §2.1 S1 + §2.7 F1/F2 + §2.2 P7: full CDC ingest path
         "cdc_route_messages": cdc.cdc_route_messages,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "sink_upsert_clone": cdc.sink_upsert_clone_oracle(),
         "notify_render": notifications.notify_render_oracle(),
         "cdc_route_messages": cdc.cdc_route_messages_oracle(),
+        "fn_json_props_extract": cdc.fn_json_props_extract_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

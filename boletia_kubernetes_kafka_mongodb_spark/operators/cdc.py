@@ -124,6 +124,41 @@ def cdc_route_messages_oracle() -> str:
     )
 
 
+def fn_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 on real payloads: typed JSON field extraction from ``events.props``.
+
+    The declared-schema parse (``from_json`` with unknown-field dropping)
+    over the message-body column, plus a grouped aggregate over the
+    extracted value — the standard "parse once, then relational" shape.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int")["k"].alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+    )
+
+
+def fn_json_props_extract_oracle() -> str:
+    return """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+        FROM events
+        GROUP BY event_type
+    """
+
+
 def filter_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: the consumer's topic/state routing ladder.
 
