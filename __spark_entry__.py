@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_embedding": dedup.ext_dedup_embedding,
         # §2.9 extensions: similarity search
         "ext_topk_similarity": similarity.ext_topk_similarity,
+        "ext_topk_batch": similarity.ext_topk_batch,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
         # §2.9 extensions: text analysis
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),
         "ext_dedup_embedding": dedup.ext_dedup_embedding_oracle(),
         "ext_topk_similarity": similarity.ext_topk_similarity_oracle(),
+        "ext_topk_batch": similarity.ext_topk_batch_oracle(),
         "ext_text_tokens": text.ext_text_tokens_oracle(),
         "ext_text_langid": text.ext_text_langid_oracle(),
         "ext_text_quality": text.ext_text_quality_oracle(),

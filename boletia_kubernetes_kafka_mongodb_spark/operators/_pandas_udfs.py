@@ -76,22 +76,30 @@ def make_admission_map_batches():
     return fold
 
 
+def _unwrap(maybe_broadcast):
+    """Accept either raw data or a pyspark Broadcast handle (preferred — the
+    closure then ships only the handle and executors fetch the data once per
+    JVM instead of once per task)."""
+    return maybe_broadcast.value if hasattr(maybe_broadcast, "value") else maybe_broadcast
+
+
 def make_jaccard_probe(corpus_rows, threshold):
     """mapInPandas probe: each partition's docs vs the broadcast corpus.
 
-    ``corpus_rows`` = list of (doc_id, lang, tuple_of_tokens) — the build
-    side, captured by value in the closure (same role as a broadcast hash
-    join build side). Token sets are packed into uint64 bitmasks over the
-    corpus vocabulary, so per-doc scoring is one vectorized AND+popcount
-    against the whole corpus — exact integer Jaccard, no per-pair python.
+    ``corpus_rows`` = list of (doc_id, lang, tuple_of_tokens) — or a
+    Broadcast of it — the build side (same role as a broadcast hash join
+    build side). Token sets are packed into uint64 bitmasks over the corpus
+    vocabulary, so per-doc scoring is one vectorized AND+popcount against
+    the whole corpus — exact integer Jaccard, no per-pair python.
     """
 
     def probe(batches):
         import numpy as np
         import pandas as pd
 
+        corpus = _unwrap(corpus_rows)
         vocab = {}
-        for _, _, toks in corpus_rows:
+        for _, _, toks in corpus:
             for t in toks:
                 vocab.setdefault(t, len(vocab))
         n_words = max(1, (len(vocab) + 63) // 64)
@@ -104,9 +112,9 @@ def make_jaccard_probe(corpus_rows, threshold):
                     m[i >> 6] |= np.uint64(1) << np.uint64(i & 63)
             return m
 
-        ids = np.array([r[0] for r in corpus_rows], dtype=np.int64)
-        langs = np.array([r[1] for r in corpus_rows])
-        masks = np.stack([pack(r[2]) for r in corpus_rows])  # (N, W)
+        ids = np.array([r[0] for r in corpus], dtype=np.int64)
+        langs = np.array([r[1] for r in corpus])
+        masks = np.stack([pack(r[2]) for r in corpus])  # (N, W)
         sizes = _popcount_rows(masks)
 
         for pdf in batches:
@@ -154,11 +162,12 @@ def make_pair_jaccard_verifier(shingle_sets, threshold):
     def verify(batches):
         import pandas as pd
 
+        shingles = _unwrap(shingle_sets)
         for pdf in batches:
             out_a, out_b, out_j = [], [], []
             for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-                sa = shingle_sets.get(int(a))
-                sb = shingle_sets.get(int(b))
+                sa = shingles.get(int(a))
+                sb = shingles.get(int(b))
                 if not sa or not sb:
                     continue
                 inter = len(sa & sb)
@@ -185,13 +194,14 @@ def make_cosine_pairs_probe(ids, matrix, threshold):
         import numpy as np
         import pandas as pd
 
-        idvec = np.asarray(ids, dtype=np.int64)
+        idvec = np.asarray(_unwrap(ids), dtype=np.int64)
+        mat = np.asarray(_unwrap(matrix))
 
         for pdf in batches:
             my_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mine = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
             mine /= np.linalg.norm(mine, axis=1, keepdims=True)
-            sims = mine @ matrix.T  # (batch, N)
+            sims = mine @ mat.T  # (batch, N)
             out_a, out_b, out_s = [], [], []
             for r in range(sims.shape[0]):
                 mask = (idvec > my_ids[r]) & (np.round(sims[r], 6) >= threshold)

@@ -98,7 +98,9 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.array_distinct(tokens_col("text")).alias("toks")
     )
-    corpus = [(r.doc_id, r.lang, tuple(r.toks)) for r in toks.collect()]
+    corpus = spark.sparkContext.broadcast(
+        [(r.doc_id, r.lang, tuple(r.toks)) for r in toks.collect()]
+    )
     toks = tables.fan_out(toks, spark)  # single-file scan → engage all cores
     schema = StructType(
         [
@@ -222,7 +224,9 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_rows = docs.select(
         "doc_id", _shingles(tokens_col("text")).alias("sh")
     ).collect()
-    shingle_sets = {r.doc_id: frozenset(r.sh) for r in shingle_rows}
+    shingle_sets = spark.sparkContext.broadcast(
+        {r.doc_id: frozenset(r.sh) for r in shingle_rows}
+    )
     schema = StructType(
         [
             StructField("doc_a", LongType(), False),
@@ -315,9 +319,10 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     rows = emb.select("vec_id", "embedding").collect()
-    ids = [r.vec_id for r in rows]
     matrix = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    ids = spark.sparkContext.broadcast([r.vec_id for r in rows])
+    matrix = spark.sparkContext.broadcast(matrix)
     schema = StructType(
         [
             StructField("vec_a", LongType(), False),

@@ -101,6 +101,63 @@ def ext_topk_similarity_oracle() -> str:
     """
 
 
+N_BATCH_QUERIES = 8
+BATCH_TOPK = 3
+
+
+def ext_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity search: top-k neighbors for a query SET.
+
+    The realistic serving shape — N query vectors against the corpus in one
+    pass: broadcast the (tiny) query set, score corpus×queries, then a
+    ``row_number`` window PARTITIONED BY query (per-key windows parallelize;
+    the single-query variant's global window is the only serial point).
+    """
+    emb = _with_norm(tables.fan_out(tables.load(spark, sf_dir, "embeddings"), spark))
+    queries = emb.where(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _cosine("embedding", F.col("q_emb"), F.col("norm"), F.col("q_norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BATCH_TOPK)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def ext_topk_batch_oracle() -> str:
+    return f"""
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT q.vec_id AS query_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                                            / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                               * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) DESC,
+                                               e.vec_id ASC) AS rank,
+                   e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}) q
+            WHERE e.vec_id != q.vec_id
+        ) WHERE rank <= {BATCH_TOPK}
+    """
+
+
 def _with_band_codes(emb: DataFrame) -> DataFrame:
     """Append band0..bandN sign-random-projection codes via one Arrow pass.
 

@@ -44,12 +44,18 @@ def parse_messages(msgs: DataFrame) -> DataFrame:
     """F1+F2: unquote the double-encoded value, parse both document shapes.
 
     One pass produces both typed views (inventario-shaped and reserva-shaped
-    structs); the router then picks fields per topic. Unknown fields drop
-    silently (Go-struct decode semantics).
+    structs), each gated on its topic — the consumer only decodes a message
+    with the contract of its topic, and the ``when`` short-circuit halves the
+    JSON-parse work per message. Unknown fields drop silently (Go-struct
+    decode semantics).
     """
     decoded = unquote_json_string(F.col("value"))
-    return msgs.withColumn("doc_inv", F.from_json(decoded, INVENTARIO_SCHEMA)).withColumn(
-        "doc_res", F.from_json(decoded, RESERVA_SCHEMA)
+    return msgs.withColumn(
+        "doc_inv",
+        F.when(F.col("topic") == TOPIC_INVENTARIO, F.from_json(decoded, INVENTARIO_SCHEMA)),
+    ).withColumn(
+        "doc_res",
+        F.when(F.col("topic") == TOPIC_RESERVAS, F.from_json(decoded, RESERVA_SCHEMA)),
     )
 
 

@@ -217,3 +217,25 @@ def test_pipeline_replay_twice_same_state(spark, tmpdir):
     # duplicates collapsed: _id unique
     n = t_a.read().count()
     assert t_a.read().select("_id").distinct().count() == n
+
+
+def test_router_malformed_and_unknown_topic(spark):
+    """Garbage values and foreign topics must route out, never crash."""
+    rows = [
+        (1, "boletia.reservas", "k", '"not json'),
+        (2, "boletia.reservas", "k", "no quotes at all"),
+        (3, "some.other.topic", "k", '"{}"'),
+        (4, "boletia.inventario", "k", '"[]"'),  # wrong JSON shape
+        (5, "boletia.reservas", "k", '""'),
+    ]
+    msgs = spark.createDataFrame(rows, "seq long, topic string, key string, value string")
+    routed = router.route_messages(msgs)
+    got = {r.seq: r.route for r in routed.collect()}
+    # malformed reservas docs parse to null estado -> not "X" -> state-skip;
+    # unknown topic and malformed inventario -> ignore
+    assert got[1] == router.ROUTE_SKIP_STATE
+    assert got[2] == router.ROUTE_SKIP_STATE
+    assert got[3] == router.ROUTE_IGNORE
+    assert got[4] == router.ROUTE_IGNORE
+    assert got[5] == router.ROUTE_SKIP_STATE
+    assert router.loop_breaker(routed).count() == 0
