@@ -27,7 +27,7 @@ from boletia_kubernetes_kafka_mongodb_spark.operators import (
     similarity,
     text,
 )
-from boletia_kubernetes_kafka_mongodb_spark.streaming import admission
+from boletia_kubernetes_kafka_mongodb_spark.streaming import admission, windows
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.1 S1 + §2.7 F1/F2 + §2.2 P7: full CDC ingest path
         "cdc_route_messages": cdc.cdc_route_messages,
         "fn_json_props_extract": cdc.fn_json_props_extract,
+        # event-time windowed aggregation (streaming twin in streaming/windows)
+        "agg_time_window": windows.agg_time_window,
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_langid": text.ext_text_langid,
         "ext_text_quality": text.ext_text_quality,
         "ext_text_fingerprint": text.ext_text_fingerprint,
+        "ext_text_sentiment": text.ext_text_sentiment,
         # §2.9 extensions: multimodal
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
@@ -121,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "notify_render": notifications.notify_render_oracle(),
         "cdc_route_messages": cdc.cdc_route_messages_oracle(),
         "fn_json_props_extract": cdc.fn_json_props_extract_oracle(),
+        "agg_time_window": windows.agg_time_window_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),
@@ -131,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_langid": text.ext_text_langid_oracle(),
         "ext_text_quality": text.ext_text_quality_oracle(),
         "ext_text_fingerprint": text.ext_text_fingerprint_oracle(),
+        "ext_text_sentiment": text.ext_text_sentiment_oracle(),
         "ext_multimodal_meta": multimodal.ext_multimodal_meta_oracle(),
         "ext_multimodal_features": multimodal.ext_multimodal_features_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

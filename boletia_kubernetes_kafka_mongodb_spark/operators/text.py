@@ -170,6 +170,62 @@ def ext_text_quality_oracle() -> str:
     """
 
 
+# sentiment lexicon (SURVEY.md §2.9; lexicon-join approach per the EDBT'16
+# Spark sentiment paper in PAPERS.md) — tiny inline lexicon over the corpus
+# vocabulary; at real scale this becomes a broadcast join against a lexicon
+# table, same plan shape
+SENTIMENT_POS = ("fast", "value", "merge", "order")
+SENTIMENT_NEG = ("slow", "filter", "hash", "scan")
+
+
+def ext_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring: (pos hits − neg hits) / tokens.
+
+    Counts lexicon occurrences over ALL tokens (not distinct — frequency
+    matters for sentiment), via one ``filter`` higher-order function per
+    polarity. Narrow map, JVM-side.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    pos_arr = F.array(*[F.lit(w) for w in SENTIMENT_POS])
+    neg_arr = F.array(*[F.lit(w) for w in SENTIMENT_NEG])
+    n_pos = F.size(F.filter(toks, lambda t: F.array_contains(pos_arr, t)))
+    n_neg = F.size(F.filter(toks, lambda t: F.array_contains(neg_arr, t)))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.round((n_pos - n_neg) / n_tok, 6).alias("sentiment"),
+        F.when(n_pos > n_neg, F.lit("pos"))
+        .when(n_neg > n_pos, F.lit("neg"))
+        .otherwise(F.lit("neu"))
+        .alias("polarity"),
+    )
+
+
+def ext_text_sentiment_oracle() -> str:
+    pos = list(SENTIMENT_POS)
+    neg = list(SENTIMENT_NEG)
+    return f"""
+        SELECT doc_id,
+               CAST(len(list_filter(toks, t -> list_contains({pos!r}, t))) AS BIGINT) AS n_pos,
+               CAST(len(list_filter(toks, t -> list_contains({neg!r}, t))) AS BIGINT) AS n_neg,
+               ROUND((len(list_filter(toks, t -> list_contains({pos!r}, t)))
+                      - len(list_filter(toks, t -> list_contains({neg!r}, t))))::DOUBLE
+                     / GREATEST(len(toks), 1), 6) AS sentiment,
+               CASE WHEN len(list_filter(toks, t -> list_contains({pos!r}, t)))
+                         > len(list_filter(toks, t -> list_contains({neg!r}, t))) THEN 'pos'
+                    WHEN len(list_filter(toks, t -> list_contains({neg!r}, t)))
+                         > len(list_filter(toks, t -> list_contains({pos!r}, t))) THEN 'neg'
+                    ELSE 'neu' END AS polarity
+        FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+            FROM documents
+        )
+    """
+
+
 def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowercase text.
 
