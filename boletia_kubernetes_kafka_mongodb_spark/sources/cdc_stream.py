@@ -45,7 +45,10 @@ def build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int = 
     ``seq % dup_fraction_mod == 7`` message is emitted twice (redelivery).
     """
     ev = tables.eventos(spark, sf_dir)
-    res = tables.reservas(spark, sf_dir)
+    # the reservas side carries ~30× more rows than eventos and pays the
+    # full JSON encode per row — spread the small-file scan across all
+    # cores before that work (no-op at real scale; see tables.fan_out)
+    res = tables.fan_out(tables.reservas(spark, sf_dir), spark)
 
     ev_msgs = ev.select(
         F.col("_id").alias("key"),
