@@ -150,6 +150,78 @@ def _popcount_rows(x):
     return np.unpackbits(v, axis=1).sum(axis=1).astype(np.int64)
 
 
+def make_jaccard_component_probe(corpus_rows, threshold):
+    """mapInPandas probe fused with per-partition component contraction.
+
+    Same build/probe as :func:`make_jaccard_probe`, but instead of
+    materializing the (dense) qualifying-pair list, edges accumulate in
+    numpy arrays and the partition emits only (root, node) star edges of its
+    local connected components — ≤ |local nodes| rows instead of ~460
+    edges/node. The driver then merges partition-local components; chaining
+    a separate contraction UDF was measured 2-3× slower (2.3M rows
+    re-serialized through a second python worker).
+    """
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        corpus = _unwrap(corpus_rows)
+        vocab = {}
+        for _, _, toks in corpus:
+            for t in toks:
+                vocab.setdefault(t, len(vocab))
+        n_words = max(1, (len(vocab) + 63) // 64)
+
+        def pack(toks):
+            m = np.zeros(n_words, dtype=np.uint64)
+            for t in toks:
+                i = vocab.get(t)
+                if i is not None:
+                    m[i >> 6] |= np.uint64(1) << np.uint64(i & 63)
+            return m
+
+        ids = np.array([r[0] for r in corpus], dtype=np.int64)
+        langs = np.array([r[1] for r in corpus])
+        masks = np.stack([pack(r[2]) for r in corpus])  # (N, W)
+        sizes = _popcount_rows(masks)
+
+        srcs, dsts = [], []
+        for pdf in batches:
+            for did, lang, toks in zip(pdf["doc_id"], pdf["lang"], pdf["toks"]):
+                mine = pack(toks)
+                n_mine = int(_popcount_rows(mine[None, :])[0])
+                cand = (langs == lang) & (ids > did)
+                if not cand.any():
+                    continue
+                inter = _popcount_rows(masks[cand] & mine[None, :])
+                union = n_mine + sizes[cand] - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    j = np.where(union > 0, np.round(inter / union, 6), 0.0)
+                cids = ids[cand][j >= threshold]
+                if len(cids):
+                    srcs.append(np.full(len(cids), int(did), dtype=np.int64))
+                    dsts.append(cids)
+        if not srcs:
+            return
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        local = np.unique(np.concatenate([s, d]))
+        si = np.searchsorted(local, s)
+        di = np.searchsorted(local, d)
+        lab = np.arange(len(local), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, di, lab[si])
+            np.minimum.at(lab, si, lab[di])
+            lab = np.minimum(lab, lab[lab])
+            if np.array_equal(lab, prev):
+                break
+        yield pd.DataFrame({"doc_a": local[lab], "doc_b": local})
+
+    return probe
+
+
 def make_pair_jaccard_verifier(shingle_sets, threshold):
     """mapInPandas verifier for candidate pairs: (doc_a, doc_b) → exact
     shingle-set Jaccard, keep pairs ≥ threshold.

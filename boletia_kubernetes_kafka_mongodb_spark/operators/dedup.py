@@ -71,6 +71,20 @@ def ext_dedup_exact_oracle() -> str:
 # n-gram (token-set) Jaccard pairs
 # ---------------------------------------------------------------------------
 
+def _token_corpus(spark: SparkSession, sf_dir: str):
+    """(fanned-out token frame, broadcast corpus) — the shared build side of
+    the Jaccard probe kernels: one row per doc, distinct token array."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.array_distinct(tokens_col("text")).alias("toks")
+    )
+    corpus = spark.sparkContext.broadcast(
+        [(r.doc_id, r.lang, tuple(r.toks)) for r in toks.collect()]
+    )
+    # single-file scan → engage all cores
+    return tables.fan_out(toks, spark), corpus
+
+
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by token-set Jaccard ≥ 0.5, blocked by ``lang``.
 
@@ -94,14 +108,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    docs = tables.load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.array_distinct(tokens_col("text")).alias("toks")
-    )
-    corpus = spark.sparkContext.broadcast(
-        [(r.doc_id, r.lang, tuple(r.toks)) for r in toks.collect()]
-    )
-    toks = tables.fan_out(toks, spark)  # single-file scan → engage all cores
+    toks, corpus = _token_corpus(spark, sf_dir)
     schema = StructType(
         [
             StructField("doc_a", LongType(), False),
@@ -158,11 +165,20 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # Arrow toPandas, not collect(): Row attribute access costs ~10µs/field,
-    # which dominates everything at millions of edges
+    from ._pandas_udfs import make_jaccard_component_probe
+
+    # fused probe+contraction: each partition scores its docs against the
+    # broadcast corpus and emits only the (root, node) star edges of its
+    # LOCAL components — ≤ |nodes| rows per partition instead of the dense
+    # ~460-edges/node pair list; the driver merge below only reconciles
+    # components that straddle partitions
+    toks, corpus = _token_corpus(spark, sf_dir)
+    forest = toks.mapInPandas(
+        make_jaccard_component_probe(corpus, JACCARD_THRESHOLD),
+        schema="doc_a long, doc_b long",
+    )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    edges_pdf = pairs.toPandas()
+    edges_pdf = forest.toPandas()
     src = edges_pdf["doc_a"].to_numpy(dtype=np.int64)
     dst = edges_pdf["doc_b"].to_numpy(dtype=np.int64)
 
