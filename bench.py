@@ -34,6 +34,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = set(only.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
     timings: dict[str, float] = {}
 
     # warm the JVM + parquet footers once so q1 doesn't pay session startup

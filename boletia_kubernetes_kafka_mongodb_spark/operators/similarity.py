@@ -17,6 +17,8 @@ All cosine math is promoted to double before summation so the DuckDB oracle
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -158,79 +160,79 @@ def ext_topk_batch_oracle() -> str:
     """
 
 
-def _with_band_codes(emb: DataFrame) -> DataFrame:
-    """Append band0..bandN sign-random-projection codes via one Arrow pass.
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign-random-projection hyperplanes.
 
-    Hyperplane weights are deterministic ±1s derived from md5(band:plane:dim)
-    parity — reproducible across runs with no stored model. One numpy matmul
-    per batch ((rows × D) @ (D × bands·planes)) replaces bands·planes
-    per-row expression folds.
+    Weights derive from md5(plane:dim) parity — reproducible across runs and
+    sessions with no stored model, so the same function serves the
+    driver-side query signature and the corpus-side expression.
     """
-    from pyspark.sql.types import LongType, StructField
+    import hashlib
 
-    n_bands, n_planes = LSH_BANDS_ANN, LSH_PLANES
-
-    def add_codes(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        H = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            if H is None:
-                dim = X.shape[1]
-                H = np.empty((n_bands * n_planes, dim))
-                for j in range(n_bands * n_planes):
-                    for d in range(dim):
-                        h = hashlib.md5(f"{j}:{d}".encode()).digest()[0]
-                        H[j, d] = 1.0 if h % 2 == 0 else -1.0
-            bits = (X @ H.T) >= 0  # (rows, bands*planes)
-            powers = 1 << np.arange(n_planes, dtype=np.int64)
-            out = pdf.copy()
-            for b in range(n_bands):
-                seg = bits[:, b * n_planes : (b + 1) * n_planes]
-                out[f"band{b}"] = (seg * powers).sum(axis=1).astype(np.int64)
-            yield out
-
-    # fresh StructType: StructType.add would MUTATE the input df's cached
-    # schema object and desync it from the JVM plan
-    from pyspark.sql.types import StructType
-
-    schema = StructType(
-        list(emb.schema.fields)
-        + [StructField(f"band{b}", LongType(), False) for b in range(n_bands)]
-    )
-    return emb.mapInPandas(add_codes, schema=schema)
+    rows = []
+    for j in range(LSH_BANDS_ANN * LSH_PLANES):
+        rows.append(
+            [
+                1.0 if hashlib.md5(f"{j}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
+                for d in range(dim)
+            ]
+        )
+    return rows
 
 
 def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via sign-random-projection LSH with multi-probe bands.
 
-    Candidates = vectors sharing ≥1 of 4 12-bit band codes with the query;
-    exact cosine re-ranking on candidates only. At 100 TB: band codes are
-    precomputed/bucketed at write time, the probe is a 4-way bucket lookup —
-    the full-corpus scan disappears. Approximate ⇒ rows-only driver check;
-    recall vs brute force asserted in tests/test_similarity.py.
+    Candidates = vectors agreeing with the query on ALL planes of ≥1 of the
+    8 bands; exact cosine re-ranking on candidates only. The query's sign
+    bits are computed driver-side from the deterministic hyperplane matrix;
+    the corpus side is a single vectorized Arrow-batched boolean UDF (numpy
+    matmul). At 100 TB: band codes are precomputed/bucketed at write time,
+    the probe is an 8-way bucket lookup — the full-corpus scan disappears.
+    Approximate ⇒ rows-only driver check; recall vs brute force asserted in
+    tests/test_similarity.py.
     """
-    emb = _with_norm(tables.fan_out(tables.load(spark, sf_dir, "embeddings"), spark))
-    banded = _with_band_codes(emb.select("vec_id", "label", "embedding", "norm"))
-    band_cols = [f"band{b}" for b in range(LSH_BANDS_ANN)]
-    q = banded.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        *[F.col(c).alias(f"q_{c}") for c in band_cols],
+    import numpy as np
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # the query's sign bits are one D-dim vector × the hyperplane matrix —
+    # computed driver-side (a 1-row parquet read with vec_id pushdown)
+    q_vec = np.asarray(
+        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
+        dtype=np.float64,
     )
-    probe = banded.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
-    match_any = None
-    for c in band_cols:
-        m = F.col(c) == F.col(f"q_{c}")
-        match_any = m if match_any is None else (match_any | m)
-    candidates = probe.where(match_any)
-    scored = candidates.select(
+    H = _hyperplanes(len(q_vec))
+    q_bits = [bool(b) for b in (np.asarray(H) @ q_vec >= 0)]
+    q_norm = float(np.sqrt(q_vec @ q_vec))
+
+    # corpus-side probe: ONE vectorized Arrow-batched boolean UDF — a
+    # (rows × D) @ (D × 48) numpy matmul per batch, then per-band
+    # all-planes-agree / any-band-agrees reductions. Expressing the 48 dot
+    # products as zip_with/aggregate HOFs instead keeps the plan JVM-only
+    # but pays ~1µs per interpreted lambda element (48·D per row — measured
+    # 2-4s at sf0.1); the matmul is memory-bandwidth-bound and the single
+    # UDF column transfers only `embedding` in and one boolean out. No
+    # fan_out: the per-row work is trivial, so natural file splits carry
+    # the parallelism at scale.
+    H_np = np.asarray(H)
+    qb_np = np.asarray(q_bits)
+    n_bands, n_planes = LSH_BANDS_ANN, LSH_PLANES
+
+    @F.pandas_udf("boolean")
+    def band_match(emb_s: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(e, dtype=np.float64) for e in emb_s])
+        if X.size == 0:
+            return pd.Series([], dtype=bool)
+        agree = ((X @ H_np.T) >= 0) == qb_np
+        return pd.Series(agree.reshape(-1, n_bands, n_planes).all(axis=2).any(axis=1))
+
+    candidates = _with_norm(
+        emb.where(F.col("vec_id") != QUERY_VEC_ID).where(band_match("embedding"))
+    )
+    q = spark.createDataFrame(
+        [(q_vec.tolist(), q_norm)], "q_emb: array<double>, q_norm: double"
+    )
+    scored = candidates.crossJoin(F.broadcast(q)).select(
         "vec_id",
         "label",
         F.round(_cosine("embedding", F.col("q_emb"), F.col("norm"), F.col("q_norm")), 6).alias(
@@ -250,44 +252,52 @@ def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids = the IVF_NLIST lowest-vec_id vectors (a deterministic,
     training-free stand-in for k-means — the *plan shape* is what matters:
-    assign each vector to its nearest centroid (broadcast NL×D), probe only
-    the query's IVF_NPROBE nearest lists). Approximate ⇒ rows-only driver
-    check; recall asserted in tests.
+    assign each vector to its nearest centroid via one vectorized Arrow UDF
+    against the driver-collected NL×D centroid matrix, probe only the
+    query's IVF_NPROBE nearest lists). At 100 TB the assignment is a
+    write-time column and the probe prunes to NPROBE/NLIST of the corpus.
+    Approximate ⇒ rows-only driver check; recall asserted in tests.
     """
-    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-    centroids = emb.where(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-        F.col("norm").alias("cent_norm"),
+    import numpy as np
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # centroid matrix is IVF_NLIST × D — collect it driver-side (a tiny
+    # pushdown scan) and resolve the probe lists there too; shipping a
+    # 16-row dim table through crossJoin+window cost two shuffles and two
+    # window sorts for what is a (16×D)@(D,) numpy product
+    cent = sorted(
+        emb.where(F.col("vec_id") < IVF_NLIST).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
-    # assign: argmax cosine over broadcast centroids
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "cent_sim", _cosine("embedding", F.col("cent_emb"), F.col("norm"), F.col("cent_norm"))
+    C = np.array([r.embedding for r in cent], dtype=np.float64)  # (NL, D)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+    q_vec = np.asarray(
+        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    q_norm = float(np.sqrt(q_vec @ q_vec))
+    # the query's IVF_NPROBE nearest centroids (ties → lowest cent_id, same
+    # as the former row_number(ORDER BY sim DESC, cent_id) formulation)
+    c_sims = (C @ q_vec) / (c_norm * q_norm)
+    probe = sorted(np.argsort(-c_sims, kind="stable")[:IVF_NPROBE].tolist())
+
+    @F.pandas_udf("long")
+    def assign(emb_s: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(e, dtype=np.float64) for e in emb_s])
+        if X.size == 0:
+            return pd.Series([], dtype="int64")
+        sims = (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * c_norm)
+        # argmax returns the FIRST max ⇒ lowest cent_id on ties (C is
+        # vec_id-ordered), matching the window tie-break
+        return pd.Series(np.argmax(sims, axis=1).astype("int64"))
+
+    candidates = _with_norm(
+        emb.where(F.col("vec_id") != QUERY_VEC_ID).where(
+            assign("embedding").isin(probe)
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "norm", "cent_id")
     )
-    q = assigned.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
-    )
-    # probe lists: the query's IVF_NPROBE nearest centroids
-    q_lists = (
-        centroids.crossJoin(F.broadcast(q))
-        .withColumn("sim", _cosine(F.col("cent_emb"), F.col("q_emb"), F.col("cent_norm"), F.col("q_norm")))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col("cent_id"))))
-        .where(F.col("rn") <= IVF_NPROBE)
-        .select("cent_id")
-    )
-    candidates = assigned.join(F.broadcast(q_lists), "cent_id").where(
-        F.col("vec_id") != QUERY_VEC_ID
+    q = spark.createDataFrame(
+        [(q_vec.tolist(), q_norm)], "q_emb: array<double>, q_norm: double"
     )
     scored = candidates.crossJoin(F.broadcast(q)).select(
         "vec_id",
