@@ -74,15 +74,14 @@ def ext_dedup_exact_oracle() -> str:
 def _token_corpus(spark: SparkSession, sf_dir: str):
     """(fanned-out token frame, broadcast corpus) — the shared build side of
     the Jaccard probe kernels: one row per doc, distinct token array."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = docs.select(
         "doc_id", "lang", F.array_distinct(tokens_col("text")).alias("toks")
     )
     corpus = spark.sparkContext.broadcast(
         [(r.doc_id, r.lang, tuple(r.toks)) for r in toks.collect()]
     )
-    # single-file scan → engage all cores
-    return tables.fan_out(toks, spark), corpus
+    return toks, corpus
 
 
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,7 +295,7 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes. Spark-hash-dependent ⇒ rows-only driver check; recall vs
     the exhaustive oracle is asserted in tests/test_dedup.py.
     """
-    docs = tables.fan_out(tables.load(spark, sf_dir, "documents"), spark)
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sigs.select(
@@ -384,7 +383,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-hash + UDF dependent ⇒ rows-only driver check; behavior asserted
     against a python reference in tests/test_dedup.py.
     """
-    docs = tables.fan_out(tables.load(spark, sf_dir, "documents"), spark)
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
     sigs = simhash_signatures(docs).join(docs.select("doc_id", "lang"), "doc_id")
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -447,7 +446,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("cosine", DoubleType(), False),
         ]
     )
-    return tables.fan_out(emb.select("vec_id", "embedding"), spark).mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         make_cosine_pairs_probe(ids, matrix, EMBED_DUP_THRESHOLD), schema=schema
     )
 

@@ -231,11 +231,19 @@ def insert_dedup_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doubled (redelivered) stream deduplicated by ``_id``; duplicates are
     identical full rows so dropDuplicates on the key is value-deterministic.
     """
-    res = tables.reservas(spark, sf_dir)
-    redelivered = res.unionAll(res)  # simulate at-least-once: every row twice
-    # dedup on seq (bijective with _id): an 8-byte shuffle key vs a 24-char
-    # string — same semantics, cheaper exchange
-    return redelivered.dropDuplicates(["seq"])
+    # simulate at-least-once (every row delivered twice) with ONE pass:
+    # union-with-self re-executes the scan+projection per branch. Dedup on
+    # seq (bijective with _id, an 8-byte shuffle key vs a 24-char string)
+    # over the RAW rows, so the exchange carries narrow numerics and the
+    # format_string projection runs post-shuffle on survivors only.
+    li = tables.load(spark, sf_dir, "lineitem", fan=True)
+    redelivered = li.withColumn(
+        "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("_copy")
+    unique = redelivered.withColumn("seq", tables.reserva_seq()).dropDuplicates(
+        ["seq"]
+    )
+    return tables.reservas_project(unique)
 
 
 def insert_dedup_unique_oracle() -> str:

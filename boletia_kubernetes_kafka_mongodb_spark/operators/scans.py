@@ -96,16 +96,21 @@ def lookup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SF); the probe is a 1-row broadcast semi join — the realistic
     distributed shape of a PK point lookup.
     """
-    res = tables.reservas(spark, sf_dir)
     # min(_id) ≡ min(seq) (the 24-hex encoding of a non-negative long is
-    # order-preserving) — aggregate the cheap long, not the formatted string
+    # order-preserving) — aggregate the cheap packed long over the RAW scan,
+    # broadcast-join it on the raw side too, and apply the formatted Reserva
+    # projection only to the surviving row. Projecting first would run three
+    # format_strings per corpus row just to throw all but one away.
+    li = tables.load(spark, sf_dir, "lineitem")
+    keyed = li.withColumn("seq", tables.reserva_seq())
     target = (
-        res.agg(F.min("seq").alias("seq"))
+        keyed.agg(F.min("seq").alias("seq"))
         .withColumn("_id_c", F.format_string("%024x", F.col("seq")))
         .where((F.length("_id_c") == 24) & F.col("_id_c").rlike("^[0-9a-f]{24}$"))
         .select("seq")
     )
-    return res.join(F.broadcast(target), "seq", "inner").select(
+    hit = keyed.join(F.broadcast(target), "seq", "inner").drop("seq")
+    return tables.reservas_project(hit).select(
         "_id", "evento", "estado", "email", "cantidad", "seq"
     )
 

@@ -63,7 +63,7 @@ def ext_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is the only ordering step and operates on per-partition top-k
     prefilters if extended; the scan itself never shuffles.
     """
-    emb = _with_norm(tables.fan_out(tables.load(spark, sf_dir, "embeddings"), spark))
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings", fan=True))
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
     )
@@ -115,7 +115,7 @@ def ext_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number`` window PARTITIONED BY query (per-key windows parallelize;
     the single-query variant's global window is the only serial point).
     """
-    emb = _with_norm(tables.fan_out(tables.load(spark, sf_dir, "embeddings"), spark))
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings", fan=True))
     queries = emb.where(F.col("vec_id") < N_BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

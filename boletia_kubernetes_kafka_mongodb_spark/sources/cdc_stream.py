@@ -46,9 +46,9 @@ def build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int = 
     """
     ev = tables.eventos(spark, sf_dir)
     # the reservas side carries ~30× more rows than eventos and pays the
-    # full JSON encode per row — spread the small-file scan across all
-    # cores before that work (no-op at real scale; see tables.fan_out)
-    res = tables.fan_out(tables.reservas(spark, sf_dir), spark)
+    # full JSON encode per row — fan the RAW scan out under the projection
+    # so that work runs on all cores (no-op at real scale; tables.load)
+    res = tables.reservas(spark, sf_dir, fan=True)
 
     ev_msgs = ev.select(
         F.col("_id").alias("key"),
@@ -68,8 +68,14 @@ def build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int = 
     log = ev_msgs.select("seq", "topic", "key", "value").unionAll(
         res_msgs.select("seq", "topic", "key", "value")
     )
-    dups = log.where(F.col("seq") % dup_fraction_mod == 7)
-    return log.unionAll(dups)
+    # redeliveries in the SAME pass: union-with-filtered-self would
+    # re-execute the whole encode pipeline for the dup branch (no CSE
+    # across union children) — explode a 1-or-2 element sequence instead
+    n_copies = F.when(F.col("seq") % dup_fraction_mod == 7, F.lit(2)).otherwise(F.lit(1))
+    return (
+        log.withColumn("_copy", F.explode(F.sequence(F.lit(1), n_copies)))
+        .drop("_copy")
+    )
 
 
 def build_lifecycle_message_log(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ on ``eventos`` compiles to a parquet scan of ``part`` with PushedFilters on
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +51,7 @@ TABLES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str, fan: bool = False) -> DataFrame:
     """Read one testdata table. Parquet scan → column pruning + predicate
     pushdown come free downstream.
 
@@ -58,26 +59,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rejects by default — the legacy conf reads it as a plain long (ns since
     epoch), which is also what the oracle uses (``epoch_ns(ts)``), so both
     sides agree on values. Set per-call: the driver owns the SparkSession.
+
+    ``fan=True``: spread the scan across the cluster BEFORE CPU-heavy
+    downstream work (hashing, shingling, JSON encode, UDF probes). The
+    decision uses the file size on disk — instant, vs ~0.5s of driver time
+    for a ``df.rdd.getNumPartitions()`` plan translation — and is a no-op
+    once the file is big enough to split into ≥ one task per core natively
+    (at real scale the splits come from maxPartitionBytes, not from us).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if fan:
+        target = max(spark.sparkContext.defaultParallelism * 2, 8)
+        max_split = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+        try:
+            small = os.path.getsize(path) < target * max_split
+        except OSError:  # directory-style dataset — let natural splits rule
+            small = False
+        if small:
+            df = df.repartition(target)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
-
-
-def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
-    """Spread a small-file scan across the cluster before CPU-heavy work.
-
-    Test-scale parquet files are single-split (a few MB ≪ maxPartitionBytes),
-    so without this every per-row-expensive stage (hashing, shingling, UDF
-    probes) runs on ONE core. At real scale the files split naturally and
-    this round-robin shuffle of a few thousand rows is a no-op cost; at
-    test scale it is the difference between 1× and 32× parallelism.
-    """
-    target = max(spark.sparkContext.defaultParallelism * factor, 8)
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
 
 # ---------------------------------------------------------------------------
@@ -122,27 +128,46 @@ def eventos(spark: SparkSession, sf_dir: str, nombre_eq: str | None = None) -> D
     )
 
 
-def reservas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def reservas(spark: SparkSession, sf_dir: str, fan: bool = False) -> DataFrame:
     """Reservations view ⇐ ``lineitem``.
 
     Matches the ``Reserva`` contract (reference ``contratos/contratos.go:23-29``;
     states A/X/C per ``README.md:400``). ``seq`` is the explicit arrival-order
     column standing in for Kafka per-topic FIFO order.
+
+    ``fan=True`` repartitions the RAW scan before the projection — the
+    format_string/encode work must sit ABOVE the exchange to parallelize
+    (repartitioning the projected frame runs the projection on the
+    single-split scan partition first, then shuffles finished rows).
     """
-    li = load(spark, sf_dir, "lineitem")
-    # (l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity) is the
-    # minimal unique key of the synthetic lineitem (verified at every SF;
-    # quantity is always integral); pack it into one bigint so ``_id`` is a
-    # true primary key and ``seq`` a deterministic total order. Slots:
-    # ok·1e12 | ln·1e11 | pk·1e6 | sk·1e2 | qty — headroom holds while
-    # ok<9.2e6, pk<1e5, sk<1e4, qty<100 (true through sf≈0.5).
-    seq = (
+    li = load(spark, sf_dir, "lineitem", fan=fan)
+    return reservas_project(li)
+
+
+def reserva_seq() -> F.Column:
+    """The packed arrival-order key over raw ``lineitem`` columns.
+
+    (l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity) is the
+    minimal unique key of the synthetic lineitem (verified at every SF;
+    quantity is always integral); pack it into one bigint so ``_id`` is a
+    true primary key and ``seq`` a deterministic total order. Slots:
+    ok·1e12 | ln·1e11 | pk·1e6 | sk·1e2 | qty — headroom holds while
+    ok<9.2e6, pk<1e5, sk<1e4, qty<100 (true through sf≈0.5).
+    """
+    return (
         F.col("l_orderkey") * F.lit(1_000_000_000_000)
         + F.col("l_linenumber").cast("long") * F.lit(100_000_000_000)
         + F.col("l_partkey") * F.lit(1_000_000)
         + F.col("l_suppkey") * F.lit(100)
         + F.col("l_quantity").cast("long")
     ).cast("long")
+
+
+def reservas_project(li: DataFrame) -> DataFrame:
+    """Apply the Reserva projection to a (possibly pre-filtered) lineitem
+    frame — split out so point lookups can join/filter on the cheap packed
+    key FIRST and pay the format_string columns only for surviving rows."""
+    seq = reserva_seq()
     return li.select(
         F.format_string("%024x", seq).alias("_id"),
         F.format_string("Evento %06d", F.col("l_partkey")).alias("evento"),
