@@ -222,38 +222,6 @@ def make_jaccard_component_probe(corpus_rows, threshold):
     return probe
 
 
-def make_pair_jaccard_verifier(shingle_sets, threshold):
-    """mapInPandas verifier for candidate pairs: (doc_a, doc_b) → exact
-    shingle-set Jaccard, keep pairs ≥ threshold.
-
-    ``shingle_sets`` = dict doc_id → frozenset of shingles (broadcast by
-    value). The candidate set is tiny relative to all-pairs (that's LSH's
-    point), so python set intersection per candidate is the cheap part.
-    """
-
-    def verify(batches):
-        import pandas as pd
-
-        shingles = _unwrap(shingle_sets)
-        for pdf in batches:
-            out_a, out_b, out_j = [], [], []
-            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-                sa = shingles.get(int(a))
-                sb = shingles.get(int(b))
-                if not sa or not sb:
-                    continue
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                j = round(inter / union, 6) if union else 0.0
-                if j >= threshold:
-                    out_a.append(int(a))
-                    out_b.append(int(b))
-                    out_j.append(j)
-            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
-
-    return verify
-
-
 def make_cosine_pairs_probe(ids, matrix, threshold):
     """mapInPandas probe: each partition's vectors vs the broadcast matrix.
 

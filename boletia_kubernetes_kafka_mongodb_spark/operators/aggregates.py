@@ -25,7 +25,7 @@ def agg_running_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (estado C) never restore (``README.md:503``). Net change per event is
     therefore −Σ cantidad over estados {A, C}; X rows net to zero.
     """
-    res = tables.reservas(spark, sf_dir)
+    res = tables.reservas(spark, sf_dir, fan=True)
     return (
         res.groupBy("evento")
         .agg(

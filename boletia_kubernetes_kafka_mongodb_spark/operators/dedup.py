@@ -317,41 +317,59 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # in-bucket pair expansion via groupBy + HOF instead of a self-join:
+    # a self-join's two branches each re-execute the whole shingle→minhash
+    # subtree (no CSE across join children — measured 2× the work), where
+    # the groupBy shuffles the banded keys ONCE and expands the k² pairs
+    # per bucket with array lambdas. LSH buckets are tiny by construction
+    # (that's the point of banding); a pathological hot bucket at scale is
+    # handled the standard way — cap/salt the bucket — before expansion.
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_struct = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform(
+                    "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact-Jaccard verification of the (small) candidate set: broadcast the
-    # shingle sets by value, verify per candidate pair with python set ops —
-    # far cheaper than a double join materializing ~300-element arrays per pair
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
-    from ._pandas_udfs import make_pair_jaccard_verifier
-
-    shingle_rows = docs.select(
-        "doc_id", _shingles(tokens_col("text")).alias("sh")
-    ).collect()
-    shingle_sets = spark.sparkContext.broadcast(
-        {r.doc_id: frozenset(r.sh) for r in shingle_rows}
+    # exact-Jaccard verification of the (small) candidate set, fully
+    # distributed: explode each pair into its two member ids, broadcast-join
+    # ONCE against the per-doc shingle frame (joining the frame twice — once
+    # per side — would re-execute the shingling subtree per branch), regroup
+    # by pair, and compare the two arrays with native intersect/union. No
+    # driver-side shingle collection: at 100 TB the shingle frame never fits
+    # one node, while the candidate side stays broadcast-small by LSH
+    # construction.
+    shingles_df = docs.select("doc_id", _shingles(tokens_col("text")).alias("sh"))
+    sides = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
-    schema = StructType(
-        [
-            StructField("doc_a", LongType(), False),
-            StructField("doc_b", LongType(), False),
-            StructField("jaccard", DoubleType(), False),
-        ]
+    joined = shingles_df.join(F.broadcast(sides), "doc_id", "inner")
+    paired = joined.groupBy("doc_a", "doc_b").agg(
+        F.first(F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+        F.first(F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
     )
-    return candidates.mapInPandas(
-        make_pair_jaccard_verifier(shingle_sets, JACCARD_THRESHOLD), schema=schema
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        paired.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -372,37 +390,71 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     token_hashes = F.transform(
         F.array_distinct(tokens_col("text")), lambda t: F.xxhash64(t)
     )
-    return docs.select("doc_id", simhash_from_token_hashes(token_hashes).alias("simhash"))
+    return docs.select(
+        "doc_id", "lang", simhash_from_token_hashes(token_hashes).alias("simhash")
+    )
+
+
+SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ 3 < 4 ⇒ ≥1 of 4 16-bit bands equal
 
 
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ SIMHASH_MAX_HAMMING.
 
-    Pairs blocked by ``lang`` (same rationale as the Jaccard blocker); the
-    Hamming test is ``bit_count(a XOR b)`` — back to pure JVM bit intrinsics.
+    Pairs blocked by ``lang``, pruned by pigeonhole banding: the 64-bit
+    signature splits into 4 disjoint 16-bit bands, and hamming ≤ 3 forces at
+    least one band to match exactly — so bucketing on (lang, band, bits) is
+    LOSSLESS candidate pruning, not an approximation. Candidates expand
+    in-bucket (groupBy + array lambdas — a self-join would re-execute the
+    signature UDF per branch AND materialize the lang-blocked n² pair
+    space); the Hamming verify is ``bit_count(a XOR b)``, a JVM intrinsic.
     Spark-hash + UDF dependent ⇒ rows-only driver check; behavior asserted
     against a python reference in tests/test_dedup.py.
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    sigs = simhash_signatures(docs).join(docs.select("doc_id", "lang"), "doc_id")
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    sigs = simhash_signatures(docs)
+    band_keys = F.array(
+        *[
+            F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "lang", "simhash", F.posexplode(band_keys).alias("band", "bits")
+    )
+    buckets = (
+        banded.groupBy("lang", "band", "bits")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pair_struct = F.filter(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x: F.transform(
+                    "members",
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["simhash"].alias("sig_a"),
+                        y["simhash"].alias("sig_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    candidates = (
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .distinct()
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        candidates.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("hamming"),
-        )
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

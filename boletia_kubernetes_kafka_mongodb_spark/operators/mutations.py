@@ -47,7 +47,7 @@ def reserve_guarded_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger: one row per active reservation attempt with its running total,
     admitted flag, and post-decision availability.
     """
-    res = tables.reservas(spark, sf_dir).where(F.col("estado") == "A")
+    res = tables.reservas(spark, sf_dir, fan=True).where(F.col("estado") == "A")
     ev = tables.eventos(spark, sf_dir).select("nombre", "capacidad")
     w = Window.partitionBy("evento").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
     ledger = (
@@ -94,7 +94,7 @@ def cancel_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerated no-op — hence the inner join against active events only.
     Returns the restitution ledger with the sentinel column.
     """
-    cancels = tables.reservas(spark, sf_dir).where(F.col("estado") == "X")
+    cancels = tables.reservas(spark, sf_dir, fan=True).where(F.col("estado") == "X")
     ev = tables.eventos(spark, sf_dir).where(F.col("estado") == "A").select("nombre")
     w = Window.partitionBy("evento").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -153,7 +153,7 @@ def cascade_cancel_updateall(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog state is "C". The membership probe is a broadcast left-semi join
     feeding a conditional rewrite — shuffle-free on the fact side.
     """
-    res = tables.reservas(spark, sf_dir)
+    res = tables.reservas(spark, sf_dir, fan=True)
     cancelled = (
         tables.eventos(spark, sf_dir).where(F.col("estado") == "C").select("nombre")
     )
@@ -198,7 +198,7 @@ def reserva_cancel_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum active reservation id — a deterministic existing key at every SF;
     the guarded probe is a 1-row broadcast semi join.
     """
-    res = tables.reservas(spark, sf_dir)
+    res = tables.reservas(spark, sf_dir, fan=True)
     active = res.where(F.col("estado") == "A")
     target = active.agg(F.min("_id").alias("_id"))
     return active.join(F.broadcast(target), "_id", "inner").select(

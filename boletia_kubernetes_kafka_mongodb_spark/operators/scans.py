@@ -178,7 +178,7 @@ def project_rename_detreserva(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventario with its latest reservation (max-seq active) and apply the
     identical rename.
     """
-    res = tables.reservas(spark, sf_dir)
+    res = tables.reservas(spark, sf_dir, fan=True)
     # Latest active reservation per event = the transient enrichment fields
     # (idres, email, canres) the guarded decrement $sets (reservas/main.go:154-157).
     latest = (
