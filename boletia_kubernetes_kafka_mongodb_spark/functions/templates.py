@@ -45,10 +45,25 @@ def render_notification(
     qty = (F.col(cantidad) if isinstance(cantidad, str) else cantidad).cast("int")
     evt = F.col(evento) if isinstance(evento, str) else evento
     est = F.col(estado) if isinstance(estado, str) else estado
-    # format_string requires a literal format → render each template branch
-    # and select by estado (still one codegen'd CASE expression).
-    rendered = [F.format_string(t, rid, qty, evt) for t in TEMPLATES]
-    expr = F.lit(None).cast("string")
-    for state, body in zip(reversed(STATES), reversed(rendered)):
-        expr = F.when(est == state, body).otherwise(expr)
-    return expr
+    # The three templates share the "Su reserva %s de %d entradas para el
+    # evento %s" prefix and differ only in the tail — render as ONE concat
+    # with a CASE'd suffix instead of three format_string branches
+    # (java.util.Formatter is ~2x the codegen'd string ops; concat with a
+    # NULL suffix propagates NULL, preserving invalid-state semantics).
+    suffix = F.lit(None).cast("string")
+    suffixes = {
+        "A": " esta confirmada",
+        "C": " fue cancelada: evento suspendido por los organizadores",
+        "X": " fue cancelada a peticion suya",
+    }
+    for state in reversed(STATES):
+        suffix = F.when(est == state, F.lit(suffixes[state])).otherwise(suffix)
+    return F.concat(
+        F.lit("Su reserva "),
+        rid,
+        F.lit(" de "),
+        qty.cast("string"),
+        F.lit(" entradas para el evento "),
+        evt,
+        suffix,
+    )

