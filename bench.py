@@ -43,10 +43,11 @@ def main() -> None:
     # warm the JVM + parquet footers once so q1 doesn't pay session startup
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
 
-    # two passes, keep per-query minimum: the host is co-tenant-noisy and a
-    # single pass conflates engine time with neighbor interference
+    # multiple passes, keep per-query minimum: the host is co-tenant-noisy
+    # and a single pass conflates engine time with neighbor interference
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     raw: dict[str, list[float]] = {qid: [] for qid in queries}
-    for _ in range(2):
+    for _ in range(passes):
         for qid in sorted(queries):
             t0 = time.perf_counter()
             df = queries[qid](spark, SF_DIR)

@@ -226,6 +226,135 @@ def ext_text_sentiment_oracle() -> str:
     """
 
 
+# Winnowing parameters: K-char grams, window of W gram hashes, polynomial
+# rolling hash base B mod prime M (fits BIGINT: max acc < 2^31 * 257).
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 257
+WINNOW_M = (1 << 31) - 1
+
+
+def ext_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (MOSS-style).
+
+    Normalize (lowercase, strip non-alphanumerics) → polynomial rolling
+    hash of every K-char gram → select the minimum hash of each W-wide
+    window → distinct sorted fingerprint set per document. The winnowing
+    guarantee: any shared substring of length ≥ K+W−1 yields at least one
+    shared fingerprint, so fingerprint overlap is a near-dup/containment
+    signal with bounded gap — the standard plagiarism/copy-detection
+    primitive at corpus scale.
+
+    Everything is native higher-order functions over one narrow map — no
+    shuffle, no UDF. The hash is an explicit polynomial (base 257 mod
+    2^31−1), not Spark's xxhash, so DuckDB computes the identical values
+    and the driver hash-match is exact.
+
+    Two Generate barriers (``explode(array(x))``) materialize the char-code
+    and gram-hash arrays as concrete attributes between projections:
+    CollapseProject would otherwise inline the array expression into every
+    downstream lambda invocation (lambda variables defeat subexpression
+    elimination — the minhash_signatures lesson), turning O(n·K) into
+    O(n²·K).
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    return winnow_fingerprints(docs)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """The winnowing pipeline over any (doc_id, text) frame — see
+    :func:`ext_text_winnowing` for semantics and plan rationale."""
+    k, w, b, m = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_M
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+    with_codes = docs.select("doc_id", F.explode(F.array(codes)).alias("cs"))
+    gram_hashes = F.when(
+        F.size("cs") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("cs") - (k - 1)),
+            lambda i: F.aggregate(
+                F.slice("cs", i, k),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * b + c) % m,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    with_hashes = with_codes.select(
+        "doc_id", F.explode(F.array(gram_hashes)).alias("hs")
+    )
+    nh = F.size("hs")
+    fingerprints = (
+        F.when(nh == 0, F.array().cast("array<bigint>"))
+        .when(nh < w, F.array(F.array_min("hs")))
+        .otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), nh - (w - 1)),
+                        lambda t: F.array_min(F.slice("hs", t, w)),
+                    )
+                )
+            )
+        )
+    )
+    return with_hashes.select(
+        "doc_id",
+        nh.cast("long").alias("n_grams"),
+        fingerprints.alias("fingerprints"),
+    )
+
+
+def winnow_fingerprints_py(text: str) -> tuple[int, list[int]]:
+    """Python reference model of :func:`winnow_fingerprints` (tests)."""
+    import re as _re
+
+    k, w, b, m = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_M
+    s = _re.sub("[^a-z0-9]", "", text.lower())
+    hs = []
+    for i in range(len(s) - k + 1):
+        acc = 0
+        for c in s[i : i + k]:
+            acc = (acc * b + ord(c)) % m
+        hs.append(acc)
+    if not hs:
+        return 0, []
+    if len(hs) < w:
+        return len(hs), [min(hs)]
+    return len(hs), sorted({min(hs[t : t + w]) for t in range(len(hs) - w + 1)})
+
+
+def ext_text_winnowing_oracle() -> str:
+    k, w, b, m = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_M
+    return f"""
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+            FROM documents
+        ), codes AS (
+            SELECT doc_id,
+                   [CAST(ascii(substr(s, i, 1)) AS BIGINT)
+                    for i in generate_series(1, length(s))] AS cs
+            FROM norm
+        ), grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(cs) >= {k}
+                        THEN [list_reduce(cs[i:i+{k - 1}],
+                                          (a, c) -> (a * {b} + c) % {m})
+                              for i in generate_series(1, len(cs) - {k - 1})]
+                        ELSE CAST([] AS BIGINT[]) END AS hs
+            FROM codes
+        )
+        SELECT doc_id,
+               CAST(len(hs) AS BIGINT) AS n_grams,
+               CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                    WHEN len(hs) < {w} THEN [list_min(hs)]
+                    ELSE list_sort(list_distinct(
+                        [list_min(hs[t:t+{w - 1}])
+                         for t in generate_series(1, len(hs) - {w - 1})]))
+               END AS fingerprints
+        FROM grams
+    """
+
+
 def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowercase text.
 
