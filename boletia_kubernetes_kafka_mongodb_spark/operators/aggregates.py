@@ -25,17 +25,27 @@ def agg_running_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (estado C) never restore (``README.md:503``). Net change per event is
     therefore −Σ cantidad over estados {A, C}; X rows net to zero.
     """
-    res = tables.reservas(spark, sf_dir, fan=True)
+    # Pre-aggregate on the raw long key: the shuffle carries (l_partkey,
+    # 3 longs) instead of ~20-byte label strings, the estado predicates
+    # compile to l_returnflag comparisons readable straight off the scan,
+    # and the evento label renders once per group, not once per row.
+    # estado mapping (tables.reservas_project): N→A, R→X, else→C, so
+    # {A,C} ⇔ returnflag ≠ 'R' and X ⇔ returnflag = 'R'.
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("int")
+    is_x = F.col("l_returnflag") == "R"
     return (
-        res.groupBy("evento")
+        li.groupBy("l_partkey")
         .agg(
-            F.sum(F.when(F.col("estado").isin("A", "C"), -F.col("cantidad")).otherwise(0))
-            .cast("long")
-            .alias("delta_capacidad"),
-            F.sum(F.when(F.col("estado") == "X", F.col("cantidad")).otherwise(0))
-            .cast("long")
-            .alias("restituido"),
+            F.sum(F.when(~is_x, -qty).otherwise(0)).cast("long").alias("delta_capacidad"),
+            F.sum(F.when(is_x, qty).otherwise(0)).cast("long").alias("restituido"),
             F.count(F.lit(1)).cast("long").alias("n_reservas"),
+        )
+        .select(
+            tables.evento_label(F.col("l_partkey")).alias("evento"),
+            "delta_capacidad",
+            "restituido",
+            "n_reservas",
         )
     )
 

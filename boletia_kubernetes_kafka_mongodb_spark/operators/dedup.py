@@ -411,7 +411,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-hash + UDF dependent ⇒ rows-only driver check; behavior asserted
     against a python reference in tests/test_dedup.py.
     """
-    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    docs = tables.load(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
     band_keys = F.array(
         *[

@@ -24,7 +24,7 @@ def join_cancel_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``inventario/main.go:125-129``); at most one match (unique index).
     Physical: broadcast inner equi-join, dim side = eventos.
     """
-    cancels = tables.reservas(spark, sf_dir, fan=True).where(F.col("estado") == "X")
+    cancels = tables.reservas(spark, sf_dir).where(F.col("estado") == "X")
     ev = tables.eventos(spark, sf_dir).where(F.col("estado") == "A")
     return cancels.join(F.broadcast(ev), cancels["evento"] == ev["nombre"], "inner").select(
         cancels["_id"].alias("reserva_id"),
@@ -82,7 +82,7 @@ def join_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip itself is M4. One-to-many equi join + residual state predicate.
     """
     cancelled = tables.eventos(spark, sf_dir).where(F.col("estado") == "C").select("nombre")
-    res = tables.reservas(spark, sf_dir, fan=True).where(F.col("estado") == "A")
+    res = tables.reservas(spark, sf_dir).where(F.col("estado") == "A")
     return res.join(F.broadcast(cancelled), res["evento"] == cancelled["nombre"], "inner").select(
         res["_id"], res["evento"], res["estado"], res["email"], res["cantidad"], res["seq"]
     )

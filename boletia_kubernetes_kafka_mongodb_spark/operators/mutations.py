@@ -47,7 +47,7 @@ def reserve_guarded_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger: one row per active reservation attempt with its running total,
     admitted flag, and post-decision availability.
     """
-    res = tables.reservas(spark, sf_dir, fan=True).where(F.col("estado") == "A")
+    res = tables.reservas(spark, sf_dir).where(F.col("estado") == "A")
     ev = tables.eventos(spark, sf_dir).select("nombre", "capacidad")
     w = Window.partitionBy("evento").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
     ledger = (
@@ -94,7 +94,7 @@ def cancel_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerated no-op — hence the inner join against active events only.
     Returns the restitution ledger with the sentinel column.
     """
-    cancels = tables.reservas(spark, sf_dir, fan=True).where(F.col("estado") == "X")
+    cancels = tables.reservas(spark, sf_dir).where(F.col("estado") == "X")
     ev = tables.eventos(spark, sf_dir).where(F.col("estado") == "A").select("nombre")
     w = Window.partitionBy("evento").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -23,7 +23,7 @@ def notify_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fmt.Sprintf`` renders (F6, ``:96``), subject is fixed per confirm/cancel.
     Pure narrow map — no shuffle, whole-stage codegen.
     """
-    res = tables.reservas(spark, sf_dir, fan=True)
+    res = tables.reservas(spark, sf_dir)
     return res.select(
         F.col("_id").alias("reserva_id"),
         F.col("email").alias("email"),

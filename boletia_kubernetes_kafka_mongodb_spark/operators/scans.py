@@ -192,15 +192,31 @@ def project_rename_detreserva(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventario with its latest reservation (max-seq active) and apply the
     identical rename.
     """
-    res = tables.reservas(spark, sf_dir, fan=True)
     # Latest active reservation per event = the transient enrichment fields
     # (idres, email, canres) the guarded decrement $sets (reservas/main.go:154-157).
+    # Aggregated over RAW lineitem: estado='A' becomes l_returnflag='N' (a
+    # PushedFilter on the scan), the max_by aggregates carry longs instead
+    # of rendered strings, and the _id/email/evento strings render once per
+    # surviving group — max(seq) ≡ max_by(_id, seq) because hex24 is
+    # order-preserving on non-negative longs.
+    li = tables.load(spark, sf_dir, "lineitem")
+    seq = tables.reserva_seq()
     latest = (
-        res.where(F.col("estado") == "A")
-        .groupBy("evento")
-        .agg(F.max_by("_id", "seq").alias("idres"),
-             F.max_by("email", "seq").alias("email"),
-             F.max_by("cantidad", "seq").alias("canres"))
+        li.where(F.col("l_returnflag") == "N")
+        .groupBy("l_partkey")
+        .agg(
+            F.max(seq).alias("mseq"),
+            F.max_by("l_suppkey", seq).alias("sk"),
+            F.max_by("l_quantity", seq).alias("qty"),
+        )
+        .select(
+            tables.evento_label(F.col("l_partkey")).alias("evento"),
+            tables.hex24(F.col("mseq")).alias("idres"),
+            F.concat(
+                F.lit("user"), F.col("sk").cast("string"), F.lit("@example.com")
+            ).alias("email"),
+            F.col("qty").cast("int").alias("canres"),
+        )
     )
     ev = tables.eventos(spark, sf_dir)
     enriched = ev.join(F.broadcast(latest), ev["nombre"] == latest["evento"], "inner")
