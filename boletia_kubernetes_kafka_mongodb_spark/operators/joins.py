@@ -24,13 +24,19 @@ def join_cancel_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``inventario/main.go:125-129``); at most one match (unique index).
     Physical: broadcast inner equi-join, dim side = eventos.
     """
-    cancels = tables.reservas(spark, sf_dir).where(F.col("estado") == "X")
-    ev = tables.eventos(spark, sf_dir).where(F.col("estado") == "A")
-    return cancels.join(F.broadcast(ev), cancels["evento"] == ev["nombre"], "inner").select(
-        cancels["_id"].alias("reserva_id"),
-        cancels["evento"].alias("evento"),
-        cancels["email"].alias("email"),
-        cancels["cantidad"].alias("cantidad"),
+    # Keyed probe: the broadcast hash key is the 8-byte l_partkey and the
+    # reserva/evento strings render only on join survivors.
+    cancels = tables.reservas_keyed(spark, sf_dir, estado_eq="X")
+    ev = tables.eventos_keyed(spark, sf_dir).where(F.col("estado") == "A")
+    return cancels.join(
+        F.broadcast(ev), cancels["l_partkey"] == ev["p_partkey"], "inner"
+    ).select(
+        tables.hex24(F.col("seq")).alias("reserva_id"),
+        tables.evento_label(cancels["l_partkey"]).alias("evento"),
+        F.concat(
+            F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
+        ).alias("email"),
+        F.col("cantidad").alias("cantidad"),
         ev["capacidad"].alias("capacidad"),
         ev["categoria"].alias("categoria"),
     )
@@ -60,9 +66,11 @@ def join_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     append. Here: first-line reservations are "already materialized"; the
     anti join keeps the rest.
     """
-    res = tables.reservas(spark, sf_dir, fan=True)
-    existing = res.where(F.col("seq") % 10 == 1).select("_id")
-    return res.join(existing, "_id", "left_anti")
+    # Anti join on the 8-byte seq key (bijective with _id); the Reserva
+    # strings render only for surviving rows, after the join.
+    res = tables.reservas_keyed(spark, sf_dir)
+    existing = res.where(F.col("seq") % 10 == 1).select("seq")
+    return tables.reserva_render(res.join(existing, "seq", "left_anti"))
 
 
 def join_exists_anti_oracle() -> str:
@@ -81,10 +89,16 @@ def join_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``inventario/main.go:99-103``) — the join selects the update set; the
     flip itself is M4. One-to-many equi join + residual state predicate.
     """
-    cancelled = tables.eventos(spark, sf_dir).where(F.col("estado") == "C").select("nombre")
-    res = tables.reservas(spark, sf_dir).where(F.col("estado") == "A")
-    return res.join(F.broadcast(cancelled), res["evento"] == cancelled["nombre"], "inner").select(
-        res["_id"], res["evento"], res["estado"], res["email"], res["cantidad"], res["seq"]
+    cancelled = (
+        tables.eventos_keyed(spark, sf_dir)
+        .where(F.col("estado") == "C")
+        .select("p_partkey")
+    )
+    res = tables.reservas_keyed(spark, sf_dir, estado_eq="A")
+    return tables.reserva_render(
+        res.join(
+            F.broadcast(cancelled), res["l_partkey"] == cancelled["p_partkey"], "inner"
+        ).select("l_partkey", "l_suppkey", "estado", "cantidad", "seq")
     )
 
 

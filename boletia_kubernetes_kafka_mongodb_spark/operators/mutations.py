@@ -47,11 +47,14 @@ def reserve_guarded_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger: one row per active reservation attempt with its running total,
     admitted flag, and post-decision availability.
     """
-    res = tables.reservas(spark, sf_dir).where(F.col("estado") == "A")
-    ev = tables.eventos(spark, sf_dir).select("nombre", "capacidad")
-    w = Window.partitionBy("evento").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    # Keyed formulation: the window shuffle partitions/sorts on
+    # (l_partkey, seq) longs, the capacity dim joins by long key, and the
+    # _id/evento/email strings render once per output row, post-shuffle.
+    res = tables.reservas_keyed(spark, sf_dir, estado_eq="A")
+    cap = tables.eventos_keyed(spark, sf_dir).select("p_partkey", "capacidad")
+    w = Window.partitionBy("l_partkey").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
     ledger = (
-        res.join(F.broadcast(ev), res["evento"] == ev["nombre"], "inner")
+        res.join(F.broadcast(cap), res["l_partkey"] == cap["p_partkey"], "inner")
         .withColumn("running_total", F.sum("cantidad").over(w).cast("long"))
         .withColumn("admitted", F.col("running_total") <= F.col("capacidad"))
         .withColumn(
@@ -62,7 +65,12 @@ def reserve_guarded_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ledger.select(
-        "_id", "evento", "email", "cantidad", "seq",
+        tables.hex24(F.col("seq")).alias("_id"),
+        tables.evento_label(F.col("l_partkey")).alias("evento"),
+        F.concat(
+            F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
+        ).alias("email"),
+        "cantidad", "seq",
         "capacidad", "running_total", "admitted", "disponible_despues",
     )
 
@@ -94,16 +102,24 @@ def cancel_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerated no-op — hence the inner join against active events only.
     Returns the restitution ledger with the sentinel column.
     """
-    cancels = tables.reservas(spark, sf_dir).where(F.col("estado") == "X")
-    ev = tables.eventos(spark, sf_dir).where(F.col("estado") == "A").select("nombre")
-    w = Window.partitionBy("evento").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    cancels = tables.reservas_keyed(spark, sf_dir, estado_eq="X")
+    ev = (
+        tables.eventos_keyed(spark, sf_dir)
+        .where(F.col("estado") == "A")
+        .select("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        cancels.join(F.broadcast(ev), cancels["evento"] == ev["nombre"], "inner")
+        cancels.join(F.broadcast(ev), cancels["l_partkey"] == ev["p_partkey"], "inner")
         .withColumn("restituido_acum", F.sum("cantidad").over(w).cast("long"))
-        .withColumn("canres", F.lit(CANCEL_SENTINEL))
         .select(
-            F.col("_id").alias("idres"), "evento", "email",
-            "cantidad", "seq", "restituido_acum", "canres",
+            tables.hex24(F.col("seq")).alias("idres"),
+            tables.evento_label(F.col("l_partkey")).alias("evento"),
+            F.concat(
+                F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
+            ).alias("email"),
+            "cantidad", "seq", "restituido_acum",
+            F.lit(CANCEL_SENTINEL).alias("canres"),
         )
     )
 
@@ -153,24 +169,24 @@ def cascade_cancel_updateall(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog state is "C". The membership probe is a broadcast left-semi join
     feeding a conditional rewrite — shuffle-free on the fact side.
     """
-    res = tables.reservas(spark, sf_dir, fan=True)
+    res = tables.reservas_keyed(spark, sf_dir)
     cancelled = (
-        tables.eventos(spark, sf_dir).where(F.col("estado") == "C").select("nombre")
+        tables.eventos_keyed(spark, sf_dir)
+        .where(F.col("estado") == "C")
+        .select("p_partkey", F.lit(True).alias("_cancelled"))
     )
     flagged = res.join(
-        F.broadcast(cancelled).withColumnRenamed("nombre", "evento").withColumn(
-            "_cancelled", F.lit(True)
-        ),
-        "evento",
-        "left",
+        F.broadcast(cancelled), res["l_partkey"] == cancelled["p_partkey"], "left"
     )
     return flagged.select(
-        "_id",
-        "evento",
-        F.when((F.col("estado") == "A") & F.col("_cancelled").isNotNull(), F.lit("C"))
-        .otherwise(F.col("estado"))
+        tables.hex24(F.col("seq")).alias("_id"),
+        tables.evento_label(F.col("l_partkey")).alias("evento"),
+        F.when((res["estado"] == "A") & F.col("_cancelled").isNotNull(), F.lit("C"))
+        .otherwise(res["estado"])
         .alias("estado"),
-        "email",
+        F.concat(
+            F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
+        ).alias("email"),
         "cantidad",
         "seq",
     )
@@ -198,13 +214,17 @@ def reserva_cancel_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum active reservation id — a deterministic existing key at every SF;
     the guarded probe is a 1-row broadcast semi join.
     """
-    res = tables.reservas(spark, sf_dir, fan=True)
-    active = res.where(F.col("estado") == "A")
-    target = active.agg(F.min("_id").alias("_id"))
-    return active.join(F.broadcast(target), "_id", "inner").select(
-        "_id",
-        "evento",
-        "email",
+    # min(_id) ≡ min(seq): hex24 is order-preserving on non-negative longs,
+    # so the probe is a 1-row broadcast join on the 8-byte key and strings
+    # render only for the surviving row.
+    active = tables.reservas_keyed(spark, sf_dir, estado_eq="A")
+    target = active.agg(F.min("seq").alias("seq"))
+    return active.join(F.broadcast(target), "seq", "inner").select(
+        tables.hex24(F.col("seq")).alias("_id"),
+        tables.evento_label(F.col("l_partkey")).alias("evento"),
+        F.concat(
+            F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
+        ).alias("email"),
         "cantidad",
         F.col("estado").alias("estado_antes"),
         F.lit("X").alias("estado_despues"),
@@ -232,18 +252,35 @@ def insert_dedup_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical full rows so dropDuplicates on the key is value-deterministic.
     """
     # simulate at-least-once (every row delivered twice) with ONE pass:
-    # union-with-self re-executes the scan+projection per branch. Dedup on
-    # seq (bijective with _id, an 8-byte shuffle key vs a 24-char string)
-    # over the RAW rows, so the exchange carries narrow numerics and the
-    # format_string projection runs post-shuffle on survivors only.
-    li = tables.load(spark, sf_dir, "lineitem", fan=True)
-    redelivered = li.withColumn(
+    # union-with-self re-executes the scan+projection per branch. The dedup
+    # shuffle carries ONLY (seq, l_returnflag) — every other Reserva column
+    # is a pure function of the packed seq key, so the payload reconstructs
+    # post-dedup from the key itself (integer DIV unpacking; `/` would go
+    # through double and lose bits past 2^52). An 9-byte shuffle row versus
+    # the ~60-byte full row is the difference between a dedup that fits in
+    # the exchange and one that spills at 100 TB.
+    li = tables.load(spark, sf_dir, "lineitem")
+    msgs = li.select(tables.reserva_seq().alias("seq"), "l_returnflag")
+    redelivered = msgs.withColumn(
         "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
     ).drop("_copy")
-    unique = redelivered.withColumn("seq", tables.reserva_seq()).dropDuplicates(
-        ["seq"]
+    unique = redelivered.groupBy("seq").agg(
+        F.first("l_returnflag").alias("l_returnflag")
     )
-    return tables.reservas_project(unique)
+    qty = F.col("seq") % 100
+    sk = F.expr("(seq DIV 100) % 10000")
+    pk = F.expr("(seq DIV 1000000) % 100000")
+    return unique.select(
+        tables.hex24(F.col("seq")).alias("_id"),
+        tables.evento_label(pk).alias("evento"),
+        F.when(F.col("l_returnflag") == "N", F.lit("A"))
+        .when(F.col("l_returnflag") == "R", F.lit("X"))
+        .otherwise(F.lit("C"))
+        .alias("estado"),
+        F.concat(F.lit("user"), sk.cast("string"), F.lit("@example.com")).alias("email"),
+        qty.cast("int").alias("cantidad"),
+        F.col("seq"),
+    )
 
 
 def insert_dedup_unique_oracle() -> str:

@@ -114,6 +114,23 @@ def partkey_of_nombre(nombre: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def eventos_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eventos view on its raw long key — labels unrendered.
+
+    Same derivations as :func:`eventos`, but ``p_partkey`` stays exposed so
+    operators can join/aggregate/shuffle on the 8-byte key and render the
+    ``_id``/``nombre`` strings only on their (post-shuffle) output — shuffles
+    carry longs, string building runs once per surviving row.
+    """
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        (F.col("p_size") * F.lit(10)).cast("int").alias("capacidad"),
+        F.col("p_brand").alias("categoria"),
+        F.when(F.col("p_partkey") % 10 == 0, F.lit("C")).otherwise(F.lit("A")).alias("estado"),
+    )
+
+
 def eventos(spark: SparkSession, sf_dir: str, nombre_eq: str | None = None) -> DataFrame:
     """Event catalog view ⇐ ``part``.
 
@@ -125,21 +142,75 @@ def eventos(spark: SparkSession, sf_dir: str, nombre_eq: str | None = None) -> D
     equality that pushes down into the parquet scan (min/max skipping ≙ the
     reference's unique index access path).
     """
-    part = load(spark, sf_dir, "part")
+    keyed = eventos_keyed(spark, sf_dir)
     if nombre_eq is not None:
         pk = partkey_of_nombre(nombre_eq)
         # unparseable nombre can match nothing: the view is exhaustive over partkeys
-        part = part.where(F.col("p_partkey") == (pk if pk is not None else F.lit(-1)))
+        keyed = keyed.where(F.col("p_partkey") == (pk if pk is not None else F.lit(-1)))
     # hex24/label/email columns build from concat/lpad/hex rather than
     # format_string: java.util.Formatter costs ~2x the whole-stage-codegen
     # string ops at corpus scale (measured 1.33s -> 0.75s on 600k rows),
     # byte-identical output for non-negative longs.
-    return part.select(
+    return keyed.select(
         hex24(F.col("p_partkey")).alias("_id"),
         evento_label(F.col("p_partkey")).alias("nombre"),
-        (F.col("p_size") * F.lit(10)).cast("int").alias("capacidad"),
-        F.col("p_brand").alias("categoria"),
-        F.when(F.col("p_partkey") % 10 == 0, F.lit("C")).otherwise(F.lit("A")).alias("estado"),
+        "capacidad",
+        "categoria",
+        "estado",
+    )
+
+
+def reservas_keyed(
+    spark: SparkSession,
+    sf_dir: str,
+    fan: bool = False,
+    estado_eq: str | None = None,
+) -> DataFrame:
+    """The reservas view on its raw long keys — labels unrendered.
+
+    Columns: ``l_partkey`` (⇔ evento), ``l_suppkey`` (⇔ email),
+    ``estado``, ``cantidad``, ``seq``. Operators join/window/shuffle on the
+    longs and render strings post-shuffle via :func:`reserva_render`.
+
+    ``estado_eq``: optional estado filter hand-translated to the base
+    ``l_returnflag`` predicate (A⇔'N', X⇔'R', C⇔rest) so it reaches the
+    parquet scan as a PushedFilter — filtering the derived CASE column
+    would not push down (the partkey_of_nombre move, for states).
+    """
+    li = load(spark, sf_dir, "lineitem", fan=fan)
+    if estado_eq is not None:
+        rf = {"A": "N", "X": "R"}.get(estado_eq)
+        if rf is not None:
+            li = li.where(F.col("l_returnflag") == rf)
+        else:
+            li = li.where(~F.col("l_returnflag").isin("N", "R"))
+    return li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.when(F.col("l_returnflag") == "N", F.lit("A"))
+        .when(F.col("l_returnflag") == "R", F.lit("X"))
+        .otherwise(F.lit("C"))
+        .alias("estado"),
+        F.col("l_quantity").cast("int").alias("cantidad"),
+        reserva_seq().alias("seq"),
+    )
+
+
+def reserva_render(keyed: DataFrame) -> DataFrame:
+    """Render the Reserva contract strings from the raw keys.
+
+    Input needs (l_partkey, l_suppkey, estado, cantidad, seq); output is the
+    full Reserva shape (_id, evento, estado, email, cantidad, seq).
+    """
+    return keyed.select(
+        hex24(F.col("seq")).alias("_id"),
+        evento_label(F.col("l_partkey")).alias("evento"),
+        "estado",
+        F.concat(
+            F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
+        ).alias("email"),
+        "cantidad",
+        "seq",
     )
 
 
@@ -151,12 +222,11 @@ def reservas(spark: SparkSession, sf_dir: str, fan: bool = False) -> DataFrame:
     column standing in for Kafka per-topic FIFO order.
 
     ``fan=True`` repartitions the RAW scan before the projection — the
-    format_string/encode work must sit ABOVE the exchange to parallelize
+    string-render work must sit ABOVE the exchange to parallelize
     (repartitioning the projected frame runs the projection on the
     single-split scan partition first, then shuffles finished rows).
     """
-    li = load(spark, sf_dir, "lineitem", fan=fan)
-    return reservas_project(li)
+    return reserva_render(reservas_keyed(spark, sf_dir, fan=fan))
 
 
 def reserva_seq() -> F.Column:
@@ -198,19 +268,19 @@ def seq_to_parts(seq: int) -> tuple[int, int, int, int, int]:
 def reservas_project(li: DataFrame) -> DataFrame:
     """Apply the Reserva projection to a (possibly pre-filtered) lineitem
     frame — split out so point lookups can join/filter on the cheap packed
-    key FIRST and pay the format_string columns only for surviving rows."""
+    key FIRST and pay the rendered columns only for surviving rows."""
     seq = reserva_seq()
-    return li.select(
-        hex24(seq).alias("_id"),
-        evento_label(F.col("l_partkey")).alias("evento"),
+    keyed = li.select(
+        "l_partkey",
+        "l_suppkey",
         F.when(F.col("l_returnflag") == "N", F.lit("A"))
         .when(F.col("l_returnflag") == "R", F.lit("X"))
         .otherwise(F.lit("C"))
         .alias("estado"),
-        F.concat(F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")).alias("email"),
         F.col("l_quantity").cast("int").alias("cantidad"),
         seq.alias("seq"),
     )
+    return reserva_render(keyed)
 
 
 def inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,18 +298,20 @@ def inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; the join itself moves no big data. The aggregate side is broadcast
     (≤ |eventos| rows) so the left-outer preserves all events.
     """
-    ev = eventos(spark, sf_dir)
-    res = reservas(spark, sf_dir)
-    reserved = (
-        res.where(F.col("estado") == "A")
-        .groupBy("evento")
-        .agg(F.sum("cantidad").cast("long").alias("reservado"))
+    # Keyed formulation end-to-end: the fact-side aggregate groups on the
+    # 8-byte l_partkey (estado='A' pushes down as l_returnflag='N'), the
+    # join matches longs, and the _id/nombre strings render once per event
+    # on the final output.
+    ev = eventos_keyed(spark, sf_dir)
+    res = reservas_keyed(spark, sf_dir, estado_eq="A")
+    reserved = res.groupBy("l_partkey").agg(
+        F.sum("cantidad").cast("long").alias("reservado")
     )
     return (
-        ev.join(F.broadcast(reserved), ev["nombre"] == reserved["evento"], "left")
+        ev.join(F.broadcast(reserved), ev["p_partkey"] == reserved["l_partkey"], "left")
         .select(
-            ev["_id"],
-            ev["nombre"],
+            hex24(ev["p_partkey"]).alias("_id"),
+            evento_label(ev["p_partkey"]).alias("nombre"),
             ev["capacidad"],
             ev["categoria"],
             ev["estado"],
