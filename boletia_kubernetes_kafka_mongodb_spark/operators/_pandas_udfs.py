@@ -83,57 +83,43 @@ def _unwrap(maybe_broadcast):
     return maybe_broadcast.value if hasattr(maybe_broadcast, "value") else maybe_broadcast
 
 
-def make_jaccard_probe(corpus_rows, threshold):
-    """mapInPandas probe: each partition's docs vs the broadcast corpus.
+def make_jaccard_probe(packed_corpus, threshold):
+    """mapInPandas probe: each partition's doc_ids vs the packed corpus.
 
-    ``corpus_rows`` = list of (doc_id, lang, tuple_of_tokens) — or a
-    Broadcast of it — the build side (same role as a broadcast hash join
-    build side). Token sets are packed into uint64 bitmasks over the corpus
-    vocabulary, so per-doc scoring is one vectorized AND+popcount against
-    the whole corpus — exact integer Jaccard, no per-pair python.
+    ``packed_corpus`` = Broadcast of ``(ids, lang_codes, lang_names, masks,
+    sizes)`` — doc_id-sorted numpy arrays packed ONCE on the driver
+    (uint64 token-set bitmasks over the corpus vocabulary; see
+    ``dedup._packed_corpus``). The probe side streams only ``doc_id`` and
+    indexes into the broadcast by ``searchsorted`` — no re-tokenization, no
+    per-task vocab/mask rebuild (that rebuild was ~60% of the operator wall
+    time when every one of 32 fanned tasks repeated it). Per-doc scoring is
+    one vectorized AND+popcount row-vs-corpus — exact integer Jaccard, no
+    per-pair python.
     """
 
     def probe(batches):
         import numpy as np
         import pandas as pd
 
-        corpus = _unwrap(corpus_rows)
-        vocab = {}
-        for _, _, toks in corpus:
-            for t in toks:
-                vocab.setdefault(t, len(vocab))
-        n_words = max(1, (len(vocab) + 63) // 64)
-
-        def pack(toks):
-            m = np.zeros(n_words, dtype=np.uint64)
-            for t in toks:
-                i = vocab.get(t)
-                if i is not None:
-                    m[i >> 6] |= np.uint64(1) << np.uint64(i & 63)
-            return m
-
-        ids = np.array([r[0] for r in corpus], dtype=np.int64)
-        langs = np.array([r[1] for r in corpus])
-        masks = np.stack([pack(r[2]) for r in corpus])  # (N, W)
-        sizes = _popcount_rows(masks)
+        ids, lang_codes, lang_names, masks, sizes = _unwrap(packed_corpus)
 
         for pdf in batches:
+            my = pdf["doc_id"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(ids, my)
             out_a, out_b, out_lang, out_j = [], [], [], []
-            for did, lang, toks in zip(pdf["doc_id"], pdf["lang"], pdf["toks"]):
-                mine = pack(toks)
-                n_mine = int(_popcount_rows(mine[None, :])[0])
-                cand = (langs == lang) & (ids > did)
+            for r, did in zip(idx, my):
+                cand = (lang_codes == lang_codes[r]) & (ids > did)
                 if not cand.any():
                     continue
-                inter = _popcount_rows(masks[cand] & mine[None, :])
-                union = n_mine + sizes[cand] - inter
+                inter = _popcount_rows(masks[cand] & masks[r][None, :])
+                union = int(sizes[r]) + sizes[cand] - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     j = np.where(union > 0, np.round(inter / union, 6), 0.0)
                 hit = j >= threshold
                 cids = ids[cand][hit]
                 out_a.extend([int(did)] * len(cids))
                 out_b.extend(int(c) for c in cids)
-                out_lang.extend([lang] * len(cids))
+                out_lang.extend([str(lang_names[lang_codes[r]])] * len(cids))
                 out_j.extend(float(x) for x in j[hit])
             yield pd.DataFrame(
                 {"doc_a": out_a, "doc_b": out_b, "lang": out_lang, "jaccard": out_j}
@@ -150,10 +136,10 @@ def _popcount_rows(x):
     return np.unpackbits(v, axis=1).sum(axis=1).astype(np.int64)
 
 
-def make_jaccard_component_probe(corpus_rows, threshold):
+def make_jaccard_component_probe(packed_corpus, threshold):
     """mapInPandas probe fused with per-partition component contraction.
 
-    Same build/probe as :func:`make_jaccard_probe`, but instead of
+    Same packed build/probe as :func:`make_jaccard_probe`, but instead of
     materializing the (dense) qualifying-pair list, edges accumulate in
     numpy arrays and the partition emits only (root, node) star edges of its
     local connected components — ≤ |local nodes| rows instead of ~460
@@ -166,36 +152,18 @@ def make_jaccard_component_probe(corpus_rows, threshold):
         import numpy as np
         import pandas as pd
 
-        corpus = _unwrap(corpus_rows)
-        vocab = {}
-        for _, _, toks in corpus:
-            for t in toks:
-                vocab.setdefault(t, len(vocab))
-        n_words = max(1, (len(vocab) + 63) // 64)
-
-        def pack(toks):
-            m = np.zeros(n_words, dtype=np.uint64)
-            for t in toks:
-                i = vocab.get(t)
-                if i is not None:
-                    m[i >> 6] |= np.uint64(1) << np.uint64(i & 63)
-            return m
-
-        ids = np.array([r[0] for r in corpus], dtype=np.int64)
-        langs = np.array([r[1] for r in corpus])
-        masks = np.stack([pack(r[2]) for r in corpus])  # (N, W)
-        sizes = _popcount_rows(masks)
+        ids, lang_codes, lang_names, masks, sizes = _unwrap(packed_corpus)
 
         srcs, dsts = [], []
         for pdf in batches:
-            for did, lang, toks in zip(pdf["doc_id"], pdf["lang"], pdf["toks"]):
-                mine = pack(toks)
-                n_mine = int(_popcount_rows(mine[None, :])[0])
-                cand = (langs == lang) & (ids > did)
+            my = pdf["doc_id"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(ids, my)
+            for r, did in zip(idx, my):
+                cand = (lang_codes == lang_codes[r]) & (ids > did)
                 if not cand.any():
                     continue
-                inter = _popcount_rows(masks[cand] & mine[None, :])
-                union = n_mine + sizes[cand] - inter
+                inter = _popcount_rows(masks[cand] & masks[r][None, :])
+                union = int(sizes[r]) + sizes[cand] - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     j = np.where(union > 0, np.round(inter / union, 6), 0.0)
                 cids = ids[cand][j >= threshold]
