@@ -21,6 +21,7 @@ from boletia_kubernetes_kafka_mongodb_spark.operators import (
     dedup,
     joins,
     multimodal,
+    sampling,
     mutations,
     notifications,
     scans,
@@ -95,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.9 extensions: multimodal
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
+        # §2.9 sampling / split
+        "ext_sample_split": sampling.ext_sample_split,
+        "ext_sample_quota": sampling.ext_sample_quota,
     }
 
 
@@ -142,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_sentiment": text.ext_text_sentiment_oracle(),
         "ext_multimodal_meta": multimodal.ext_multimodal_meta_oracle(),
         "ext_multimodal_features": multimodal.ext_multimodal_features_oracle(),
+        "ext_sample_split": sampling.ext_sample_split_oracle(),
+        "ext_sample_quota": sampling.ext_sample_quota_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

@@ -1,0 +1,153 @@
+"""Sampling / split operators for training-data pipelines (SURVEY.md §2.9
+extension family; BASELINE.json north star — "the operations a large-scale
+training-data pipeline would need").
+
+The reference has no sampling surface (its only selection operators are the
+keyed lookups of SURVEY.md §2.2); these extend the engine with the two
+selection primitives every corpus-construction pipeline runs before
+training:
+
+- ``ext_sample_split``  — deterministic train/val/test assignment by
+  content-independent key hash. NEVER ``rand()``: the assignment must be a
+  pure function of the key so re-runs, incremental appends, and
+  cross-engine re-verification place every document in the same split.
+- ``ext_sample_quota``  — per-group quota sampling (cap K docs per
+  language), deterministic priority = key hash. The standard "balance the
+  language mix" / "cap any one domain" step.
+
+Both hash with the first 8 hex digits of md5 — bit-identical in Spark
+(``conv(substr(md5(x),1,8),16,10)``) and DuckDB
+(``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``), so the oracle check is
+exact, not statistical.
+
+Scale design (100 TB): the split is a pure narrow map + a 3-group partial
+agg — zero wide shuffle, any executor count. The quota is the skew-prone
+one (a hot language would funnel through one window partition), so it runs
+the two-phase top-K: a salted local window bounds every task's state to
+≤K rows per (group, salt), then the global window ranks the ≤K·SALTS
+survivors per group — identical output to the naive single window, but no
+task ever sees more than K·SALTS rows of a hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+
+TRAIN_PCT = 80      # bucket < 80        → train
+VAL_PCT = 10        # 80 ≤ bucket < 90   → val; rest → test
+QUOTA_PER_LANG = 50
+QUOTA_SALTS = 16
+
+
+def _key_hash(col) -> F.Column:
+    """Deterministic 32-bit hash of a key column, identical across engines:
+    first 8 md5 hex digits as a long (non-negative, < 2^32)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def _oracle_key_hash(expr: str) -> str:
+    return f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+def split_assignment(col) -> F.Column:
+    """train/val/test label of a key — pure function, stable under re-runs."""
+    bucket = _key_hash(col) % 100
+    return (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def ext_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split of ``documents`` + per-split corpus stats.
+
+    Each doc's split is ``md5(doc_id) % 100`` bucketed 80/10/10; the query
+    returns the per-split document count, token mass, and doc_id range —
+    the summary a pipeline logs to prove the split is stable and leakage-free.
+
+    Plan: narrow map (hash + token count per row) → 3-group partial+final
+    hash agg. The shuffle carries exactly 3 rows per upstream task.
+    """
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    return (
+        docs.select(
+            split_assignment("doc_id").alias("split"),
+            "doc_id",
+            F.size(tokens_col("text")).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+def ext_sample_split_oracle() -> str:
+    from .text import TOKEN_RE
+
+    h = _oracle_key_hash("doc_id")
+    return f"""
+        SELECT CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+                    WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+    """
+
+
+def ext_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample: the K docs of each lang with the smallest
+    key hash (deterministic priority; ties broken by doc_id).
+
+    Two-phase top-K so a hot language cannot overwhelm one task: phase 1
+    ranks within (lang, salt) — the salt spreads each language over
+    ``QUOTA_SALTS`` shuffle partitions and keeps only K rows per bucket;
+    phase 2 ranks the ≤K·SALTS survivors per lang. Output is provably
+    identical to the naive one-window form (the global top-K of a set is
+    contained in the union of its per-bucket top-Ks) — the oracle checks
+    that literally.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    prio = (
+        docs.select("doc_id", "lang", _key_hash("doc_id").alias("priority"))
+        .withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(QUOTA_SALTS)))
+    )
+    local_w = Window.partitionBy("lang", "_salt").orderBy("priority", "doc_id")
+    survivors = (
+        prio.withColumn("_lr", F.row_number().over(local_w))
+        .where(F.col("_lr") <= QUOTA_PER_LANG)
+        .drop("_lr", "_salt")
+    )
+    global_w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(global_w))
+        .where(F.col("rank") <= QUOTA_PER_LANG)
+        .select("lang", "rank", "doc_id", "priority")
+    )
+
+
+def ext_sample_quota_oracle() -> str:
+    h = _oracle_key_hash("doc_id")
+    return f"""
+        SELECT lang, rank, doc_id, priority FROM (
+            SELECT lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rank,
+                   doc_id,
+                   {h} AS priority
+            FROM documents
+        ) WHERE rank <= {QUOTA_PER_LANG}
+    """

@@ -1,0 +1,92 @@
+"""Sampling operator properties (ext_sample_split / ext_sample_quota).
+
+Oracle parity at sf0.01 runs in test_oracle_parity; these check the semantic
+guarantees that make the operators *pipeline-safe*:
+
+- the split is a pure function of the key (re-runs and subsets agree),
+- split fractions approximate the 80/10/10 design,
+- the two-phase (salted) quota top-K is EXACTLY the naive one-window top-K,
+- quotas bind per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from boletia_kubernetes_kafka_mongodb_spark import tables
+from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+    QUOTA_PER_LANG,
+    _key_hash,
+    ext_sample_quota,
+    split_assignment,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_split_deterministic_and_subset_invariant(spark):
+    docs = tables.load(spark, SF, "documents")
+    full = {
+        r.doc_id: r.split
+        for r in docs.select("doc_id", split_assignment("doc_id").alias("split")).collect()
+    }
+    again = {
+        r.doc_id: r.split
+        for r in docs.select("doc_id", split_assignment("doc_id").alias("split")).collect()
+    }
+    assert full == again
+    # subset invariance: filtering the input must not move any document's
+    # split (this is the property rand()-based splits violate)
+    sub = {
+        r.doc_id: r.split
+        for r in docs.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", split_assignment("doc_id").alias("split"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_split_fractions(spark):
+    docs = tables.load(spark, SF, "documents")
+    counts = dict(
+        docs.select(split_assignment("doc_id").alias("split"))
+        .groupBy("split")
+        .count()
+        .rdd.map(lambda r: (r["split"], r["count"]))
+        .collect()
+    )
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # md5 is uniform; at n=500 allow generous tolerance around 80/10/10
+    assert 0.70 <= counts["train"] / n <= 0.90
+    assert 0.04 <= counts["val"] / n <= 0.16
+    assert 0.04 <= counts["test"] / n <= 0.16
+
+
+def test_two_phase_quota_equals_naive_window(spark):
+    docs = tables.load(spark, SF, "documents")
+    naive_w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    naive = (
+        docs.select("doc_id", "lang", _key_hash("doc_id").alias("priority"))
+        .withColumn("rank", F.row_number().over(naive_w))
+        .where(F.col("rank") <= QUOTA_PER_LANG)
+        .select("lang", "rank", "doc_id", "priority")
+    )
+    two_phase = ext_sample_quota(spark, SF)
+    assert sorted(map(tuple, two_phase.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_quota_binds_per_group(spark):
+    out = ext_sample_quota(spark, SF)
+    per_lang = dict(
+        out.groupBy("lang").count().rdd.map(lambda r: (r["lang"], r["count"])).collect()
+    )
+    assert per_lang  # non-empty
+    assert all(c <= QUOTA_PER_LANG for c in per_lang.values())
+    # ranks are dense 1..K within each group
+    ranks = out.groupBy("lang").agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    for r in ranks.collect():
+        assert r.lo == 1 and r.hi == r.n
