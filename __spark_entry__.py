@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.9 sampling / split
         "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_quota": sampling.ext_sample_quota,
+        "ext_decontaminate": sampling.ext_decontaminate,
     }
 
 
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_multimodal_features": multimodal.ext_multimodal_features_oracle(),
         "ext_sample_split": sampling.ext_sample_split_oracle(),
         "ext_sample_quota": sampling.ext_sample_quota_oracle(),
+        "ext_decontaminate": sampling.ext_decontaminate_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

@@ -151,3 +151,92 @@ def ext_sample_quota_oracle() -> str:
             FROM documents
         ) WHERE rank <= {QUOTA_PER_LANG}
     """
+
+
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag val/test docs sharing word-shingles
+    with ANY train doc, with the shared fraction.
+
+    The step every training pipeline runs after splitting: a benchmark/eval
+    document whose n-grams also appear in the training split is contaminated
+    (the model may have memorized it). Detection = distinct word-3-gram
+    overlap against the train side — the standard n-gram decontamination of
+    public LLM data pipelines.
+
+    Plan shape (100 TB-ready): both sides explode to (shingle, doc) rows and
+    hash-partition on the shingle — no broadcast, no driver state. The train
+    side is ``distinct`` BEFORE the join, so every join key has at most one
+    build row — a stopword shingle shared by millions of train docs
+    contributes ONE row, making the join skew-safe by construction; the
+    left join + count(marker) then yields per-eval-doc totals in the same
+    shuffle as the aggregation.
+    """
+    from .dedup import _shingles
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    sh = docs.select(
+        "doc_id",
+        split_assignment("doc_id").alias("split"),
+        F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias("shingle"),
+    )
+    train_sh = (
+        sh.where(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    eval_sh = sh.where(F.col("split") != "train")
+    return (
+        eval_sh.join(train_sh, "shingle", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_shared"),
+        )
+        .where(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "split",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("overlap_ratio"),
+        )
+    )
+
+
+def ext_decontaminate_oracle() -> str:
+    from .dedup import SHINGLE_N
+    from .text import TOKEN_RE
+
+    h = _oracle_key_hash("doc_id")
+    n = SHINGLE_N
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+                        WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split,
+                   list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+                                  for i in generate_series(1, greatest(len(t) - {n - 1}, 1))]) AS shingles
+            FROM toks
+        ), train_sh AS (
+            SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE split = 'train'
+        ), eval_sh AS (
+            SELECT doc_id, split, unnest(shingles) AS shingle FROM sh WHERE split <> 'train'
+        )
+        SELECT doc_id, split,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               ROUND(n_shared / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
+        FROM (
+            SELECT e.doc_id, e.split,
+                   COUNT(*) AS n_shingles,
+                   COUNT(t.shingle) AS n_shared
+            FROM eval_sh e LEFT JOIN train_sh t USING (shingle)
+            GROUP BY 1, 2
+        ) WHERE n_shared > 0
+    """

@@ -77,6 +77,42 @@ def test_two_phase_quota_equals_naive_window(spark):
     assert sorted(map(tuple, two_phase.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def _bucket(doc_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+
+def test_decontaminate_flags_copied_eval_doc(spark, tmp_path):
+    """A test-split doc copying a train doc's text is flagged at ratio 1.0; a
+    unique test doc is not flagged."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        ext_decontaminate,
+    )
+
+    train_id = next(i for i in range(1000) if _bucket(i) < TRAIN_PCT)
+    test_ids = [i for i in range(1000) if _bucket(i) >= TRAIN_PCT + VAL_PCT]
+    copied, unique = test_ids[0], test_ids[1]
+    leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (train_id, leaked, "en", "src", len(leaked)),
+        (copied, leaked, "en", "src", len(leaked)),
+        (unique, "one two three four five six seven", "en", "src", 33),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in ext_decontaminate(spark, str(tmp_path)).collect()}
+    assert copied in out and out[copied].overlap_ratio == 1.0
+    assert out[copied].split == "test"
+    assert unique not in out
+    assert train_id not in out  # train side is never flagged
+
+
 def test_quota_binds_per_group(spark):
     out = ext_sample_quota(spark, SF)
     per_lang = dict(
