@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_quota": sampling.ext_sample_quota,
         "ext_decontaminate": sampling.ext_decontaminate,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
     }
 
 
@@ -150,6 +152,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_sample_split": sampling.ext_sample_split_oracle(),
         "ext_sample_quota": sampling.ext_sample_quota_oracle(),
         "ext_decontaminate": sampling.ext_decontaminate_oracle(),
+        "ext_sample_mixture": sampling.ext_sample_mixture_oracle(),
+        "ext_sample_chunks": sampling.ext_sample_chunks_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

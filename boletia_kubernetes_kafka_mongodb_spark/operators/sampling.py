@@ -153,6 +153,125 @@ def ext_sample_quota_oracle() -> str:
     """
 
 
+MIXTURE_ALPHA = 0.5   # temperature exponent: weight ∝ token_mass^alpha
+CHUNK_TOKENS = 64     # context-window size (tokens per training chunk)
+
+
+def ext_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weights: temperature-scaled sampling probabilities.
+
+    The data-mixing step of corpus construction: given per-source token
+    masses, sample sources with probability ∝ mass^α (α<1 upsamples small
+    sources, the multilingual/deduped-web balancing trick). Emits per source
+    the doc/token mass, the α-scaled weight, and the effective epoch count
+    (weight·total/mass — how many passes over that source one epoch of the
+    mixture implies).
+
+    Plan: one partial+final agg (rows = n_sources) + a broadcast of the
+    single total row back over it; all arithmetic post-agg, so the heavy
+    scan is the token count only.
+    """
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    per_source = (
+        docs.select("source", F.size(tokens_col("text")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn("scaled", F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_ALPHA)))
+    )
+    totals = per_source.agg(
+        F.sum("scaled").alias("_z"), F.sum("n_tokens").cast("double").alias("_t")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("scaled") / F.col("_z"), 6).alias("weight"),
+            F.round(
+                (F.col("scaled") / F.col("_z")) * F.col("_t") / F.col("n_tokens"), 6
+            ).alias("effective_epochs"),
+        )
+    )
+
+
+def ext_sample_mixture_oracle() -> str:
+    from .text import TOKEN_RE
+
+    return f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), scaled AS (
+            SELECT *, POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) AS s FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(s / SUM(s) OVER (), 6) AS weight,
+               ROUND((s / SUM(s) OVER ()) * SUM(CAST(n_tokens AS DOUBLE)) OVER () / n_tokens, 6)
+                   AS effective_epochs
+        FROM scaled
+    """
+
+
+def ext_sample_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into fixed-size token
+    windows (the pre-tokenization batching step of a training pipeline).
+
+    Each doc yields ⌈n_tokens/CHUNK_TOKENS⌉ chunks; a chunk carries its
+    index, token span, and re-joined text. Pure narrow map — tokenize once,
+    slice per window via higher-order functions, explode. No shuffle at any
+    scale; chunk boundaries depend only on the document itself, so the op
+    is embarrassingly parallel and incremental-append-safe.
+    """
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice("t", i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.least(F.size("t") - i * CHUNK_TOKENS, F.lit(CHUNK_TOKENS))
+            .cast("long")
+            .alias("chunk_tokens"),
+        ),
+    )
+    return (
+        toks.where(F.size("t") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_tokens", "c.chunk_text")
+    )
+
+
+def ext_sample_chunks_oracle() -> str:
+    from .text import TOKEN_RE
+
+    w = CHUNK_TOKENS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((i - 1) / {w} AS BIGINT) AS chunk_idx,
+               CAST(LEAST(len(t) - i + 1, {w}) AS BIGINT) AS chunk_tokens,
+               array_to_string(t[i:i+{w - 1}], ' ') AS chunk_text
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t), {w})) AS i)
+        WHERE len(t) > 0
+    """
+
+
 def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag val/test docs sharing word-shingles
     with ANY train doc, with the shared fraction.

@@ -113,6 +113,50 @@ def test_decontaminate_flags_copied_eval_doc(spark, tmp_path):
     assert train_id not in out  # train side is never flagged
 
 
+def test_mixture_weights_normalize_and_upsample_small(spark):
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        ext_sample_mixture,
+    )
+
+    rows = ext_sample_mixture(spark, SF).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # α<1 ⇒ smaller sources get MORE than proportional share: effective
+    # epochs must be anti-monotone in token mass across the extremes
+    by_mass = sorted(rows, key=lambda r: r.n_tokens)
+    assert by_mass[0].effective_epochs >= by_mass[-1].effective_epochs
+
+
+def test_chunks_reassemble_to_documents(spark):
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        CHUNK_TOKENS,
+        ext_sample_chunks,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+
+    docs = tables.load(spark, SF, "documents")
+    expected = {
+        r.doc_id: r.joined
+        for r in docs.select(
+            "doc_id", F.array_join(tokens_col("text"), " ").alias("joined")
+        ).collect()
+        if r.joined
+    }
+    chunks = ext_sample_chunks(spark, SF).collect()
+    got: dict[int, list] = {}
+    for c in chunks:
+        got.setdefault(c.doc_id, []).append(c)
+        assert 1 <= c.chunk_tokens <= CHUNK_TOKENS
+    reassembled = {
+        k: " ".join(c.chunk_text for c in sorted(v, key=lambda c: c.chunk_idx))
+        for k, v in got.items()
+    }
+    assert reassembled == expected
+    # only the final chunk of a doc may be short
+    for v in got.values():
+        for c in sorted(v, key=lambda c: c.chunk_idx)[:-1]:
+            assert c.chunk_tokens == CHUNK_TOKENS
+
+
 def test_quota_binds_per_group(spark):
     out = ext_sample_quota(spark, SF)
     per_lang = dict(
