@@ -157,6 +157,40 @@ def test_chunks_reassemble_to_documents(spark):
             assert c.chunk_tokens == CHUNK_TOKENS
 
 
+def test_sampling_plan_gates(spark):
+    """The scale claims, mechanically: chunking never shuffles; the split
+    summary's only exchange is the 3-group aggregate; quota reads only the
+    columns it needs (never ``text``)."""
+    from boletia_kubernetes_kafka_mongodb_spark import plans
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        ext_sample_chunks,
+        ext_sample_quota,
+        ext_sample_split,
+    )
+
+    # note: tables.load(fan=True) inserts one round-robin repartition at
+    # this (tiny) SF — that exchange is allowed; at real scale file splits
+    # provide the parallelism and it disappears
+    import re
+
+    def n_exchanges(df):
+        # formatted explain names each node twice (tree + details) — count
+        # the "(n) Exchange" detail headers once per physical node
+        return len(re.findall(r"\(\d+\) Exchange", plans.explain_str(df)))
+
+    plan = plans.explain_str(ext_sample_chunks(spark, SF))
+    assert n_exchanges(ext_sample_chunks(spark, SF)) <= 1  # fan-out repartition only
+    assert "SortMergeJoin" not in plan
+
+    split_plan = plans.explain_str(ext_sample_split(spark, SF))
+    # fan repartition + one agg exchange, nothing else (no join, no sort)
+    assert n_exchanges(ext_sample_split(spark, SF)) <= 2
+    assert "SortMergeJoin" not in split_plan and "BroadcastHashJoin" not in split_plan
+
+    quota = ext_sample_quota(spark, SF)
+    assert "text" not in plans.read_schema_columns(quota)
+
+
 def test_quota_binds_per_group(spark):
     out = ext_sample_quota(spark, SF)
     per_lang = dict(
