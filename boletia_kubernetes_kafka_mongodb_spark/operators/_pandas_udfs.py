@@ -222,6 +222,65 @@ def make_cosine_pairs_probe(ids, matrix, threshold):
     return probe
 
 
+def make_admission_stateful_processor(state_schema):
+    """StatefulProcessor for ``transformWithStateInPandas`` — the admission
+    fold on the Spark 4.x arbitrary-state API. Defined HERE so cloudpickle
+    serializes the class by value: TWS spawns a fresh python driver worker
+    that unpickles the processor without our package on its sys.path.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class AdmissionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._available = handle.getValueState("available", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            pdf = pd.concat(list(rows))
+            if pdf.empty:
+                return iter(())
+            pdf = pdf.sort_values("seq")
+            if self._available.exists():
+                (available,) = self._available.get()
+            else:
+                available = int(pdf["capacidad"].iloc[0])
+            admitted, after = [], []
+            for op, qty in zip(pdf["op"], pdf["cantidad"]):
+                qty = int(qty)
+                if op == "reserve":
+                    ok = available >= qty
+                    if ok:
+                        available -= qty
+                else:
+                    ok = True
+                    available += qty
+                admitted.append(ok)
+                after.append(available)
+            self._available.update((available,))
+            return iter(
+                (
+                    pd.DataFrame(
+                        {
+                            "evento": pdf["evento"],
+                            "seq": pdf["seq"],
+                            "_id": pdf["_id"],
+                            "email": pdf["email"],
+                            "op": pdf["op"],
+                            "cantidad": pdf["cantidad"],
+                            "admitted": admitted,
+                            "disponible_despues": after,
+                        }
+                    ),
+                )
+            )
+
+        def close(self) -> None:
+            pass
+
+    return AdmissionProcessor()
+
+
 def admission_fold_pandas(pdf):
     """The sequential admission fold over one event's rows (seq-sorted).
 
