@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.9 extensions: multimodal
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
         # §2.9 sampling / split
         "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_quota": sampling.ext_sample_quota,
@@ -149,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_sentiment": text.ext_text_sentiment_oracle(),
         "ext_multimodal_meta": multimodal.ext_multimodal_meta_oracle(),
         "ext_multimodal_features": multimodal.ext_multimodal_features_oracle(),
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize_oracle(),
+        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample_oracle(),
         "ext_sample_split": sampling.ext_sample_split_oracle(),
         "ext_sample_quota": sampling.ext_sample_quota_oracle(),
         "ext_decontaminate": sampling.ext_decontaminate_oracle(),

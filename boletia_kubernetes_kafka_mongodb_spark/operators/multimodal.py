@@ -134,6 +134,169 @@ def extract_features(
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZE_BOX = 224          # fit-within box (the CNN-input convention)
+FRAME_BYTES = 32          # fake container: fixed-size frames
+FRAME_STRIDE = 4          # sample every 4th frame
+MAX_FRAMES = 8            # cap per video
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("out_width", LongType(), True),
+        StructField("out_height", LongType(), True),
+        StructField("out_bytes", LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Aspect-preserving downscale-to-fit via ``mapInPandas``.
+
+    The dimension math is all-integer (``d·BOX // max(w,h)``, no float
+    rounding ambiguity across engines) and stands where the pixel kernel
+    (cv2.resize / PIL thumbnail) would run — that kernel needs a codec
+    library this container lacks (stub mandate), but the batch shape,
+    vectorized numpy arithmetic, and schema are exactly the real op's.
+    Upscaling is never performed (images already inside the box pass
+    through).
+    """
+
+    def fold(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        box = RESIZE_BOX
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype=np.int64)
+            h = pdf["height"].to_numpy(dtype=np.int64)
+            m = np.maximum(w, h)
+            need = m > box
+            ow = np.where(need, np.maximum(w * box // np.maximum(m, 1), 1), w)
+            oh = np.where(need, np.maximum(h * box // np.maximum(m, 1), 1), h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": ow,
+                    "out_height": oh,
+                    "out_bytes": ow * oh * 3,  # RGB8 output buffer size
+                }
+            )
+
+    return media.select("doc_id", "width", "height").mapInPandas(
+        fold, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling over binary payloads via ``mapInPandas`` (1 row in →
+    k rows out, the video-pipeline batch shape).
+
+    The fake container format is fixed-size frames of ``FRAME_BYTES``; real
+    demuxing (ffmpeg) is the stubbed part. Every ``FRAME_STRIDE``-th frame
+    is taken up to ``MAX_FRAMES`` per video, and each sampled frame emits
+    its md5 fingerprint — bytes stay executor-side; only (idx, digest) rows
+    come out, which is how a 100 TB video corpus samples frames without
+    ever shuffling pixel data.
+    """
+
+    def fold(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        fb, stride, cap = FRAME_BYTES, FRAME_STRIDE, MAX_FRAMES
+        for pdf in batches:
+            out_id, out_n, out_idx, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = len(raw) // fb
+                for k, idx in enumerate(range(0, n_frames, stride)):
+                    if k >= cap:
+                        break
+                    frame = raw[idx * fb : idx * fb + fb]
+                    out_id.append(int(doc_id))
+                    out_n.append(n_frames)
+                    out_idx.append(idx)
+                    out_md5.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "n_frames": out_n,
+                    "frame_idx": out_idx,
+                    "frame_md5": out_md5,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(fold, schema=FRAME_SCHEMA)
+
+
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked query: the resize plumbing over the media table."""
+    return resize_media(media_table(spark, sf_dir))
+
+
+def ext_multimodal_resize_oracle() -> str:
+    b = RESIZE_BOX
+    return f"""
+        SELECT doc_id, width, height,
+               CAST(CASE WHEN m > {b} THEN GREATEST(width * {b} // m, 1) ELSE width END AS BIGINT) AS out_width,
+               CAST(CASE WHEN m > {b} THEN GREATEST(height * {b} // m, 1) ELSE height END AS BIGINT) AS out_height,
+               CAST((CASE WHEN m > {b} THEN GREATEST(width * {b} // m, 1) ELSE width END)
+                    * (CASE WHEN m > {b} THEN GREATEST(height * {b} // m, 1) ELSE height END)
+                    * 3 AS BIGINT) AS out_bytes
+        FROM (
+            SELECT doc_id,
+                   CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+                   CAST(doc_id * 7 % 480 + 16 AS BIGINT) AS height,
+                   GREATEST(doc_id % 640 + 16, doc_id * 7 % 480 + 16) AS m
+            FROM documents
+        )
+    """
+
+
+def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked query: frame sampling over the media table.
+
+    The fake payload is the document's utf-8 bytes (ASCII — verified), so
+    each frame's md5 is SQL-expressible as ``md5(substr(text, ...))`` and
+    the driver hash-checks the whole demux→sample→fingerprint round-trip.
+    """
+    return sample_frames(media_table(spark, sf_dir))
+
+
+def ext_multimodal_framesample_oracle() -> str:
+    fb, stride, cap = FRAME_BYTES, FRAME_STRIDE, MAX_FRAMES
+    return f"""
+        SELECT doc_id,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               md5(substr(text, frame_idx * {fb} + 1, {fb})) AS frame_md5
+        FROM (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) // {fb} AS n_frames,
+                   unnest(generate_series(0,
+                       LEAST(octet_length(encode(text)) // {fb} - 1,
+                             {stride * (cap - 1)}),
+                       {stride})) AS frame_idx
+            FROM documents
+            WHERE octet_length(encode(text)) >= {fb}
+        )
+    """
+
+
 def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked query: media metadata projection (payload dropped).
 
