@@ -1,0 +1,56 @@
+"""Write-time layout demonstrations: partition-pruned IVF probes and
+exchange-free bucketed joins — the executable form of the 100 TB claims in
+operators/similarity.py and tables.py docstrings."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from boletia_kubernetes_kafka_mongodb_spark import plans, tables
+from boletia_kubernetes_kafka_mongodb_spark.sources import layouts
+from tests.conftest import SF_SMOKE
+
+
+def test_ivf_layout_prunes_partitions_and_matches_in_memory(spark, tmp_path):
+    path = f"{tmp_path}/emb_ivf"
+    layouts.write_ivf_layout(spark, SF_SMOKE, path)
+
+    probe_df = layouts.read_ivf_probe(spark, path, [0, 3])
+    plan = plans.explain_str(probe_df)
+    # the list filter must resolve at planning time, not as a row predicate
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1)
+
+    # pruned scan reads exactly the probe lists
+    got_lists = {r.ivf_list for r in probe_df.select("ivf_list").distinct().collect()}
+    assert got_lists <= {0, 3}
+
+    # end-to-end: top-k over the layout == the in-memory IVF operator
+    from boletia_kubernetes_kafka_mongodb_spark.operators.similarity import (
+        ext_ann_ivf_topk,
+    )
+
+    over_layout = sorted(map(tuple, layouts.ann_topk_over_layout(spark, SF_SMOKE, path).collect()))
+    in_memory = sorted(map(tuple, ext_ann_ivf_topk(spark, SF_SMOKE).collect()))
+    assert over_layout == in_memory
+
+
+def test_bucketed_availability_join_is_exchange_free(spark, tmp_path):
+    db = "boletia_bucketed_test"
+    layouts.write_bucketed_tables(spark, SF_SMOKE, db=db, location=f"{tmp_path}/wh")
+    try:
+        joined = layouts.availability_join_bucketed(spark, db=db)
+        plan = plans.explain_str(joined)
+        # bucket-co-located join + bucket-aligned aggregate: zero exchanges
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        # and the result matches the ordinary (broadcast-join) inventario view
+        expected = sorted(
+            map(tuple, tables.inventario(spark, SF_SMOKE).collect())
+        )
+        got = sorted(map(tuple, joined.collect()))
+        assert got == expected
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
