@@ -69,3 +69,20 @@ def test_window_partitions_by_event_key(spark):
     plan = plans.explain_str(df)
     assert "hashpartitioning" in plan
     assert "SinglePartition" not in plan, "global window would serialize at scale"
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Global hygiene gate: no query may plan a CartesianProduct.
+
+    crossJoin against an explicitly-broadcast 1-row frame compiles to
+    BroadcastNestedLoopJoin (fine — it moves one row); a CartesianProduct
+    node means a real all-pairs blowup escaped into the plan.
+    """
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for qid, fn in sorted(entrymod.queries().items()):
+        plan = plans.explain_str(fn(spark, SF_CORRECT))
+        if "CartesianProduct" in plan:
+            offenders.append(qid)
+    assert not offenders, f"cartesian products in: {offenders}"
