@@ -5,11 +5,11 @@ is just replay), but any production CDC/analytics pipeline needs windowed
 aggregates with bounded state; this module supplies that capability over the
 ``events`` stream stand-in.
 
-Batch form (driver query ``agg_time_window``) buckets on the raw
-nanosecond-epoch column with long arithmetic — identical math in DuckDB, so
-it is exactly oracle-checkable. The streaming form uses the same bucketing
-plus ``withWatermark`` so state for closed windows is evicted; equivalence
-on a replayed fixture is asserted in tests.
+Batch form (driver query ``agg_time_window``) buckets on the epoch-microsecond
+value of ``ts`` with long arithmetic — identical math in DuckDB
+(``epoch_us``), so it is exactly oracle-checkable. The streaming form uses
+the same bucketing plus ``withWatermark`` so state for closed windows is
+evicted; equivalence on a replayed fixture is asserted in tests.
 """
 
 from __future__ import annotations
@@ -19,17 +19,20 @@ from pyspark.sql import functions as F
 
 from .. import tables
 
-HOUR_NS = 3_600_000_000_000
+HOUR_US = 3_600_000_000
 
 
 def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counts/sums per event_type (batch, oracle-checked).
 
-    ``ts`` arrives as nanoseconds-since-epoch (see tables.load nanos note);
-    the bucket is integer division — no timezone, no calendar, engine-portable.
+    ``ts`` is parquet ``timestamp[us]`` (TIMESTAMP_NTZ in Spark); the session
+    timezone is pinned to UTC, so the NTZ→TZ cast is epoch-preserving and the
+    bucket is plain integer division — no calendar math, engine-portable.
     """
     ev = tables.load(spark, sf_dir, "events")
-    bucket = (F.col("ts") / F.lit(HOUR_NS)).cast("long")
+    bucket = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(HOUR_US)
+    ).cast("long")
     return (
         ev.groupBy(bucket.alias("hour_bucket"), F.col("event_type"))
         .agg(
@@ -42,7 +45,7 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_time_window_oracle() -> str:
     return f"""
-        SELECT CAST(epoch_ns(ts) // {HOUR_NS} AS BIGINT) AS hour_bucket,
+        SELECT CAST(epoch_us(ts) // {HOUR_US} AS BIGINT) AS hour_bucket,
                event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 4) AS value_sum,
@@ -57,11 +60,11 @@ def agg_time_window_stream(events_stream: DataFrame, watermark: str = "2 hours")
 
     The watermark bounds state: windows older than max(event time) −
     watermark are finalized and evicted — the knob the reference lacks
-    entirely (its 'late data' handling is unbounded replay). ``ts`` is
-    nanos-since-epoch; convert to timestamp for the watermark clock.
+    entirely (its 'late data' handling is unbounded replay). ``ts`` is a
+    TIMESTAMP_NTZ; cast to the session-UTC timestamp for the watermark clock.
     """
     with_ts = events_stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_time", F.col("ts").cast("timestamp")
     ).withWatermark("event_time", watermark)
     return (
         with_ts.groupBy(F.window("event_time", "1 hour").alias("w"), F.col("event_type"))

@@ -55,10 +55,13 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan: bool = False) -> Data
     """Read one testdata table. Parquet scan → column pruning + predicate
     pushdown come free downstream.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects by default — the legacy conf reads it as a plain long (ns since
-    epoch), which is also what the oracle uses (``epoch_ns(ts)``), so both
-    sides agree on values. Set per-call: the driver owns the SparkSession.
+    ``events.parquet`` carries ``timestamp[us]`` (no UTC adjustment) which
+    Spark reads as TIMESTAMP_NTZ; the session timezone is pinned to UTC so
+    epoch math matches DuckDB's ``epoch_us(ts)`` exactly. The legacy
+    nanosAsLong conf stays set defensively: if the driver regenerates the
+    fixture with TIMESTAMP(NANOS) (as an earlier testdata build did), the
+    scan still succeeds instead of erroring. Set per-call: the driver owns
+    the SparkSession.
 
     ``fan=True``: spread the scan across the cluster BEFORE CPU-heavy
     downstream work (hashing, shingling, JSON encode, UDF probes). The
@@ -68,6 +71,7 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan: bool = False) -> Data
     (at real scale the splits come from maxPartitionBytes, not from us).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if fan:
