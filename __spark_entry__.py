@@ -21,6 +21,7 @@ from boletia_kubernetes_kafka_mongodb_spark.operators import (
     dedup,
     joins,
     multimodal,
+    ordering,
     sampling,
     mutations,
     notifications,
@@ -66,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.5 aggregations
         "agg_running_capacity": aggregates.agg_running_capacity,
         "agg_count_reservations": aggregates.agg_count_reservations,
+        # §2.6 sorts / limits / greatest-per-group / set ops
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_latest_per_email": ordering.order_latest_per_email,
+        "setop_churn_emails": ordering.setop_churn_emails,
         # §2.1 sources/sinks (batch oracle form)
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "notify_render": notifications.notify_render,
@@ -131,6 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "join_availability": joins.join_availability_oracle(),
         "agg_running_capacity": aggregates.agg_running_capacity_oracle(),
         "agg_count_reservations": aggregates.agg_count_reservations_oracle(),
+        "order_topn_disponible": ordering.order_topn_disponible_oracle(),
+        "order_latest_per_email": ordering.order_latest_per_email_oracle(),
+        "setop_churn_emails": ordering.setop_churn_emails_oracle(),
         "sink_upsert_clone": cdc.sink_upsert_clone_oracle(),
         "notify_render": notifications.notify_render_oracle(),
         "cdc_route_messages": cdc.cdc_route_messages_oracle(),

@@ -1,0 +1,143 @@
+"""Sorts, limits, greatest-per-group, set ops (SURVEY.md §2.6).
+
+The reference's ordering surface is implicit — Mongo natural order plus
+point lookups (``reservas/main.go:61,79``) — but any real operator of the
+system asks these three questions, so they're first-class here:
+
+* "which events have the most seats left?"      → ``order_topn_disponible``
+* "what was this user's latest reservation?"    → ``order_latest_per_email``
+* "who cancelled and never rebooked?"           → ``setop_churn_emails``
+
+Scale posture:
+
+* Top-N never global-sorts: ``orderBy().limit()`` compiles to
+  ``TakeOrderedAndProject`` — each task keeps a bounded N-row heap, the
+  driver merges P·N rows. A 100 TB scan returns 20 rows without a shuffle.
+  Ties are broken deterministically (unique ``_id``) so the result is
+  well-defined on any cluster layout.
+* Greatest-per-group is ``max_by`` aggregation, not a row_number window:
+  partial aggregation combines map-side, one shuffle of one row per
+  surviving key — a window would shuffle every input row to its key's
+  partition and sort there.
+* Set ops run on the raw long key (``l_suppkey``), strings render after —
+  shuffles carry 8-byte longs, not emails.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..oracle import with_domain
+
+TOPN = 20
+
+
+def order_topn_disponible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 sort+limit: top-N active events by seats left, deterministic
+    tie-break on ``_id`` (unique)."""
+    inv = tables.inventario(spark, sf_dir)
+    return (
+        inv.where(F.col("estado") == "A")
+        .orderBy(F.col("disponible").desc(), F.col("_id"))
+        .limit(TOPN)
+        .select("_id", "nombre", "disponible")
+    )
+
+
+def order_topn_disponible_oracle() -> str:
+    return with_domain(
+        f"""
+        SELECT _id, nombre, disponible
+        FROM inventario WHERE estado = 'A'
+        ORDER BY disponible DESC, _id
+        LIMIT {TOPN}
+        """
+    )
+
+
+def order_latest_per_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 greatest-per-group: each email's most recent reservation
+    (max ``seq`` = arrival order, unique ⇒ deterministic).
+
+    ``max_by`` aggregates share one shuffle and combine partially map-side;
+    the Reserva strings render from the five winning longs post-shuffle.
+    """
+    keyed = tables.reservas_keyed(spark, sf_dir)
+    latest = keyed.groupBy("l_suppkey").agg(
+        F.max("seq").alias("seq"),
+        F.max_by("l_partkey", "seq").alias("l_partkey"),
+        F.max_by("estado", "seq").alias("estado"),
+        F.max_by("cantidad", "seq").alias("cantidad"),
+    )
+    return tables.reserva_render(latest).select(
+        "email", "evento", "estado", "cantidad", "seq"
+    )
+
+
+# keyed twin of tables.reservas_keyed (same all-BIGINT seq packing as
+# oracle.DOMAIN_CTE's reservas).
+_KEYED_CTE = """
+keyed AS (
+    SELECT l_partkey, l_suppkey,
+           CASE l_returnflag WHEN 'N' THEN 'A'
+                             WHEN 'R' THEN 'X'
+                             ELSE 'C' END AS estado,
+           CAST(l_quantity AS INTEGER) AS cantidad,
+           l_orderkey * 1000000000000
+           + CAST(l_linenumber AS BIGINT) * 100000000000
+           + l_partkey * 1000000
+           + l_suppkey * 100
+           + CAST(l_quantity AS BIGINT) AS seq
+    FROM lineitem
+)
+"""
+
+
+def order_latest_per_email_oracle() -> str:
+    return f"""
+        WITH {_KEYED_CTE.strip()}
+        SELECT printf('user%d@example.com', l_suppkey)          AS email,
+               printf('Evento %06d', arg_max(l_partkey, seq))   AS evento,
+               arg_max(estado, seq)                             AS estado,
+               arg_max(cantidad, seq)                           AS cantidad,
+               MAX(seq)                                         AS seq
+        FROM keyed
+        GROUP BY l_suppkey
+        """
+
+
+def setop_churn_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set ops: emails that cancelled (estado X) and hold no active
+    reservation — EXCEPT on the raw key; INTERSECT gives the rebooked count
+    alongside (same two inputs, computed once each).
+    """
+    keyed = tables.reservas_keyed(spark, sf_dir)
+    cancelled = keyed.where(F.col("estado") == "X").select("l_suppkey").distinct()
+    active = keyed.where(F.col("estado") == "A").select("l_suppkey").distinct()
+    churned = cancelled.exceptAll(active).withColumn("churned", F.lit(True))
+    rebooked = cancelled.intersect(active).withColumn("churned", F.lit(False))
+    both = churned.unionByName(rebooked)
+    return both.select(
+        F.concat(
+            F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
+        ).alias("email"),
+        "churned",
+    )
+
+
+def setop_churn_emails_oracle() -> str:
+    return f"""
+        WITH {_KEYED_CTE.strip()},
+        cancelled AS (SELECT DISTINCT l_suppkey FROM keyed WHERE estado = 'X'),
+        active    AS (SELECT DISTINCT l_suppkey FROM keyed WHERE estado = 'A')
+        SELECT printf('user%d@example.com', l_suppkey) AS email, churned
+        FROM (
+            SELECT l_suppkey, TRUE AS churned
+            FROM (SELECT l_suppkey FROM cancelled EXCEPT SELECT l_suppkey FROM active)
+            UNION ALL
+            SELECT l_suppkey, FALSE AS churned
+            FROM (SELECT l_suppkey FROM cancelled INTERSECT SELECT l_suppkey FROM active)
+        )
+        """

@@ -86,3 +86,26 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(qid)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_topn_is_take_ordered_not_global_sort(spark):
+    """§2.6 top-N must compile to TakeOrderedAndProject (bounded per-task
+    heap + driver merge), never a global Sort: a full sort of 100 TB to
+    return 20 rows is the canonical scale failure."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import ordering
+
+    df = ordering.order_topn_disponible(spark, SF_CORRECT)
+    plan = plans.executed_plan(df) if hasattr(plans, "executed_plan") else df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_latest_per_email_single_shuffle(spark):
+    """Greatest-per-group via max_by: exactly one aggregate exchange (on the
+    group key), with a partial_ aggregation below it — no window sort of the
+    full input."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import ordering
+
+    df = ordering.order_latest_per_email(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan  # map-side combine before the shuffle
+    assert "Window" not in plan
