@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_quality": text.ext_text_quality,
         "ext_text_fingerprint": text.ext_text_fingerprint,
         "ext_text_winnowing": text.ext_text_winnowing,
+        "ext_text_repetition": text.ext_text_repetition,
+        "ext_text_pii_mask": text.ext_text_pii_mask,
         "ext_text_sentiment": text.ext_text_sentiment,
         # §2.9 extensions: multimodal
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_quality": text.ext_text_quality_oracle(),
         "ext_text_fingerprint": text.ext_text_fingerprint_oracle(),
         "ext_text_winnowing": text.ext_text_winnowing_oracle(),
+        "ext_text_repetition": text.ext_text_repetition_oracle(),
+        "ext_text_pii_mask": text.ext_text_pii_mask_oracle(),
         "ext_text_sentiment": text.ext_text_sentiment_oracle(),
         "ext_multimodal_meta": multimodal.ext_multimodal_meta_oracle(),
         "ext_multimodal_features": multimodal.ext_multimodal_features_oracle(),

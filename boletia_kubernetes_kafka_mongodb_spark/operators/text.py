@@ -377,3 +377,129 @@ def ext_text_fingerprint_oracle() -> str:
                substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fingerprint_prefix
         FROM documents
     """
+
+
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher-style duplicate-fraction filters).
+
+    Per document: duplicate-token fraction and duplicate-3-gram fraction —
+    the standard "is this page boilerplate/spam" signals for pretraining
+    corpora (Rae et al. 2021 §A1.1 use dup-line/dup-ngram fractions; the
+    fixture text is single-line, so the n-gram forms carry the signal).
+
+    Pure narrow map: grams build with ``transform`` over an index sequence
+    (JVM higher-order functions, no explode → no shuffle, no row blowup);
+    dedup via ``array_distinct``. At 100 TB this pipelines over the scan.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    # sequence(1, n-2) DESCENDS when n < 3 — guard to an empty gram list
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.when(ng > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / ng)
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+
+
+def ext_text_repetition_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS dup_token_frac,
+               CASE WHEN len(grams) > 0
+                    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                    ELSE 0.0 END AS dup_3gram_frac
+        FROM (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 3 THEN
+                        list_transform(range(1, len(toks) - 1),
+                                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                   ELSE [] END AS grams
+            FROM (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+                FROM documents
+            )
+        )
+        """
+
+
+# PII patterns: portable across Java regex (Spark) and RE2 (DuckDB) — no
+# backrefs, no \d shorthand, explicit classes only.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Fixture text carries no PII, so the parity harness plants a
+    deterministic contact line per row (same derivation in the oracle);
+    the *operator* under test is :func:`mask_pii`."""
+    return docs.withColumn(
+        "text_pii",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ),
+    )
+
+
+def mask_pii(text: Column) -> Column:
+    """Scrub emails then phones to typed placeholder tokens — the standard
+    pre-training redaction pass. Order matters only for overlapping spans;
+    these classes are disjoint. Narrow map, codegen-friendly."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def ext_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_synthetic_pii(tables.load(spark, sf_dir, "documents"))
+    masked = mask_pii(F.col("text_pii"))
+    return docs.select(
+        "doc_id",
+        masked.alias("text_masked"),
+        (F.length("text_pii") - F.length(masked)).alias("bytes_redacted"),
+    )
+
+
+def ext_text_pii_mask_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               masked AS text_masked,
+               CAST(length(text_pii) - length(masked) AS INTEGER) AS bytes_redacted
+        FROM (
+            SELECT doc_id, text_pii,
+                   regexp_replace(regexp_replace(text_pii, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g') AS masked
+            FROM (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-0199' AS text_pii
+                FROM documents
+            )
+        )
+        """

@@ -67,3 +67,71 @@ def test_identical_docs_identical_fingerprints(spark):
     got = _run(spark, [t, t])
     assert got[0] == got[1]
     assert got[0][1], "expected non-empty fingerprint set"
+
+
+def test_repetition_fractions_crafted(spark):
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        ext_text_repetition,
+        tokens_col,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 4 tokens, 1 distinct; 2 grams, 1 distinct
+            (2, "all words here are unique"),    # no repetition
+            (3, "ab"),                           # < 3 tokens → no grams
+            (4, ""),                             # empty → zero everywhere
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            F.size(tokens_col("text")).alias("n"),
+        ).join(
+            ext_text_repetition.__wrapped__(docs)
+            if hasattr(ext_text_repetition, "__wrapped__")
+            else _repetition_on(docs),
+            "doc_id",
+        ).collect()
+    }
+    assert rows[1].dup_token_frac == 0.75
+    assert rows[1].dup_3gram_frac == 0.5
+    assert rows[2].dup_token_frac == 0.0 and rows[2].dup_3gram_frac == 0.0
+    assert rows[3].dup_3gram_frac == 0.0
+    assert rows[4].n_tokens == 0 and rows[4].dup_token_frac == 0.0
+
+
+def _repetition_on(docs):
+    """Run the repetition projection on an arbitrary documents frame (the
+    operator signature reads from sf_dir; tests reuse its column logic)."""
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    with mock.patch.object(T.tables, "load", return_value=docs):
+        return T.ext_text_repetition(None, "ignored")
+
+
+def test_pii_mask_behaviour(spark):
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import mask_pii
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("reach me at a.b-c_d@mail.example.org please",),
+            ("call +1-555-123-4567 now",),
+            ("both x@y.io and +44-201-555-0199 here",),
+            ("no pii: at sign alone @ and 555-1234 stay",),
+        ],
+        "t string",
+    )
+    out = [r.m for r in df.select(mask_pii(F.col("t")).alias("m")).collect()]
+    assert out[0] == "reach me at <EMAIL> please"
+    assert out[1] == "call <PHONE> now"
+    assert out[2] == "both <EMAIL> and <PHONE> here"
+    # partial patterns must NOT be scrubbed (precision matters: over-masking
+    # destroys training text)
+    assert out[3] == "no pii: at sign alone @ and 555-1234 stay"
