@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_json_props_extract": cdc.fn_json_props_extract,
         # event-time windowed aggregation (streaming twin in streaming/windows)
         "agg_time_window": windows.agg_time_window,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
@@ -146,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_route_messages": cdc.cdc_route_messages_oracle(),
         "fn_json_props_extract": cdc.fn_json_props_extract_oracle(),
         "agg_time_window": windows.agg_time_window_oracle(),
+        "agg_sessionize": aggregates.agg_sessionize_oracle(),
+        "agg_value_quantiles": aggregates.agg_value_quantiles_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

@@ -110,3 +110,105 @@ def agg_count_reservations_oracle() -> str:
                   CAST(SUM(CASE WHEN estado = 'A' THEN cantidad ELSE 0 END) AS BIGINT) AS entradas_activas
            FROM reservas GROUP BY evento, email"""
     )
+
+
+GAP_US = 1_800_000_000  # 30-minute session gap
+
+
+def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: event-time sessionization per user (30-min inactivity gap).
+
+    ``session_window`` is Spark's native merging-window aggregate: one
+    shuffle on ``user_id``, per-key sort, windows merge while the next event
+    arrives at or before ``last + gap`` (the boundary is INCLUSIVE — pinned
+    by test_sessionize_gap_boundary). Session end = last event + gap; the
+    oracle reproduces it with gaps-and-islands: a new island only when the
+    delta since the previous event exceeds the gap.
+
+    Epochs are reported as microsecond longs — engine-portable, no
+    timestamp rendering in the hash.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    w = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        ev.groupBy(F.col("user_id"), w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def agg_sessionize_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS tus, value FROM events
+        ),
+        marked AS (
+            SELECT *,
+                   CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                             > {GAP_US}
+                          OR LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY tus
+                ROWS UNBOUNDED PRECEDING
+            ) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(tus)            AS session_start_us,
+               MAX(tus) + {GAP_US} AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4)     AS value_sum
+        FROM sess
+        GROUP BY user_id, sid
+        """
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def agg_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact interpolated quantiles of ``value`` per event type.
+
+    ``percentile`` (exact, linear interpolation — the same definition as
+    DuckDB ``quantile_cont``) rather than ``approx_percentile``: the sketch
+    is the scale path for one-pass global quantiles, but per-group exact
+    percentiles over a groupable key are a sorted-aggregation Spark executes
+    distributed per group; exactness keeps the result engine-checkable.
+    Rounded to 4 decimals so IEEE summation-order noise can't flip the hash.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.lit(list(QUANTILES)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(pcts[0], 4).alias("p50"),
+            F.round(pcts[1], 4).alias("p90"),
+            F.round(pcts[2], 4).alias("p99"),
+        )
+    )
+
+
+def agg_value_quantiles_oracle() -> str:
+    return """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)            AS n,
+               ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+               ROUND(quantile_cont(value, 0.9), 4)  AS p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+        """

@@ -42,3 +42,36 @@ def test_stream_window_equals_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_sessionize_gap_boundary(spark):
+    """Spark session_window semantics: an event arriving exactly at
+    last + gap MERGES into the session (the window end is inclusive); only
+    a strictly-later event starts a new one. The oracle's island rule
+    (delta > gap) encodes the same boundary — this crafted fixture pins it
+    on both engines' math."""
+    from datetime import datetime, timedelta
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    gap = timedelta(microseconds=A.GAP_US)
+    rows = [
+        (1, t0, 1.0),                       # session 1
+        (1, t0 + gap - timedelta(seconds=1), 2.0),  # merges (strictly inside)
+        (1, t0 + 2 * gap - timedelta(seconds=1), 4.0),  # exactly at window end → merges
+        (1, t0 + 4 * gap, 16.0),  # > gap after previous end → NEW session
+        (2, t0, 8.0),                       # other key, own session
+    ]
+    docs = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    with mock.patch.object(A.tables, "load", return_value=docs):
+        out = A.agg_sessionize(None, "ignored").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2          # inclusive boundary merged; only the far event split
+    assert len(by_user[2]) == 1
+    first = min(by_user[1], key=lambda r: r.session_start_us)
+    assert first.n_events == 3           # boundary event joined the first session
+    assert first.session_end_us - first.session_start_us == A.GAP_US * 3 - 1_000_000
