@@ -79,3 +79,35 @@ def agg_time_window_stream(events_stream: DataFrame, watermark: str = "2 hours")
             "value_sum",
         )
     )
+
+
+def agg_sessionize_stream(events_stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Streaming twin of ``operators.aggregates.agg_sessionize``: watermarked
+    merging session windows per user.
+
+    Sessions are the canonical unbounded-state aggregate — without a
+    watermark every open session lives forever. With one, a session
+    finalizes (append-emits) once the watermark passes its end, and its
+    state evicts; the batch twin over the same replayed fixture must agree
+    on every finalized session (asserted in tests/test_windows.py).
+    """
+    with_ts = events_stream.withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    ).withWatermark("event_time", watermark)
+    return (
+        with_ts.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("event_time"), "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "value_sum",
+        )
+    )

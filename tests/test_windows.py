@@ -75,3 +75,52 @@ def test_sessionize_gap_boundary(spark):
     first = min(by_user[1], key=lambda r: r.session_start_us)
     assert first.n_events == 3           # boundary event joined the first session
     assert first.session_end_us - first.session_start_us == A.GAP_US * 3 - 1_000_000
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """Append-mode session windows: every session the watermark finalized
+    must equal the batch sessionization of the same events. A far-future
+    sentinel event advances the watermark past all real session ends so the
+    whole fixture finalizes."""
+    from datetime import datetime, timedelta
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    ev = tables.load(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id", "value")
+    path = str(tmp_path / "events")
+    cdc_stream.write_ordered_files(ev, path, n_files=3, order_col="event_id")
+
+    # sentinel: one event far past everything, its own file, arriving last
+    far = ev.agg(F.max("ts")).first()[0] + timedelta(days=30)
+    sentinel = spark.createDataFrame(
+        [(10**9, far, -1, 0.0)], "event_id long, ts timestamp, user_id long, value double"
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(path)  # latest mtime → last trigger
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        windows.agg_sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us): (r.n_events, r.value_sum)
+        for r in spark.sql("select * from sess_out where user_id >= 0").collect()
+    }
+    with mock.patch.object(A.tables, "load", return_value=tables.load(spark, SF_SMOKE, "events")):
+        expect = {
+            (r.user_id, r.session_start_us, r.session_end_us): (r.n_events, r.value_sum)
+            for r in A.agg_sessionize(None, "ignored").collect()
+        }
+    assert got == expect
+    assert len(got) > 0
