@@ -124,3 +124,66 @@ def join_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def join_availability_oracle() -> str:
     return with_domain("SELECT * FROM inventario")
+
+
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each ``purchase`` event matched to the same user's latest
+    ``view`` at-or-before it (the operator Spark's join menu lacks; DuckDB
+    runs it natively as ``ASOF LEFT JOIN`` — the oracle).
+
+    Spark-first formulation = the merge-join plan an ASOF operator would
+    pick, built from primitives: tag both sides, union, ONE shuffle on
+    ``user_id``, per-key sort on (time, side), carry the view side forward
+    with ``last(..., ignorenulls)`` over an unbounded-preceding frame, keep
+    purchase rows. Cost: a single exchange of the union — no range
+    explosion, no nested-loop fallback, skew bounded by per-user event
+    counts. Side order (view=0 < purchase=1) makes an equal-timestamp view
+    visible to the purchase — inclusive ``<=``, matching the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        (F.col("event_type") == "purchase").cast("int").alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("side") == 0
+    enriched = base.select(
+        "user_id",
+        "event_id",
+        "tus",
+        "side",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w).alias("view_id"),
+        F.last(F.when(is_view, F.col("tus")), ignorenulls=True).over(w).alias("view_tus"),
+    )
+    return enriched.where(F.col("side") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("tus").alias("purchase_us"),
+        "view_id",
+        (F.col("tus") - F.col("view_tus")).alias("gap_us"),
+    )
+
+
+def ext_asof_join_oracle() -> str:
+    return """
+        WITH p AS (
+            SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT p.user_id, p.purchase_id, p.purchase_us,
+               v.view_id, p.purchase_us - v.view_us AS gap_us
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.view_us <= p.purchase_us
+        """

@@ -109,3 +109,15 @@ def test_latest_per_email_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan  # map-side combine before the shuffle
     assert "Window" not in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """As-of join must be the merge formulation: one hash exchange on the
+    key, window over per-key sort — never a range nested-loop."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins
+
+    df = joins.ext_asof_join(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters: [In(event_type" in plan  # type filter reaches the scan

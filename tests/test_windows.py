@@ -124,3 +124,30 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
         }
     assert got == expect
     assert len(got) > 0
+
+
+def test_asof_join_crafted_semantics(spark):
+    """Pin inclusive-<= and latest-prior semantics: equal-timestamp view
+    matches; later views don't; users with no prior view yield NULL."""
+    from datetime import datetime, timedelta
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins as J
+
+    t0 = datetime(2026, 1, 1)
+    m = lambda k: t0 + timedelta(minutes=k)
+    rows = [
+        (1, 10, m(0), "view", 0.0),
+        (1, 11, m(5), "view", 0.0),
+        (1, 12, m(5), "purchase", 1.0),   # equal ts → matches view 11 (inclusive)
+        (1, 13, m(9), "purchase", 1.0),   # latest prior is still view 11
+        (2, 20, m(3), "purchase", 1.0),   # no view at all → NULL
+        (3, 30, m(4), "purchase", 1.0),   # view arrives later → NULL
+        (3, 31, m(8), "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    with mock.patch.object(J.tables, "load", return_value=ev):
+        got = {r.purchase_id: r.view_id for r in J.ext_asof_join(None, "x").collect()}
+    assert got == {12: 11, 13: 11, 20: None, 30: None}
