@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cascade": joins.join_cascade,
         "join_availability": joins.join_availability,
         "ext_asof_join": joins.ext_asof_join,
+        "ext_range_join": joins.ext_range_join,
         # §2.5 aggregations
         "agg_running_capacity": aggregates.agg_running_capacity,
         "agg_count_reservations": aggregates.agg_count_reservations,
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "join_cascade": joins.join_cascade_oracle(),
         "join_availability": joins.join_availability_oracle(),
         "ext_asof_join": joins.ext_asof_join_oracle(),
+        "ext_range_join": joins.ext_range_join_oracle(),
         "agg_running_capacity": aggregates.agg_running_capacity_oracle(),
         "agg_count_reservations": aggregates.agg_count_reservations_oracle(),
         "order_topn_disponible": ordering.order_topn_disponible_oracle(),

@@ -187,3 +187,61 @@ def ext_asof_join_oracle() -> str:
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND v.view_us <= p.purchase_us
         """
+
+
+RANGE_US = 300_000_000  # ±5 minutes
+
+
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi-key: per purchase, count error events within
+    ±5 minutes anywhere in the system (incident-correlation shape).
+
+    Naively this is a pure inequality join — Spark plans BroadcastNestedLoop
+    and dies at scale. The scale path bucketizes time at the range width:
+    the probe side keeps its one bucket, the build side replicates into the
+    three covering buckets (`explode(sequence(b-1, b+1))`, bounded 3×
+    duplication), the join becomes an equi hash join on bucket, and the
+    exact range predicate filters residually inside the join. Every
+    qualifying pair meets in exactly one bucket (the probe's), so no dedup
+    is needed. DuckDB's native inequality join (IEJoin) is the oracle.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        tus.alias("p_tus"),
+        F.floor(tus / RANGE_US).alias("bucket"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        tus.alias("e_tus"),
+        F.explode(
+            F.sequence(F.floor(tus / RANGE_US) - 1, F.floor(tus / RANGE_US) + 1)
+        ).alias("bucket"),
+    )
+    joined = p.join(
+        e,
+        (p["bucket"] == e["bucket"])
+        & (F.abs(F.col("p_tus") - F.col("e_tus")) <= RANGE_US),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "p_tus").agg(
+        F.count(F.col("e_tus")).cast("long").alias("n_errors_nearby")
+    ).select("purchase_id", F.col("p_tus").alias("purchase_us"), "n_errors_nearby")
+
+
+def ext_range_join_oracle() -> str:
+    return f"""
+        WITH p AS (
+            SELECT event_id AS purchase_id, epoch_us(ts) AS p_tus
+            FROM events WHERE event_type = 'purchase'
+        ),
+        e AS (
+            SELECT epoch_us(ts) AS e_tus FROM events WHERE event_type = 'error'
+        )
+        SELECT p.purchase_id,
+               p.p_tus AS purchase_us,
+               CAST(COUNT(e.e_tus) AS BIGINT) AS n_errors_nearby
+        FROM p LEFT JOIN e
+          ON e.e_tus BETWEEN p.p_tus - {RANGE_US} AND p.p_tus + {RANGE_US}
+        GROUP BY p.purchase_id, p.p_tus
+        """

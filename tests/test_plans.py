@@ -121,3 +121,15 @@ def test_asof_join_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "PushedFilters: [In(event_type" in plan  # type filter reaches the scan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The keyless range join must run as an equi join on time buckets
+    (3x bounded build-side duplication) — BroadcastNestedLoopJoin on the
+    range predicate is the at-scale failure mode being designed out."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins
+
+    df = joins.ext_range_join(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "bucket" in plan  # joined on the synthetic bucket key

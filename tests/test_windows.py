@@ -151,3 +151,31 @@ def test_asof_join_crafted_semantics(spark):
     with mock.patch.object(J.tables, "load", return_value=ev):
         got = {r.purchase_id: r.view_id for r in J.ext_asof_join(None, "x").collect()}
     assert got == {12: 11, 13: 11, 20: None, 30: None}
+
+
+def test_range_join_crafted_boundaries(spark):
+    """Pin the bucket-replication correctness: matches exactly at +/- the
+    range bound, across bucket edges, and zero-counts isolated purchases."""
+    from datetime import datetime, timedelta
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins as J
+
+    t0 = datetime(2026, 1, 1)
+    us = lambda k: t0 + timedelta(microseconds=k)
+    D = J.RANGE_US
+    rows = [
+        (1, us(10 * D), "purchase", 0.0),
+        (2, us(9 * D), "error", 0.0),        # exactly -D → counts
+        (3, us(11 * D), "error", 0.0),       # exactly +D → counts
+        (4, us(11 * D + 1), "error", 0.0),   # one microsecond past → no
+        (5, us(10 * D + 3), "error", 0.0),   # same bucket → counts
+        (6, us(50 * D), "purchase", 0.0),    # isolated → 0
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, et, v, 0) for i, ts, et, v in rows],
+        "event_id long, ts timestamp, event_type string, value double, user_id long",
+    )
+    with mock.patch.object(J.tables, "load", return_value=ev):
+        got = {r.purchase_id: r.n_errors_nearby for r in J.ext_range_join(None, "x").collect()}
+    assert got == {1: 3, 6: 0}
