@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_time_window": windows.agg_time_window,
         "agg_sessionize": aggregates.agg_sessionize,
         "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_rollup_category": aggregates.agg_rollup_category,
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
@@ -154,6 +156,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_time_window": windows.agg_time_window_oracle(),
         "agg_sessionize": aggregates.agg_sessionize_oracle(),
         "agg_value_quantiles": aggregates.agg_value_quantiles_oracle(),
+        "agg_sliding_window": aggregates.agg_sliding_window_oracle(),
+        "agg_rollup_category": aggregates.agg_rollup_category_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

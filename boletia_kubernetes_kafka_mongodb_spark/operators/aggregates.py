@@ -212,3 +212,87 @@ def agg_value_quantiles_oracle() -> str:
         FROM events
         GROUP BY event_type
         """
+
+
+SLIDE_US = 900_000_000   # 15-minute hop
+LEN_US = 3_600_000_000   # 1-hour window
+
+
+def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: hopping event-time windows (1 h length, 15 min hop) per event
+    type — each event lands in len/hop = 4 overlapping windows.
+
+    Native ``window(ts, len, hop)`` is a Generate (per-row 4× replication)
+    + hash aggregate: narrow until the final group shuffle, no range join.
+    The oracle replicates each row over its covering window starts with
+    ``unnest(list_transform(...))`` — same math, engine-portable epochs.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def agg_sliding_window_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        expanded AS (
+            SELECT unnest(list_transform(range(0, {LEN_US // SLIDE_US}),
+                          k -> (tus // {SLIDE_US} - k) * {SLIDE_US})) AS window_start_us,
+                   event_type, value, tus
+            FROM e
+        )
+        SELECT window_start_us, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4)     AS value_sum
+        FROM expanded
+        WHERE tus >= window_start_us AND tus < window_start_us + {LEN_US}
+        GROUP BY window_start_us, event_type
+        """
+
+
+def agg_rollup_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: ROLLUP over (categoria, estado) of the event catalog — per-group,
+    per-category subtotal, and grand total in one pass (the multi-level
+    dashboard aggregate the reference computes client-side, if at all).
+
+    Spark expands rollup into grouping sets inside a single partial+final
+    hash aggregate — one shuffle, not one job per level. NULL markers are
+    disambiguated via ``grouping()`` flags (a real NULL group would
+    otherwise collide with the subtotal row).
+    """
+    evs = tables.eventos_keyed(spark, sf_dir)
+    return (
+        evs.rollup("categoria", "estado")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("capacidad").cast("long").alias("capacidad_total"),
+            F.grouping("categoria").cast("int").alias("g_cat"),
+            F.grouping("estado").cast("int").alias("g_est"),
+        )
+    )
+
+
+def agg_rollup_category_oracle() -> str:
+    return with_domain(
+        """
+        SELECT categoria, estado,
+               CAST(COUNT(*) AS BIGINT)       AS n,
+               CAST(SUM(capacidad) AS BIGINT) AS capacidad_total,
+               CAST(GROUPING(categoria) AS INTEGER) AS g_cat,
+               CAST(GROUPING(estado) AS INTEGER)    AS g_est
+        FROM eventos
+        GROUP BY ROLLUP (categoria, estado)
+        """
+    )
