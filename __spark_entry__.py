@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_value_quantiles": aggregates.agg_value_quantiles,
         "agg_sliding_window": aggregates.agg_sliding_window,
         "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_value_quantiles": aggregates.agg_value_quantiles_oracle(),
         "agg_sliding_window": aggregates.agg_sliding_window_oracle(),
         "agg_rollup_category": aggregates.agg_rollup_category_oracle(),
+        "agg_pivot_estado": aggregates.agg_pivot_estado_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

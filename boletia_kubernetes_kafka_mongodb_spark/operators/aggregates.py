@@ -296,3 +296,39 @@ def agg_rollup_category_oracle() -> str:
         GROUP BY ROLLUP (categoria, estado)
         """
     )
+
+
+def agg_pivot_estado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: pivot the event catalog to one row per categoria with estado
+    counts as columns (the wide dashboard shape).
+
+    Explicit pivot values ("A", "C") matter at scale: without them Spark
+    first runs a distinct-collect job on the pivot column to discover
+    values driver-side. With them, pivot is a single partial+final
+    aggregate — conditional counts, one shuffle. Absent combinations
+    surface as NULL from pivot-count; coalesce to 0 to match SQL's
+    ``COUNT(*) FILTER`` semantics.
+    """
+    evs = tables.eventos_keyed(spark, sf_dir)
+    pivoted = (
+        evs.groupBy("categoria")
+        .pivot("estado", ["A", "C"])
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return pivoted.select(
+        "categoria",
+        F.coalesce(F.col("A"), F.lit(0)).cast("long").alias("n_active"),
+        F.coalesce(F.col("C"), F.lit(0)).cast("long").alias("n_cancelled"),
+    )
+
+
+def agg_pivot_estado_oracle() -> str:
+    return with_domain(
+        """
+        SELECT categoria,
+               CAST(COUNT(*) FILTER (WHERE estado = 'A') AS BIGINT) AS n_active,
+               CAST(COUNT(*) FILTER (WHERE estado = 'C') AS BIGINT) AS n_cancelled
+        FROM eventos
+        GROUP BY categoria
+        """
+    )
