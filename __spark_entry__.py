@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_topn_disponible": ordering.order_topn_disponible,
         "order_latest_per_email": ordering.order_latest_per_email,
         "setop_churn_emails": ordering.setop_churn_emails,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
         # §2.1 sources/sinks (batch oracle form)
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "notify_render": notifications.notify_render,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "order_topn_disponible": ordering.order_topn_disponible_oracle(),
         "order_latest_per_email": ordering.order_latest_per_email_oracle(),
         "setop_churn_emails": ordering.setop_churn_emails_oracle(),
+        "order_user_event_ranks": ordering.order_user_event_ranks_oracle(),
         "sink_upsert_clone": cdc.sink_upsert_clone_oracle(),
         "notify_render": notifications.notify_render_oracle(),
         "cdc_route_messages": cdc.cdc_route_messages_oracle(),

@@ -141,3 +141,37 @@ def setop_churn_emails_oracle() -> str:
             FROM (SELECT l_suppkey FROM cancelled INTERSECT SELECT l_suppkey FROM active)
         )
         """
+
+
+def order_user_event_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window functions: per-user event sequence — arrival rank and
+    inter-event gap (lag) in microseconds.
+
+    Partitioned by ``user_id`` (unbounded cardinality at scale — never by
+    the 5-value ``event_type``, which would make 5 giant partitions); both
+    functions share one window spec ⇒ one shuffle + one per-key sort.
+    ``event_id`` tie-breaks equal timestamps deterministically.
+    """
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    base = ev.select("user_id", "event_id", "event_type", tus.alias("tus"))
+    return base.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rank_in_user"),
+        (F.col("tus") - F.lag("tus", 1).over(w)).alias("gap_us"),
+    )
+
+
+def order_user_event_ranks_oracle() -> str:
+    return """
+        SELECT user_id, event_id, event_type,
+               CAST(row_number() OVER w AS INTEGER) AS rank_in_user,
+               tus - lag(tus, 1) OVER w AS gap_us
+        FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        """

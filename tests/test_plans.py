@@ -133,3 +133,15 @@ def test_range_join_is_bucketed_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "bucket" in plan  # joined on the synthetic bucket key
+
+
+def test_user_ranks_single_fused_window(spark):
+    """row_number and lag share one window spec: exactly one Window node
+    over one exchange — a second exchange/sort would mean the specs
+    diverged (the classic accidental-reshuffle regression)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import ordering
+
+    df = ordering.order_user_event_ranks(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Window ") == 1
