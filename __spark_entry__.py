@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sliding_window": aggregates.agg_sliding_window,
         "agg_rollup_category": aggregates.agg_rollup_category,
         "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_sliding_window": aggregates.agg_sliding_window_oracle(),
         "agg_rollup_category": aggregates.agg_rollup_category_oracle(),
         "agg_pivot_estado": aggregates.agg_pivot_estado_oracle(),
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

@@ -332,3 +332,58 @@ def agg_pivot_estado_oracle() -> str:
         GROUP BY categoria
         """
     )
+
+
+def agg_unpivot_estado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: unpivot (melt) the wide estado-count table back to long form —
+    the inverse reshape of :func:`agg_pivot_estado`, closing the pair.
+
+    ``unpivot`` is a pure narrow Expand (2 output rows per input, no
+    shuffle beyond the pivot's own aggregate). Long form is what joins
+    and group-bys want; wide is a presentation shape.
+    """
+    wide = agg_pivot_estado(spark, sf_dir)
+    return wide.unpivot(
+        ids=["categoria"],
+        values=["n_active", "n_cancelled"],
+        variableColumnName="measure",
+        valueColumnName="n",
+    )
+
+
+def agg_unpivot_estado_oracle() -> str:
+    return with_domain(
+        """
+        SELECT categoria, measure, n FROM (
+            SELECT categoria,
+                   'n_active' AS measure,
+                   CAST(COUNT(*) FILTER (WHERE estado = 'A') AS BIGINT) AS n
+            FROM eventos GROUP BY categoria
+            UNION ALL
+            SELECT categoria,
+                   'n_cancelled' AS measure,
+                   CAST(COUNT(*) FILTER (WHERE estado = 'C') AS BIGINT) AS n
+            FROM eventos GROUP BY categoria
+        )
+        """
+    )
+
+
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: HyperLogLog++ distinct-user counts per event type, alongside the
+    exact count.
+
+    The sketch IS the scale path: ``approx_count_distinct`` is a fixed-size
+    (~few KB) mergeable sketch per group — partial aggregation combines
+    map-side and the shuffle carries sketches, not user ids. The exact
+    ``count_distinct`` on the same row shows the accuracy trade (its
+    shuffle carries every distinct id — fine per-group here, prohibitive
+    for a global distinct at 100 TB). Rows-only: HLL++ register values are
+    engine-specific, so there is no cross-engine hash oracle; the error
+    bound vs exact is asserted in tests instead (rsd 0.05 default).
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )

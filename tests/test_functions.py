@@ -106,3 +106,14 @@ def test_defaults_and_validation(spark):
     withdefs = defaults_on_insert(ok)
     row = withdefs.collect()[0]
     assert row.estado == "A" and len(row._id) == 24
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ sketch accuracy: within 3x the default rsd (0.05) of exact on
+    every group — the rows-only gate for ext_approx_distinct."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    rows = A.ext_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users)
