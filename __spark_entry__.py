@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_decontaminate": sampling.ext_decontaminate,
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_pack": sampling.ext_sample_pack,
     }
 
 
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_decontaminate": sampling.ext_decontaminate_oracle(),
         "ext_sample_mixture": sampling.ext_sample_mixture_oracle(),
         "ext_sample_chunks": sampling.ext_sample_chunks_oracle(),
+        "ext_sample_pack": sampling.ext_sample_pack_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

@@ -359,3 +359,60 @@ def ext_decontaminate_oracle() -> str:
             GROUP BY 1, 2
         ) WHERE n_shared > 0
     """
+
+
+PACK_TOKENS = 256  # target pack capacity
+
+
+def ext_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign whole documents to ≤-capacity training packs
+    (the batching step after chunking — packs feed fixed-length contexts).
+
+    Streaming-cumulative formulation: within each ``source`` (the natural
+    parallel unit — packs never span sources), docs are taken in ``doc_id``
+    order and ``pack_id = floor(running_tokens_before / capacity)``. Each
+    pack holds ≤ capacity + max_doc tokens (straddling docs spill into the
+    boundary; the standard approximate packing) and packing is a SINGLE
+    window pass — the exact first-fit bin pack is a sequential fold that
+    parallelizes over nothing, this parallelizes over sources and is
+    deterministic everywhere.
+    """
+    from pyspark.sql.window import Window
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens_col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_incl = F.sum("n_tok").over(w)
+    return toks.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.floor((cum_incl - F.col("n_tok")) / PACK_TOKENS).cast("long").alias("pack_id"),
+        ((cum_incl - F.col("n_tok")) % PACK_TOKENS).cast("long").alias("pack_offset"),
+    )
+
+
+def ext_sample_pack_oracle() -> str:
+    from .text import TOKEN_RE
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tok
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST((SUM(n_tok) OVER w - n_tok) // {PACK_TOKENS} AS BIGINT) AS pack_id,
+               CAST((SUM(n_tok) OVER w - n_tok) % {PACK_TOKENS} AS BIGINT)  AS pack_offset
+        FROM toks
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """

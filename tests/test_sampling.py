@@ -204,3 +204,23 @@ def test_quota_binds_per_group(spark):
     )
     for r in ranks.collect():
         assert r.lo == 1 and r.hi == r.n
+
+
+def test_pack_capacity_invariant(spark):
+    """Every pack holds <= capacity + its largest doc (straddle bound), ids
+    are contiguous per source from 0, and offsets increase within a pack."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import sampling as S
+
+    rows = S.ext_sample_pack(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault((r.source, r.pack_id), []).append(r)
+    for (_, pid), members in per_pack.items():
+        total = sum(m.n_tokens for m in members)
+        assert total <= S.PACK_TOKENS + max(m.n_tokens for m in members)
+        offs = [m.pack_offset for m in sorted(members, key=lambda m: m.doc_id)]
+        assert offs == sorted(offs)
+    for source in {r.source for r in rows}:
+        pids = sorted({r.pack_id for r in rows if r.source == source})
+        assert pids == list(range(len(pids)))  # contiguous from 0
