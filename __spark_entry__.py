@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range_guard": scans.filter_range_guard,
         "filter_state_machine": cdc.filter_state_machine,
         "project_rename_detreserva": scans.project_rename_detreserva,
+        "sql_availability": scans.sql_availability,
         # §2.3 mutations (batch oracle form)
         "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
         "cancel_increment": mutations.cancel_increment,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_range_guard": scans.filter_range_guard_oracle(),
         "filter_state_machine": cdc.filter_state_machine_oracle(),
         "project_rename_detreserva": scans.project_rename_detreserva_oracle(),
+        "sql_availability": joins.join_availability_oracle(),
         "reserve_guarded_decrement": mutations.reserve_guarded_decrement_oracle(),
         "cancel_increment": mutations.cancel_increment_oracle(),
         "event_cancel_update": mutations.event_cancel_update_oracle(),

@@ -266,3 +266,31 @@ def defaults_on_insert(df: DataFrame) -> DataFrame:
 def validate_positive_cantidad(df: DataFrame) -> DataFrame:
     """P10: input validation — reject cantidad <= 0 (``reservas/main.go:142-145``)."""
     return df.where(F.col("cantidad") > 0)
+
+
+def sql_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship availability query through the OTHER front door:
+    ``spark.sql`` over registered temp views — proving the SQL entry path
+    produces the same Catalyst plan class as the DataFrame build (J4).
+
+    Views register the *keyed* frames; the SQL text renders labels
+    post-aggregation just like ``tables.inventario`` — same logical plan in,
+    same broadcast + partial/final agg out. SQL vs DataFrame is a syntax
+    choice, not a semantics or performance one; this query pins that.
+    """
+    tables.eventos_keyed(spark, sf_dir).createOrReplaceTempView("v_eventos_keyed")
+    tables.reservas_keyed(spark, sf_dir).createOrReplaceTempView("v_reservas_keyed")
+    return spark.sql(
+        """
+        SELECT lower(lpad(hex(e.p_partkey), 24, '0'))          AS _id,
+               concat('Evento ', lpad(CAST(e.p_partkey AS STRING), 6, '0')) AS nombre,
+               e.capacidad, e.categoria, e.estado,
+               CAST(coalesce(r.reservado, 0) AS BIGINT)            AS reservado,
+               CAST(e.capacidad - coalesce(r.reservado, 0) AS BIGINT) AS disponible
+        FROM v_eventos_keyed e
+        LEFT JOIN (
+            SELECT l_partkey, CAST(SUM(cantidad) AS BIGINT) AS reservado
+            FROM v_reservas_keyed WHERE estado = 'A' GROUP BY l_partkey
+        ) r ON e.p_partkey = r.l_partkey
+        """
+    )
