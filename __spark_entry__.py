@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_winnowing": text.ext_text_winnowing,
         "ext_text_repetition": text.ext_text_repetition,
         "ext_text_pii_mask": text.ext_text_pii_mask,
+        "ext_corpus_stats": text.ext_corpus_stats,
         "ext_text_sentiment": text.ext_text_sentiment,
         # §2.9 extensions: multimodal
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_winnowing": text.ext_text_winnowing_oracle(),
         "ext_text_repetition": text.ext_text_repetition_oracle(),
         "ext_text_pii_mask": text.ext_text_pii_mask_oracle(),
+        "ext_corpus_stats": text.ext_corpus_stats_oracle(),
         "ext_text_sentiment": text.ext_text_sentiment_oracle(),
         "ext_multimodal_meta": multimodal.ext_multimodal_meta_oracle(),
         "ext_multimodal_features": multimodal.ext_multimodal_features_oracle(),

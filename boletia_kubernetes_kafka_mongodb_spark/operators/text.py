@@ -505,3 +505,47 @@ def ext_text_pii_mask_oracle() -> str:
             )
         )
         """
+
+
+def ext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, lang) doc counts, token
+    totals, and share of all corpus tokens — the dataset-card numbers every
+    training corpus ships with.
+
+    One aggregation shuffle over the corpus; the global total for the share
+    column is a window over the *aggregated* frame (one row per
+    source×lang — tiny at any corpus size), so no second pass over the
+    data and no scalar-subquery rescan.
+    """
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    per_group = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per_group.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "avg_chars",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
+def ext_corpus_stats_oracle() -> str:
+    return f"""
+        WITH g AS (
+            SELECT source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs, n_tokens, avg_chars,
+               ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
+        FROM g
+        """
