@@ -266,12 +266,31 @@ def ext_dedup_clusters_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 def _shingles(toks):
-    """Word n-gram shingles as strings (higher-order functions, JVM-side)."""
+    """Word n-gram shingles as strings (higher-order functions, JVM-side).
+
+    Built by zipping SHINGLE_N shifted ``slice`` views of the token array —
+    NOT ``transform(sequence(...), i -> slice(toks, i+1, n))``: lambda
+    bodies re-evaluate the captured token *expression* per element, so the
+    tokenizer regex would run once per shingle per row (the same trap
+    measured 30× in ext_text_repetition). Shifted slices reference the
+    token expression SHINGLE_N+1 times per row, independent of length.
+
+    Note the slice length: ``size - n + 1`` shingles for ``size ≥ n``, and
+    the historical degenerate behavior for short docs (``sequence(0,
+    max(size-n, 0))`` always yielded ≥1 index) is preserved by clamping the
+    gram count to ≥1 — a sub-n-token doc still contributes its whole text
+    as one (short) shingle, which the dedup semantics rely on.
+    """
     n = SHINGLE_N
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+    ng = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    out = F.slice(toks, 1, ng)
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + k, ng),
+            lambda a, b: F.when(b.isNull(), a).otherwise(F.concat_ws(" ", a, b)),
+        )
+    return F.array_distinct(out)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
