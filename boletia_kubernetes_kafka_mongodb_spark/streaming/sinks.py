@@ -103,3 +103,29 @@ class ParquetMergeTable:
             self.insert_if_absent(batch_df)
 
         return handler
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming-native redelivery dedup: ``dropDuplicatesWithinWatermark``.
+
+    The engine-level twin of the consumers' idempotency discipline (M6 /
+    ``inventario/main.go:88-95``'s IsDup-is-success): a key seen again
+    within the watermark horizon is dropped, and — unlike plain
+    ``dropDuplicates`` on a stream, whose key state grows forever — state
+    for keys older than the watermark is EVICTED. At-least-once redelivery
+    windows are delivery-close in practice (same micro-batch, adjacent
+    batch), so a horizon bounded by event-time lateness is exactly the
+    right state contract at scale.
+    """
+    et = F.col(event_time_col).cast("timestamp")
+    return (
+        stream.withColumn("_event_time", et)
+        .withWatermark("_event_time", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("_event_time")
+    )

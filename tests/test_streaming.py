@@ -287,3 +287,40 @@ def test_router_malformed_and_unknown_topic(spark):
     assert got[4] == router.ROUTE_IGNORE
     assert got[5] == router.ROUTE_SKIP_STATE
     assert router.loop_breaker(routed).count() == 0
+
+
+def test_dedup_within_watermark_replay(spark, tmpdir):
+    """A doubled (redelivered) event stream deduplicated by key equals the
+    batch distinct — and the operator must be the bounded-state
+    dropDuplicatesWithinWatermark, not unbounded dropDuplicates."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.sources import cdc_stream
+    from boletia_kubernetes_kafka_mongodb_spark.streaming.sinks import (
+        dedup_within_watermark,
+    )
+
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    doubled = ev.unionAll(ev)
+    path = f"{tmpdir}/dups"
+    cdc_stream.write_ordered_files(doubled, path, n_files=4, order_col="event_id")
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "2").parquet(path)
+    )
+    out = dedup_within_watermark(stream, ["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r) for r in spark.sql("select event_id from dedup_out").collect()
+    )
+    expect = sorted(tuple(r) for r in ev.select("event_id").distinct().collect())
+    assert got == expect and len(got) > 0
