@@ -214,3 +214,36 @@ def availability_join_bucketed(
             .alias("disponible"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned event-log layout (the canonical time-series layout)
+# ---------------------------------------------------------------------------
+
+def write_time_partitioned_events(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist ``events`` partitioned by event date (``dt=YYYY-MM-DD``
+    directories) — how every 100 TB event log is actually laid out: a query
+    over a time range reads only its days' directories, and daily ingest
+    appends one new partition without touching history.
+
+    ``repartition(dt)`` before the write keeps it to one file per day per
+    final task instead of (#tasks × #days) small files — the classic
+    partitioned-write file-explosion trap.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    with_dt = ev.withColumn("dt", F.to_date(F.col("ts").cast("timestamp")))
+    (
+        with_dt.repartition("dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(out_path)
+    )
+
+
+def read_day_range(spark: SparkSession, layout_path: str, start: str, end: str) -> DataFrame:
+    """Scan a date range off the partitioned layout. The ``dt`` predicate is
+    a PARTITION filter — directories outside the range are never listed,
+    let alone read (assert_partition_pruned in tests)."""
+    return spark.read.parquet(layout_path).where(
+        (F.col("dt") >= F.lit(start)) & (F.col("dt") <= F.lit(end))
+    )
