@@ -247,3 +247,37 @@ def read_day_range(spark: SparkSession, layout_path: str, start: str, end: str) 
     return spark.read.parquet(layout_path).where(
         (F.col("dt") >= F.lit(start)) & (F.col("dt") <= F.lit(end))
     )
+
+
+def compact_layout(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files (default = the
+    maxPartitionBytes split size, so post-compaction scans get one task per
+    file with no sub-splitting).
+
+    The maintenance job every streaming/incremental sink needs — micro-batch
+    appends accumulate KB-scale files whose per-file open/footer overhead
+    eventually dominates scans. Returns the file count written. Uses
+    ``coalesce`` (narrow, no shuffle): compaction is IO-bound repacking,
+    not a repartition problem.
+    """
+    import glob
+    import math
+    import os
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: parquet readers resolve the directory at query time
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -92,3 +92,22 @@ def test_time_partitioned_layout_prunes_days(spark, tmp_path):
     assert len(day_dirs) == len(days)
     for d in day_dirs:
         assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+
+def test_compact_layout_reduces_files_preserves_rows(spark, tmp_path):
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.sources import cdc_stream, layouts
+    import glob
+
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "fragmented")
+    # simulate micro-batch append fragmentation: 16 tiny files
+    cdc_stream.write_ordered_files(ev, path, n_files=16, order_col="event_id")
+    assert len(glob.glob(path + "/*.parquet")) == 16
+    before = sorted(map(str, spark.read.parquet(path).collect()))
+
+    n_out = layouts.compact_layout(spark, path)  # tiny total → 1 file
+    assert n_out == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    after = sorted(map(str, spark.read.parquet(path).collect()))
+    assert after == before
