@@ -151,7 +151,11 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("tus", "side")
+        # event_id tie-break: two views at the SAME timestamp would otherwise
+        # resolve by partition-sort luck; with it, the highest event_id wins
+        # deterministically (fixture has no such ties — 0 (user,ts) dups —
+        # but the operator must not depend on that)
+        .orderBy("tus", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_view = F.col("side") == 0

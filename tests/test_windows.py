@@ -179,3 +179,52 @@ def test_range_join_crafted_boundaries(spark):
     with mock.patch.object(J.tables, "load", return_value=ev):
         got = {r.purchase_id: r.n_errors_nearby for r in J.ext_range_join(None, "x").collect()}
     assert got == {1: 3, 6: 0}
+
+
+def test_asof_join_randomized_vs_python_reference(spark):
+    """Seeded random corpus, one Spark pass, checked against a pure-Python
+    latest-prior scan — catches ordering/boundary bugs the crafted cases
+    might miss (duplicate timestamps across users, view-only users,
+    interleaved bursts)."""
+    import random
+    from datetime import datetime, timedelta
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins as J
+
+    rng = random.Random(20260813)
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(200):
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            rows.append(
+                (
+                    user,
+                    eid,
+                    t0 + timedelta(seconds=rng.randint(0, 3600)),
+                    rng.choice(["view", "purchase", "click"]),
+                    0.0,
+                )
+            )
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    with mock.patch.object(J.tables, "load", return_value=ev):
+        got = {r.purchase_id: r.view_id for r in J.ext_asof_join(None, "x").collect()}
+
+    # python reference: per user, sort by (ts, side view<purchase, event_id)
+    expect = {}
+    by_user = {}
+    for u, e, ts, et, _ in rows:
+        if et in ("view", "purchase"):
+            by_user.setdefault(u, []).append((ts, 0 if et == "view" else 1, e, et))
+    for u, evs in by_user.items():
+        last_view = None
+        for ts, _side, e, et in sorted(evs):
+            if et == "view":
+                last_view = e
+            else:
+                expect[e] = last_view
+    assert got == expect and len(got) > 0
