@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),
+        "ext_dedup_containment": dedup.ext_dedup_containment_oracle(),
         "ext_dedup_clusters": dedup.ext_dedup_clusters_oracle(),
         "ext_dedup_embedding": dedup.ext_dedup_embedding_oracle(),
         "ext_topk_similarity": similarity.ext_topk_similarity_oracle(),

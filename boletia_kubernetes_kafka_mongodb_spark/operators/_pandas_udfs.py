@@ -334,3 +334,41 @@ def simhash_from_token_hashes(hash_arrays: pd.Series) -> pd.Series:
         sig = sum(1 << b for b in range(64) if maj[b])  # python int, no overflow
         out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
     return pd.Series(out)
+
+
+def make_containment_probe(packed_corpus, threshold):
+    """Same broadcast-probe kernel as :func:`make_jaccard_probe`, scoring
+    containment = |A∩B| / min(|A|,|B|) — the asymmetric near-dup measure
+    that catches a short document subsumed by a longer one, which plain
+    Jaccard misses (a 25-token doc inside a 250-token doc has J ≈ 0.1 but
+    containment 1.0)."""
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, lang_codes, lang_names, masks, sizes = _unwrap(packed_corpus)
+
+        for pdf in batches:
+            my = pdf["doc_id"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(ids, my)
+            out_a, out_b, out_lang, out_c = [], [], [], []
+            for r, did in zip(idx, my):
+                cand = (lang_codes == lang_codes[r]) & (ids > did)
+                if not cand.any():
+                    continue
+                inter = _popcount_rows(masks[cand] & masks[r][None, :])
+                smaller = np.minimum(int(sizes[r]), sizes[cand])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.where(smaller > 0, np.round(inter / smaller, 6), 0.0)
+                hit = c >= threshold
+                cids = ids[cand][hit]
+                out_a.extend([int(did)] * len(cids))
+                out_b.extend(int(x) for x in cids)
+                out_lang.extend([str(lang_names[lang_codes[r]])] * len(cids))
+                out_c.extend(float(x) for x in c[hit])
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "lang": out_lang, "containment": out_c}
+            )
+
+    return probe

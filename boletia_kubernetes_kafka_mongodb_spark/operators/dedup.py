@@ -568,3 +568,56 @@ def ext_dedup_embedding_oracle() -> str:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         ) WHERE cosine >= {EMBED_DUP_THRESHOLD}
     """
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set CONTAINMENT ≥ 0.8, blocked by ``lang``.
+
+    Containment = |A∩B| / min(|A|,|B|): the asymmetric companion to
+    ``ext_dedup_ngram_jaccard`` that flags a short document subsumed by a
+    longer one — the quote/boilerplate-extraction case Jaccard's
+    union-normalization hides. Same broadcast bitmask probe, same blocking,
+    same exact-verification role next to the MinHash scale path.
+    """
+    from ._pandas_udfs import make_containment_probe
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    probe_ids, packed = _packed_corpus(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("lang", StringType(), False),
+            StructField("containment", DoubleType(), False),
+        ]
+    )
+    return probe_ids.mapInPandas(
+        make_containment_probe(packed, CONTAINMENT_THRESHOLD), schema=schema
+    )
+
+
+def ext_dedup_containment_oracle() -> str:
+    return f"""
+        SELECT doc_a, doc_b, lang, containment FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / LEAST(len(a.toks), len(b.toks)), 6) AS containment
+            FROM (SELECT doc_id, lang,
+                         list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS toks
+                  FROM documents) a
+            JOIN (SELECT doc_id, lang,
+                         list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS toks
+                  FROM documents) b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(a.toks) > 0 AND len(b.toks) > 0
+        ) WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """

@@ -84,3 +84,29 @@ def test_exact_dedup_total_count_preserved(spark):
     n_docs = tables.load(spark, SF_SMOKE, "documents").count()
     agg = dedup.ext_dedup_exact(spark, SF_SMOKE).agg(F.sum("n_copies")).first()[0]
     assert agg == n_docs  # partition of the corpus: every doc in exactly one group
+
+
+def test_containment_catches_subsumed_doc(spark):
+    """A short doc fully inside a long doc: Jaccard misses it (union-
+    normalized), containment flags it at 1.0 — the asymmetric case the
+    operator exists for."""
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short_text = " ".join(f"w{i}" for i in range(12))  # strict subset
+    docs = spark.createDataFrame(
+        [(1, long_text, "en", "s", len(long_text)),
+         (2, short_text, "en", "s", len(short_text)),
+         (3, "completely different words here", "en", "s", 31)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(D.tables, "load", return_value=docs):
+        cont = {(r.doc_a, r.doc_b): r.containment
+                for r in D.ext_dedup_containment(spark, "x").collect()}
+        jac = {(r.doc_a, r.doc_b): r.jaccard
+               for r in D.ext_dedup_ngram_jaccard(spark, "x").collect()}
+    assert cont[(1, 2)] == 1.0
+    assert (1, 2) not in jac          # J = 12/60 = 0.2 < 0.5 threshold
+    assert (1, 3) not in cont and (2, 3) not in cont

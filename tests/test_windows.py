@@ -228,3 +228,40 @@ def test_asof_join_randomized_vs_python_reference(spark):
             else:
                 expect[e] = last_view
     assert got == expect and len(got) > 0
+
+
+def test_range_join_randomized_vs_python_reference(spark):
+    """Seeded random timestamps hammering bucket edges: counts must equal a
+    brute-force python scan for every purchase."""
+    import random
+    from datetime import datetime, timedelta
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins as J
+
+    rng = random.Random(1786661789)
+    t0 = datetime(2026, 1, 1)
+    D = J.RANGE_US
+    rows, eid = [], 0
+    # cluster timestamps around bucket multiples so exact-edge cases occur
+    for _ in range(300):
+        eid += 1
+        base = rng.randint(0, 40) * D
+        jitter = rng.choice([-D, -1, 0, 1, D, rng.randint(-2 * D, 2 * D)])
+        tus = max(0, base + jitter)
+        et = rng.choice(["purchase", "error", "error"])
+        rows.append((eid, t0 + timedelta(microseconds=tus), et, 0.0, 0, tus))
+    ev = spark.createDataFrame(
+        [(e, ts, et, v, u) for e, ts, et, v, u, _ in rows],
+        "event_id long, ts timestamp, event_type string, value double, user_id long",
+    )
+    with mock.patch.object(J.tables, "load", return_value=ev):
+        got = {r.purchase_id: r.n_errors_nearby for r in J.ext_range_join(None, "x").collect()}
+
+    errors = [tus for _, _, et, _, _, tus in rows if et == "error"]
+    expect = {
+        e: sum(1 for x in errors if abs(x - tus) <= D)
+        for e, _, et, _, _, tus in rows
+        if et == "purchase"
+    }
+    assert got == expect and len(got) > 0
