@@ -83,51 +83,6 @@ def _unwrap(maybe_broadcast):
     return maybe_broadcast.value if hasattr(maybe_broadcast, "value") else maybe_broadcast
 
 
-def make_jaccard_probe(packed_corpus, threshold):
-    """mapInPandas probe: each partition's doc_ids vs the packed corpus.
-
-    ``packed_corpus`` = Broadcast of ``(ids, lang_codes, lang_names, masks,
-    sizes)`` — doc_id-sorted numpy arrays packed ONCE on the driver
-    (uint64 token-set bitmasks over the corpus vocabulary; see
-    ``dedup._packed_corpus``). The probe side streams only ``doc_id`` and
-    indexes into the broadcast by ``searchsorted`` — no re-tokenization, no
-    per-task vocab/mask rebuild (that rebuild was ~60% of the operator wall
-    time when every one of 32 fanned tasks repeated it). Per-doc scoring is
-    one vectorized AND+popcount row-vs-corpus — exact integer Jaccard, no
-    per-pair python.
-    """
-
-    def probe(batches):
-        import numpy as np
-        import pandas as pd
-
-        ids, lang_codes, lang_names, masks, sizes = _unwrap(packed_corpus)
-
-        for pdf in batches:
-            my = pdf["doc_id"].to_numpy(dtype=np.int64)
-            idx = np.searchsorted(ids, my)
-            out_a, out_b, out_lang, out_j = [], [], [], []
-            for r, did in zip(idx, my):
-                cand = (lang_codes == lang_codes[r]) & (ids > did)
-                if not cand.any():
-                    continue
-                inter = _popcount_rows(masks[cand] & masks[r][None, :])
-                union = int(sizes[r]) + sizes[cand] - inter
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    j = np.where(union > 0, np.round(inter / union, 6), 0.0)
-                hit = j >= threshold
-                cids = ids[cand][hit]
-                out_a.extend([int(did)] * len(cids))
-                out_b.extend(int(c) for c in cids)
-                out_lang.extend([str(lang_names[lang_codes[r]])] * len(cids))
-                out_j.extend(float(x) for x in j[hit])
-            yield pd.DataFrame(
-                {"doc_a": out_a, "doc_b": out_b, "lang": out_lang, "jaccard": out_j}
-            )
-
-    return probe
-
-
 def _popcount_rows(x):
     """Per-row popcount of a (N, W) uint64 array (numpy<2 lacks bitwise_count)."""
     import numpy as np
@@ -136,90 +91,148 @@ def _popcount_rows(x):
     return np.unpackbits(v, axis=1).sum(axis=1).astype(np.int64)
 
 
-def make_jaccard_component_probe(packed_corpus, threshold):
-    """mapInPandas probe fused with per-partition component contraction.
+def make_set_pairs_kernel(measure, threshold):
+    """applyInPandas kernel for one (lang, block_i, block_j) tile of the
+    exact all-pairs token-set similarity join (see
+    ``dedup._blocked_set_pairs``).
 
-    Same packed build/probe as :func:`make_jaccard_probe`, but instead of
-    materializing the (dense) qualifying-pair list, edges accumulate in
-    numpy arrays and the partition emits only (root, node) star edges of its
-    local connected components — ≤ |local nodes| rows instead of ~460
-    edges/node. The driver then merges partition-local components; chaining
-    a separate contraction UDF was measured 2-3× slower (2.3M rows
-    re-serialized through a second python worker).
+    The tile builds a boolean membership matrix over the TILE-LOCAL
+    vocabulary (np.unique + searchsorted — built per tile on the executor,
+    never on the driver) and computes ALL pairwise intersection sizes in one
+    float32 matmul (BLAS; exact for counts ≪ 2²⁴), then vectorizes the
+    measure, rounding, and threshold over the whole tile at once.
+    ``measure`` ∈ {"jaccard", "containment"}: inter/union vs inter/min-size,
+    both with the oracle's round-then-compare semantics; zero-token docs
+    score 0.0 (below any threshold), matching the oracles' NULL-drop /
+    explicit-exclusion behavior.
     """
 
-    def probe(batches):
+    def kernel(key, pdf):
         import numpy as np
         import pandas as pd
 
-        ids, lang_codes, lang_names, masks, sizes = _unwrap(packed_corpus)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "lang": pd.Series(dtype="object"),
+                measure: pd.Series(dtype="float64"),
+            }
+        )
+        lang, pi, pj = key
 
-        srcs, dsts = [], []
-        for pdf in batches:
-            my = pdf["doc_id"].to_numpy(dtype=np.int64)
-            idx = np.searchsorted(ids, my)
-            for r, did in zip(idx, my):
-                cand = (lang_codes == lang_codes[r]) & (ids > did)
-                if not cand.any():
-                    continue
-                inter = _popcount_rows(masks[cand] & masks[r][None, :])
-                union = int(sizes[r]) + sizes[cand] - inter
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    j = np.where(union > 0, np.round(inter / union, 6), 0.0)
-                cids = ids[cand][j >= threshold]
-                if len(cids):
-                    srcs.append(np.full(len(cids), int(did), dtype=np.int64))
-                    dsts.append(cids)
-        if not srcs:
-            return
-        s = np.concatenate(srcs)
-        d = np.concatenate(dsts)
-        local = np.unique(np.concatenate([s, d]))
-        si = np.searchsorted(local, s)
-        di = np.searchsorted(local, d)
-        lab = np.arange(len(local), dtype=np.int64)
-        while True:
-            prev = lab.copy()
-            np.minimum.at(lab, di, lab[si])
-            np.minimum.at(lab, si, lab[di])
-            lab = np.minimum(lab, lab[lab])
-            if np.array_equal(lab, prev):
-                break
-        yield pd.DataFrame({"doc_a": local[lab], "doc_b": local})
+        def pack(rows):
+            ids = rows["doc_id"].to_numpy(dtype=np.int64)
+            hs = [np.asarray(h, dtype=np.int64) for h in rows["hs"]]
+            return ids, hs
 
-    return probe
+        a = pdf[pdf["side"] == "a"]
+        if not len(a):
+            return empty
+        ids_a, hs_a = pack(a)
+        diagonal = pi == pj
+        if diagonal:
+            ids_b, hs_b = ids_a, hs_a
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if not len(b):
+                return empty
+            ids_b, hs_b = pack(b)
+        vocab = np.unique(np.concatenate(hs_a + hs_b + [np.array([], dtype=np.int64)]))
+
+        def membership(hs_list):
+            m = np.zeros((len(hs_list), len(vocab)), dtype=np.float32)
+            for i, h in enumerate(hs_list):
+                m[i, np.searchsorted(vocab, h)] = 1.0
+            return m
+
+        m_a = membership(hs_a)
+        m_b = m_a if diagonal else membership(hs_b)
+        sz_a = np.array([len(h) for h in hs_a], dtype=np.int64)
+        sz_b = sz_a if diagonal else np.array([len(h) for h in hs_b], dtype=np.int64)
+        inter = (m_a @ m_b.T).astype(np.int64)  # (na, nb) exact intersection sizes
+        if measure == "jaccard":
+            denom = sz_a[:, None] + sz_b[None, :] - inter
+        else:
+            denom = np.minimum(sz_a[:, None], sz_b[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom > 0, np.round(inter / denom, 6), 0.0)
+        # diagonal tiles keep only the upper triangle by doc_id order
+        pairable = ids_a[:, None] < ids_b[None, :] if diagonal else np.ones_like(s, bool)
+        ii, jj = np.nonzero(pairable & (s >= threshold))
+        if not len(ii):
+            return empty
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ia, ib),
+                "doc_b": np.maximum(ia, ib),
+                "lang": str(lang),
+                measure: s[ii, jj],
+            }
+        )
+
+    return kernel
 
 
-def make_cosine_pairs_probe(ids, matrix, threshold):
-    """mapInPandas probe: each partition's vectors vs the broadcast matrix.
+def make_block_cosine_kernel(threshold):
+    """applyInPandas kernel for one (block_i, block_j) tile of the exact
+    all-pairs cosine join (see ``dedup.ext_dedup_embedding``).
 
-    ``ids``/``matrix`` = the full corpus (vec_ids, float64 N×D ndarray,
-    L2-normalized rows) captured by value. One numpy matmul per batch
-    replaces millions of per-pair expression folds.
+    Each tile holds its two blocks' vectors (side 'a' = block_i rows, side
+    'b' = block_j rows; the diagonal tile carries side 'a' only) and does one
+    numpy matmul — vectorized Arrow path, no per-pair python, no data
+    outside the tile. Emits (vec_a < vec_b, cosine) above threshold with the
+    oracle's round-then-compare semantics.
     """
 
-    def probe(batches):
+    def kernel(key, pdf):
         import numpy as np
         import pandas as pd
 
-        idvec = np.asarray(_unwrap(ids), dtype=np.int64)
-        mat = np.asarray(_unwrap(matrix))
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        a = pdf[pdf["side"] == "a"]
+        if not len(a):
+            return empty
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        A = np.array([np.asarray(e, dtype=np.float64) for e in a["embedding"]])
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        pi, pj = key
+        if pi == pj:
+            if len(ids_a) < 2:
+                return empty
+            sims = np.round(A @ A.T, 6)
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+            s = sims[iu, ju]
+            hit = s >= threshold
+            ia, ib = ids_a[iu][hit], ids_a[ju][hit]
+            s = s[hit]
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if not len(b):
+                return empty
+            ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+            Bm = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+            Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+            sims = np.round(A @ Bm.T, 6)
+            ii, jj = np.nonzero(sims >= threshold)
+            ia, ib = ids_a[ii], ids_b[jj]
+            s = sims[ii, jj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cosine": s,
+            }
+        )
 
-        for pdf in batches:
-            my_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mine = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            mine /= np.linalg.norm(mine, axis=1, keepdims=True)
-            sims = mine @ mat.T  # (batch, N)
-            out_a, out_b, out_s = [], [], []
-            for r in range(sims.shape[0]):
-                mask = (idvec > my_ids[r]) & (np.round(sims[r], 6) >= threshold)
-                for j in np.nonzero(mask)[0]:
-                    out_a.append(int(my_ids[r]))
-                    out_b.append(int(idvec[j]))
-                    out_s.append(float(np.round(sims[r, j], 6)))
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_s})
-
-    return probe
+    return kernel
 
 
 def make_admission_stateful_processor(state_schema):
@@ -336,39 +349,3 @@ def simhash_from_token_hashes(hash_arrays: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def make_containment_probe(packed_corpus, threshold):
-    """Same broadcast-probe kernel as :func:`make_jaccard_probe`, scoring
-    containment = |A∩B| / min(|A|,|B|) — the asymmetric near-dup measure
-    that catches a short document subsumed by a longer one, which plain
-    Jaccard misses (a 25-token doc inside a 250-token doc has J ≈ 0.1 but
-    containment 1.0)."""
-
-    def probe(batches):
-        import numpy as np
-        import pandas as pd
-
-        ids, lang_codes, lang_names, masks, sizes = _unwrap(packed_corpus)
-
-        for pdf in batches:
-            my = pdf["doc_id"].to_numpy(dtype=np.int64)
-            idx = np.searchsorted(ids, my)
-            out_a, out_b, out_lang, out_c = [], [], [], []
-            for r, did in zip(idx, my):
-                cand = (lang_codes == lang_codes[r]) & (ids > did)
-                if not cand.any():
-                    continue
-                inter = _popcount_rows(masks[cand] & masks[r][None, :])
-                smaller = np.minimum(int(sizes[r]), sizes[cand])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    c = np.where(smaller > 0, np.round(inter / smaller, 6), 0.0)
-                hit = c >= threshold
-                cids = ids[cand][hit]
-                out_a.extend([int(did)] * len(cids))
-                out_b.extend(int(x) for x in cids)
-                out_lang.extend([str(lang_names[lang_codes[r]])] * len(cids))
-                out_c.extend(float(x) for x in c[hit])
-            yield pd.DataFrame(
-                {"doc_a": out_a, "doc_b": out_b, "lang": out_lang, "containment": out_c}
-            )
-
-    return probe

@@ -86,6 +86,49 @@ def test_exact_dedup_total_count_preserved(spark):
     assert agg == n_docs  # partition of the corpus: every doc in exactly one group
 
 
+def test_dedup_paths_never_materialize_on_driver(spark, monkeypatch):
+    """Scale gate: the exact pair finders and the block-cosine join must not
+    collect/toPandas anything — build AND execution stay executor-side.
+    (The previous formulation packed the corpus into a driver-built
+    broadcast; this pins the regression.)"""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side materialization in a dedup path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    assert dedup.ext_dedup_ngram_jaccard(spark, SF_SMOKE).count() >= 0
+    assert dedup.ext_dedup_containment(spark, SF_SMOKE).count() >= 0
+    assert dedup.ext_dedup_embedding(spark, SF_SMOKE).count() >= 0
+
+
+def test_clusters_distributed_star_matches_driver_path(spark, monkeypatch):
+    """Force the large-star/small-star path (threshold 0) and check it
+    produces exactly the driver fast path's components; also gate that the
+    distributed path never calls toPandas (its convergence check is a 1-row
+    agg, not an edge-list materialization)."""
+    from pyspark.sql import DataFrame
+
+    expected = {
+        (r.doc_id, r.component, r.is_survivor)
+        for r in dedup.ext_dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
+    monkeypatch.setattr(
+        DataFrame,
+        "toPandas",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("distributed CC path used toPandas")
+        ),
+    )
+    got = {
+        (r.doc_id, r.component, r.is_survivor)
+        for r in dedup.ext_dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_containment_catches_subsumed_doc(spark):
     """A short doc fully inside a long doc: Jaccard misses it (union-
     normalized), containment flags it at 1.0 — the asymmetric case the
