@@ -38,8 +38,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering note: the round-1 driver recorded only the FIRST 50 entries in
+    dict order, so the 20 ids it never recorded are listed first this round
+    — across CORRECTNESS_r01 + r02 every query id then has a driver row.
+    """
     return {
+        # --- rotated to the front: no driver CORRECTNESS row in round 1 ---
+        # §2.9 extensions: text analysis
+        "ext_text_tokens": text.ext_text_tokens,
+        "ext_text_langid": text.ext_text_langid,
+        "ext_text_quality": text.ext_text_quality,
+        "ext_text_fingerprint": text.ext_text_fingerprint,
+        "ext_text_winnowing": text.ext_text_winnowing,
+        "ext_text_repetition": text.ext_text_repetition,
+        "ext_text_pii_mask": text.ext_text_pii_mask,
+        "ext_corpus_stats": text.ext_corpus_stats,
+        "ext_text_sentiment": text.ext_text_sentiment,
+        # §2.9 extensions: multimodal
+        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
+        "ext_multimodal_features": multimodal.ext_multimodal_features,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
+        # §2.9 sampling / split
+        "ext_sample_split": sampling.ext_sample_split,
+        "ext_sample_quota": sampling.ext_sample_quota,
+        "ext_decontaminate": sampling.ext_decontaminate,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        # §2.9 IVF ANN (rows-only; recorded as such)
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
         "scan_full_inventario": scans.scan_full_inventario,
@@ -90,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot_estado": aggregates.agg_pivot_estado,
         "agg_unpivot_estado": aggregates.agg_unpivot_estado,
         "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
         # §2.9 extensions: dedup
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
@@ -102,29 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_topk_similarity": similarity.ext_topk_similarity,
         "ext_topk_batch": similarity.ext_topk_batch,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
-        # §2.9 extensions: text analysis
-        "ext_text_tokens": text.ext_text_tokens,
-        "ext_text_langid": text.ext_text_langid,
-        "ext_text_quality": text.ext_text_quality,
-        "ext_text_fingerprint": text.ext_text_fingerprint,
-        "ext_text_winnowing": text.ext_text_winnowing,
-        "ext_text_repetition": text.ext_text_repetition,
-        "ext_text_pii_mask": text.ext_text_pii_mask,
-        "ext_corpus_stats": text.ext_corpus_stats,
-        "ext_text_sentiment": text.ext_text_sentiment,
-        # §2.9 extensions: multimodal
-        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
-        "ext_multimodal_features": multimodal.ext_multimodal_features,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
-        # §2.9 sampling / split
-        "ext_sample_split": sampling.ext_sample_split,
-        "ext_sample_quota": sampling.ext_sample_quota,
-        "ext_decontaminate": sampling.ext_decontaminate,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
-        "ext_sample_pack": sampling.ext_sample_pack,
     }
 
 
@@ -170,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_rollup_category": aggregates.agg_rollup_category_oracle(),
         "agg_pivot_estado": aggregates.agg_pivot_estado_oracle(),
         "agg_unpivot_estado": aggregates.agg_unpivot_estado_oracle(),
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

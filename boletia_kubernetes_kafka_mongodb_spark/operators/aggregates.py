@@ -387,3 +387,25 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").cast("long").alias("exact_users"),
     )
+
+
+def ext_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 companion: the exact distinct-user counts per event type, split
+    out of ``ext_approx_distinct`` so the driver-checkable part has a SQL
+    oracle (the HLL++ estimate column is engine-specific and stays
+    rows-only). Same plan shape as the exact column there: partial
+    aggregation on (event_type, user_id), then a count per group.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+
+
+def ext_distinct_users_exact_oracle() -> str:
+    return """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events
+        GROUP BY event_type
+    """

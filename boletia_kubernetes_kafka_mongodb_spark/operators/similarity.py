@@ -248,15 +248,59 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via an IVF coarse quantizer.
+    """ANN top-k via an IVF coarse quantizer, served from the write-time
+    partitioned layout.
+
+    The IVF index is a STORAGE property: embeddings persist partitioned by
+    their coarse-quantizer list id (``sources/layouts.write_ivf_layout``,
+    built lazily once per sf_dir here), and the probe reads only the
+    query's IVF_NPROBE nearest lists — partition pruning at planning time,
+    zero per-row filtering, the parquet analogue of a FAISS IVF index. This
+    replaces the round-1 form that re-assigned the FULL corpus through a
+    pandas UDF on every query (kept below as ``ann_ivf_topk_scan``, the
+    index-free fallback and the reference the layout path is tested
+    against). Approximate ⇒ rows-only driver check; recall asserted in
+    tests, partition pruning pinned in tests/test_layouts.py.
+    """
+    from ..sources import layouts
+
+    path = ensure_ivf_layout(spark, sf_dir)
+    return layouts.ann_topk_over_layout(spark, sf_dir, path)
+
+
+def _ivf_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"boletia_ivf_layout_{key}")
+
+
+def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write the IVF-partitioned embedding layout for ``sf_dir`` if it isn't
+    already on disk (checked via parquet's ``_SUCCESS`` marker), and return
+    its path. The write is the one-time indexing cost every vector index
+    pays; every subsequent probe is a pruned scan."""
+    import os
+
+    from ..sources import layouts
+
+    path = _ivf_layout_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        layouts.write_ivf_layout(spark, sf_dir, path)
+    return path
+
+
+def ann_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free IVF serving path (full scan + in-row list filter).
 
     Centroids = the IVF_NLIST lowest-vec_id vectors (a deterministic,
     training-free stand-in for k-means — the *plan shape* is what matters:
     assign each vector to its nearest centroid via one vectorized Arrow UDF
     against the driver-collected NL×D centroid matrix, probe only the
-    query's IVF_NPROBE nearest lists). At 100 TB the assignment is a
-    write-time column and the probe prunes to NPROBE/NLIST of the corpus.
-    Approximate ⇒ rows-only driver check; recall asserted in tests.
+    query's IVF_NPROBE nearest lists). Exists as the no-index fallback and
+    as the reference ``ext_ann_ivf_topk``'s layout path must exactly match.
     """
     import numpy as np
 

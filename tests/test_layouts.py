@@ -28,14 +28,28 @@ def test_ivf_layout_prunes_partitions_and_matches_in_memory(spark, tmp_path):
     got_lists = {r.ivf_list for r in probe_df.select("ivf_list").distinct().collect()}
     assert got_lists <= {0, 3}
 
-    # end-to-end: top-k over the layout == the in-memory IVF operator
-    from boletia_kubernetes_kafka_mongodb_spark.operators.similarity import (
-        ext_ann_ivf_topk,
-    )
+    # end-to-end: top-k over the layout == the index-free scan form
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
 
     over_layout = sorted(map(tuple, layouts.ann_topk_over_layout(spark, SF_SMOKE, path).collect()))
-    in_memory = sorted(map(tuple, ext_ann_ivf_topk(spark, SF_SMOKE).collect()))
+    in_memory = sorted(map(tuple, similarity.ann_ivf_topk_scan(spark, SF_SMOKE).collect()))
     assert over_layout == in_memory
+
+
+def test_ext_ann_ivf_topk_serves_from_pruned_layout(spark):
+    """The driver query itself must plan a partition-pruned scan of the IVF
+    layout (not a full-corpus UDF re-assignment) and agree with the
+    index-free fallback."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    df = similarity.ext_ann_ivf_topk(spark, SF_SMOKE)  # builds layout on first call
+    plan = plans.explain_str(df)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1)
+    got = sorted(map(tuple, df.collect()))
+    ref = sorted(map(tuple, similarity.ann_ivf_topk_scan(spark, SF_SMOKE).collect()))
+    assert got == ref
 
 
 def test_bucketed_availability_join_is_exchange_free(spark, tmp_path):
