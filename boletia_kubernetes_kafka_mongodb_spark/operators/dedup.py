@@ -364,11 +364,14 @@ def _shingles(toks):
     measured 30× in ext_text_repetition). Shifted slices reference the
     token expression SHINGLE_N+1 times per row, independent of length.
 
-    Note the slice length: ``size - n + 1`` shingles for ``size ≥ n``, and
-    the historical degenerate behavior for short docs (``sequence(0,
-    max(size-n, 0))`` always yielded ≥1 index) is preserved by clamping the
-    gram count to ≥1 — a sub-n-token doc still contributes its whole text
-    as one (short) shingle, which the dedup semantics rely on.
+    Note the slice length: ``size - n + 1`` shingles for ``size ≥ n``; a
+    sub-n-token doc (1 ≤ size < n) still contributes its whole text as one
+    (short) shingle via the ≥1 clamp on the gram count, which the dedup
+    semantics rely on. ZERO-token docs yield an EMPTY shingle array — an
+    intentional change from an earlier formulation that yielded [''] and
+    thereby made all token-less docs mutual jaccard-1.0 duplicates of each
+    other; empty docs now simply don't participate in shingle-based dedup
+    (pinned in tests/test_dedup.py).
     """
     n = SHINGLE_N
     ng = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))

@@ -177,6 +177,15 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_asof_join_oracle() -> str:
+    """DuckDB native ASOF LEFT JOIN.
+
+    Tie caveat: on equal (user_id, view_us) timestamps DuckDB's ASOF picks
+    an arbitrary tied row, while the Spark operator deterministically takes
+    max view_id — parity holds because the fixture has zero duplicate
+    (user_id, ts) view pairs; if the fixture were regenerated with coarser
+    timestamps, view_id could hash-mismatch while view_us/gap_us still
+    agree (the Spark tie-break is the defensible one to keep).
+    """
     return """
         WITH p AS (
             SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us

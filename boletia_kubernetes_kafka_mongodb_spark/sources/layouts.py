@@ -264,20 +264,51 @@ def compact_layout(
     eventually dominates scans. Returns the file count written. Uses
     ``coalesce`` (narrow, no shuffle): compaction is IO-bound repacking,
     not a repartition problem.
+
+    Partitioned layouts (hive-style ``key=value`` subdirectories, e.g. the
+    ``dt=`` layout written above) are preserved: files are discovered
+    recursively, the partition columns are re-written with ``partitionBy``
+    (flattening them into row data would silently destroy partition
+    pruning), and sizing counts every file, not just top-level ones. The
+    swap parks the old directory aside BEFORE promoting the compacted one —
+    a crash between the two renames leaves either the original or both on
+    disk, never neither (the ``._compact_old`` leftover is the recovery
+    breadcrumb).
     """
     import glob
     import math
     import os
-
-    files = glob.glob(os.path.join(path, "*.parquet"))
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total / target_bytes))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: parquet readers resolve the directory at query time
     import shutil
 
-    shutil.rmtree(path)
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        return 0
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    # hive-style partition dirs directly under path → preserve their columns
+    part_cols = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        }
+    )
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if part_cols:
+        # one shuffle on the partition key → one file per partition dir
+        # (per-directory small-file collapse; target_bytes governs the
+        # unpartitioned case, where sizing is global)
+        writer = (
+            df.repartition(*part_cols).write.mode("overwrite").partitionBy(*part_cols)
+        )
+    else:
+        writer = df.coalesce(n_out).write.mode("overwrite")
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))

@@ -83,7 +83,12 @@ def find_filter(doc: Mapping[str, Any]) -> Column:
                     raise ValueError(f"unsupported operator {op!r} on {field!r}")
                 conds.append(_OPS[op](col, val))
         else:
-            conds.append(col == F.lit(spec))
+            # null-safe equality: Mongo's {field: null} matches documents
+            # where the field is null or missing, whereas Spark's `==` with
+            # a NULL literal matches nothing — eqNullSafe carries the Mongo
+            # semantics (and is identical to `==` for non-null literals,
+            # mirroring the $ne branch above)
+            conds.append(col.eqNullSafe(F.lit(spec)))
     out = conds[0]
     for c in conds[1:]:
         out = out & c

@@ -60,8 +60,15 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan: bool = False) -> Data
     epoch math matches DuckDB's ``epoch_us(ts)`` exactly. The legacy
     nanosAsLong conf stays set defensively: if the driver regenerates the
     fixture with TIMESTAMP(NANOS) (as an earlier testdata build did), the
-    scan still succeeds instead of erroring. Set per-call: the driver owns
-    the SparkSession.
+    scan still succeeds instead of erroring.
+
+    HARD INVARIANT: both confs mutate the SHARED session on every call —
+    deliberately, because the external driver imports this engine into a
+    SparkSession it owns (unknown config, possibly non-UTC), and the
+    hostile-config verify flow passes precisely because every table read
+    re-pins them. The cost: any caller setting a different session timezone
+    has it overwritten by the next load; run such code in its own session.
+    Engine code must never reset these between a load and its action.
 
     ``fan=True``: spread the scan across the cluster BEFORE CPU-heavy
     downstream work (hashing, shingling, JSON encode, UDF probes). The

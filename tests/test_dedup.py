@@ -86,6 +86,24 @@ def test_exact_dedup_total_count_preserved(spark):
     assert agg == n_docs  # partition of the corpus: every doc in exactly one group
 
 
+def test_shingles_empty_doc_yields_no_shingles(spark):
+    """Pin the zero-token-doc semantics: empty docs produce an EMPTY shingle
+    array (they do not participate in shingle-based dedup), while 1..n-1
+    token docs contribute their whole text as one short shingle."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.dedup import _shingles
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("one two",), ("a b c d",)], "text string"
+    )
+    rows = df.select("text", _shingles(tokens_col("text")).alias("sh")).collect()
+    got = {r.text: r.sh for r in rows}
+    assert got[""] == [] and got["   "] == []
+    assert got["one"] == ["one"]
+    assert got["one two"] == ["one two"]
+    assert got["a b c d"] == ["a b c", "b c d"]
+
+
 def test_dedup_paths_never_materialize_on_driver(spark, monkeypatch):
     """Scale gate: the exact pair finders and the block-cosine join must not
     collect/toPandas anything — build AND execution stay executor-side.

@@ -125,3 +125,35 @@ def test_compact_layout_reduces_files_preserves_rows(spark, tmp_path):
     assert len(glob.glob(path + "/*.parquet")) == 1
     after = sorted(map(str, spark.read.parquet(path).collect()))
     assert after == before
+
+
+def test_compact_layout_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting a dt=-partitioned layout must keep the hive directories
+    (and therefore partition pruning) intact — not flatten dt into row
+    data — and must not lose rows."""
+    import glob
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources import layouts
+
+    path = str(tmp_path / "events_by_day")
+    layouts.write_time_partitioned_events(spark, "/root/testdata/sf0.001", path)
+    days_before = sorted(os.path.basename(d) for d in glob.glob(path + "/dt=*"))
+    rows_before = sorted(map(str, spark.read.parquet(path).collect()))
+    assert days_before  # vacuous otherwise
+
+    n_out = layouts.compact_layout(spark, path)
+    assert n_out == len(days_before)  # one file per day directory
+    days_after = sorted(os.path.basename(d) for d in glob.glob(path + "/dt=*"))
+    assert days_after == days_before
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+    rows_after = sorted(map(str, spark.read.parquet(path).collect()))
+    assert rows_after == rows_before
+
+    # pruning still works post-compaction
+    probe = layouts.read_day_range(
+        spark, path, days_before[0].split("=")[1], days_before[0].split("=")[1]
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

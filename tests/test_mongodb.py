@@ -54,6 +54,20 @@ def test_find_filter_operators(spark, spec, pred):
     assert got == want
 
 
+def test_find_filter_null_equality_matches_nulls(spark):
+    """Mongo equality-with-null matches docs whose field is null (or
+    missing); Spark `== NULL` matches nothing — the translation must use
+    null-safe equality, symmetric with the $ne branch."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id long, estado string"
+    )
+    got = {r.id for r in df.filter(M.find_filter({"estado": None})).collect()}
+    assert got == {2, 3}
+    # and $ne None keeps its complement semantics
+    got_ne = {r.id for r in df.filter(M.find_filter({"estado": {"$ne": None}})).collect()}
+    assert got_ne == {1}
+
+
 def test_find_filter_empty_is_full_scan(spark):
     # Find(nil).All — reservas/main.go:61
     nation = tables.load(spark, SF_CORRECT, "nation")
