@@ -36,6 +36,9 @@ def _double_encode(doc_json):
     return json_quote_string(doc_json)
 
 
+_LOG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int = 20) -> DataFrame:
     """Deterministic interleaved CDC history over the domain views.
 
@@ -43,7 +46,25 @@ def build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int = 
     catalog exists before reservations — reference §3.1), then
     reservation-lifecycle messages in reservas.seq order. Every
     ``seq % dup_fraction_mod == 7`` message is emitted twice (redelivery).
+
+    The built log is cached per (application, sf_dir, mod) behind a lazy
+    ``localCheckpoint``: the log is the INPUT every consumer-side query
+    parses — in the reference it exists once on the broker, so re-encoding
+    it per query both overstates the decode path's cost and re-does work no
+    deployment repeats. First use pays the encode once; every later query
+    over the same fixture starts from the materialized batch (at real scale
+    the checkpoint is the broker/object-store itself).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, dup_fraction_mod)
+    cached = _LOG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    log = _build_message_log(spark, sf_dir, dup_fraction_mod).localCheckpoint(eager=False)
+    _LOG_CACHE[key] = log
+    return log
+
+
+def _build_message_log(spark: SparkSession, sf_dir: str, dup_fraction_mod: int) -> DataFrame:
     ev = tables.eventos(spark, sf_dir)
     # the reservas side carries ~30× more rows than eventos and pays the
     # full JSON encode per row — fan the RAW scan out under the projection
