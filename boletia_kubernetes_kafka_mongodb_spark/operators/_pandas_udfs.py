@@ -175,6 +175,84 @@ def make_set_pairs_kernel(measure, threshold):
     return kernel
 
 
+def make_set_component_kernel(threshold):
+    """applyInPandas kernel: one tile of the exact Jaccard join, but emitting
+    the (root, node) STAR EDGES of the tile-local connected components
+    instead of the qualifying pair list (see ``dedup.ext_dedup_clusters``).
+
+    Same membership-matmul scoring as ``make_set_pairs_kernel``; the
+    in-tile contraction (vectorized min-label pointer jumping) collapses a
+    dense tile's ~k² qualifying pairs to ≤ |tile nodes| rows before
+    anything leaves the python worker. Tile-local shortcuts are always true
+    connections and every qualifying pair scores in its designated tile, so
+    the union of star edges has exactly the corpus's connectivity — the
+    cross-tile merge happens in ``_connected_components``.
+    """
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+        _, pi, pj = key
+
+        def pack(rows):
+            ids = rows["doc_id"].to_numpy(dtype=np.int64)
+            hs = [np.asarray(h, dtype=np.int64) for h in rows["hs"]]
+            return ids, hs
+
+        a = pdf[pdf["side"] == "a"]
+        if not len(a):
+            return empty
+        ids_a, hs_a = pack(a)
+        diagonal = pi == pj
+        if diagonal:
+            ids_b, hs_b = ids_a, hs_a
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if not len(b):
+                return empty
+            ids_b, hs_b = pack(b)
+        vocab = np.unique(np.concatenate(hs_a + hs_b + [np.array([], dtype=np.int64)]))
+
+        def membership(hs_list):
+            m = np.zeros((len(hs_list), len(vocab)), dtype=np.float32)
+            for i, h in enumerate(hs_list):
+                m[i, np.searchsorted(vocab, h)] = 1.0
+            return m
+
+        m_a = membership(hs_a)
+        m_b = m_a if diagonal else membership(hs_b)
+        sz_a = np.array([len(h) for h in hs_a], dtype=np.int64)
+        sz_b = sz_a if diagonal else np.array([len(h) for h in hs_b], dtype=np.int64)
+        inter = (m_a @ m_b.T).astype(np.int64)
+        denom = sz_a[:, None] + sz_b[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom > 0, np.round(inter / denom, 6), 0.0)
+        pairable = ids_a[:, None] < ids_b[None, :] if diagonal else np.ones_like(s, bool)
+        ii, jj = np.nonzero(pairable & (s >= threshold))
+        if not len(ii):
+            return empty
+        src, dst = ids_a[ii], ids_b[jj]
+        # tile-local contraction: min-label propagation with pointer jumping
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, di, lab[si])
+            np.minimum.at(lab, si, lab[di])
+            lab = np.minimum(lab, lab[lab])
+            if np.array_equal(lab, prev):
+                break
+        return pd.DataFrame({"doc_a": nodes[lab], "doc_b": nodes})
+
+    return kernel
+
+
 def make_block_cosine_kernel(threshold):
     """applyInPandas kernel for one (block_i, block_j) tile of the exact
     all-pairs cosine join (see ``dedup.ext_dedup_embedding``).
