@@ -130,10 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
         # §2.9 extensions: similarity search
         "ext_topk_similarity": similarity.ext_topk_similarity,
         "ext_topk_batch": similarity.ext_topk_batch,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
+        # §2.9 tokenizer-training vocab counts
+        "ext_vocab_topk": text.ext_vocab_topk,
     }
 
 
@@ -186,6 +190,9 @@ def oracle_sql() -> dict[str, str]:
         "ext_dedup_containment": dedup.ext_dedup_containment_oracle(),
         "ext_dedup_clusters": dedup.ext_dedup_clusters_oracle(),
         "ext_dedup_embedding": dedup.ext_dedup_embedding_oracle(),
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters_oracle(),
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer_oracle(),
+        "ext_vocab_topk": text.ext_vocab_topk_oracle(),
         "ext_topk_similarity": similarity.ext_topk_similarity_oracle(),
         "ext_topk_batch": similarity.ext_topk_batch_oracle(),
         "ext_text_tokens": text.ext_text_tokens_oracle(),

@@ -253,6 +253,85 @@ def make_set_component_kernel(threshold):
     return kernel
 
 
+def make_knn_tile_kernel():
+    """applyInPandas kernel for one (block_i, block_j) tile of the exact
+    1-NN join (see ``similarity.ext_knn_label_transfer``).
+
+    Emits each tile vector's best neighbor WITHIN the tile, from both sides
+    (a tile is the only place its two blocks meet, so every vector needs a
+    per-tile candidate from each tile it appears in); the global reduce to
+    the true 1-NN is a groupBy max on (cosine, −neighbor_id) outside.
+    Cosines are rounded before comparison and ties break to the lowest
+    neighbor id, matching the oracle's window tie-break exactly.
+    """
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int32"),
+                "nn_vec_id": pd.Series(dtype="int64"),
+                "nn_label": pd.Series(dtype="int32"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        pi, pj = key
+
+        def pack(rows):
+            ids = rows["vec_id"].to_numpy(dtype=np.int64)
+            labs = rows["label"].to_numpy(dtype=np.int32)
+            M = np.array([np.asarray(e, dtype=np.float64) for e in rows["embedding"]])
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            return ids, labs, M
+
+        a = pdf[pdf["side"] == "a"]
+        if not len(a):
+            return empty
+        ids_a, lab_a, A = pack(a)
+        diagonal = pi == pj
+        if diagonal:
+            ids_b, lab_b, B = ids_a, lab_a, A
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if not len(b):
+                return empty
+            ids_b, lab_b, B = pack(b)
+
+        def best(sims, ids_src, lab_src, ids_dst, lab_dst):
+            if sims.shape[1] == 0:
+                return empty
+            m = sims.max(axis=1)
+            ok = m > -np.inf
+            if not ok.any():
+                return empty
+            tie_ids = np.where(
+                sims == m[:, None], ids_dst[None, :], np.iinfo(np.int64).max
+            )
+            j = tie_ids.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids_src[ok],
+                    "label": lab_src[ok],
+                    "nn_vec_id": ids_dst[j][ok],
+                    "nn_label": lab_dst[j][ok],
+                    "cosine": m[ok],
+                }
+            )
+
+        sims = np.round(A @ B.T, 6)
+        if diagonal:
+            np.fill_diagonal(sims, -np.inf)
+            return best(sims, ids_a, lab_a, ids_b, lab_b)
+        fwd = best(sims, ids_a, lab_a, ids_b, lab_b)
+        rev = best(sims.T, ids_b, lab_b, ids_a, lab_a)
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    return kernel
+
+
 def make_block_cosine_kernel(threshold):
     """applyInPandas kernel for one (block_i, block_j) tile of the exact
     all-pairs cosine join (see ``dedup.ext_dedup_embedding``).

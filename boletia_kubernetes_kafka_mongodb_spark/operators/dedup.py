@@ -707,6 +707,53 @@ def ext_dedup_embedding_oracle() -> str:
     """
 
 
+def ext_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: connected components over
+    the cosine near-dup pair graph, survivor = min vec_id per component.
+
+    The embedding companion to ``ext_dedup_clusters`` — textual near-dup
+    finds rewordings, embedding near-dup finds semantic duplicates that
+    share no tokens; a full dedup pass clusters both. Reuses the tiled
+    exact cosine join for edges and the threshold-routed component
+    resolution (numpy pointer-jumping vs large-star/small-star) for the
+    merge, so the whole chain stays driver-free.
+
+    Oracle: the same RECURSIVE-CTE min-reachable-root as the token-space
+    clusters, over the cosine pair query.
+    """
+    edges = ext_dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    out = _connected_components(spark, edges)
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "component", "is_survivor"
+    )
+
+
+def ext_dedup_semantic_clusters_oracle() -> str:
+    pair_sql = ext_dedup_embedding_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS ({pair_sql}),
+        edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS vec_id FROM edges),
+        reach AS (
+            SELECT vec_id, vec_id AS root FROM verts
+            UNION
+            SELECT e.dst AS vec_id, r.root
+            FROM reach r JOIN edges e ON e.src = r.vec_id
+        )
+        SELECT vec_id,
+               CAST(MIN(root) AS BIGINT) AS component,
+               (vec_id = MIN(root)) AS is_survivor
+        FROM reach
+        GROUP BY vec_id
+    """
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 

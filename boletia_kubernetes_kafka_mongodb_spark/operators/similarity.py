@@ -354,3 +354,87 @@ def ann_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOPK)
         .select("rank", "vec_id", "label", "cosine")
     )
+
+
+KNN_BLOCKS = 8  # tile degree for the exact 1-NN join
+
+
+def ext_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-NN label transfer: every vector's nearest neighbor (cosine)
+    and whether the neighbor's class label agrees — the weak-supervision /
+    label-propagation primitive, and the standard embedding-quality probe
+    (neighborhood label purity).
+
+    Physical plan: the same block-tile shape as ``dedup.ext_dedup_embedding``
+    — vectors replicate to their (i ≤ j) tiles via explode, each tile emits
+    its per-vector best candidate from one numpy matmul
+    (``make_knn_tile_kernel``), and a groupBy max on (cosine, −neighbor_id)
+    reduces tile candidates to the global 1-NN. All-pairs compute tiled to
+    (N/B)² tasks, (B+1)/2 × shuffle replication, no driver collect, and the
+    final reduce shuffles one candidate row per (vector, tile) — not the
+    pair space. Ties break to the lowest neighbor id on the ROUNDED cosine,
+    matching the oracle window exactly.
+    """
+    from ._pandas_udfs import make_knn_tile_kernel
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    B = KNN_BLOCKS
+    v = emb.select(
+        "vec_id", "label", "embedding",
+        F.pmod("vec_id", F.lit(B)).cast("int").alias("blk"),
+    )
+    as_a = v.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence("blk", F.lit(B - 1))).alias("pj"),
+        "vec_id", "label", "embedding",
+        F.lit("a").alias("side"),
+    )
+    # guard blk > 0: sequence(0, -1) would count DOWN, not produce empty
+    as_b = v.where(F.col("blk") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("pi"),
+        F.col("blk").alias("pj"),
+        "vec_id", "label", "embedding",
+        F.lit("b").alias("side"),
+    )
+    candidates = as_a.unionByName(as_b).groupBy("pi", "pj").applyInPandas(
+        make_knn_tile_kernel(),
+        schema="vec_id long, label int, nn_vec_id long, nn_label int, cosine double",
+    )
+    best = candidates.groupBy("vec_id", "label").agg(
+        F.max(
+            F.struct(
+                F.col("cosine"),
+                (-F.col("nn_vec_id")).alias("neg_nn"),
+                F.col("nn_label").alias("nn_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        (-F.col("b.neg_nn")).alias("nn_vec_id"),
+        F.col("b.nn_label").alias("nn_label"),
+        F.col("b.cosine").alias("cosine"),
+        (F.col("label") == F.col("b.nn_label")).alias("label_match"),
+    )
+
+
+def ext_knn_label_transfer_oracle() -> str:
+    return """
+        SELECT vec_id, label, nn_vec_id, nn_label, cosine,
+               (label = nn_label) AS label_match
+        FROM (
+            SELECT e.vec_id, e.label, n.vec_id AS nn_vec_id, n.label AS nn_label,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], n.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))), 6) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], n.embedding::DOUBLE[])
+                                      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                         * sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))), 6) DESC,
+                                n.vec_id ASC
+                   ) AS rn
+            FROM embeddings e JOIN embeddings n ON e.vec_id != n.vec_id
+        ) WHERE rn = 1
+    """

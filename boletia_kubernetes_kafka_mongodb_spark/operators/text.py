@@ -549,3 +549,52 @@ def ext_corpus_stats_oracle() -> str:
                ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
         FROM g
         """
+
+
+VOCAB_TOPK = 20
+
+
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-frequency top-k — the vocabulary-count stage every
+    tokenizer (BPE/unigram) training run starts from.
+
+    The canonical wordcount at scale: explode tokens (narrow), ONE shuffle
+    on (lang, token) with map-side partial counts, then a per-lang window
+    over the (tiny) aggregated frame. The ranking never touches token-level
+    rows — at 100 TB the window input is |vocab×langs|, not |corpus|.
+    Deterministic tie-break (count desc, token asc) keeps the result
+    hash-stable across engines.
+    """
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    counts = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= VOCAB_TOPK)
+        .select("lang", "rank", "token", "n")
+    )
+
+
+def ext_vocab_topk_oracle() -> str:
+    return f"""
+        SELECT lang, rank, token, n FROM (
+            SELECT lang, token, n,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, token ASC) AS INTEGER) AS rank
+            FROM (
+                SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (
+                    SELECT lang,
+                           unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+                    FROM documents
+                )
+                GROUP BY lang, token
+            )
+        ) WHERE rank <= {VOCAB_TOPK}
+    """

@@ -114,11 +114,14 @@ def test_dedup_paths_never_materialize_on_driver(spark, monkeypatch):
     def boom(self, *a, **k):
         raise AssertionError("driver-side materialization in a dedup path")
 
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
     monkeypatch.setattr(DataFrame, "collect", boom)
     monkeypatch.setattr(DataFrame, "toPandas", boom)
     assert dedup.ext_dedup_ngram_jaccard(spark, SF_SMOKE).count() >= 0
     assert dedup.ext_dedup_containment(spark, SF_SMOKE).count() >= 0
     assert dedup.ext_dedup_embedding(spark, SF_SMOKE).count() >= 0
+    assert similarity.ext_knn_label_transfer(spark, SF_SMOKE).count() >= 0
 
 
 def test_clusters_distributed_star_matches_driver_path(spark, monkeypatch):

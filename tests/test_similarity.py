@@ -22,6 +22,24 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.2, f"LSH recall {recall:.2f} (truth {sorted(truth)})"
 
 
+def test_knn_label_transfer_covers_every_vector_exactly_once(spark):
+    """Exact 1-NN: one row per vector, neighbor ≠ self, cosine within
+    [-1, 1], and the tie-break is reproducible (idempotent re-run)."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    out = similarity.ext_knn_label_transfer(spark, SF_SMOKE)
+    rows = out.collect()
+    n = tables.load(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    for r in rows:
+        assert r.vec_id != r.nn_vec_id
+        assert -1.000001 <= r.cosine <= 1.000001
+        assert r.label_match == (r.label == r.nn_label)
+    again = sorted(map(tuple, similarity.ext_knn_label_transfer(spark, SF_SMOKE).collect()))
+    assert again == sorted(map(tuple, rows))
+
+
 def test_ann_ivf_recall(spark):
     truth = set(_brute_topk_ids(spark))
     approx = {r.vec_id for r in similarity.ext_ann_ivf_topk(spark, SF_SMOKE).collect()}
