@@ -136,8 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_topk_batch": similarity.ext_topk_batch,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
         "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        # §2.9 tokenizer-training vocab counts
+        # §2.9 tokenizer-training vocab counts + LM quality proxy
         "ext_vocab_topk": text.ext_vocab_topk,
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
     }
 
 
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters_oracle(),
         "ext_knn_label_transfer": similarity.ext_knn_label_transfer_oracle(),
         "ext_vocab_topk": text.ext_vocab_topk_oracle(),
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob_oracle(),
         "ext_topk_similarity": similarity.ext_topk_similarity_oracle(),
         "ext_topk_batch": similarity.ext_topk_batch_oracle(),
         "ext_text_tokens": text.ext_text_tokens_oracle(),

@@ -588,9 +588,17 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     space); the Hamming verify is ``bit_count(a XOR b)``, a JVM intrinsic.
     Spark-hash + UDF dependent ⇒ rows-only driver check; behavior asserted
     against a python reference in tests/test_dedup.py.
+
+    Signatures consume the cached per-doc token-hash frame (bit-majority
+    voting is order-independent, so the sorted ``hs`` array carries exactly
+    the inputs ``simhash_signatures`` would recompute from raw text).
     """
-    docs = tables.load(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    from ._pandas_udfs import simhash_from_token_hashes
+
+    sets = _token_hash_sets(spark, sf_dir)
+    sigs = sets.select(
+        "doc_id", "lang", simhash_from_token_hashes(F.col("hs")).alias("simhash")
+    )
     band_keys = F.array(
         *[
             F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))

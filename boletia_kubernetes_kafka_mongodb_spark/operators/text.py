@@ -598,3 +598,58 @@ def ext_vocab_topk_oracle() -> str:
             )
         ) WHERE rank <= {VOCAB_TOPK}
     """
+
+
+def ext_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-likelihood under the corpus's own per-lang
+    unigram LM — the CCNet-style statistical quality proxy: documents whose
+    tokens are improbable under the corpus distribution (gibberish, wrong
+    language, boilerplate soup) score low and get filtered/bucketed before
+    pretraining.
+
+    Plan shape: token explode (narrow) → one (lang, token) shuffle for term
+    frequencies → per-lang totals over the vocab-sized frame → the LM joins
+    back to token occurrences (vocab side is broadcast-sized by
+    construction) → one groupBy on doc_id. The LM is derived and joined
+    entirely in-flight; at 100 TB the freq frame is |vocab|, not |corpus|.
+    Rounded to 4 dp: the mean of irrational doubles is the one place where
+    cross-engine summation order could flip a 6th decimal.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    ex = docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("token"))
+    freq = ex.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    lang_tot = freq.groupBy("lang").agg(F.sum("tf").alias("tot"))
+    lm = freq.join(F.broadcast(lang_tot), "lang").select(
+        "lang", "token", F.log(F.col("tf").cast("double") / F.col("tot")).alias("logp")
+    )
+    return (
+        ex.join(lm, ["lang", "token"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def ext_text_unigram_logprob_oracle() -> str:
+    return f"""
+        WITH occ AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+            FROM documents
+        ),
+        freq AS (
+            SELECT lang, token, COUNT(*) AS tf FROM occ GROUP BY lang, token
+        ),
+        lm AS (
+            SELECT lang, token,
+                   ln(CAST(tf AS DOUBLE) / SUM(tf) OVER (PARTITION BY lang)) AS logp
+            FROM freq
+        )
+        SELECT o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(l.logp), 4) AS avg_logprob
+        FROM occ o JOIN lm l ON o.lang = l.lang AND o.token = l.token
+        GROUP BY o.doc_id
+    """
