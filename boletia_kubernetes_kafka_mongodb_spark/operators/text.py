@@ -615,15 +615,24 @@ def ext_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounded to 4 dp: the mean of irrational doubles is the one place where
     cross-engine summation order could flip a 6th decimal.
     """
+    from pyspark.sql.window import Window
+
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     ex = docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("token"))
     freq = ex.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
-    lang_tot = freq.groupBy("lang").agg(F.sum("tf").alias("tot"))
-    lm = freq.join(F.broadcast(lang_tot), "lang").select(
-        "lang", "token", F.log(F.col("tf").cast("double") / F.col("tot")).alias("logp")
+    # normalization via a window over the VOCAB frame (one tiny exchange)
+    # rather than a separate per-lang total + join-back — and the finished
+    # LM broadcasts into the occurrence join (vocab-sized by construction)
+    lm = freq.select(
+        "lang",
+        "token",
+        F.log(
+            F.col("tf").cast("double")
+            / F.sum("tf").over(Window.partitionBy("lang"))
+        ).alias("logp"),
     )
     return (
-        ex.join(lm, ["lang", "token"])
+        ex.join(F.broadcast(lm), ["lang", "token"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

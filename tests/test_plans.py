@@ -145,3 +145,60 @@ def test_user_ranks_single_fused_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("+- Window ") == 1
+
+
+def test_tiled_set_join_single_exchange(spark):
+    """The tiled exact set-similarity join is one shuffle end to end: fan-out
+    replication is an explode (narrow), so the only exchange is the tile
+    groupBy feeding the Arrow kernel. A second exchange would mean the
+    replication regressed to a join/cartesian."""
+    import re
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup
+
+    for fn in (dedup.ext_dedup_ngram_jaccard, dedup.ext_dedup_containment):
+        df = fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "FlatMapGroupsInPandas" in plan  # the tile kernel
+
+
+def test_knn_label_transfer_two_exchanges(spark):
+    """Exact 1-NN: tile shuffle + candidate-reduce shuffle, nothing else —
+    the reduce runs over one candidate row per (vector, tile), never the
+    pair space."""
+    import re
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    df = similarity.ext_knn_label_transfer(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_window_over_aggregated_frame(spark):
+    """The ranking window must consume the (lang, token) AGGREGATE, not
+    token-level rows: Window sits above the final HashAggregate, and the
+    whole query carries at most one token-level exchange (the count
+    shuffle; the fan repartition is scan-side and a no-op at scale)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text
+
+    df = text.ext_vocab_topk(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")  # window ABOVE agg
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_lm_broadcasts(spark):
+    """The in-flight LM (vocab-sized) must broadcast into the occurrence
+    join — a shuffle join there would re-shuffle the token-level frame a
+    second time for a dimension-sized build side."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text
+
+    df = text.ext_text_unigram_logprob(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
