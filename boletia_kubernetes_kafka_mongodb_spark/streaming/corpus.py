@@ -1,0 +1,45 @@
+"""Streaming twins for the corpus / LLM-pipeline operators.
+
+A training-data pipeline is usually fed incrementally (crawl drops, shard
+deliveries); the batch operators in ``operators/text.py`` / ``dedup.py``
+have streaming forms whose converged state must equal the batch answer over
+the same documents. Two twins demonstrate the pattern:
+
+- ``vocab_counts_stream`` — the (lang, token) frequency aggregate as a
+  streaming stateful aggregation. State is VOCAB-sized (bounded by the
+  language), not corpus-sized, which is what makes a running vocabulary
+  count viable on an unbounded crawl.
+- ``dedup_exact_stream`` — streaming exact dedup via ``dropDuplicates`` on
+  the normalized-text fingerprint: keep-FIRST-arrival semantics. Equals the
+  batch survivor (min doc_id) exactly when arrival order is doc_id order —
+  the same arrival-order contract (``seq``) the CDC surface builds on.
+  State is one row per distinct fingerprint; at 100 TB bound it with a
+  watermark on an event-time column (``dedup_within_watermark`` in
+  sinks.py is that bounded form).
+
+Stream ≡ batch parity is pinned in tests/test_corpus_stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.text import tokens_col
+
+
+def vocab_counts_stream(docs_stream: DataFrame) -> DataFrame:
+    """Running (lang, token) occurrence counts over a document stream."""
+    toks = docs_stream.select("lang", F.explode(tokens_col("text")).alias("token"))
+    return toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def dedup_exact_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first document per normalized-text fingerprint
+    survives; later copies (and redeliveries) are dropped statefully."""
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs_stream.select(
+        fp.alias("fingerprint"), "doc_id", "lang", "source"
+    ).dropDuplicates(["fingerprint"])
