@@ -150,6 +150,66 @@ def test_clusters_distributed_star_matches_driver_path(spark, monkeypatch):
     assert got == expected and len(got) > 0
 
 
+def test_tiled_kernels_match_bruteforce_on_random_corpora(spark):
+    """Seeded randomized cross-check of the tiled set-similarity kernels
+    against a pure-python brute force — covers corpus shapes the fixture
+    doesn't have: empty docs, single-token docs, exact duplicates, docs
+    colliding into the same block, multiple langs with identical texts.
+
+    NOTE: sf_dir must be unique per generated corpus — ``_token_hash_sets``
+    caches per (application, sf_dir), so reusing a key would silently serve
+    the previous corpus.
+    """
+    import random
+    import re as _re
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+
+    vocab = [f"w{i}" for i in range(30)]
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = []
+        for doc_id in range(40):
+            lang = rng.choice(["en", "es"])
+            n = rng.choice([0, 1, 2, 5, 10, 15])
+            toks = [rng.choice(vocab) for _ in range(n)]
+            if doc_id % 7 == 0 and rows:  # exact duplicate of an earlier doc
+                prev = rng.choice(rows)
+                toks, lang = prev[1].split(), prev[2]
+            text = " ".join(toks)
+            rows.append((doc_id, text, lang, "s", len(text)))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+        def toks_of(text):
+            return set(_re.findall("[a-z0-9]+", text.lower()))
+
+        want_j, want_c = set(), set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][2] != rows[j][2]:
+                    continue
+                a, b = toks_of(rows[i][1]), toks_of(rows[j][1])
+                if a | b and round(len(a & b) / len(a | b), 6) >= D.JACCARD_THRESHOLD:
+                    want_j.add((rows[i][0], rows[j][0]))
+                if a and b and round(len(a & b) / min(len(a), len(b)), 6) >= D.CONTAINMENT_THRESHOLD:
+                    want_c.add((rows[i][0], rows[j][0]))
+
+        with mock.patch.object(D.tables, "load", return_value=docs):
+            got_j = {
+                (r.doc_a, r.doc_b)
+                for r in D.ext_dedup_ngram_jaccard(spark, f"rand-{seed}").collect()
+            }
+            got_c = {
+                (r.doc_a, r.doc_b)
+                for r in D.ext_dedup_containment(spark, f"rand-{seed}").collect()
+            }
+        assert got_j == want_j, f"seed {seed}: jaccard {got_j ^ want_j}"
+        assert got_c == want_c, f"seed {seed}: containment {got_c ^ want_c}"
+
+
 def test_containment_catches_subsumed_doc(spark):
     """A short doc fully inside a long doc: Jaccard misses it (union-
     normalized), containment flags it at 1.0 — the asymmetric case the
