@@ -13,11 +13,12 @@ Four families over ``documents`` (+ one over ``embeddings``):
 
 Scale design: every family is a composition of DataFrame shuffles/joins on
 derived keys — nothing corpus-sized touches the driver. The exact pair
-finders use lossless prefix filtering (the distributed exact set-similarity
-join of Vernica et al.); MinHash banding is the sub-quadratic approximate
-path; verification always re-joins the raw docs for candidate members only.
-Cluster resolution picks numpy-on-driver vs large-star/small-star by edge
-count; exact embedding pairs tile as a block matmul.
+finders are block-tiled membership-matmul kernels with an input-scaled tile
+degree (a prefix-filter join was measured 20× slower on dense near-dup
+corpora — see ``_blocked_set_pairs``); MinHash banding is the sub-quadratic
+approximate path. Cluster resolution fuses per-tile contraction into the
+kernel, then picks numpy-on-driver vs large-star/small-star by edge count;
+exact embedding pairs tile as a block matmul.
 """
 
 from __future__ import annotations
@@ -73,7 +74,29 @@ def ext_dedup_exact_oracle() -> str:
 # n-gram (token-set) Jaccard pairs
 # ---------------------------------------------------------------------------
 
-SET_BLOCKS = 8  # tile degree for the exact set-similarity join
+SET_BLOCKS = 8  # tile-degree FLOOR for the exact set-similarity join
+
+
+def _block_degree(sf_dir: str, table: str, floor: int = 8, cap: int = 512) -> int:
+    """Tile degree for the exact all-pairs joins, scaled to the input.
+
+    One block ≈ ≤64 MB of raw input, so any (i, j) tile — two blocks —
+    fits comfortably in one task's memory AT ANY corpus size; a static
+    degree would make tiles grow linearly with the corpus and OOM the
+    executors exactly when the driver-collect formulation would have OOMed
+    the driver. Replication stays (B+1)/2 × the input — the quadratic
+    total is what exact all-pairs *means*; the sub-quadratic paths are
+    MinHash/LSH/IVF. File-size heuristic (same trick as ``tables.load``'s
+    fan decision): instant, no Spark job, and a no-op at test SF where the
+    floor applies.
+    """
+    import os
+
+    try:
+        sz = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:  # directory-style dataset or mocked load — use the floor
+        return floor
+    return int(max(floor, min(cap, sz // (64 << 20) + 1)))
 
 
 _SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -119,8 +142,9 @@ def _blocked_set_pairs(spark: SparkSession, sf_dir: str, measure: str, threshold
     quadratic in compute; this shape caps any task at a (N/B)² tile,
     shuffles (B+1)/2 × the (tiny — doc_id + ~25 longs) token-set rows, and
     keeps the driver out of the data path — the round-1 formulation packed
-    the corpus into a driver-built broadcast, a driver OOM at 100 TB. Raise
-    ``SET_BLOCKS`` ∝ √corpus so tiles stay executor-sized.
+    the corpus into a driver-built broadcast, a driver OOM at 100 TB. The
+    tile degree scales with the input (``_block_degree``) so tiles stay
+    executor-sized at any corpus size.
 
     Measured alternative (sf0.1, 5000 docs, ~930-doc near-dup clusters): a
     frequency-ordered prefix-filter join (Vernica et al.) — the textbook
@@ -143,7 +167,7 @@ def _set_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replicate each doc's token-set row to its (i ≤ j) block tiles — the
     shared fan-out stage of every tiled set-similarity kernel."""
     sets = _token_hash_sets(spark, sf_dir)
-    B = SET_BLOCKS
+    B = _block_degree(sf_dir, "documents", floor=SET_BLOCKS)
     v = sets.select(
         "doc_id", "lang", "hs", "sz", F.pmod("doc_id", F.lit(B)).cast("int").alias("blk")
     )
@@ -656,7 +680,7 @@ def _dot(a, b):
     )
 
 
-EMBED_BLOCKS = 8  # block-matmul tiling degree; replication factor ≈ (B+1)/2
+EMBED_BLOCKS = 8  # block-matmul tiling-degree FLOOR; replication ≈ (B+1)/2
 
 
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,14 +694,15 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     single task at a (N/B)² tile, shuffles (B+1)/2 × the corpus, and keeps
     the driver out of the data path entirely — the previous formulation
     collected the full matrix to the driver, which dies long before the
-    executors do at 100 TB. Raise ``EMBED_BLOCKS`` ∝ √corpus so tiles stay
-    executor-memory-sized. The sub-quadratic path is the LSH/IVF bucketing
+    executors do at 100 TB. The tile degree scales with the input
+    (``_block_degree``) so tiles stay executor-memory-sized at any corpus
+    size. The sub-quadratic path is the LSH/IVF bucketing
     in ``similarity.py``/``sources/layouts.py``.
     """
     from ._pandas_udfs import make_block_cosine_kernel
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    B = EMBED_BLOCKS
+    B = _block_degree(sf_dir, "embeddings", floor=EMBED_BLOCKS)
     v = emb.select(
         "vec_id", "embedding", F.pmod("vec_id", F.lit(B)).cast("int").alias("blk")
     )

@@ -376,9 +376,10 @@ def ext_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the oracle window exactly.
     """
     from ._pandas_udfs import make_knn_tile_kernel
+    from .dedup import _block_degree
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    B = KNN_BLOCKS
+    B = _block_degree(sf_dir, "embeddings", floor=KNN_BLOCKS)
     v = emb.select(
         "vec_id", "label", "embedding",
         F.pmod("vec_id", F.lit(B)).cast("int").alias("blk"),
