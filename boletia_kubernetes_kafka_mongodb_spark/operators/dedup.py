@@ -119,8 +119,13 @@ def _token_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = tables.load(spark, sf_dir, "documents", fan=True)
+    # NULL text ⇒ empty token set (not a NULL array): real crawls carry null
+    # documents, and a NULL hs would reach the Arrow kernels as None
     hs = F.array_sort(
-        F.transform(F.array_distinct(tokens_col("text")), lambda t: F.xxhash64(t))
+        F.transform(
+            F.array_distinct(tokens_col(F.coalesce(F.col("text"), F.lit("")))),
+            lambda t: F.xxhash64(t),
+        )
     )
     out = docs.select(
         "doc_id", "lang", hs.alias("hs"), F.size(hs).alias("sz")
@@ -703,7 +708,8 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     B = _block_degree(sf_dir, "embeddings", floor=EMBED_BLOCKS)
-    v = emb.select(
+    # null vectors can't participate in cosine — drop before the kernel
+    v = emb.where(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding", F.pmod("vec_id", F.lit(B)).cast("int").alias("blk")
     )
     as_a = v.select(

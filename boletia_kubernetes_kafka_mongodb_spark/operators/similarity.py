@@ -380,7 +380,8 @@ def ext_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     B = _block_degree(sf_dir, "embeddings", floor=KNN_BLOCKS)
-    v = emb.select(
+    # null vectors can't participate in cosine — drop before the kernel
+    v = emb.where(F.col("embedding").isNotNull()).select(
         "vec_id", "label", "embedding",
         F.pmod("vec_id", F.lit(B)).cast("int").alias("blk"),
     )

@@ -234,3 +234,28 @@ def test_containment_catches_subsumed_doc(spark):
     assert cont[(1, 2)] == 1.0
     assert (1, 2) not in jac          # J = 12/60 = 0.2 < 0.5 threshold
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_null_text_docs_are_inert_in_set_dedup(spark):
+    """Real crawls carry null documents: they must not crash the tiled
+    kernels, must form no pairs, and must not appear in clusters."""
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world hello there", "en", "s", 23),
+            (2, None, "en", "s", 0),
+            (3, "hello world hello there", "en", "s", 23),
+            (4, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(D.tables, "load", return_value=docs):
+        pairs = {(r.doc_a, r.doc_b) for r in D.ext_dedup_ngram_jaccard(spark, "nulls-a").collect()}
+        cont = {(r.doc_a, r.doc_b) for r in D.ext_dedup_containment(spark, "nulls-b").collect()}
+        comp = {r.doc_id for r in D.ext_dedup_clusters(spark, "nulls-c").collect()}
+    assert pairs == {(1, 3)}
+    assert cont == {(1, 3)}
+    assert comp == {1, 3}  # null docs never enter the pair graph
