@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.9 tokenizer-training vocab counts + LM quality proxy
         "ext_vocab_topk": text.ext_vocab_topk,
         "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
+        # §2.9 pipeline decision layer
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
     }
 
 
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_knn_label_transfer": similarity.ext_knn_label_transfer_oracle(),
         "ext_vocab_topk": text.ext_vocab_topk_oracle(),
         "ext_text_unigram_logprob": text.ext_text_unigram_logprob_oracle(),
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list_oracle(),
         "ext_topk_similarity": similarity.ext_topk_similarity_oracle(),
         "ext_topk_batch": similarity.ext_topk_batch_oracle(),
         "ext_text_tokens": text.ext_text_tokens_oracle(),

@@ -416,3 +416,100 @@ def ext_sample_pack_oracle() -> str:
         WINDOW w AS (PARTITION BY source ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
+
+
+KEEP_MIN_QUALITY = 0.75
+
+
+def ext_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's decision layer: one keep/drop verdict per document,
+    composed from the cleaning stages — exact-dedup survivorship, quality
+    threshold, split assignment, and train-overlap contamination.
+
+    This is the artifact a data pipeline actually SHIPS: every upstream
+    operator (dedup pairs, quality scores, splits, decontamination) exists
+    to produce this row-per-document verdict with an auditable
+    ``drop_reason``. ``keep`` = train-split ∧ dedup survivor ∧ quality ≥
+    threshold; held-out docs additionally carry the ``contaminated`` flag
+    the eval pipeline needs.
+
+    Physical plan: pure composition — the stage queries join on doc_id (all
+    shuffles on the natural key, AQE broadcasts the small verdict sides at
+    test SF), so the decision layer adds no new scan logic that could drift
+    from the stages it audits; the oracle composes the same stages as CTEs.
+    """
+    from .text import ext_text_quality
+
+    docs = tables.load(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fingerprint")
+    surv = (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"),
+        )
+    )
+    quality = ext_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    decon = ext_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_cont")
+    )
+    base = docs.select("doc_id", split_assignment(F.col("doc_id")).alias("split"))
+    out = (
+        base.join(surv, "doc_id")
+        .join(quality, "doc_id")
+        .join(decon, "doc_id", "left")
+    )
+    quality_ok = F.col("quality_score") >= KEEP_MIN_QUALITY
+    keep = (F.col("split") == "train") & F.col("is_survivor") & quality_ok
+    reason = (
+        F.when(F.col("split") != "train", F.lit("held_out"))
+        .when(~F.col("is_survivor"), F.lit("duplicate"))
+        .when(~quality_ok, F.lit("low_quality"))
+    )
+    return out.select(
+        "doc_id",
+        "split",
+        "is_survivor",
+        quality_ok.alias("quality_ok"),
+        F.coalesce(F.col("_cont"), F.lit(False)).alias("contaminated"),
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def ext_corpus_keep_list_oracle() -> str:
+    from .text import ext_text_quality_oracle
+
+    h = _oracle_key_hash("doc_id")
+    return rf"""
+        WITH q AS ({ext_text_quality_oracle()}),
+        decon AS ({ext_decontaminate_oracle()}),
+        surv AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (
+                       PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                   ) AS is_survivor
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+                        WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT b.doc_id, b.split, s.is_survivor,
+               (q.quality_score >= {KEEP_MIN_QUALITY}) AS quality_ok,
+               (d.doc_id IS NOT NULL) AS contaminated,
+               (b.split = 'train' AND s.is_survivor
+                AND q.quality_score >= {KEEP_MIN_QUALITY}) AS keep,
+               CASE WHEN b.split != 'train' THEN 'held_out'
+                    WHEN NOT s.is_survivor THEN 'duplicate'
+                    WHEN q.quality_score < {KEEP_MIN_QUALITY} THEN 'low_quality'
+                    ELSE NULL END AS drop_reason
+        FROM base b
+        JOIN surv s ON b.doc_id = s.doc_id
+        JOIN q ON b.doc_id = q.doc_id
+        LEFT JOIN decon d ON b.doc_id = d.doc_id
+    """

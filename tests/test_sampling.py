@@ -224,3 +224,25 @@ def test_pack_capacity_invariant(spark):
     for source in {r.source for r in rows}:
         pids = sorted({r.pack_id for r in rows if r.source == source})
         assert pids == list(range(len(pids)))  # contiguous from 0
+
+
+def test_keep_list_covers_corpus_with_consistent_verdicts(spark):
+    """The decision layer is a partition of the corpus: one row per doc,
+    keep ⟺ (train ∧ survivor ∧ quality), drop_reason iff not keep, and
+    contamination only ever flags held-out docs."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import sampling
+    from tests.conftest import SF_SMOKE
+
+    out = sampling.ext_corpus_keep_list(spark, SF_SMOKE)
+    rows = out.collect()
+    n = tables.load(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+    for r in rows:
+        assert r.keep == (r.split == "train" and r.is_survivor and r.quality_ok)
+        assert (r.drop_reason is None) == r.keep
+        if r.contaminated:
+            assert r.split != "train"
+        if r.split != "train":
+            assert r.drop_reason == "held_out"
