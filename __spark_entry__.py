@@ -70,6 +70,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_pack": sampling.ext_sample_pack,
         # §2.9 IVF ANN (rows-only; recorded as such)
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        # --- new this round (kept inside the driver's 50-row window) ---
+        "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_split_drift": sampling.ext_split_drift,
+        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -219,6 +224,10 @@ def oracle_sql() -> dict[str, str]:
         "ext_sample_mixture": sampling.ext_sample_mixture_oracle(),
         "ext_sample_chunks": sampling.ext_sample_chunks_oracle(),
         "ext_sample_pack": sampling.ext_sample_pack_oracle(),
+        "ext_dedup_segments": dedup.ext_dedup_segments_oracle(),
+        "ext_split_drift": sampling.ext_split_drift_oracle(),
+        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom_oracle(),
+        "ext_sample_weighted": sampling.ext_sample_weighted_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

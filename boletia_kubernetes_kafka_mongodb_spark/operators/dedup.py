@@ -825,3 +825,98 @@ def ext_dedup_containment_oracle() -> str:
             WHERE len(a.toks) > 0 AND len(b.toks) > 0
         ) WHERE containment >= {CONTAINMENT_THRESHOLD}
     """
+
+
+# ---------------------------------------------------------------------------
+# segment-level exact dedup (the paragraph/line-dedup analogue)
+# ---------------------------------------------------------------------------
+
+SEGMENT_W = 8  # tokens per segment (disjoint windows; tail may be shorter)
+
+
+def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-segment fraction — the CCNet/RefinedWeb
+    paragraph-dedup step re-expressed over whitespace text: split each
+    document into disjoint ``SEGMENT_W``-token windows, count how many of a
+    doc's segment instances recur anywhere in the corpus (including within
+    the same doc), and report the duplicated fraction. Pipelines drop or
+    trim docs whose boilerplate fraction exceeds a threshold; this is the
+    measurement that feeds that verdict (cf. `ext_corpus_keep_list`).
+
+    The reference has no corpus surface at all (its records are ticketing
+    rows, e.g. `crearReservas/crearReservas.go`); this extends the engine
+    per the §2.9 mandate.
+
+    Plan shape: one narrow map builds the segment array per row (the token
+    array is a multi-referenced non-cheap projection, so CollapseProject
+    keeps it materialized once per row — the regex does NOT re-run per
+    segment, cf. the `_shingles` trap) → explode → one shuffle on ``seg``
+    for global counts → join back (same key, no extra exchange) → one
+    shuffle on ``doc_id``. The count frame is |distinct segments|, never
+    collected; at 100 TB both shuffles carry ~corpus/W rows — the same
+    shape CCNet runs at web scale.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    n = F.size("t")
+    n_segs = F.ceil(n / F.lit(float(SEGMENT_W))).cast("int")
+    # guard: sequence(0, -1) would DESCEND for empty docs
+    seg_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), i * SEGMENT_W + 1, SEGMENT_W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = toks.select("doc_id", F.explode(seg_arr).alias("seg"))
+    cnt = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("c"))
+    per = (
+        segs.join(cnt, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("c") > 1).cast("long")).alias("n_dup_segments"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("n_dup_segments", F.lit(0)).cast("long").alias("n_dup_segments"),
+            F.round(
+                F.coalesce("n_dup_segments", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_segments", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def ext_dedup_segments_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   array_to_string(t[i*{SEGMENT_W}+1 : i*{SEGMENT_W}+{SEGMENT_W}], ' ') AS seg
+            FROM toks, unnest(range(CAST(ceil(len(t)/{SEGMENT_W}.0) AS BIGINT))) AS u(i)
+        ),
+        cnt AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg),
+        per AS (
+            SELECT s.doc_id, COUNT(*) AS n_segments,
+                   COUNT(*) FILTER (c > 1) AS n_dup_segments
+            FROM segs s JOIN cnt USING (seg) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(COALESCE(n_dup_segments, 0) AS BIGINT) AS n_dup_segments,
+               ROUND(CAST(COALESCE(n_dup_segments, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(n_segments, 0), 1), 4) AS dup_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """

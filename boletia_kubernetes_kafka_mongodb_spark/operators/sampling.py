@@ -513,3 +513,274 @@ def ext_corpus_keep_list_oracle() -> str:
         JOIN q ON b.doc_id = q.doc_id
         LEFT JOIN decon d ON b.doc_id = d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# split drift: token-distribution KL between train and val
+# ---------------------------------------------------------------------------
+
+def ext_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KL(train‖val) over smoothed token distributions — the
+    post-split audit that the held-out set actually looks like the training
+    distribution (a drifted val set invalidates eval loss as a progress
+    signal). Laplace add-one smoothing over the JOINT vocab keeps every
+    term finite without dropping split-exclusive tokens.
+
+    Plan shape: token explode (narrow) → ONE (lang, token) shuffle with
+    map-side partial counts; totals and vocab sizes come from windows over
+    the vocab-sized frame (same partitioning, no second corpus pass) → a
+    per-lang final agg of ≤ |vocab| rows. At 100 TB the corpus is touched
+    once; everything after is |vocab|-sized.
+    """
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    ex = docs.select(
+        "lang",
+        split_assignment("doc_id").alias("split"),
+        F.explode(tokens_col("text")).alias("token"),
+    ).where(F.col("split").isin("train", "val"))
+    grp = ex.groupBy("lang", "token").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_tr"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_va"),
+    )
+    w = Window.partitionBy("lang")
+    probs = grp.select(
+        "lang",
+        F.sum("n_tr").over(w).alias("tot_tr"),
+        F.sum("n_va").over(w).alias("tot_va"),
+        F.count(F.lit(1)).over(w).alias("vocab"),
+        "n_tr",
+        "n_va",
+    ).select(
+        "lang",
+        "tot_tr",
+        "tot_va",
+        "vocab",
+        ((F.col("n_tr") + 1) / (F.col("tot_tr") + F.col("vocab"))).alias("p_tr"),
+        ((F.col("n_va") + 1) / (F.col("tot_va") + F.col("vocab"))).alias("p_va"),
+    )
+    return probs.groupBy("lang").agg(
+        F.max("tot_tr").cast("long").alias("n_tokens_train"),
+        F.max("tot_va").cast("long").alias("n_tokens_val"),
+        F.max("vocab").cast("long").alias("vocab"),
+        F.round(
+            F.sum(F.col("p_tr") * F.log(F.col("p_tr") / F.col("p_va"))), 6
+        ).alias("kl_train_val"),
+    )
+
+
+def ext_split_drift_oracle() -> str:
+    from .text import TOKEN_RE
+
+    h = _oracle_key_hash("doc_id")
+    return f"""
+        WITH occ AS (
+            SELECT lang,
+                   CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+                        WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+            FROM documents
+        ),
+        grp AS (
+            SELECT lang, token,
+                   COUNT(*) FILTER (split = 'train') AS n_tr,
+                   COUNT(*) FILTER (split = 'val') AS n_va
+            FROM occ WHERE split IN ('train', 'val')
+            GROUP BY lang, token
+        ),
+        probs AS (
+            SELECT lang,
+                   SUM(n_tr) OVER (PARTITION BY lang) AS tot_tr,
+                   SUM(n_va) OVER (PARTITION BY lang) AS tot_va,
+                   COUNT(*) OVER (PARTITION BY lang) AS vocab,
+                   n_tr, n_va
+            FROM grp
+        )
+        SELECT lang,
+               CAST(MAX(tot_tr) AS BIGINT) AS n_tokens_train,
+               CAST(MAX(tot_va) AS BIGINT) AS n_tokens_val,
+               CAST(MAX(vocab) AS BIGINT) AS vocab,
+               ROUND(SUM(((n_tr + 1) / CAST(tot_tr + vocab AS DOUBLE))
+                         * ln(((n_tr + 1) / CAST(tot_tr + vocab AS DOUBLE))
+                              / ((n_va + 1) / CAST(tot_va + vocab AS DOUBLE)))), 6)
+                   AS kl_train_val
+        FROM probs
+        GROUP BY lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination (the fixed-memory probe form)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16   # filter bits
+BLOOM_K = 3         # hash functions
+
+
+def _bloom_pos(col, j: int) -> F.Column:
+    """Bit position j of a shingle: 32-bit md5 slice of a seeded rendering,
+    mod BLOOM_M — identical in Spark and DuckDB, so the filter's false
+    positives are deterministic and cross-engine reproducible."""
+    c = F.col(col) if isinstance(col, str) else col
+    seeded = F.concat(F.lit(f"{j}:"), c)
+    return (
+        F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long") % BLOOM_M
+    )
+
+
+def _oracle_bloom_pos(expr: str, j: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{j}:' || {expr}), 1, 8) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the direction a 100 TB pipeline
+    actually runs: the eval/benchmark side is SMALL and fixed, so its
+    shingles compress into an m-bit filter (here m=2¹⁶, k=3) and the huge
+    TRAIN side is scanned once with a constant-memory membership probe,
+    flagging train docs that may contain benchmark text. Compare
+    ``ext_decontaminate``, which joins exact shingle sets (no false
+    positives, but the probe side grows with the eval corpus).
+
+    The filter is expressed relationally: the set-bit frame (≤ m rows by
+    construction — broadcastable at ANY corpus scale) broadcast-joins the
+    train side's (shingle, position) probes; a shingle "might match" iff
+    all k probed bits are set — bloom semantics exactly, deterministic
+    false positives included, which is what makes this oracle-checkable.
+    Guarantee (tested): flagged ⊇ the exact operator's train-side hits.
+    """
+    from .dedup import _shingles
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    sh = docs.select(
+        "doc_id",
+        split_assignment("doc_id").alias("split"),
+        F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias("shingle"),
+    )
+    probes = F.array(*[_bloom_pos("shingle", j) for j in range(BLOOM_K)])
+    bits = (
+        sh.where(F.col("split") != "train")
+        .select(F.explode(probes).alias("pos"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    train = sh.where(F.col("split") == "train").select(
+        "doc_id", "shingle", F.explode(probes).alias("pos")
+    )
+    per_shingle = (
+        train.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg((F.count("_set") == BLOOM_K).alias("maybe"))
+    )
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("maybe").cast("long")).cast("long").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            (F.col("n_flagged") > 0).alias("contaminated"),
+        )
+    )
+
+
+def ext_decontaminate_bloom_oracle() -> str:
+    from .dedup import SHINGLE_N
+    from .text import TOKEN_RE
+
+    h = _oracle_key_hash("doc_id")
+    n = SHINGLE_N
+    pos_exprs = ", ".join(_oracle_bloom_pos("shingle", j) for j in range(BLOOM_K))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+                        WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split,
+                   unnest(list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+                                         for i in generate_series(1, greatest(len(t) - {n - 1}, 1))])) AS shingle
+            FROM toks
+        ), bits AS (
+            SELECT DISTINCT unnest([{pos_exprs}]) AS pos
+            FROM sh WHERE split <> 'train'
+        ), probe AS (
+            SELECT doc_id, shingle, unnest([{pos_exprs}]) AS pos
+            FROM sh WHERE split = 'train'
+        ), per_shingle AS (
+            SELECT p.doc_id, p.shingle,
+                   COUNT(b.pos) = {BLOOM_K} AS maybe
+            FROM probe p LEFT JOIN bits b USING (pos)
+            GROUP BY p.doc_id, p.shingle
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               SUM(CASE WHEN maybe THEN 1 ELSE 0 END) > 0 AS contaminated
+        FROM per_shingle
+        GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (A-Res / Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: K docs with
+    probability proportional to size (n_chars), via the A-Res exponential
+    trick — priority r = −ln(u)/w with u a content-independent hash-uniform
+    in (0,1); the K SMALLEST r values are exactly a weighted sample without
+    replacement. Every corpus pipeline needs this for "sample 1M docs
+    weighted by length for tokenizer training / audits" — and it must be
+    hash-deterministic, not ``rand()``, for the same re-run/cross-engine
+    reasons as ``ext_sample_split``.
+
+    Plan: narrow map computes r per row; sort+limit compiles to
+    TakeOrderedAndProject — a bounded K-row heap per task, K rows to the
+    driver, NO global sort. The same plan at 100 TB moves K rows, period.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    u = (_key_hash("doc_id") + F.lit(0.5)) / F.lit(float(1 << 32))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    r = -F.log(u) / w
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            r.alias("_r"),
+        )
+        .orderBy("_r", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id", "lang", "source", "weight", F.round("_r", 6).alias("priority")
+        )
+    )
+
+
+def ext_sample_weighted_oracle() -> str:
+    h = _oracle_key_hash("doc_id")
+    return f"""
+        SELECT doc_id, lang, source,
+               CAST(n_chars AS BIGINT) AS weight,
+               ROUND(-ln(({h} + 0.5) / 4294967296.0)
+                     / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS priority
+        FROM documents
+        ORDER BY -ln(({h} + 0.5) / 4294967296.0)
+                 / CAST(GREATEST(n_chars, 1) AS DOUBLE), doc_id
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """

@@ -259,3 +259,37 @@ def test_null_text_docs_are_inert_in_set_dedup(spark):
     assert pairs == {(1, 3)}
     assert cont == {(1, 3)}
     assert comp == {1, 3}  # null docs never enter the pair graph
+
+
+def test_segment_dedup_counts_and_empty_docs(spark, tmp_path):
+    """Within-doc repeats count toward dup segments; unique docs score 0;
+    empty docs stay in the output with zero counts."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.dedup import (
+        SEGMENT_W,
+        ext_dedup_segments,
+    )
+
+    seg_a = " ".join(f"a{i}" for i in range(SEGMENT_W))
+    seg_b = " ".join(f"b{i}" for i in range(SEGMENT_W))
+    uniq = " ".join(f"u{i}" for i in range(SEGMENT_W))
+    rows = [
+        (1, f"{seg_a} {seg_a}", "en", "src", 0),   # self-repeat: both dup
+        (2, f"{seg_a} {seg_b}", "en", "src", 0),   # one shared with doc 1
+        (3, uniq, "en", "src", 0),                  # fully unique
+        (4, "", "en", "src", 0),                    # empty
+        (5, "tail only", "en", "src", 0),           # sub-W tail segment
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in ext_dedup_segments(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_segments == 2 and out[1].n_dup_segments == 2
+    assert out[1].dup_frac == 1.0
+    assert out[2].n_segments == 2 and out[2].n_dup_segments == 1
+    assert out[2].dup_frac == 0.5
+    assert out[3].n_dup_segments == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_segments == 0 and out[4].dup_frac == 0.0
+    assert out[5].n_segments == 1  # short tail still forms one segment

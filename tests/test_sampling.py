@@ -246,3 +246,97 @@ def test_keep_list_covers_corpus_with_consistent_verdicts(spark):
             assert r.split != "train"
         if r.split != "train":
             assert r.drop_reason == "held_out"
+
+
+def test_split_drift_nonnegative_and_zero_on_identical(spark, tmp_path):
+    """KL ≥ 0 always; identical train/val token distributions → KL ≈ 0
+    (up to the smoothing asymmetry from unequal split masses)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        ext_split_drift,
+    )
+
+    rows_real = ext_split_drift(spark, SF).collect()
+    assert rows_real, "drift query returned nothing"
+    for r in rows_real:
+        assert r.kl_train_val >= 0.0
+        assert r.vocab > 0
+
+    # crafted: every doc identical text → p_train == p_val exactly
+    train_ids = [i for i in range(400) if _bucket(i) < TRAIN_PCT][:20]
+    val_ids = [
+        i for i in range(400) if TRAIN_PCT <= _bucket(i) < TRAIN_PCT + VAL_PCT
+    ][:20]
+    text = "same words every time"
+    rows = [(i, text, "en", "src", len(text)) for i in train_ids + val_ids]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = ext_split_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and abs(out[0].kl_train_val) < 1e-6
+
+
+def test_bloom_decontaminate_supersets_exact_hits(spark):
+    """Bloom has NO false negatives: every train doc sharing a distinct
+    shingle with the eval side must be flagged; extra flags (false
+    positives) are allowed and must stay a small fraction."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.dedup import _shingles
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        ext_decontaminate_bloom,
+        split_assignment,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+
+    docs = tables.load(spark, SF, "documents")
+    sh = docs.select(
+        "doc_id",
+        split_assignment("doc_id").alias("split"),
+        F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias("shingle"),
+    )
+    eval_sh = sh.where(F.col("split") != "train").select("shingle").distinct()
+    exact_hits = {
+        r.doc_id
+        for r in sh.where(F.col("split") == "train")
+        .join(eval_sh, "shingle")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+
+    out = ext_decontaminate_bloom(spark, SF).collect()
+    flagged = {r.doc_id for r in out if r.contaminated}
+    assert exact_hits.issubset(flagged)
+    # false-positive head-room: flagged-but-not-exact docs exist only via
+    # bloom collisions; with m=2^16/k=3 they must stay well under 20%
+    n_train = len(out)
+    assert len(flagged - exact_hits) <= max(2, 0.2 * n_train)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The A-Res selection is exactly reproducible from the raw table."""
+    import math
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        WEIGHTED_SAMPLE_K,
+        ext_sample_weighted,
+    )
+
+    docs = tables.load(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    import hashlib
+
+    def h32(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    ranked = sorted(
+        (
+            (-math.log((h32(r.doc_id) + 0.5) / 2**32) / max(r.n_chars, 1), r.doc_id)
+            for r in docs
+        )
+    )
+    expect = [doc_id for _, doc_id in ranked[:WEIGHTED_SAMPLE_K]]
+
+    got = ext_sample_weighted(spark, SF).collect()
+    assert [r.doc_id for r in got] == expect
+    assert all(r.priority > 0 for r in got)
