@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_split_drift": sampling.ext_split_drift,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
         "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -228,8 +230,9 @@ def oracle_sql() -> dict[str, str]:
         "ext_split_drift": sampling.ext_split_drift_oracle(),
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom_oracle(),
         "ext_sample_weighted": sampling.ext_sample_weighted_oracle(),
+        "ext_embed_quantize": similarity.ext_embed_quantize_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
-        # ext_ann_ivf_topk are Spark-hash- or approximation-dependent →
+        # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their
         # semantics are asserted against python references in tests/.
     }

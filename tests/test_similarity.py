@@ -54,3 +54,32 @@ def test_topk_ordering_and_bounds(spark):
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
     assert all(r.vec_id != similarity.QUERY_VEC_ID for r in rows)
+
+
+def test_ann_pq_recall_and_exactness(spark):
+    """PQ+ADC with a 100-vector exact re-rank: high recall against brute
+    force, and every returned cosine is the TRUE cosine (re-rank is exact,
+    so errors can only be omissions, never wrong scores)."""
+    truth = {r.vec_id: r.cosine for r in similarity.ext_topk_similarity(spark, SF_SMOKE).collect()}
+    got = similarity.ext_ann_pq_topk(spark, SF_SMOKE).collect()
+    assert len(got) == similarity.TOPK
+    recall = len(set(truth) & {r.vec_id for r in got}) / len(truth)
+    assert recall >= 0.7, f"PQ recall {recall:.2f}"
+    for r in got:
+        if r.vec_id in truth:  # scores of true-top hits must agree exactly
+            assert r.cosine == truth[r.vec_id]
+    # deterministic: re-run returns the identical ranking
+    again = similarity.ext_ann_pq_topk(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_embed_quantize_fidelity_bounds(spark):
+    """Reconstruction must be near-lossless at int8: the symmetric-scale
+    bound guarantees per-element error ≤ scale/2, so cosine fidelity stays
+    near 1 and MSE ≤ (scale/2)²."""
+    rows = similarity.ext_embed_quantize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.cos_fidelity > 0.999
+        assert 0.0 <= r.mse <= (r.scale / 2) ** 2 + 1e-12
+        assert r.scale > 0
