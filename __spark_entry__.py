@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_weighted": sampling.ext_sample_weighted,
         "ext_embed_quantize": similarity.ext_embed_quantize,
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
+        "ext_dedup_incremental": dedup.ext_dedup_incremental,
+        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -231,6 +233,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom_oracle(),
         "ext_sample_weighted": sampling.ext_sample_weighted_oracle(),
         "ext_embed_quantize": similarity.ext_embed_quantize_oracle(),
+        "ext_dedup_incremental": dedup.ext_dedup_incremental_oracle(),
+        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

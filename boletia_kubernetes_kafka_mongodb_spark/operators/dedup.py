@@ -920,3 +920,67 @@ def ext_dedup_segments_oracle() -> str:
                      / GREATEST(COALESCE(n_segments, 0), 1), 4) AS dup_frac
         FROM documents d LEFT JOIN per USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: today's batch against the standing corpus
+# ---------------------------------------------------------------------------
+
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (nightly-ingest) exact dedup: the arriving batch — the
+    'test' hash split standing in for today's crawl — checked against the
+    standing corpus by normalized fingerprint. This is the shape a corpus
+    pipeline actually runs daily: NOT a full-corpus re-dedup, but new-vs-
+    existing, emitting each new doc's verdict and canonical duplicate.
+
+    Plan: one fingerprint shuffle on each side; the existing side is
+    pre-aggregated to (fingerprint, min doc_id) BEFORE the join, so every
+    join key has exactly one build row — a viral doc duplicated millions of
+    times in the standing corpus contributes one row, the same skew-proofing
+    as ``ext_decontaminate``. At 100 TB the standing side's agg output is
+    |distinct fingerprints| and would persist as a bucketed layout so only
+    the (tiny) new batch shuffles per run.
+    """
+    from .sampling import split_assignment
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    tagged = docs.select(
+        "doc_id", split_assignment("doc_id").alias("split"), fp.alias("fingerprint")
+    )
+    existing = (
+        tagged.where(F.col("split") != "test")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").cast("long").alias("dup_of"))
+    )
+    new = tagged.where(F.col("split") == "test")
+    return new.join(existing, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.col("dup_of").isNotNull().alias("exact_dup"),
+        "dup_of",
+    )
+
+
+def ext_dedup_incremental_oracle() -> str:
+    from .sampling import TRAIN_PCT, VAL_PCT, _oracle_key_hash
+
+    h = _oracle_key_hash("doc_id")
+    return rf"""
+        WITH tagged AS (
+            SELECT doc_id,
+                   CASE WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'old'
+                        ELSE 'test' END AS split,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        ),
+        existing AS (
+            SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS dup_of
+            FROM tagged WHERE split <> 'test' GROUP BY fingerprint
+        )
+        SELECT n.doc_id, n.fingerprint,
+               e.dup_of IS NOT NULL AS exact_dup,
+               e.dup_of
+        FROM tagged n LEFT JOIN existing e USING (fingerprint)
+        WHERE n.split = 'test'
+    """

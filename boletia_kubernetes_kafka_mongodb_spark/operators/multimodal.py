@@ -351,3 +351,48 @@ def ext_multimodal_features_oracle() -> str:
                     FROM documents)
               GROUP BY doc_id) h ON d.doc_id = h.doc_id
     """
+
+
+def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level dedup over the binary payload column — the first
+    pass every media corpus runs (identical files re-crawled under
+    different ids are the bulk of image-corpus waste). Dedup key = md5 of
+    the raw payload bytes, computed JVM-side; the bytes themselves never
+    shuffle — only (hash, doc_id, n_bytes) rows move, which is what keeps
+    this viable when payloads average megabytes.
+
+    Emits one row per duplicated payload group: canonical (min-id) doc,
+    copy count, and the bytes reclaimed by keeping one copy.
+    """
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(F.md5("payload").alias("payload_md5"), "doc_id", "n_bytes")
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.max("n_bytes").cast("long").alias("payload_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "payload_md5",
+            "canonical_doc_id",
+            "n_copies",
+            "payload_bytes",
+            ((F.col("n_copies") - 1) * F.col("payload_bytes")).alias("reclaimed_bytes"),
+        )
+    )
+
+
+def ext_multimodal_dedup_oracle() -> str:
+    return """
+        SELECT md5(text) AS payload_md5,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+               CAST((COUNT(*) - 1) * MAX(octet_length(encode(text))) AS BIGINT)
+                   AS reclaimed_bytes
+        FROM documents
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    """

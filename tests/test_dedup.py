@@ -293,3 +293,35 @@ def test_segment_dedup_counts_and_empty_docs(spark, tmp_path):
     assert out[3].n_dup_segments == 0 and out[3].dup_frac == 0.0
     assert out[4].n_segments == 0 and out[4].dup_frac == 0.0
     assert out[5].n_segments == 1  # short tail still forms one segment
+
+
+def test_incremental_dedup_flags_only_new_batch(spark, tmp_path):
+    """A 'test'-split doc copying an older doc is flagged with the
+    canonical id; a unique new doc is not; old docs never appear."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.dedup import (
+        ext_dedup_incremental,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+    from tests.test_sampling import _bucket
+
+    old_id = next(i for i in range(1000) if _bucket(i) < TRAIN_PCT)
+    new_ids = [i for i in range(1000) if _bucket(i) >= TRAIN_PCT + VAL_PCT]
+    copied, unique = new_ids[0], new_ids[1]
+    text = "the exact same document text"
+    rows = [
+        (old_id, text, "en", "src", len(text)),
+        (copied, text.upper(), "en", "src", len(text)),  # normalization-equal
+        (unique, "something never seen before", "en", "src", 27),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in ext_dedup_incremental(spark, str(tmp_path)).collect()}
+    assert set(out) == {copied, unique}
+    assert out[copied].exact_dup and out[copied].dup_of == old_id
+    assert not out[unique].exact_dup and out[unique].dup_of is None

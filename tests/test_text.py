@@ -135,3 +135,27 @@ def test_pii_mask_behaviour(spark):
     # partial patterns must NOT be scrubbed (precision matters: over-masking
     # destroys training text)
     assert out[3] == "no pii: at sign alone @ and 555-1234 stay"
+
+
+def test_multimodal_payload_dedup_groups(spark):
+    """Every emitted group has >1 copies, canonical = min id of the group,
+    and reclaimed bytes = (copies-1) x payload size."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from tests.conftest import SF_CORRECT as SF
+    from boletia_kubernetes_kafka_mongodb_spark.operators.multimodal import (
+        ext_multimodal_dedup,
+    )
+
+    docs = tables.load(spark, SF, "documents").select("doc_id", "text").collect()
+    groups = {}
+    for r in docs:
+        groups.setdefault(r.text, []).append(r.doc_id)
+    dup_groups = {t: ids for t, ids in groups.items() if len(ids) > 1}
+
+    rows = ext_multimodal_dedup(spark, SF).collect()
+    assert len(rows) == len(dup_groups)
+    by_canon = {r.canonical_doc_id: r for r in rows}
+    for ids in dup_groups.values():
+        r = by_canon[min(ids)]
+        assert r.n_copies == len(ids)
+        assert r.reclaimed_bytes == (r.n_copies - 1) * r.payload_bytes
