@@ -43,3 +43,25 @@ def dedup_exact_stream(docs_stream: DataFrame) -> DataFrame:
     return docs_stream.select(
         fp.alias("fingerprint"), "doc_id", "lang", "source"
     ).dropDuplicates(["fingerprint"])
+
+
+def dedup_incremental_stream(docs_stream: DataFrame, standing: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.dedup.ext_dedup_incremental``: arriving
+    documents stream-static LEFT JOIN the standing corpus's fingerprint
+    index — each micro-batch gets its dedup verdict against yesterday's
+    corpus with NO stream state at all (the static side is re-resolved per
+    micro-batch, so a nightly-refreshed index is picked up automatically).
+
+    ``standing`` must be the one-row-per-fingerprint frame
+    (fingerprint, dup_of) — the same pre-aggregated skew-proof shape the
+    batch operator builds; at scale it lives as a bucketed layout so the
+    per-batch join is broadcast- or bucket-local.
+    """
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    new = docs_stream.select("doc_id", fp.alias("fingerprint"))
+    return new.join(standing, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.col("dup_of").isNotNull().alias("exact_dup"),
+        "dup_of",
+    )

@@ -73,3 +73,44 @@ def test_dedup_exact_stream_survivors_equal_batch(spark, tmp_path):
         for r in dedup.ext_dedup_exact(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dedup_incremental_stream_equals_batch(spark, tmp_path):
+    """Stream-static join twin: streaming the new batch against the standing
+    fingerprint index yields exactly the batch operator's verdicts."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    tagged = docs.select(
+        "doc_id", "text", split_assignment("doc_id").alias("split"), fp.alias("fp")
+    )
+    standing = (
+        tagged.where(F.col("split") != "test")
+        .groupBy(F.col("fp").alias("fingerprint"))
+        .agg(F.min("doc_id").cast("long").alias("dup_of"))
+    )
+    new_docs = tagged.where(F.col("split") == "test").select("doc_id", "text")
+    path = str(tmp_path / "newdocs")
+    cdc_stream.write_ordered_files(new_docs, path, n_files=3, order_col="doc_id")
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        corpus.dedup_incremental_stream(stream, standing)
+        .writeStream.format("memory")
+        .queryName("dedup_incr_tw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = sorted(map(tuple, spark.table("dedup_incr_tw").collect()))
+    want = sorted(
+        map(tuple, dedup.ext_dedup_incremental(spark, SF_SMOKE).collect())
+    )
+    assert got == want and len(got) > 0
