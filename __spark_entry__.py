@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
         "ext_dedup_incremental": dedup.ext_dedup_incremental,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
+        "ext_quality_buckets": text.ext_quality_buckets,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_sample_weighted": sampling.ext_sample_weighted_oracle(),
         "ext_embed_quantize": similarity.ext_embed_quantize_oracle(),
         "ext_dedup_incremental": dedup.ext_dedup_incremental_oracle(),
+        "ext_quality_buckets": text.ext_quality_buckets_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →

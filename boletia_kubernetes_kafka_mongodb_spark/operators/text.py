@@ -607,22 +607,29 @@ def ext_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     language, boilerplate soup) score low and get filtered/bucketed before
     pretraining.
 
-    Plan shape: token explode (narrow) → one (lang, token) shuffle for term
-    frequencies → per-lang totals over the vocab-sized frame → the LM joins
-    back to token occurrences (vocab side is broadcast-sized by
-    construction) → one groupBy on doc_id. The LM is derived and joined
-    entirely in-flight; at 100 TB the freq frame is |vocab|, not |corpus|.
+    Plan shape: ONE corpus scan. The per-doc term-frequency frame
+    (doc_id, lang, token, tf) is materialized once via ``localCheckpoint``
+    because both the LM derivation and the scoring join consume it — the
+    earlier two-branch form re-tokenized the whole corpus twice, which at
+    100 TB is a second full pass for nothing. From the materialized frame:
+    a vocab-sized (lang, token) agg → per-lang totals over the vocab frame
+    (one tiny exchange) → the finished LM broadcasts into the scoring join
+    → one groupBy on doc_id, with Σtf·logp / Σtf as the occurrence mean.
     Rounded to 4 dp: the mean of irrational doubles is the one place where
     cross-engine summation order could flip a 6th decimal.
     """
     from pyspark.sql.window import Window
 
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    ex = docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("token"))
-    freq = ex.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # normalization via a window over the VOCAB frame (one tiny exchange)
-    # rather than a separate per-lang total + join-back — and the finished
-    # LM broadcasts into the occurrence join (vocab-sized by construction)
+    occ = (
+        docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # executor-local materialization, not fault-tolerant — acceptable
+        # for a derived frame that any retry can rebuild from the scan
+        .localCheckpoint(eager=False)
+    )
+    freq = occ.groupBy("lang", "token").agg(F.sum("tf").alias("tf"))
     lm = freq.select(
         "lang",
         "token",
@@ -632,11 +639,13 @@ def ext_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logp"),
     )
     return (
-        ex.join(F.broadcast(lm), ["lang", "token"])
+        occ.join(F.broadcast(lm), ["lang", "token"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("logp")) / F.sum("tf"), 4).alias(
+                "avg_logprob"
+            ),
         )
     )
 
@@ -661,4 +670,60 @@ def ext_text_unigram_logprob_oracle() -> str:
                ROUND(AVG(l.logp), 4) AS avg_logprob
         FROM occ o JOIN lm l ON o.lang = l.lang AND o.token = l.token
         GROUP BY o.doc_id
+    """
+
+
+QUALITY_N_BUCKETS = 10
+
+
+def ext_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of the unigram-logprob quality score — the step
+    that turns a continuous quality proxy into actionable tiers (keep the
+    top deciles, re-filter the middle, drop the tail; CCNet ships exactly
+    this head/middle/tail split).
+
+    Deliberately NOT a global ``ntile``: that is a full sort of the corpus
+    through one partition. Instead the 9 decile thresholds come from one
+    exact ``percentile`` aggregation over the per-doc score frame (a
+    parallel partial+final agg), broadcast as a 1-row frame; each doc's
+    bucket is then "1 + #thresholds strictly below its score" — a narrow
+    map. Same output as ntile up to threshold ties, O(1) driver state.
+    """
+    lp = ext_text_unigram_logprob(spark, sf_dir)
+    pcts = [i / QUALITY_N_BUCKETS for i in range(1, QUALITY_N_BUCKETS)]
+    th = lp.agg(F.percentile("avg_logprob", pcts).alias("t"))
+    bucketed = lp.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        (
+            F.lit(1)
+            + F.size(F.filter("t", lambda x: F.col("avg_logprob") > x))
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.min("avg_logprob"), 4).alias("min_logprob"),
+        F.round(F.max("avg_logprob"), 4).alias("max_logprob"),
+    )
+
+
+def ext_quality_buckets_oracle() -> str:
+    lp = ext_text_unigram_logprob_oracle()
+    pcts = ", ".join(str(i / QUALITY_N_BUCKETS) for i in range(1, QUALITY_N_BUCKETS))
+    return f"""
+        WITH lp AS ({lp}),
+        th AS (SELECT quantile_cont(avg_logprob, [{pcts}]) AS t FROM lp)
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(MIN(avg_logprob), 4) AS min_logprob,
+               ROUND(MAX(avg_logprob), 4) AS max_logprob
+        FROM (
+            SELECT lp.*,
+                   1 + len(list_filter(t, x -> avg_logprob > x)) AS bucket
+            FROM lp, th
+        )
+        GROUP BY bucket
     """

@@ -159,3 +159,22 @@ def test_multimodal_payload_dedup_groups(spark):
         r = by_canon[min(ids)]
         assert r.n_copies == len(ids)
         assert r.reclaimed_bytes == (r.n_copies - 1) * r.payload_bytes
+
+
+def test_quality_buckets_partition_corpus_monotonically(spark):
+    """Buckets cover every doc exactly once, ids stay in [1, 10], and the
+    score ranges are non-overlapping and increasing with the bucket id."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        QUALITY_N_BUCKETS,
+        ext_quality_buckets,
+    )
+    from tests.conftest import SF_CORRECT as SF
+
+    rows = sorted(ext_quality_buckets(spark, SF).collect(), key=lambda r: r.bucket)
+    assert all(1 <= r.bucket <= QUALITY_N_BUCKETS for r in rows)
+    n_docs = tables.load(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_logprob <= hi.min_logprob
+        assert lo.min_logprob <= lo.max_logprob
