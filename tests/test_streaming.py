@@ -324,3 +324,49 @@ def test_dedup_within_watermark_replay(spark, tmpdir):
     )
     expect = sorted(tuple(r) for r in ev.select("event_id").distinct().collect())
     assert got == expect and len(got) > 0
+
+
+def test_kafka_frame_roundtrip_and_contract(spark):
+    """to_kafka_frame produces the exact Spark-Kafka source schema; per-key
+    ordering survives partition assignment; from_kafka_frame inverts it —
+    including with seq stripped (real-broker shape, order from offsets)."""
+    from boletia_kubernetes_kafka_mongodb_spark.sources import kafka as kafka_mod
+
+    log = cdc_stream.build_message_log(spark, SF_SMOKE)
+    frame = kafka_mod.to_kafka_frame(log)
+    assert [c for c in frame.columns if c != "seq"] == kafka_mod.KAFKA_SOURCE_COLUMNS
+    assert dict(frame.dtypes)["key"] == "binary"
+    assert dict(frame.dtypes)["value"] == "binary"
+
+    rows = frame.select("topic", "partition", "offset", "key", "seq").collect()
+    # offsets: contiguous from 0 and monotone with seq within a partition
+    by_part = {}
+    for r in rows:
+        by_part.setdefault((r.topic, r.partition), []).append((r.offset, r.seq))
+    for offs in by_part.values():
+        offs.sort()
+        assert [o for o, _ in offs] == list(range(len(offs)))
+        assert [s for _, s in offs] == sorted(s for _, s in offs)
+    # one partition per key
+    key_parts = {}
+    for r in rows:
+        key_parts.setdefault(bytes(r.key), set()).add(r.partition)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+
+    # round-trip identity (emulated frame carries seq)
+    back = sorted(map(tuple, kafka_mod.from_kafka_frame(frame).collect()))
+    orig = sorted(
+        map(tuple, log.select("topic", "key", "value", "seq").collect())
+    )
+    assert back == orig
+
+    # real-broker shape: strip seq; derived seq must preserve PER-KEY order
+    stripped = frame.drop("seq")
+    derived = kafka_mod.from_kafka_frame(stripped)
+    got = {}
+    for r in sorted(derived.collect(), key=lambda r: r.seq):
+        got.setdefault(r.key, []).append(r.value)
+    want = {}
+    for r in sorted(log.collect(), key=lambda r: r.seq):
+        want.setdefault(r.key, []).append(r.value)
+    assert got == want
