@@ -312,3 +312,56 @@ def compact_layout(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def write_corpus_snapshot(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> DataFrame:
+    """Export the CLEANED corpus — the pipeline's terminal write: documents
+    that survive ``ext_corpus_keep_list``, persisted partitioned by
+    (split, lang) so every downstream trainer reads exactly its slice
+    (train/en, val/de, …) via partition pruning, never a full-corpus filter.
+
+    ``repartition(split, lang)`` before the write bounds output to one file
+    per (split, lang) per final task — same file-explosion guard as the
+    event-log layout. Returns the snapshot manifest (one row per partition:
+    docs, token mass) — the dataset card a release ships with; it is
+    derived from the SAME frame that was written, so manifest≡data is
+    structural, not a second pass over the source.
+    """
+    from ..operators.sampling import ext_corpus_keep_list
+
+    keep = ext_corpus_keep_list(spark, sf_dir).where(F.col("keep")).select(
+        "doc_id", "split"
+    )
+    docs = tables.load(spark, sf_dir, "documents")
+    cleaned = docs.join(keep, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars", "split"
+    )
+    (
+        cleaned.repartition("split", "lang")
+        .write.mode("overwrite")
+        .partitionBy("split", "lang")
+        .parquet(out_path)
+    )
+    from ..operators.text import tokens_col
+
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def read_corpus_slice(
+    spark: SparkSession, snapshot_path: str, split: str, lang: str | None = None
+) -> DataFrame:
+    """Read one trainer's slice off the snapshot. Both predicates are
+    PARTITION filters — other splits/languages are never listed."""
+    df = spark.read.parquet(snapshot_path).where(F.col("split") == split)
+    if lang is not None:
+        df = df.where(F.col("lang") == lang)
+    return df

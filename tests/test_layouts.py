@@ -157,3 +157,39 @@ def test_compact_layout_preserves_partitioned_layout(spark, tmp_path):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_corpus_snapshot_manifest_and_pruned_slices(spark, tmp_path):
+    """The terminal snapshot write: only keep=true docs persist, the
+    manifest matches the written data, and a trainer's (split, lang) slice
+    read is partition-pruned."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        ext_corpus_keep_list,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        read_corpus_slice,
+        write_corpus_snapshot,
+    )
+
+    path = str(tmp_path / "snapshot")
+    manifest = write_corpus_snapshot(spark, SF_SMOKE, path).collect()
+    keep = ext_corpus_keep_list(spark, SF_SMOKE).where(F.col("keep")).collect()
+    assert sum(r.n_docs for r in manifest) == len(keep)
+    # keep-list semantics: only train survives the keep verdict
+    assert {r.split for r in manifest} == {"train"}
+
+    sl = read_corpus_slice(spark, path, "train", "en")
+    plan = plans.explain_str(sl)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:250]
+    assert "split" in pf and "lang" in pf
+    # slice contents = exactly the keep-list's en train docs
+    langs = {
+        r.doc_id: r.lang
+        for r in tables.load(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    want = {r.doc_id for r in keep if langs[r.doc_id] == "en"}
+    got = {r.doc_id for r in sl.collect()}
+    assert got == want and got
