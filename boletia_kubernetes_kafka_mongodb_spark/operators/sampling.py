@@ -419,6 +419,7 @@ def ext_sample_pack_oracle() -> str:
 
 
 KEEP_MIN_QUALITY = 0.75
+KEEP_MAX_DUP_FRAC = 0.6  # segment-dup fraction at/above which a doc is boilerplate
 
 
 def ext_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,11 +428,14 @@ def ext_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, split assignment, and train-overlap contamination.
 
     This is the artifact a data pipeline actually SHIPS: every upstream
-    operator (dedup pairs, quality scores, splits, decontamination) exists
-    to produce this row-per-document verdict with an auditable
-    ``drop_reason``. ``keep`` = train-split ∧ dedup survivor ∧ quality ≥
+    operator (dedup pairs, quality scores, splits, decontamination,
+    segment-level boilerplate measurement) exists to produce this
+    row-per-document verdict with an auditable ``drop_reason``. ``keep`` =
+    train-split ∧ dedup survivor ∧ boilerplate below threshold ∧ quality ≥
     threshold; held-out docs additionally carry the ``contaminated`` flag
-    the eval pipeline needs.
+    the eval pipeline needs. The boilerplate stage catches what exact dedup
+    can't: documents that are UNIQUE as a whole but mostly assembled from
+    corpus-recurring segments (45 such survivors at sf0.01).
 
     Physical plan: pure composition — the stage queries join on doc_id (all
     shuffles on the natural key, AQE broadcasts the small verdict sides at
@@ -454,23 +458,35 @@ def ext_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     decon = ext_decontaminate(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("_cont")
     )
+    from .dedup import ext_dedup_segments
+
+    seg = ext_dedup_segments(spark, sf_dir).select("doc_id", "dup_frac")
     base = docs.select("doc_id", split_assignment(F.col("doc_id")).alias("split"))
     out = (
         base.join(surv, "doc_id")
         .join(quality, "doc_id")
+        .join(seg, "doc_id")
         .join(decon, "doc_id", "left")
     )
     quality_ok = F.col("quality_score") >= KEEP_MIN_QUALITY
-    keep = (F.col("split") == "train") & F.col("is_survivor") & quality_ok
+    boiler_ok = F.col("dup_frac") < KEEP_MAX_DUP_FRAC
+    keep = (
+        (F.col("split") == "train")
+        & F.col("is_survivor")
+        & boiler_ok
+        & quality_ok
+    )
     reason = (
         F.when(F.col("split") != "train", F.lit("held_out"))
         .when(~F.col("is_survivor"), F.lit("duplicate"))
+        .when(~boiler_ok, F.lit("boilerplate"))
         .when(~quality_ok, F.lit("low_quality"))
     )
     return out.select(
         "doc_id",
         "split",
         "is_survivor",
+        boiler_ok.alias("boilerplate_ok"),
         quality_ok.alias("quality_ok"),
         F.coalesce(F.col("_cont"), F.lit(False)).alias("contaminated"),
         keep.alias("keep"),
@@ -479,12 +495,14 @@ def ext_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_corpus_keep_list_oracle() -> str:
+    from .dedup import ext_dedup_segments_oracle
     from .text import ext_text_quality_oracle
 
     h = _oracle_key_hash("doc_id")
     return rf"""
         WITH q AS ({ext_text_quality_oracle()}),
         decon AS ({ext_decontaminate_oracle()}),
+        seg AS ({ext_dedup_segments_oracle()}),
         surv AS (
             SELECT doc_id,
                    doc_id = MIN(doc_id) OVER (
@@ -500,17 +518,21 @@ def ext_corpus_keep_list_oracle() -> str:
             FROM documents
         )
         SELECT b.doc_id, b.split, s.is_survivor,
+               (g.dup_frac < {KEEP_MAX_DUP_FRAC}) AS boilerplate_ok,
                (q.quality_score >= {KEEP_MIN_QUALITY}) AS quality_ok,
                (d.doc_id IS NOT NULL) AS contaminated,
                (b.split = 'train' AND s.is_survivor
+                AND g.dup_frac < {KEEP_MAX_DUP_FRAC}
                 AND q.quality_score >= {KEEP_MIN_QUALITY}) AS keep,
                CASE WHEN b.split != 'train' THEN 'held_out'
                     WHEN NOT s.is_survivor THEN 'duplicate'
+                    WHEN g.dup_frac >= {KEEP_MAX_DUP_FRAC} THEN 'boilerplate'
                     WHEN q.quality_score < {KEEP_MIN_QUALITY} THEN 'low_quality'
                     ELSE NULL END AS drop_reason
         FROM base b
         JOIN surv s ON b.doc_id = s.doc_id
         JOIN q ON b.doc_id = q.doc_id
+        JOIN seg g ON b.doc_id = g.doc_id
         LEFT JOIN decon d ON b.doc_id = d.doc_id
     """
 

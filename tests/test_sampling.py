@@ -228,8 +228,8 @@ def test_pack_capacity_invariant(spark):
 
 def test_keep_list_covers_corpus_with_consistent_verdicts(spark):
     """The decision layer is a partition of the corpus: one row per doc,
-    keep ⟺ (train ∧ survivor ∧ quality), drop_reason iff not keep, and
-    contamination only ever flags held-out docs."""
+    keep ⟺ (train ∧ survivor ∧ not-boilerplate ∧ quality), drop_reason iff
+    not keep, and contamination only ever flags held-out docs."""
     from boletia_kubernetes_kafka_mongodb_spark import tables
     from boletia_kubernetes_kafka_mongodb_spark.operators import sampling
     from tests.conftest import SF_SMOKE
@@ -239,13 +239,24 @@ def test_keep_list_covers_corpus_with_consistent_verdicts(spark):
     n = tables.load(spark, SF_SMOKE, "documents").count()
     assert len(rows) == n and len({r.doc_id for r in rows}) == n
     assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+    saw_boilerplate = False
     for r in rows:
-        assert r.keep == (r.split == "train" and r.is_survivor and r.quality_ok)
+        assert r.keep == (
+            r.split == "train"
+            and r.is_survivor
+            and r.boilerplate_ok
+            and r.quality_ok
+        )
         assert (r.drop_reason is None) == r.keep
         if r.contaminated:
             assert r.split != "train"
         if r.split != "train":
             assert r.drop_reason == "held_out"
+        if r.drop_reason == "boilerplate":
+            saw_boilerplate = True
+            assert r.is_survivor and not r.boilerplate_ok
+    # the stage must actually fire: unique-but-assembled docs exist at sf0.01
+    assert saw_boilerplate
 
 
 def test_split_drift_nonnegative_and_zero_on_identical(spark, tmp_path):
