@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_incremental": dedup.ext_dedup_incremental,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         "ext_quality_buckets": text.ext_quality_buckets,
+        "ext_text_entropy": text.ext_text_entropy,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -236,6 +238,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_embed_quantize": similarity.ext_embed_quantize_oracle(),
         "ext_dedup_incremental": dedup.ext_dedup_incremental_oracle(),
         "ext_quality_buckets": text.ext_quality_buckets_oracle(),
+        "ext_text_entropy": text.ext_text_entropy_oracle(),
+        "ext_vocab_coverage": text.ext_vocab_coverage_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →

@@ -727,3 +727,140 @@ def ext_quality_buckets_oracle() -> str:
         )
         GROUP BY bucket
     """
+
+
+def ext_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (bits) plus the
+    type-token ratio — the lexical-diversity pair of quality signals:
+    near-zero entropy is a repeated-token artifact (spam, padding), and
+    anomalously low TTR flags template/boilerplate text even when the
+    whole doc is unique.
+
+    Plan: explode → one (doc_id, token) shuffle for per-doc tf → ONE
+    doc_id agg, using the identity H = log₂(n) − (Σ c·log₂c)/n so no
+    window or second pass is needed for the normalizing total. The shuffle
+    rows are per-doc DISTINCT tokens, strictly fewer than occurrences; no
+    per-row quadratic HOF (a shuffle-free filter-inside-transform form is
+    O(distinct·len) per row — fine at 100 tokens, hostile at 10k).
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(
+                F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+            ).alias("token_entropy_bits"),
+            F.round(F.count(F.lit(1)) / n, 6).alias("type_token_ratio"),
+        )
+    )
+
+
+def ext_text_entropy_oracle() -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, token, COUNT(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+                FROM documents
+            )
+            GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                     - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6)
+                   AS token_entropy_bits,
+               ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
+        FROM tf
+        GROUP BY doc_id
+    """
+
+
+COVERAGE_VOCAB_K = 100
+
+
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: the fraction of each document's
+    token OCCURRENCES covered by its language's top-K corpus vocabulary —
+    the number a tokenizer team checks before freezing a vocab (low
+    coverage ⇒ the vocab under-serves that document's domain and it will
+    fragment into bytes/unknowns).
+
+    Single corpus scan, same shape as ``ext_text_unigram_logprob``: the
+    per-doc tf frame materializes once; the per-lang top-K vocab derives
+    from it (vocab-sized window) and broadcasts back onto it; one doc_id
+    agg ends it.
+    """
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    occ = (
+        docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    counts = occ.groupBy("lang", "token").agg(F.sum("tf").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    vocab = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= COVERAGE_VOCAB_K)
+        .select("lang", "token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), ["lang", "token"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), F.col("tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_tokens"), 6).alias("coverage"),
+        )
+    )
+
+
+def ext_vocab_coverage_oracle() -> str:
+    return f"""
+        WITH occ AS (
+            SELECT doc_id, lang, token, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+                FROM documents
+            )
+            GROUP BY doc_id, lang, token
+        ),
+        vocab AS (
+            SELECT lang, token FROM (
+                SELECT lang, token,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY SUM(tf) DESC, token ASC) AS rank
+                FROM occ GROUP BY lang, token
+            ) WHERE rank <= {COVERAGE_VOCAB_K}
+        )
+        SELECT o.doc_id,
+               CAST(SUM(o.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NOT NULL THEN o.tf ELSE 0 END) AS BIGINT)
+                   AS n_covered,
+               ROUND(SUM(CASE WHEN v.token IS NOT NULL THEN o.tf ELSE 0 END)
+                     / CAST(SUM(o.tf) AS DOUBLE), 6) AS coverage
+        FROM occ o
+        LEFT JOIN vocab v ON o.lang = v.lang AND o.token = v.token
+        GROUP BY o.doc_id
+    """

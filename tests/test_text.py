@@ -178,3 +178,39 @@ def test_quality_buckets_partition_corpus_monotonically(spark):
     for lo, hi in zip(rows, rows[1:]):
         assert lo.max_logprob <= hi.min_logprob
         assert lo.min_logprob <= lo.max_logprob
+
+
+def test_entropy_extremes_and_coverage_bounds(spark, tmp_path):
+    """All-same tokens → H=0; all-distinct → H=log2(n), TTR=1. Coverage is
+    in [0,1] and hits 1.0 for a doc made entirely of top-vocab tokens."""
+    import math
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        ext_text_entropy,
+        ext_vocab_coverage,
+    )
+
+    n = 16
+    distinct = " ".join(f"w{i}" for i in range(n))
+    rows = [
+        (1, "same " * n, "en", "src", 5 * n),
+        (2, distinct, "en", "src", len(distinct)),
+        # doc 3 reuses doc 1's token → 'same' dominates the vocab; 'rare'
+        # appears once so doc 3 is NOT fully covered if K were tiny, but
+        # K=100 covers everything in this 3-doc corpus
+        (3, "same rare", "en", "src", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    ent = {r.doc_id: r for r in ext_text_entropy(spark, str(tmp_path)).collect()}
+    assert ent[1].token_entropy_bits == 0.0
+    assert abs(ent[2].token_entropy_bits - round(math.log2(n), 6)) < 1e-9
+    assert ent[2].type_token_ratio == 1.0
+    assert ent[1].n_distinct == 1 and ent[1].n_tokens == n
+
+    cov = {r.doc_id: r for r in ext_vocab_coverage(spark, str(tmp_path)).collect()}
+    assert all(0.0 <= r.coverage <= 1.0 for r in cov.values())
+    assert cov[1].coverage == 1.0 and cov[3].coverage == 1.0
