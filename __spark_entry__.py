@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_quality_buckets": text.ext_quality_buckets,
         "ext_text_entropy": text.ext_text_entropy,
         "ext_vocab_coverage": text.ext_vocab_coverage,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -240,6 +242,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_quality_buckets": text.ext_quality_buckets_oracle(),
         "ext_text_entropy": text.ext_text_entropy_oracle(),
         "ext_vocab_coverage": text.ext_vocab_coverage_oracle(),
+        "agg_funnel_stages": aggregates.agg_funnel_stages_oracle(),
+        "agg_retention_cohorts": aggregates.agg_retention_cohorts_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →

@@ -409,3 +409,195 @@ def ext_distinct_users_exact_oracle() -> str:
         FROM events
         GROUP BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# event analytics: ordered funnel and retention cohorts (§2.9 extensions)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def agg_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase over ``events``:
+    a user reaches stage k iff events of the prescribed types exist in
+    strictly increasing time order. The product-analytics staple the
+    reference's ticketing flow implies (browse → reserve → confirm) but
+    never aggregates.
+
+    ORDER matters — a click before any view must not count — so this is a
+    sequential-containment query, not three filters. Plan: ONE shuffle on
+    ``user_id`` + one sort carries all three stages: a running
+    earlier-rows-only window min marks each event with the earliest
+    qualifying previous-stage time, chained per stage over the same
+    partitioning (Catalyst fuses the three Window nodes onto one exchange).
+    The final stage-count agg reads 3 booleans per user.
+    """
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1, s2, s3 = FUNNEL_STAGES
+    # qualifying time of the previous stage, strictly before this row
+    view_before = F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+    staged = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "q_click_ts",
+        F.when(
+            (F.col("event_type") == s2) & view_before.isNotNull(), F.col("ts")
+        ),
+    )
+    click_before = F.min("q_click_ts").over(w)
+    staged = staged.withColumn(
+        "q_purchase",
+        (F.col("event_type") == s3) & click_before.isNotNull(),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max((F.col("event_type") == s1).cast("int")).alias("r1"),
+        F.max((F.col("q_click_ts").isNotNull()).cast("int")).alias("r2"),
+        F.max(F.col("q_purchase").cast("int")).alias("r3"),
+    )
+    totals = per_user.agg(
+        F.sum("r1").alias("n1"), F.sum("r2").alias("n2"), F.sum("r3").alias("n3")
+    )
+    # 3 output rows: unpivot the stage counts with conversion from stage 1
+    stages = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage"),
+                        F.lit(name).alias("event_type"),
+                        F.col(f"n{i + 1}").cast("long").alias("n_users"),
+                    )
+                    for i, name in enumerate(FUNNEL_STAGES)
+                ]
+            )
+        ).alias("s"),
+        F.col("n1").cast("double").alias("base"),
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("base"), 6).alias("conversion"),
+    )
+
+
+def agg_funnel_stages_oracle() -> str:
+    s1, s2, s3 = FUNNEL_STAGES
+    return f"""
+        WITH staged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   MIN(CASE WHEN event_type = '{s1}' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS view_before
+            FROM events
+        ),
+        staged2 AS (
+            SELECT *,
+                   CASE WHEN event_type = '{s2}' AND view_before IS NOT NULL
+                        THEN ts END AS q_click_ts
+            FROM staged
+        ),
+        staged3 AS (
+            SELECT *,
+                   MIN(q_click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS click_before
+            FROM staged2
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = '{s1}' THEN 1 ELSE 0 END) AS r1,
+                   MAX(CASE WHEN q_click_ts IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+                   MAX(CASE WHEN event_type = '{s3}' AND click_before IS NOT NULL
+                            THEN 1 ELSE 0 END) AS r3
+            FROM staged3
+            GROUP BY user_id
+        ),
+        totals AS (SELECT SUM(r1) n1, SUM(r2) n2, SUM(r3) n3 FROM per_user)
+        SELECT 1 AS stage, '{s1}' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+               ROUND(n1 / CAST(n1 AS DOUBLE), 6) AS conversion FROM totals
+        UNION ALL
+        SELECT 2, '{s2}', CAST(n2 AS BIGINT),
+               ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM totals
+        UNION ALL
+        SELECT 3, '{s3}', CAST(n3 AS BIGINT),
+               ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM totals
+    """
+
+
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over ``events``: users grouped by
+    first-activity week, activity tracked per week offset — the other
+    product-analytics staple. Week 0 retention is 1.0 by construction.
+
+    Plan: one ``user_id`` agg for first-seen, join back on the same key
+    (AQE broadcasts the per-user frame when small; at 100 TB it co-shuffles
+    with the events side on user_id), then one (cohort, offset) agg with a
+    distinct-user count. The cohort-size denominator comes from a window
+    over the AGGREGATED frame (≤ cohorts×offsets rows), not a second pass.
+    """
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    return act.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w),
+            6,
+        ).alias("retention"),
+    )
+
+
+def agg_retention_cohorts_oracle() -> str:
+    return """
+        WITH first AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT f.cohort_week,
+                   CAST(datediff('day', f.cohort_week,
+                                 CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INTEGER)
+                       AS week_offset,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+            FROM events e JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT cohort_week, week_offset, n_active,
+               ROUND(n_active / CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                                     OVER (PARTITION BY cohort_week) AS DOUBLE), 6)
+                   AS retention
+        FROM act
+    """

@@ -265,3 +265,69 @@ def test_range_join_randomized_vs_python_reference(spark):
         if et == "purchase"
     }
     assert got == expect and len(got) > 0
+
+
+def test_funnel_order_sensitivity(spark, tmp_path):
+    """The funnel is ORDER-sensitive: click-before-view must not convert."""
+    from datetime import datetime
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators.aggregates import (
+        agg_funnel_stages,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE view; purchase after — must stall at stage 1
+        (4, t(1), 2, "click", 0.0, "{}"),
+        (5, t(2), 2, "view", 0.0, "{}"),
+        (6, t(3), 2, "purchase", 0.0, "{}"),
+        # user 3: view only
+        (7, t(1), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {r.stage: r for r in agg_funnel_stages(spark, str(tmp_path)).collect()}
+    assert out[1].n_users == 3 and out[1].conversion == 1.0
+    assert out[2].n_users == 1
+    assert out[3].n_users == 1
+    assert out[3].event_type == "purchase"
+
+
+def test_retention_cohort_rates(spark, tmp_path):
+    """Week-0 retention is 1.0; a cohort loses half its users by week 2."""
+    from datetime import datetime
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators.aggregates import (
+        agg_retention_cohorts,
+    )
+
+    # 2024-01-01 is a Monday: clean week boundaries
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 16, 10), 1, "view", 0.0, "{}"),  # week 2
+        (3, datetime(2024, 1, 2, 10), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        (str(r.cohort_week), r.week_offset): r
+        for r in agg_retention_cohorts(spark, str(tmp_path)).collect()
+    }
+    assert out[("2024-01-01", 0)].n_active == 2
+    assert out[("2024-01-01", 0)].retention == 1.0
+    assert out[("2024-01-01", 2)].n_active == 1
+    assert out[("2024-01-01", 2)].retention == 0.5
