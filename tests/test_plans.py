@@ -260,3 +260,16 @@ def test_incremental_dedup_preaggregates_standing_side(spark):
     # the join in the formatted tree — cheap structural proxy: both present
     # and at least one HashAggregate before the last SortMergeJoin/BHJ line
     assert "HashAggregate" in s
+
+
+def test_funnel_single_user_exchange(spark):
+    """All three funnel stages (two windows + the per-user agg) must ride
+    ONE user_id hash exchange and one sort; only the 3-value final total
+    adds a SinglePartition exchange."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates
+
+    df = aggregates.agg_funnel_stages(spark, SF_CORRECT)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange hashpartitioning(user_id") == 1
+    assert s.count("+- Sort ") == 1
+    assert "CartesianProduct" not in s
