@@ -601,3 +601,63 @@ def agg_retention_cohorts_oracle() -> str:
                    AS retention
         FROM act
     """
+
+
+HIST_N_BUCKETS = 20
+
+
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event ``value`` measure — the profiling
+    primitive behind every dashboard distribution panel. Bucket width
+    derives from the observed [min, max] in one aggregation pass; the
+    per-row bucket assignment is then a narrow map and the final count is
+    one partial+final agg on ≤ HIST_N_BUCKETS keys. Two passes over the
+    scan, O(buckets) driver state, no sort.
+
+    The max value lands in the last bucket (half-open buckets with the
+    terminal edge closed). The assignment is the explicit
+    ``least(N, floor((v−lo)/w)+1)`` formula — not each engine's
+    ``width_bucket`` builtin — so both sides run the identical double
+    arithmetic and edge rows can't flip buckets cross-engine.
+    """
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / HIST_N_BUCKETS
+    b = F.least(
+        F.lit(HIST_N_BUCKETS),
+        (F.floor((F.col("value") - F.col("lo")) / w) + 1).cast("int"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(b.alias("bucket"), "lo", "hi", "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("lo") + (F.col("bucket") - 1) * F.min(w), 6).alias(
+                "bucket_lo"
+            ),
+            F.round(F.min("lo") + F.col("bucket") * F.min(w), 6).alias("bucket_hi"),
+        )
+        .select("bucket", "bucket_lo", "bucket_hi", "n")
+    )
+
+
+def agg_value_histogram_oracle() -> str:
+    return f"""
+        WITH bounds AS (SELECT MIN(value) lo, MAX(value) hi FROM events),
+        assigned AS (
+            SELECT LEAST({HIST_N_BUCKETS},
+                         CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_N_BUCKETS}))
+                              AS INTEGER) + 1) AS bucket,
+                   lo, (hi - lo) / {HIST_N_BUCKETS} AS w
+            FROM events, bounds
+        )
+        SELECT bucket,
+               ROUND(MIN(lo) + (bucket - 1) * MIN(w), 6) AS bucket_lo,
+               ROUND(MIN(lo) + bucket * MIN(w), 6) AS bucket_hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned
+        GROUP BY bucket
+    """

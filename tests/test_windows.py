@@ -331,3 +331,25 @@ def test_retention_cohort_rates(spark, tmp_path):
     assert out[("2024-01-01", 0)].retention == 1.0
     assert out[("2024-01-01", 2)].n_active == 1
     assert out[("2024-01-01", 2)].retention == 0.5
+
+
+def test_histogram_covers_all_events_contiguously(spark):
+    """Bucket counts sum to the table size; edges tile [min, max] with no
+    gaps; every count is positive (empty buckets simply don't emit)."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators.aggregates import (
+        HIST_N_BUCKETS,
+        agg_value_histogram,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = sorted(
+        agg_value_histogram(spark, SF_CORRECT).collect(), key=lambda r: r.bucket
+    )
+    total = tables.load(spark, SF_CORRECT, "events").count()
+    assert sum(r.n for r in rows) == total
+    assert all(1 <= r.bucket <= HIST_N_BUCKETS for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        if b.bucket == a.bucket + 1:
+            assert abs(b.bucket_lo - a.bucket_hi) < 1e-9
+        assert a.bucket_lo < a.bucket_hi
