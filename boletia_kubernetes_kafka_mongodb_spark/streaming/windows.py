@@ -111,3 +111,61 @@ def agg_sessionize_stream(events_stream: DataFrame, watermark: str = "0 seconds"
             "value_sum",
         )
     )
+
+
+FUNNEL_SNAPSHOT_SCHEMA = "user_id long, r1 boolean, r2 boolean, r3 boolean"
+FUNNEL_STATE_SCHEMA = "seen_view boolean, qual_click boolean, reached3 boolean"
+
+
+def funnel_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.aggregates.agg_funnel_stages``: per-user
+    funnel progress as ``applyInPandasWithState`` keyed by ``user_id``.
+
+    The batch operator's window rule — a stage qualifies iff the previous
+    stage occurred on a strictly earlier row in (ts, event_id) order — is
+    exactly a sequential fold over that order, so the state is THREE
+    BOOLEANS per user (seen view / seen qualified click / converted), not a
+    buffer of events: each micro-batch sorts its rows and folds them through
+    the carried flags. Progress is monotone, so the last emitted snapshot
+    per user equals the batch verdict when arrival order matches event-time
+    order (the ordered-replay contract shared with the admission ledger).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        rows = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(rows).sort_values(["ts", "event_id"]) if rows else None
+        if pdf is None or pdf.empty:
+            return
+        if state.exists:
+            seen_view, qual_click, reached3 = state.get
+        else:
+            seen_view = qual_click = reached3 = False
+        for et in pdf["event_type"]:
+            if et == "view":
+                seen_view = True
+            elif et == "click" and seen_view:
+                qual_click = True
+            elif et == "purchase" and qual_click:
+                reached3 = True
+        state.update((seen_view, qual_click, reached3))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "r1": [seen_view],
+                "r2": [qual_click],
+                "r3": [reached3],
+            }
+        )
+
+    return events_stream.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=FUNNEL_SNAPSHOT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -114,3 +114,60 @@ def test_dedup_incremental_stream_equals_batch(spark, tmp_path):
         map(tuple, dedup.ext_dedup_incremental(spark, SF_SMOKE).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_funnel_stream_equals_batch_reach(spark, tmp_path):
+    """Per-user funnel reach from the stateful stream == a sequential fold
+    over (ts, event_id)-ordered events — i.e. the batch window semantics."""
+    from boletia_kubernetes_kafka_mongodb_spark.streaming.windows import (
+        funnel_stream,
+    )
+
+    ev = tables.load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    path = str(tmp_path / "events")
+    cdc_stream.write_ordered_files(ev, path, n_files=4, order_col="ts")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_tw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {
+        r.user_id: (r.r1, r.r2, r.r3)
+        for r in spark.table("funnel_tw")
+        .groupBy("user_id")
+        .agg(F.max("r1").alias("r1"), F.max("r2").alias("r2"), F.max("r3").alias("r3"))
+        .collect()
+    }
+
+    want = {}
+    for r in sorted(ev.collect(), key=lambda r: (r.ts, r.event_id)):
+        sv, qc, p3 = want.get(r.user_id, (False, False, False))
+        if r.event_type == "view":
+            sv = True
+        elif r.event_type == "click" and sv:
+            qc = True
+        elif r.event_type == "purchase" and qc:
+            p3 = True
+        want[r.user_id] = (sv, qc, p3)
+    assert got == want and len(got) > 0
+
+    # and the stage totals equal the batch operator's counts
+    from boletia_kubernetes_kafka_mongodb_spark.operators.aggregates import (
+        agg_funnel_stages,
+    )
+
+    batch = {r.stage: r.n_users for r in agg_funnel_stages(spark, SF_SMOKE).collect()}
+    assert batch[1] == sum(1 for v in got.values() if v[0])
+    assert batch[2] == sum(1 for v in got.values() if v[1])
+    assert batch[3] == sum(1 for v in got.values() if v[2])
