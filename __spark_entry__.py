@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_funnel_stages": aggregates.agg_funnel_stages,
         "agg_retention_cohorts": aggregates.agg_retention_cohorts,
         "agg_value_histogram": aggregates.agg_value_histogram,
+        "ext_heavy_hitters": text.ext_heavy_hitters,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_funnel_stages": aggregates.agg_funnel_stages_oracle(),
         "agg_retention_cohorts": aggregates.agg_retention_cohorts_oracle(),
         "agg_value_histogram": aggregates.agg_value_histogram_oracle(),
+        "ext_heavy_hitters": text.ext_heavy_hitters_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →

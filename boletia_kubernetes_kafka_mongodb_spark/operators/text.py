@@ -864,3 +864,102 @@ def ext_vocab_coverage_oracle() -> str:
         LEFT JOIN vocab v ON o.lang = v.lang AND o.token = v.token
         GROUP BY o.doc_id
     """
+
+
+HH_K = 128  # Misra–Gries counters per partition
+
+
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens with frequency > N/(k+1)) via the
+    two-pass Misra–Gries recipe — the mergeable bounded-memory answer to
+    "what dominates this corpus" when the vocabulary itself is too big to
+    aggregate (URLs, hostnames, n-grams at web scale).
+
+    Pass 1 runs an MG(k) summary PER PARTITION inside ``mapInPandas`` — k
+    counters of state regardless of partition size, emitting ≤ k candidate
+    rows plus the partition's exact token total. The pigeonhole guarantee:
+    any token with global frequency > N/(k+1) must exceed n_p/(k+1) in some
+    partition and therefore survives that partition's summary — candidates
+    ⊇ the true heavy set, NO false negatives. Pass 2 rescans with the
+    candidate set broadcast (≤ k·partitions rows) and counts exactly; the
+    final filter n·(k+1) > N therefore returns EXACTLY the true heavy set
+    with exact counts — which is why this sketch-built operator still has a
+    plain-SQL oracle (GROUP BY + HAVING over the full vocab): the sketch
+    changes the memory bound, not the answer.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+
+    k = HH_K
+
+    def mg_summary(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in pdfs:
+            for t in pdf["token"]:
+                total += 1
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    # decrement all; drop zeros (the MG step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        out = pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [""],
+                "cnt": [int(v) for v in counters.values()] + [total],
+                "is_total": [False] * len(counters) + [True],
+            }
+        )
+        yield out
+
+    summaries = toks.mapInPandas(
+        mg_summary, "token string, cnt long, is_total boolean"
+    )
+    # bounded frames: ≤ k rows + 1 total row per partition
+    summaries = summaries.localCheckpoint(eager=False)
+    total = summaries.where("is_total").agg(F.sum("cnt").alias("n_total"))
+    candidates = (
+        summaries.where(~F.col("is_total")).select("token").distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n") * (k + 1) > F.col("n_total"))
+        .select(
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+def ext_heavy_hitters_oracle() -> str:
+    return f"""
+        WITH occ AS (
+            SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+            FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS n_total FROM occ)
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(COUNT(*) / CAST(MAX(n_total) AS DOUBLE), 6) AS share
+        FROM occ, tot
+        GROUP BY token
+        HAVING COUNT(*) * ({HH_K} + 1) > MAX(n_total)
+    """

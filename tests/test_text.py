@@ -214,3 +214,35 @@ def test_entropy_extremes_and_coverage_bounds(spark, tmp_path):
     cov = {r.doc_id: r for r in ext_vocab_coverage(spark, str(tmp_path)).collect()}
     assert all(0.0 <= r.coverage <= 1.0 for r in cov.values())
     assert cov[1].coverage == 1.0 and cov[3].coverage == 1.0
+
+
+def test_heavy_hitters_equals_exact_heavy_set(spark):
+    """The MG candidate pass must lose NO true heavy hitter: the operator's
+    output equals the exact GROUP BY/HAVING heavy set, counts included —
+    on the real corpus AND with results sane (shares sum < 1, all above
+    the threshold)."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        HH_K,
+        ext_heavy_hitters,
+        tokens_col,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_CORRECT as SF
+
+    got = {r.token: r.n for r in ext_heavy_hitters(spark, SF).collect()}
+    toks = (
+        tables.load(spark, SF, "documents")
+        .select(F.explode(tokens_col("text")).alias("token"))
+    )
+    n_total = toks.count()
+    exact = {
+        r.token: r.n
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+        if r.n * (HH_K + 1) > n_total
+    }
+    assert got == exact and got
+    assert all(n * (HH_K + 1) > n_total for n in got.values())
+    assert sum(got.values()) <= n_total
