@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_retention_cohorts": aggregates.agg_retention_cohorts,
         "agg_value_histogram": aggregates.agg_value_histogram,
         "ext_heavy_hitters": text.ext_heavy_hitters,
+        # rows-only (MinHash banding is Spark-hash-dependent; exact verify
+        # stage gives perfect precision, recall pinned in tests)
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,

@@ -479,23 +479,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return with_hashes.select("doc_id", sig.alias("sig"))
 
 
-def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
-
-    Pipeline (all built-ins): shingle → 32-perm minhash signature → split
-    into 8 bands of 4 → hash each band to a bucket key → explode → self-join
-    on (band, bucket) → distinct candidate pairs → verify exact shingle
-    Jaccard ≥ threshold.
-
-    Scale: the banded join shuffles only (band_hash, doc_id); verification
-    re-joins token sets for candidates only — the O(n²) term never
-    materializes. Spark-hash-dependent ⇒ rows-only driver check; recall vs
-    the exhaustive oracle is asserted in tests/test_dedup.py.
-    """
-    docs = tables.load(spark, sf_dir, "documents", fan=True)
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """``(doc_id, band, bucket)`` LSH keys: the 32-perm signature split into
+    8 bands of 4, each band hashed to a bucket key. This is the derivation
+    both the batch self-join AND the standing index write/probe share — an
+    index is only valid if the probe computes keys identically."""
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -514,6 +505,23 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+
+
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
+
+    Pipeline (all built-ins): shingle → 32-perm minhash signature → split
+    into 8 bands of 4 → hash each band to a bucket key → explode → self-join
+    on (band, bucket) → distinct candidate pairs → verify exact shingle
+    Jaccard ≥ threshold.
+
+    Scale: the banded join shuffles only (band_hash, doc_id); verification
+    re-joins token sets for candidates only — the O(n²) term never
+    materializes. Spark-hash-dependent ⇒ rows-only driver check; recall vs
+    the exhaustive oracle is asserted in tests/test_dedup.py.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    bands = minhash_band_keys(docs)
     # in-bucket pair expansion via groupBy + HOF instead of a self-join:
     # a self-join's two branches each re-execute the whole shingle→minhash
     # subtree (no CSE across join children — measured 2× the work), where
@@ -984,3 +992,36 @@ def ext_dedup_incremental_oracle() -> str:
         FROM tagged n LEFT JOIN existing e USING (fingerprint)
         WHERE n.split = 'test'
     """
+
+
+def _band_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"boletia_band_index_{key}")
+
+
+def ext_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: the arriving batch (test split) probed against
+    the standing corpus's write-time MinHash band index
+    (``sources/layouts.write_minhash_band_index``), with exact-Jaccard
+    verification of every candidate. The fuzzy companion of
+    ``ext_dedup_incremental``: together they are the nightly dedup gate —
+    exact fingerprints catch byte-copies, the band probe catches mutated
+    ones, and neither re-processes the standing corpus at probe time.
+
+    MinHash banding is Spark-hash-dependent ⇒ rows-only driver check; the
+    exact verify stage guarantees precision (every emitted pair is a TRUE
+    ≥-threshold pair) and recall vs the exhaustive cross-split pair set is
+    asserted in tests.
+    """
+    import os
+
+    from ..sources import layouts
+
+    path = _band_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        layouts.write_minhash_band_index(spark, sf_dir, path)
+    return layouts.probe_minhash_band_index(spark, sf_dir, path)

@@ -365,3 +365,87 @@ def read_corpus_slice(
     if lang is not None:
         df = df.where(F.col("lang") == lang)
     return df
+
+
+def write_minhash_band_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist the STANDING corpus's MinHash LSH keys — (doc_id, bucket)
+    partitioned by band — as the near-dup index an incremental ingest
+    probes nightly. The write-time cost is one signature pass over the
+    standing corpus; afterwards a new batch is near-dup-checked WITHOUT
+    re-touching standing text: its own (tiny) band keys hash-join this
+    index. The companion of `ext_dedup_incremental`'s exact fingerprints,
+    one level fuzzier.
+    """
+    from ..operators.dedup import minhash_band_keys
+    from ..operators.sampling import split_assignment
+
+    docs = tables.load(spark, sf_dir, "documents").where(
+        split_assignment("doc_id") != "test"
+    )
+    (
+        minhash_band_keys(docs)
+        .repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(out_path)
+    )
+
+
+def probe_minhash_band_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Near-dup verdicts for the arriving batch (test split) against the
+    standing index: the batch's band keys join the index on (band, bucket)
+    for candidates, then exact shingle-Jaccard verifies each candidate pair
+    — verification cost is |candidates|, and ONLY the new batch plus the
+    matched standing docs are ever re-tokenized.
+    """
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _shingles,
+        minhash_band_keys,
+    )
+    from ..operators.sampling import split_assignment
+    from ..operators.text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    new_docs = docs.where(split_assignment("doc_id") == "test")
+    new_keys = minhash_band_keys(new_docs)
+    index = spark.read.parquet(index_path).select(
+        "band", "bucket", F.col("doc_id").alias("dup_of")
+    )
+    candidates = (
+        new_keys.join(index, ["band", "bucket"])
+        .select("doc_id", "dup_of")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sides = candidates.select(
+        "doc_id",
+        "dup_of",
+        F.explode(F.array("doc_id", "dup_of")).alias("member"),
+    )
+    members = sides.select("member").distinct()
+    member_docs = docs.join(
+        F.broadcast(members.withColumnRenamed("member", "doc_id")), "doc_id"
+    )
+    sh = member_docs.select(
+        F.col("doc_id").alias("member"), _shingles(tokens_col("text")).alias("sh")
+    )
+    joined = sh.join(F.broadcast(sides), "member")
+    paired = joined.groupBy("doc_id", "dup_of").agg(
+        F.first(
+            F.when(F.col("member") == F.col("doc_id"), F.col("sh")), ignorenulls=True
+        ).alias("sh_new"),
+        F.first(
+            F.when(F.col("member") == F.col("dup_of"), F.col("sh")), ignorenulls=True
+        ).alias("sh_old"),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
+        / F.size(F.array_union("sh_new", "sh_old")),
+        6,
+    )
+    return paired.select("doc_id", "dup_of", jac.alias("jaccard")).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )

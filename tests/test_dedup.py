@@ -325,3 +325,52 @@ def test_incremental_dedup_flags_only_new_batch(spark, tmp_path):
     assert set(out) == {copied, unique}
     assert out[copied].exact_dup and out[copied].dup_of == old_id
     assert not out[unique].exact_dup and out[unique].dup_of is None
+
+
+def test_incremental_near_dedup_precision_and_recall(spark, tmp_path):
+    """The band-index probe's verified pairs are a subset of the TRUE
+    cross-split ≥-threshold pairs (exact verification ⇒ perfect precision,
+    identical jaccard values) with banded recall ≥ 0.8."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _shingles,
+        ext_dedup_incremental_near,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+
+    got = {
+        (r.doc_id, r.dup_of): r.jaccard
+        for r in ext_dedup_incremental_near(spark, SF_SMOKE).collect()
+    }
+
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        split_assignment("doc_id").alias("split"),
+        _shingles(tokens_col("text")).alias("sh"),
+    )
+    new = docs.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_new")
+    )
+    old = docs.where(F.col("split") != "test").select(
+        F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_old")
+    )
+    jac = F.size(F.array_intersect("sh_new", "sh_old")).cast("double") / F.size(
+        F.array_union("sh_new", "sh_old")
+    )
+    truth = {
+        (r.doc_new, r.doc_old): r.jaccard
+        for r in new.crossJoin(old)
+        .select("doc_new", "doc_old", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert set(got).issubset(set(truth))
+    for pair, j in got.items():
+        assert j == truth[pair]
+    assert truth, "fixture has no cross-split near-dups; recall untestable"
+    recall = len(got) / len(truth)
+    assert recall >= 0.8, f"band-probe recall {recall:.2f}"
