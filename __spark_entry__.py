@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (MinHash banding is Spark-hash-dependent; exact verify
         # stage gives perfect precision, recall pinned in tests)
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
+        # rows-only (float summation order is engine-specific; assignments
+        # pinned against a python reference in tests)
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,

@@ -661,3 +661,113 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOPK)
         .select("rank", "vec_id", "label", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (the iterative-DataFrame-algorithm pattern)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _kmeans_cluster_expr(C_arr):
+    """argmin-distance cluster id (lowest-id tie-break) and the squared
+    distance to the winning centroid, as native HOF expressions over the
+    broadcast literal centroids."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                "x",
+                F.array(*[F.lit(float(v)) for v in C_arr[k]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for k in range(KMEANS_K)
+    ]
+    best = F.least(*dists)
+    cluster = F.lit(None).cast("int")
+    for k in reversed(range(KMEANS_K)):
+        cluster = F.when(dists[k] == best, F.lit(k)).otherwise(cluster)
+    return cluster, best
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Run KMEANS_ITERS Lloyd iterations; return (base frame, centroids).
+
+    Deterministic: init = lowest-vec_id points, fixed iteration count.
+    Each iteration is one distributed assign (narrow map against broadcast
+    literal centroids) + one K-group aggregation whose K×(dim+1) result is
+    the ONLY thing the driver ever holds.
+    """
+    import numpy as np
+
+    emb = tables.load(spark, sf_dir, "embeddings", fan=True)
+    init = (
+        emb.where(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select("embedding")
+        .collect()
+    )
+    C = np.array([r[0] for r in init], dtype=np.float64)
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    base = emb.where(F.col("embedding").isNotNull()).select("vec_id", x.alias("x"))
+    dim = C.shape[1]
+    for _ in range(KMEANS_ITERS):
+        cluster, _best = _kmeans_cluster_expr(C)
+        sums = (
+            base.select("x", cluster.alias("cluster"))
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("x", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in sums:
+            if r["n"]:
+                C[r["cluster"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+    return base, C
+
+
+def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embeddings table as an ITERATIVE DataFrame
+    algorithm — the pattern every iterative workload (clustering, label
+    propagation, PageRank) uses on Spark: per-iteration state that must
+    stay driver-sized (K×dim centroids) broadcasts into a distributed
+    assign step, and the reduce producing the next state is a K-group
+    aggregation over the corpus. The corpus never leaves the executors;
+    5 iterations = 5 scans + 5 aggregations, each independently parallel.
+
+    Deterministic assignments (lowest-vec_id init, fixed iterations,
+    lowest-id argmin tie-break); float summation order is not
+    cross-engine-stable, so this is a rows-only driver check with a
+    python-reference equality test on the assignments.
+
+    Output: per-cluster size and mean within-cluster squared distance.
+    """
+    base, C = _kmeans_fit(spark, sf_dir)
+    cluster, best = _kmeans_cluster_expr(C)
+    return (
+        base.select(cluster.alias("cluster"), best.alias("sqdist"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("sqdist"), 6).alias("mean_sqdist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) under the same deterministic recipe — exposed for
+    the python-reference equality test."""
+    base, C = _kmeans_fit(spark, sf_dir)
+    cluster, _best = _kmeans_cluster_expr(C)
+    return base.select("vec_id", cluster.alias("cluster"))

@@ -83,3 +83,45 @@ def test_embed_quantize_fidelity_bounds(spark):
         assert r.cos_fidelity > 0.999
         assert 0.0 <= r.mse <= (r.scale / 2) ** 2 + 1e-12
         assert r.scale > 0
+
+
+def test_kmeans_matches_python_reference(spark):
+    """Distributed Lloyd assignments equal a numpy re-implementation of the
+    same deterministic recipe; cluster report is consistent with them."""
+    import numpy as np
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        tables.load(spark, SF_SMOKE, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    K, iters = similarity.KMEANS_K, similarity.KMEANS_ITERS
+    C = X[:K].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for k in range(K):
+            if (a == k).any():
+                C[k] = X[a == k].mean(axis=0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(ids.tolist(), d2.argmin(axis=1).tolist()))
+
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_assignments(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+    report = {r.cluster: r for r in similarity.ext_kmeans_embeddings(spark, SF_SMOKE).collect()}
+    from collections import Counter
+
+    sizes = Counter(want.values())
+    assert {k: r.n for k, r in report.items()} == dict(sizes)
+    assert all(r.mean_sqdist >= 0 for r in report.values())
