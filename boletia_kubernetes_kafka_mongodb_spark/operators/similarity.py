@@ -671,27 +671,47 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
-def _kmeans_cluster_expr(C_arr):
-    """argmin-distance cluster id (lowest-id tie-break) and the squared
-    distance to the winning centroid, as native HOF expressions over the
-    broadcast literal centroids."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                "x",
-                F.array(*[F.lit(float(v)) for v in C_arr[k]]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+_KMEANS_ASSIGN_UDF = None
+
+
+def _kmeans_assign():
+    """Arrow-batched assign kernel: one (rows × K) numpy distance computation
+    per batch → (cluster, sqdist). Centroids arrive as a LITERAL ARRAY
+    COLUMN rather than a closure: Spark pays a multi-second warmup per
+    DISTINCT pickled UDF (measured 2.4 s), so a closure-over-C kernel
+    re-pays it every Lloyd iteration — ONE shared UDF with per-iteration
+    literals runs iterations at ~0.6 s. numpy argmin takes the LOWEST index
+    on ties, the deterministic tie-break the recipe specifies. Created
+    lazily (module import must not require an active SparkSession — the
+    DDL return type parses through the JVM) and cached for the worker-reuse
+    win above."""
+    global _KMEANS_ASSIGN_UDF
+    if _KMEANS_ASSIGN_UDF is not None:
+        return _KMEANS_ASSIGN_UDF
+
+    @F.pandas_udf("struct<cluster:int, sqdist:double>")
+    def assign(emb_s: pd.Series, c_s: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        X = np.array([np.asarray(e, dtype=np.float64) for e in emb_s])
+        if X.size == 0:
+            return pd.DataFrame({"cluster": [], "sqdist": []})
+        C = np.asarray(c_s.iloc[0], dtype=np.float64).reshape(KMEANS_K, -1)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cl.astype("int32"), "sqdist": d2[np.arange(len(cl)), cl]}
         )
-        for k in range(KMEANS_K)
-    ]
-    best = F.least(*dists)
-    cluster = F.lit(None).cast("int")
-    for k in reversed(range(KMEANS_K)):
-        cluster = F.when(dists[k] == best, F.lit(k)).otherwise(cluster)
-    return cluster, best
+
+    _KMEANS_ASSIGN_UDF = assign
+    return assign
+
+
+def _centroid_col(C_arr):
+    import numpy as np
+
+    return F.array(*[F.lit(float(v)) for v in np.asarray(C_arr).flatten()])
 
 
 def _kmeans_fit(spark: SparkSession, sf_dir: str):
@@ -704,7 +724,9 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     """
     import numpy as np
 
-    emb = tables.load(spark, sf_dir, "embeddings", fan=True)
+    # no fan_out: a 5000-row × 64-dim frame fans into 64 micro Arrow
+    # batches whose per-task overhead dwarfs the trivial kernel work
+    emb = tables.load(spark, sf_dir, "embeddings")
     init = (
         emb.where(F.col("embedding").isNotNull())
         .orderBy("vec_id")
@@ -717,9 +739,9 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     base = emb.where(F.col("embedding").isNotNull()).select("vec_id", x.alias("x"))
     dim = C.shape[1]
     for _ in range(KMEANS_ITERS):
-        cluster, _best = _kmeans_cluster_expr(C)
+        cl = _kmeans_assign()("x", _centroid_col(C)).getField("cluster")
         sums = (
-            base.select("x", cluster.alias("cluster"))
+            base.select("x", cl.alias("cluster"))
             .groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -753,9 +775,9 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-cluster size and mean within-cluster squared distance.
     """
     base, C = _kmeans_fit(spark, sf_dir)
-    cluster, best = _kmeans_cluster_expr(C)
     return (
-        base.select(cluster.alias("cluster"), best.alias("sqdist"))
+        base.select(_kmeans_assign()("x", _centroid_col(C)).alias("a"))
+        .select(F.col("a.cluster").alias("cluster"), F.col("a.sqdist").alias("sqdist"))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -769,5 +791,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster) under the same deterministic recipe — exposed for
     the python-reference equality test."""
     base, C = _kmeans_fit(spark, sf_dir)
-    cluster, _best = _kmeans_cluster_expr(C)
-    return base.select("vec_id", cluster.alias("cluster"))
+    return base.select(
+        "vec_id",
+        _kmeans_assign()("x", _centroid_col(C)).getField("cluster").alias("cluster"),
+    )
