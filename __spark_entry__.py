@@ -26,6 +26,7 @@ from boletia_kubernetes_kafka_mongodb_spark.operators import (
     mutations,
     notifications,
     scans,
+    search,
     similarity,
     text,
 )
@@ -86,6 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_retention_cohorts": aggregates.agg_retention_cohorts,
         "agg_value_histogram": aggregates.agg_value_histogram,
         "ext_heavy_hitters": text.ext_heavy_hitters,
+        # §2.9 extensions: search / relevance + association analytics (new
+        # this round — front of dict so the driver records them)
+        "ext_bm25_search": search.ext_bm25_search,
+        "ext_tfidf_terms": search.ext_tfidf_terms,
+        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "ext_cooccurrence": aggregates.ext_cooccurrence,
         # rows-only (MinHash banding is Spark-hash-dependent; exact verify
         # stage gives perfect precision, recall pinned in tests)
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
@@ -254,6 +261,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_retention_cohorts": aggregates.agg_retention_cohorts_oracle(),
         "agg_value_histogram": aggregates.agg_value_histogram_oracle(),
         "ext_heavy_hitters": text.ext_heavy_hitters_oracle(),
+        "ext_bm25_search": search.ext_bm25_search_oracle(),
+        "ext_tfidf_terms": search.ext_tfidf_terms_oracle(),
+        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore_oracle(),
+        "ext_cooccurrence": aggregates.ext_cooccurrence_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →

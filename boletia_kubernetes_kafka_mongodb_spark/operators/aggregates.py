@@ -661,3 +661,138 @@ def agg_value_histogram_oracle() -> str:
         FROM assigned
         GROUP BY bucket
     """
+
+
+ZSCORE_THRESHOLD = 2.0
+
+
+def agg_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: z-score of each day's
+    event count against that type's own daily mean/stddev, flagging |z| > 2
+    — the monitoring primitive behind every "traffic looks weird" alert.
+
+    Plan: one (event_type, day) aggregation over the scan; the per-type
+    mean/stddev then run as windows over the AGGREGATED frame (types × days
+    rows, thousands not billions), so the statistics cost nothing extra at
+    100 TB. Sample stddev (n−1) on both engines; zero-variance series
+    produce NULL z (no division blow-up) and are never flagged.
+    """
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type")
+    mean, std = F.avg("n").over(w), F.stddev_samp("n").over(w)
+    z = F.when(std > 0, (F.col("n") - mean) / std)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > ZSCORE_THRESHOLD, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def agg_anomaly_zscore_oracle() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, n,
+               ROUND(CASE WHEN stddev_samp(n) OVER (PARTITION BY event_type) > 0
+                          THEN (n - AVG(n) OVER (PARTITION BY event_type))
+                               / stddev_samp(n) OVER (PARTITION BY event_type)
+                     END, 6) AS zscore,
+               COALESCE(ABS(CASE WHEN stddev_samp(n) OVER (PARTITION BY event_type) > 0
+                                 THEN (n - AVG(n) OVER (PARTITION BY event_type))
+                                      / stddev_samp(n) OVER (PARTITION BY event_type)
+                            END) > {ZSCORE_THRESHOLD}, FALSE) AS is_anomaly
+        FROM daily
+    """
+
+
+def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift and PMI over user baskets — the
+    "users who did X also did Y" association primitive (market-basket /
+    collaborative filtering's counting stage).
+
+    Plan: ONE distinct pass collapses events to (user_id, event_type) —
+    at most |types| rows per user — then a self-join on user_id with
+    ``a < b`` emits each unordered pair once; per-user fan-out is bounded
+    by C(|types|, 2), not by event volume, so the join output is
+    |users| × O(types²) no matter how many raw events exist. (For
+    unbounded item catalogs the standard guard is a per-user top-N item
+    cap before pairing; with a fixed event-type vocabulary it is not
+    needed.) Type supports and the user total come from the same distinct
+    frame and broadcast back. lift = N·c_ab/(c_a·c_b), pmi = ln(lift).
+    """
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    baskets = ev.select("user_id", "event_type").distinct()
+    supports = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("support")
+    )
+    n_users = baskets.select(
+        F.count_distinct("user_id").cast("double").alias("n_users")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = supports.select(
+        F.col("event_type").alias("type_a"), F.col("support").alias("support_a")
+    )
+    sb = supports.select(
+        F.col("event_type").alias("type_b"), F.col("support").alias("support_b")
+    )
+    lift = (
+        F.col("n_users")
+        * F.col("n_both")
+        / (F.col("support_a") * F.col("support_b"))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(lift, 6).alias("lift"),
+            F.round(F.log(lift), 6).alias("pmi"),
+        )
+    )
+
+
+def ext_cooccurrence_oracle() -> str:
+    return """
+        WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+        supports AS (
+            SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS support
+            FROM baskets GROUP BY event_type
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM baskets),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM baskets a JOIN baskets b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_both,
+               ROUND(n.n_users * pairs.n_both / (sa.support * sb.support), 6) AS lift,
+               ROUND(ln(n.n_users * pairs.n_both / (sa.support * sb.support)), 6) AS pmi
+        FROM pairs
+        JOIN supports sa ON sa.event_type = pairs.type_a
+        JOIN supports sb ON sb.event_type = pairs.type_b
+        CROSS JOIN n
+    """
