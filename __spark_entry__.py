@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_tfidf_terms": search.ext_tfidf_terms,
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
         "ext_cooccurrence": aggregates.ext_cooccurrence,
+        "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
         # rows-only (MinHash banding is Spark-hash-dependent; exact verify
         # stage gives perfect precision, recall pinned in tests)
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
@@ -265,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_tfidf_terms": search.ext_tfidf_terms_oracle(),
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore_oracle(),
         "ext_cooccurrence": aggregates.ext_cooccurrence_oracle(),
+        "ext_dedup_substring": dedup.ext_dedup_substring_oracle(),
+        "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →

@@ -1025,3 +1025,96 @@ def ext_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         layouts.write_minhash_band_index(spark, sf_dir, path)
     return layouts.probe_minhash_band_index(spark, sf_dir, path)
+
+
+SUBSTR_W = 12  # overlapping-window width in tokens (exact-substring dedup)
+
+
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-substring measurement — the exact-substring dedup
+    direction of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (suffix-array dedup), re-expressed relationally: every
+    OVERLAPPING ``SUBSTR_W``-token window (stride 1, vs `ext_dedup_segments`'
+    disjoint stride-W windows) is keyed, and a window is "duplicated" when
+    the same token run appears in ≥ 2 DISTINCT documents. Per doc we report
+    the fraction of window positions lying on cross-doc repeated runs —
+    the signal exact-substring trimming acts on.
+
+    Scale shape: windows are md5-hashed IN the narrow map, so the exploded
+    frame carries a fixed 32-byte key instead of a W-token string — the
+    stride-1 blowup is |tokens| rows of constant width, not W× the corpus
+    text. One shuffle on the window hash (distinct-doc count via two-level
+    groupBy), join back on the same key, one doc_id agg. Collision risk at
+    md5/128-bit is negligible at any corpus size.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    n = F.size("t")
+    wh_arr = F.when(
+        n >= SUBSTR_W,
+        F.transform(
+            F.sequence(F.lit(0), n - SUBSTR_W),
+            lambda i: F.md5(F.array_join(F.slice(F.col("t"), i + 1, SUBSTR_W), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = toks.select("doc_id", F.explode(wh_arr).alias("wh"))
+    # distinct-doc count per window: dedupe (wh, doc) then count — two
+    # map-side-combining aggregates, no count_distinct shuffle of raw rows
+    docs_per_win = (
+        wins.select("wh", "doc_id")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per = (
+        wins.join(docs_per_win, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def ext_dedup_substring_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id,
+                   md5(array_to_string(t[i+1 : i+{SUBSTR_W}], ' ')) AS wh
+            FROM toks, unnest(range(CAST(len(t) - {SUBSTR_W} + 1 AS BIGINT))) AS u(i)
+            WHERE len(t) >= {SUBSTR_W}
+        ),
+        dpw AS (
+            SELECT wh, COUNT(*) AS n_docs
+            FROM (SELECT DISTINCT wh, doc_id FROM wins) GROUP BY wh
+        ),
+        per AS (
+            SELECT w.doc_id, COUNT(*) AS n_windows,
+                   SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+            FROM wins w JOIN dpw d USING (wh) GROUP BY w.doc_id
+        )
+        SELECT doc.doc_id,
+               CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               ROUND(COALESCE(per.n_dup_windows, 0)
+                     / GREATEST(COALESCE(per.n_windows, 0), 1), 4) AS dup_frac
+        FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+    """

@@ -795,3 +795,155 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _kmeans_assign()("x", _centroid_col(C)).getField("cluster").alias("cluster"),
     )
+
+
+MMR_POOL = 20     # candidate pool from the brute-force retrieval stage
+MMR_K = 5         # results to select
+MMR_LAMBDA = 0.7  # relevance vs diversity trade-off
+
+
+def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of the top-``MMR_POOL`` cosine
+    candidates for query vec 0 — the diversification stage between retrieval
+    and serving (Carbonell & Goldstein 1998): greedily pick
+    argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+
+    MMR is inherently sequential (each pick changes the next argmax), so
+    like ``reserve_admission_exact`` it ships as a distributed-retrieval +
+    bounded-sequential-fold plan: the corpus-sized work (scoring, top-pool
+    cut) is the same broadcast-probe narrow map as `ext_topk_similarity`;
+    the greedy loop then runs in ONE `applyInPandas` group over the
+    pool×pool pair frame — O(MMR_POOL²) rows regardless of corpus size, so
+    the sequential stage costs the same at 100 TB as at sf0.001.
+
+    Cross-engine determinism: rel and pairwise sims are rounded to 6 dp
+    BEFORE selection on both engines, so the greedy argmax compares
+    identical doubles; ties break on vec_id asc. Oracle = RECURSIVE CTE
+    carrying the selected-id list.
+    """
+    import pandas as pd
+
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings", fan=True))
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    w = Window.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+    cand = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.round(
+                _cosine("embedding", F.col("q_emb"), F.col("norm"), F.col("q_norm")), 6
+            ).alias("rel"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MMR_POOL)
+        .drop("rank")
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a"),
+        F.col("rel").alias("rel_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "rel_a",
+            "b",
+            F.round(_cosine("ea", F.col("eb"), F.col("na"), F.col("nb")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+
+    lam = MMR_LAMBDA
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = dict(zip(pdf["a"], pdf["rel_a"]))
+        sim: dict[tuple[int, int], float] = dict(
+            zip(zip(pdf["a"], pdf["b"]), pdf["sim"])
+        )
+        remaining = sorted(rel)
+        selected: list[int] = []
+        out = []
+        while remaining and len(selected) < MMR_K:
+            best_id, best_score = None, None
+            for c in remaining:  # id-asc scan makes ties pick the smaller id
+                penalty = max((sim[(c, s)] for s in selected), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * penalty
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append(
+                (len(selected), best_id, round(best_score, 6), rel[best_id])
+            )
+        return pd.DataFrame(
+            out, columns=["mmr_rank", "vec_id", "score", "rel"]
+        )
+
+    return (
+        pairs.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(greedy, "mmr_rank int, vec_id long, score double, rel double")
+    )
+
+
+def ext_mmr_diversify_oracle() -> str:
+    lam, pool, k, qid = MMR_LAMBDA, MMR_POOL, MMR_K, QUERY_VEC_ID
+    return f"""
+        WITH RECURSIVE cand AS (
+            SELECT vec_id, embedding, rel FROM (
+                SELECT vec_id, embedding, rel,
+                       row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rk
+                FROM (
+                    SELECT e.vec_id, e.embedding,
+                           ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                    * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS rel
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
+                    WHERE e.vec_id != {qid}
+                )
+            ) WHERE rk <= {pool}
+        ),
+        pairs AS (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   ROUND(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6) AS sim
+            FROM cand x JOIN cand y ON x.vec_id != y.vec_id
+        ),
+        sel AS (
+            SELECT 1 AS mmr_rank,
+                   [p.vec_id] AS ids, p.vec_id AS picked, {lam} * p.rel AS score
+            FROM (SELECT vec_id, rel FROM cand
+                  ORDER BY {lam} * rel DESC, vec_id ASC LIMIT 1) p
+            UNION ALL
+            SELECT s.mmr_rank + 1, list_append(s.ids, nxt.vec_id), nxt.vec_id, nxt.score
+            FROM sel s, LATERAL (
+                SELECT c.vec_id,
+                       {lam} * c.rel - (1.0 - {lam}) * COALESCE(
+                           (SELECT MAX(p.sim) FROM pairs p
+                            WHERE p.a = c.vec_id AND list_contains(s.ids, p.b)), 0.0
+                       ) AS score
+                FROM cand c
+                WHERE NOT list_contains(s.ids, c.vec_id)
+                ORDER BY score DESC, c.vec_id ASC
+                LIMIT 1
+            ) nxt
+            WHERE s.mmr_rank < {k}
+        )
+        SELECT s.mmr_rank, s.picked AS vec_id,
+               ROUND(s.score, 6) AS score, c.rel AS rel
+        FROM sel s JOIN cand c ON c.vec_id = s.picked
+    """
