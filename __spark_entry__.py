@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (float summation order is engine-specific; assignments
         # pinned against a python reference in tests)
         "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
+        # rows-only (inherits the k-means assignments; keep semantics pinned
+        # by a python-reference equality test)
+        "ext_semdedup": similarity.ext_semdedup,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,

@@ -1007,3 +1007,63 @@ def ext_mmr_diversify_oracle() -> str:
                ROUND(s.score, 6) AS score, c.rel AS rel
         FROM sel s JOIN cand c ON c.vec_id = s.picked
     """
+
+
+SEMDEDUP_THRESHOLD = 0.45  # within-cluster cosine prune threshold
+
+
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup, Abbas et al. 2023):
+    k-means the embedding space, then inside EACH cluster drop any vector
+    whose cosine to an already-kept lower-id vector exceeds the threshold.
+    The clustering makes the quadratic step tractable — all-pairs runs per
+    cluster (SemDeDup sizes k so clusters stay small), never corpus-wide.
+
+    Plan: the assignments come from the shared deterministic k-means stage;
+    one shuffle on ``cluster`` feeds an `applyInPandas` group kernel doing
+    the O(c²) normalized-matmul + greedy keep scan. Keep rule is
+    deterministic (vec_id asc greedy — a pruned vector never suppresses
+    later ones, matching the paper's keep-one-per-duplicate-set intent).
+    At 100 TB the skew guard is k itself: grow KMEANS_K with corpus size so
+    max cluster stays bounded; the kernel is linear in memory (c×dim).
+
+    Rows-only driver check (assignments are float-summation-order
+    dependent); semantics pinned by a python-reference equality test.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assign = kmeans_assignments(spark, sf_dir)
+    emb = tables.load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    joined = emb.select("vec_id", "embedding").join(assign, "vec_id")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ Xn.T
+        kept: list[int] = []
+        keep_flags, max_sims = [], []
+        for i in range(len(pdf)):
+            sim = float(S[i, kept].max()) if kept else None
+            ok = sim is None or sim <= SEMDEDUP_THRESHOLD
+            keep_flags.append(ok)
+            max_sims.append(round(sim, 6) if sim is not None else None)
+            if ok:
+                kept.append(i)
+        return pd.DataFrame(
+            {
+                "cluster": pdf["cluster"],
+                "vec_id": pdf["vec_id"],
+                "keep": keep_flags,
+                "max_sim_kept": max_sims,
+            }
+        )
+
+    return joined.groupBy("cluster").applyInPandas(
+        prune, "cluster int, vec_id long, keep boolean, max_sim_kept double"
+    )

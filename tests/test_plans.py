@@ -273,3 +273,50 @@ def test_funnel_single_user_exchange(spark):
     assert s.count("Exchange hashpartitioning(user_id") == 1
     assert s.count("+- Sort ") == 1
     assert "CartesianProduct" not in s
+
+
+def test_bm25_bounded_heap_no_sort_merge(spark):
+    """BM25 must end in TakeOrderedAndProject (bounded per-task heaps, no
+    global sort) and join only via broadcast (tiny stats side)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import search
+
+    df = search.ext_bm25_search(spark, SF_CORRECT)
+    s = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_tfidf_df_derives_from_tf_frame(spark):
+    """The df table must derive FROM the tf frame (tokenizer appears once
+    per plan branch, never per token) and no cartesian sneaks in."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import search
+
+    df = search.ext_tfidf_terms(spark, SF_CORRECT)
+    s = plans.explain_str(df)
+    assert "CartesianProduct" not in s
+    assert s.count("regexp_extract_all") <= 2
+
+
+def test_cooccurrence_pairs_from_distinct_baskets(spark):
+    """The self-join must run over the DISTINCT (user, type) frame — an
+    aggregate sits below the join — and supports come in via broadcast."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates
+
+    df = aggregates.ext_cooccurrence(spark, SF_CORRECT)
+    s = plans.explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "HashAggregate" in s
+    assert "BroadcastExchange" in s
+
+
+def test_substring_windows_hash_in_narrow_map(spark):
+    """Window hashes are computed pre-explode (md5 visible in the plan,
+    tokenizer once per branch) — the shuffle carries fixed-width keys."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup
+
+    df = dedup.ext_dedup_substring(spark, SF_CORRECT)
+    s = plans.explain_str(df)
+    assert "CartesianProduct" not in s
+    assert s.count("regexp_extract_all") <= 2, "tokenizer re-runs per window"
+    assert "md5" in s

@@ -125,3 +125,54 @@ def test_kmeans_matches_python_reference(spark):
     sizes = Counter(want.values())
     assert {k: r.n for k, r in report.items()} == dict(sizes)
     assert all(r.mean_sqdist >= 0 for r in report.values())
+
+
+def test_semdedup_matches_python_reference(spark):
+    """Greedy within-cluster prune equals a numpy re-implementation over the
+    same deterministic k-means assignments; keep-set structure is sane."""
+    import numpy as np
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from pyspark.sql import functions as F
+
+    assign = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_assignments(spark, SF_SMOKE).collect()
+    }
+    rows = sorted(
+        tables.load(spark, SF_SMOKE, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(assign[r.vec_id], []).append(r)
+    want = {}
+    for cl, members in by_cluster.items():
+        X = np.array([m.embedding for m in members], dtype=np.float64)
+        n = np.sqrt((X * X).sum(axis=1))
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        S = Xn @ Xn.T
+        kept = []
+        for i, m in enumerate(members):
+            sim = float(S[i, kept].max()) if kept else None
+            ok = sim is None or sim <= similarity.SEMDEDUP_THRESHOLD
+            want[m.vec_id] = ok
+            if ok:
+                kept.append(i)
+
+    out = similarity.ext_semdedup(spark, SF_SMOKE).collect()
+    got = {r.vec_id: r.keep for r in out}
+    assert got == want
+    # every row consistent with its cluster; first (lowest-id) member of
+    # each cluster is always kept
+    first_per_cluster = {
+        cl: min(m.vec_id for m in members) for cl, members in by_cluster.items()
+    }
+    for r in out:
+        assert assign[r.vec_id] == r.cluster
+        if r.vec_id == first_per_cluster[r.cluster]:
+            assert r.keep and r.max_sim_kept is None
