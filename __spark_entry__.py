@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
         "ext_cooccurrence": aggregates.ext_cooccurrence,
         "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_text_clean": dedup.ext_text_clean,
+        "ext_sample_importance": sampling.ext_sample_importance,
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         # rows-only (MinHash banding is Spark-hash-dependent; exact verify
         # stage gives perfect precision, recall pinned in tests)
@@ -271,6 +273,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore_oracle(),
         "ext_cooccurrence": aggregates.ext_cooccurrence_oracle(),
         "ext_dedup_substring": dedup.ext_dedup_substring_oracle(),
+        "ext_text_clean": dedup.ext_text_clean_oracle(),
+        "ext_sample_importance": sampling.ext_sample_importance_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

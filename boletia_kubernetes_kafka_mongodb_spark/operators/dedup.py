@@ -1118,3 +1118,93 @@ def ext_dedup_substring_oracle() -> str:
                      / GREATEST(COALESCE(per.n_windows, 0), 1), 4) AS dup_frac
         FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
     """
+
+
+def ext_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the transform acting on `ext_dedup_segments`'
+    measurement (CCNet/RefinedWeb drop the repeated paragraphs, they don't
+    just count them): rebuild each document keeping only segments whose
+    token run is globally UNIQUE in the corpus; repeated runs (headers,
+    footers, templates) are cut. Output is the normalized kept-token
+    stream plus kept/dropped accounting.
+
+    Plan: same two-shuffle shape as the measurement (seg counts, doc_id
+    reassembly); ordered reassembly uses ``array_sort(collect_list(
+    struct(pos, seg)))`` — position travels WITH the row, so the rebuild
+    needs no window or extra sort exchange, and the per-doc state is
+    bounded by the doc's own segment count.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    n = F.size("t")
+    n_segs = F.ceil(n / F.lit(float(SEGMENT_W))).cast("int")
+    seg_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), i * SEGMENT_W + 1, SEGMENT_W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = toks.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    cnt = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("c"))
+    kept = (
+        segs.join(cnt, "seg")
+        .where(F.col("c") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x.getField("seg"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = toks.select("doc_id", n_segs.alias("n_total"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept_segments"),
+            (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_segments"),
+        )
+    )
+
+
+def ext_text_clean_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i*{SEGMENT_W}+1 : i*{SEGMENT_W}+{SEGMENT_W}], ' ') AS seg
+            FROM toks, unnest(range(CAST(ceil(len(t)/{SEGMENT_W}.0) AS BIGINT))) AS u(i)
+        ),
+        cnt AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg),
+        kept AS (
+            SELECT s.doc_id, COUNT(*) AS n_kept,
+                   string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text
+            FROM segs s JOIN cnt USING (seg)
+            WHERE cnt.c = 1
+            GROUP BY s.doc_id
+        ),
+        totals AS (
+            SELECT doc_id, CAST(ceil(len(t)/{SEGMENT_W}.0) AS BIGINT) AS n_total
+            FROM toks
+        )
+        SELECT t.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept_segments,
+               CAST(COALESCE(t.n_total, 0) - COALESCE(k.n_kept, 0) AS BIGINT)
+                   AS n_dropped_segments
+        FROM totals t LEFT JOIN kept k USING (doc_id)
+    """

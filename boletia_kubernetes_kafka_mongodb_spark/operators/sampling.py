@@ -806,3 +806,108 @@ def ext_sample_weighted_oracle() -> str:
                  / CAST(GREATEST(n_chars, 1) AS DOUBLE), doc_id
         LIMIT {WEIGHTED_SAMPLE_K}
     """
+
+
+IMPORTANCE_TARGET_SOURCE = "src0"  # in-domain proxy for importance weighting
+
+
+def ext_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like it is under bag-of-tokens language models —
+    mean_t [ln p_target(t) − ln p_general(t)] — where the target LM is
+    estimated from the in-domain slice (source = ``src0``) and the general
+    LM from the whole corpus. Positive scores = looks like the target
+    domain; the selection stage resamples by these weights (cf.
+    `ext_sample_weighted` for the weighted-sampling primitive).
+
+    Plan: ONE corpus tokenize pass materializes the (doc, token, tf)
+    frame; both LMs and the shared-vocab scalars derive FROM it (the
+    target side is a filtered re-aggregation, not a second scan); the LM
+    join is on the vocab-sized token key with the LM side pre-aggregated
+    to one row per token (skew-proof), and the scalar normalizers ride a
+    1-row broadcast. Laplace(+1) smoothing over the shared vocab keeps
+    both distributions proper so unseen-in-target tokens penalize rather
+    than blow up.
+    """
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    tf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(tokens_col("text")).alias("token"),
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    general = tf.groupBy("token").agg(F.sum("tf").alias("cg"))
+    target = (
+        tf.where(F.col("source") == IMPORTANCE_TARGET_SOURCE)
+        .groupBy("token")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    lm = general.join(target, "token", "left").select(
+        "token", "cg", F.coalesce("ct", F.lit(0.0)).alias("ct")
+    )
+    scalars = lm.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("cg").alias("tg"),
+        F.sum("ct").alias("tt"),
+    )
+    scored = (
+        tf.join(lm, "token")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "ll_ratio",
+            F.col("tf")
+            * (
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("v")))
+                - F.log((F.col("cg") + 1.0) / (F.col("tg") + F.col("v")))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum("ll_ratio") / F.sum("tf"), 6).alias("importance"),
+        )
+    )
+
+
+def ext_sample_importance_oracle() -> str:
+    from .text import TOKEN_RE
+
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, source, token, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (
+                SELECT doc_id, source,
+                       unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+                FROM documents
+            )
+            GROUP BY doc_id, source, token
+        ),
+        general AS (SELECT token, SUM(tf) AS cg FROM tf GROUP BY token),
+        target AS (
+            SELECT token, SUM(tf) AS ct FROM tf
+            WHERE source = '{IMPORTANCE_TARGET_SOURCE}' GROUP BY token
+        ),
+        lm AS (
+            SELECT g.token, g.cg, COALESCE(t.ct, 0.0) AS ct
+            FROM general g LEFT JOIN target t USING (token)
+        ),
+        scalars AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS v, SUM(cg) AS tg, SUM(ct) AS tt
+            FROM lm
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf.tf * (ln((lm.ct + 1.0) / (s.tt + s.v))
+                                  - ln((lm.cg + 1.0) / (s.tg + s.v))))
+                     / SUM(tf.tf), 6) AS importance
+        FROM tf JOIN lm USING (token) CROSS JOIN scalars s
+        GROUP BY tf.doc_id
+    """

@@ -374,3 +374,27 @@ def test_incremental_near_dedup_precision_and_recall(spark, tmp_path):
     assert truth, "fixture has no cross-split near-dups; recall untestable"
     recall = len(got) / len(truth)
     assert recall >= 0.8, f"band-probe recall {recall:.2f}"
+
+
+def test_text_clean_removes_shared_segment_keeps_unique(spark, tmp_path):
+    """A segment shared by two docs is boilerplate (dropped from BOTH);
+    unique segments survive in order; empty docs yield empty clean text."""
+    boiler = " ".join(f"b{i}" for i in range(dedup.SEGMENT_W))
+    u = " ".join(f"u{i}" for i in range(dedup.SEGMENT_W))
+    v = " ".join(f"v{i}" for i in range(dedup.SEGMENT_W))
+    w = " ".join(f"w{i}" for i in range(dedup.SEGMENT_W))
+    rows = [
+        (0, f"{boiler} {u}", "en", "src", 1),
+        (1, f"{boiler} {v}", "en", "src", 1),
+        (2, w, "en", "src", 1),
+        (3, "", "en", "src", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in dedup.ext_text_clean(spark, str(tmp_path)).collect()}
+    assert out[0].clean_text == u and out[0].n_dropped_segments == 1
+    assert out[1].clean_text == v and out[1].n_dropped_segments == 1
+    assert out[2].clean_text == w and out[2].n_dropped_segments == 0
+    assert out[3].clean_text == "" and out[3].n_kept_segments == 0

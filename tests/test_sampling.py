@@ -351,3 +351,28 @@ def test_weighted_sample_matches_python_reference(spark):
     got = ext_sample_weighted(spark, SF).collect()
     assert [r.doc_id for r in got] == expect
     assert all(r.priority > 0 for r in got)
+
+
+def test_importance_prefers_target_domain_tokens(spark, tmp_path):
+    """A doc made of target-domain tokens must outscore a doc of
+    general-only tokens, and the target corpus itself scores positive."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        ext_sample_importance,
+    )
+
+    rows = [
+        (0, "apple apple banana", "en", "src0", 1),   # target slice
+        (1, "apple banana apple", "en", "src0", 1),
+        (2, "zebra yak zebra yak", "en", "src1", 1),  # general-only noise
+        (3, "apple banana", "en", "src1", 1),         # target-like outsider
+        (4, "zebra yak", "en", "src1", 1),            # noise-like outsider
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in ext_sample_importance(spark, str(tmp_path)).collect()}
+    assert out[3].importance > out[4].importance
+    assert out[0].importance > 0
+    assert out[4].importance < 0
+    assert out[3].n_tokens == 2
