@@ -169,3 +169,53 @@ def funnel_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def anomaly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume baseline (mean/stddev over days) — the batch
+    side of the lambda-shaped anomaly detector: computed offline over the
+    standing corpus, broadcast into the live stream. Same statistics as
+    ``operators.aggregates.agg_anomaly_zscore`` derives internally."""
+    from .. import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("std_n")
+    )
+
+
+def anomaly_alert_stream(
+    events_stream: DataFrame, baseline: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming twin of ``agg_anomaly_zscore``'s FLAGGING stage: tumbling
+    1-day window counts per type (watermark-bounded state), stream-static
+    broadcast join against the offline baseline, emit only the anomalous
+    days. The static side is |types| rows — at 100 TB the baseline job is
+    the heavy lift and runs in batch; the detector itself keeps one count
+    per (type, open day) of state and never rescans history.
+
+    Append-finalized windows only agree with the batch twin after replay —
+    asserted in tests (stream alerts == batch ``is_anomaly`` rows when fed
+    the same baseline)."""
+    with_ts = events_stream.withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    ).withWatermark("event_time", watermark)
+    counts = with_ts.groupBy(
+        F.window("event_time", "1 day").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    z = F.when(
+        F.col("std_n") > 0, (F.col("n") - F.col("mean_n")) / F.col("std_n")
+    )
+    return (
+        counts.join(F.broadcast(baseline), "event_type")
+        .select(
+            "event_type",
+            F.col("w.start").cast("date").alias("day"),
+            "n",
+            F.round(z, 6).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > 2.0)
+    )

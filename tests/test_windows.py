@@ -353,3 +353,41 @@ def test_histogram_covers_all_events_contiguously(spark):
         if b.bucket == a.bucket + 1:
             assert abs(b.bucket_lo - a.bucket_hi) < 1e-9
         assert a.bucket_lo < a.bucket_hi
+
+
+def test_anomaly_alert_stream_matches_batch_flags(spark, tmp_path):
+    """Replayed stream alerts == the batch operator's is_anomaly rows when
+    both use the same offline baseline (lambda shape: batch stats feed the
+    live detector)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events")
+    cdc_stream.write_ordered_files(ev, path, n_files=4, order_col="event_id")
+
+    baseline = windows.anomaly_baseline(spark, SF_SMOKE)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(path)
+    )
+    q = (
+        windows.anomaly_alert_stream(stream, baseline)
+        .writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.event_type, r.day): (r.n, r.zscore)
+        for r in spark.sql("select * from anom_out").collect()
+    }
+    expect = {
+        (r.event_type, r.day): (r.n, r.zscore)
+        for r in aggregates.agg_anomaly_zscore(spark, SF_SMOKE).collect()
+        if r.is_anomaly
+    }
+    assert got == expect
