@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_substring": dedup.ext_dedup_substring,
         "ext_text_clean": dedup.ext_text_clean,
         "ext_sample_importance": sampling.ext_sample_importance,
+        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
+        "cdc_broker_metrics": cdc.cdc_broker_metrics,
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         # rows-only (MinHash banding is Spark-hash-dependent; exact verify
         # stage gives perfect precision, recall pinned in tests)
@@ -275,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_dedup_substring": dedup.ext_dedup_substring_oracle(),
         "ext_text_clean": dedup.ext_text_clean_oracle(),
         "ext_sample_importance": sampling.ext_sample_importance_oracle(),
+        "ext_text_bigram_logprob": text.ext_text_bigram_logprob_oracle(),
+        "cdc_broker_metrics": cdc.cdc_broker_metrics_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

@@ -202,3 +202,67 @@ def filter_state_machine_oracle() -> str:
                     ELSE 'restitute' END AS route
         FROM events
     """
+
+
+def cdc_broker_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic CDC operational metrics — the monitoring panel a deployment
+    of the reference's Kafka pipeline (`pcKafka/pcKafka.go`, consumer groups
+    in `crearReservas/`) watches: message volume, redelivery count/rate
+    (at-least-once delivery means duplicates ARE expected — the consumers'
+    idempotence relies on measuring, not preventing, them), distinct keys,
+    and the seq frontier.
+
+    One aggregation over the (cached) message log; redeliveries fall out of
+    ``count − count_distinct(seq)`` — no self-join, no window. At 100 TB of
+    log this is a single shuffle on the topic key (2 groups → map-side
+    partials do all the work).
+    """
+    from ..sources import cdc_stream
+
+    log = cdc_stream.build_message_log(spark, sf_dir)
+    n = F.count(F.lit(1)).cast("long")
+    uniq = F.count_distinct("seq").cast("long")
+    return (
+        log.groupBy("topic")
+        .agg(
+            n.alias("n_messages"),
+            uniq.alias("n_unique"),
+            (n - uniq).alias("n_redelivered"),
+            F.round((n - uniq) / n.cast("double"), 6).alias("redelivery_rate"),
+            F.count_distinct("key").cast("long").alias("n_keys"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+    )
+
+
+def cdc_broker_metrics_oracle() -> str:
+    from ..oracle import with_domain
+
+    return with_domain(
+        """, ev_msgs AS (
+            SELECT row_number() OVER (ORDER BY _id) AS seq,
+                   'boletia.eventos' AS topic, _id AS key
+            FROM eventos
+        ),
+        res_msgs AS (
+            SELECT seq, 'boletia.reservas' AS topic, _id AS key FROM reservas
+        ),
+        log AS (SELECT * FROM ev_msgs UNION ALL SELECT * FROM res_msgs),
+        log_with_dups AS (
+            SELECT * FROM log
+            UNION ALL
+            SELECT * FROM log WHERE seq % 20 = 7
+        )
+        SELECT topic,
+               CAST(COUNT(*) AS BIGINT) AS n_messages,
+               CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT seq) AS BIGINT) AS n_redelivered,
+               ROUND((COUNT(*) - COUNT(DISTINCT seq)) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS redelivery_rate,
+               CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+               MIN(seq) AS min_seq,
+               MAX(seq) AS max_seq
+        FROM log_with_dups
+        GROUP BY topic"""
+    )

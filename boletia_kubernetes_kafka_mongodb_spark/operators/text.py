@@ -963,3 +963,108 @@ def ext_heavy_hitters_oracle() -> str:
         GROUP BY token
         HAVING COUNT(*) * ({HH_K} + 1) > MAX(n_total)
     """
+
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+def ext_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-likelihood under an interpolated BIGRAM LM trained
+    on the corpus itself — the KenLM-perplexity quality filter (CCNet uses
+    a 5-gram model; the interpolated bigram is the same machinery at the
+    order this fixture's vocabulary supports):
+    p(w|v) = λ·c(v,w)/c(v·) + (1−λ)·(c(w)+1)/(T+V).
+
+    Plan: bigrams form in the narrow map via ``arrays_zip(slice, slice)``
+    (no positional self-join); ONE (prev, cur) shuffle materializes the
+    per-doc bigram tf frame; the bigram LM, context totals, and unigram
+    smoothing scalars all derive FROM that frame (corpus scanned once); the
+    LM join is pre-aggregated per key — the same skew-proof shape as
+    `ext_text_unigram_logprob` one order up. Docs with < 2 tokens carry a
+    NULL score (no bigrams to judge).
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    t = tokens_col("text")
+    n = F.size(t)
+    bigrams = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))).alias("prev"),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))).alias("cur"),
+    )
+    tf2 = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    lm2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
+    ctx = lm2.groupBy("prev").agg(F.sum("c2").alias("c1prev"))
+    uni = (
+        lm2.groupBy("cur").agg(F.sum("c2").alias("c1cur"))
+    )
+    scalars = uni.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("c1cur").alias("t_total"),
+    )
+    lam = F.lit(BIGRAM_LAMBDA)
+    p = lam * F.col("c2") / F.col("c1prev") + (F.lit(1.0) - lam) * (
+        F.col("c1cur") + 1.0
+    ) / (F.col("t_total") + F.col("v"))
+    scored = (
+        tf2.join(lm2, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni, "cur")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("ll", F.col("tf") * F.log(p))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(F.sum("ll") / F.sum("tf"), 6).alias("mean_logprob"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_logprob",
+        )
+    )
+
+
+def ext_text_bigram_logprob_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        tf2 AS (
+            SELECT doc_id, t[i] AS prev, t[i+1] AS cur,
+                   CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks, unnest(range(1, CAST(len(t) AS BIGINT))) AS u(i)
+            GROUP BY doc_id, prev, cur
+        ),
+        lm2 AS (SELECT prev, cur, SUM(tf) AS c2 FROM tf2 GROUP BY prev, cur),
+        ctx AS (SELECT prev, SUM(c2) AS c1prev FROM lm2 GROUP BY prev),
+        uni AS (SELECT cur, SUM(c2) AS c1cur FROM lm2 GROUP BY cur),
+        scalars AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS v, SUM(c1cur) AS t_total FROM uni
+        ),
+        per AS (
+            SELECT tf2.doc_id,
+                   CAST(SUM(tf2.tf) AS BIGINT) AS n_bigrams,
+                   ROUND(SUM(tf2.tf * ln({BIGRAM_LAMBDA} * lm2.c2 / ctx.c1prev
+                                         + (1.0 - {BIGRAM_LAMBDA}) * (uni.c1cur + 1.0)
+                                           / (s.t_total + s.v)))
+                         / SUM(tf2.tf), 6) AS mean_logprob
+            FROM tf2
+            JOIN lm2 USING (prev, cur)
+            JOIN ctx USING (prev)
+            JOIN uni USING (cur)
+            CROSS JOIN scalars s
+            GROUP BY tf2.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               p.mean_logprob
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """

@@ -370,3 +370,34 @@ def test_kafka_frame_roundtrip_and_contract(spark):
     for r in sorted(log.collect(), key=lambda r: r.seq):
         want.setdefault(r.key, []).append(r.value)
     assert got == want
+
+
+def test_cdc_broker_metrics_redelivery_accounting(spark):
+    """Redeliveries equal the seq%20==7 rule exactly; keys and frontier
+    are consistent with the underlying log."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import cdc as cdc_ops
+    from boletia_kubernetes_kafka_mongodb_spark.sources import cdc_stream
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.topic: r for r in cdc_ops.cdc_broker_metrics(spark, sf).collect()}
+    log = cdc_stream.build_message_log(spark, sf)
+    from pyspark.sql import functions as F
+
+    want = {
+        r.topic: r
+        for r in log.groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("seq").alias("u"),
+            F.sum(((F.col("seq") % 20) == 7).cast("long")).alias("dup_rows"),
+        )
+        .collect()
+    }
+    for topic, r in out.items():
+        w = want[topic]
+        assert r.n_messages == w.n
+        assert r.n_redelivered == w.n - w.u
+        # each seq%20==7 message appears exactly twice: dup_rows = 2×dups
+        assert w.dup_rows == 2 * r.n_redelivered
+        assert 0 < r.redelivery_rate < 0.2
+        assert r.min_seq < r.max_seq

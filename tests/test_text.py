@@ -246,3 +246,30 @@ def test_heavy_hitters_equals_exact_heavy_set(spark):
     assert got == exact and got
     assert all(n * (HH_K + 1) > n_total for n in got.values())
     assert sum(got.values()) <= n_total
+
+
+def test_bigram_logprob_frequent_beats_rare(spark, tmp_path):
+    """Docs made of corpus-frequent bigrams outscore docs of one-off
+    bigrams; sub-bigram docs carry NULL with 0 bigrams."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        ext_text_bigram_logprob,
+    )
+
+    rows = [
+        (0, "the cat sat", "en", "src", 1),
+        (1, "the cat sat", "en", "src", 1),
+        (2, "the cat sat", "en", "src", 1),
+        (3, "zyx wvu tsr", "en", "src", 1),  # bigrams seen once in corpus
+        (4, "solo", "en", "src", 1),
+        (5, "", "en", "src", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in ext_text_bigram_logprob(spark, str(tmp_path)).collect()}
+    assert out[0].mean_logprob == out[1].mean_logprob == out[2].mean_logprob
+    assert out[0].mean_logprob > out[3].mean_logprob
+    assert out[4].n_bigrams == 0 and out[4].mean_logprob is None
+    assert out[5].n_bigrams == 0 and out[5].mean_logprob is None
+    assert out[0].n_bigrams == 2
