@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_importance": sampling.ext_sample_importance,
         "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
         "cdc_broker_metrics": cdc.cdc_broker_metrics,
+        "ext_shard_manifest": sampling.ext_shard_manifest,
+        # rows-only (data-dependent sequential merge loop; python-reference
+        # equality test pins the semantics)
+        "ext_bpe_merges": text.ext_bpe_merges,
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         # rows-only (MinHash banding is Spark-hash-dependent; exact verify
         # stage gives perfect precision, recall pinned in tests)
@@ -279,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_sample_importance": sampling.ext_sample_importance_oracle(),
         "ext_text_bigram_logprob": text.ext_text_bigram_logprob_oracle(),
         "cdc_broker_metrics": cdc.cdc_broker_metrics_oracle(),
+        "ext_shard_manifest": sampling.ext_shard_manifest_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

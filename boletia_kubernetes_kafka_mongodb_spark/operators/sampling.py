@@ -911,3 +911,70 @@ def ext_sample_importance_oracle() -> str:
         FROM tf JOIN lm USING (token) CROSS JOIN scalars s
         GROUP BY tf.doc_id
     """
+
+
+N_SHARDS = 16  # output shards for the training-data writer
+
+
+def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output sharding manifest — the writer stage every pipeline
+    ends with: each document lands in a deterministic hash shard (stable
+    under re-runs and insert order, unlike round-robin), documents get a
+    within-shard shuffle key (hash of a salted id — the "global shuffle"
+    trainers need arrives as a free sort key, no extra pass), and the
+    manifest row per shard carries the accounting a loader checks before
+    consuming (doc/token/byte totals, id frontier).
+
+    Plan: one narrow map (hash, shard, tokens) + one agg on ≤ N_SHARDS
+    keys. The actual write is ``partitionBy(shard)`` on the same column —
+    cf. `sources/layouts.write_corpus_snapshot` for the partitioned-write
+    path; this query is its manifest side, derivable without writing.
+    """
+    from .text import tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    assigned = docs.select(
+        "doc_id",
+        (_key_hash("doc_id") % N_SHARDS).cast("int").alias("shard"),
+        (_key_hash(F.concat(F.lit("shuffle:"), F.col("doc_id")))).alias(
+            "shuffle_key"
+        ),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            # loader sanity: first doc in within-shard shuffle order
+            F.min_by("doc_id", "shuffle_key").alias("first_doc_id"),
+        )
+    )
+
+
+def ext_shard_manifest_oracle() -> str:
+    h_doc = _oracle_key_hash("doc_id")
+    h_shuf = _oracle_key_hash("'shuffle:' || doc_id")
+    return f"""
+        WITH assigned AS (
+            SELECT doc_id,
+                   CAST({h_doc} % {N_SHARDS} AS INTEGER) AS shard,
+                   {h_shuf} AS shuffle_key,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_bytes
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id,
+               min_by(doc_id, shuffle_key) AS first_doc_id
+        FROM assigned
+        GROUP BY shard
+    """

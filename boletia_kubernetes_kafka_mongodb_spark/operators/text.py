@@ -1068,3 +1068,102 @@ def ext_text_bigram_logprob_oracle() -> str:
                p.mean_logprob
         FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
     """
+
+
+BPE_N_MERGES = 8  # merge operations to learn
+
+_BPE_MERGE_UDF = None
+
+
+def _bpe_merge():
+    """Shared Arrow kernel applying ONE merge (a, b) → "ab" across symbol
+    arrays. Same shared-UDF discipline as the k-means kernels: the pair
+    arrives as a literal array column, so all iterations reuse one pickled
+    function (per-distinct-UDF warmup paid once)."""
+    global _BPE_MERGE_UDF
+    if _BPE_MERGE_UDF is not None:
+        return _BPE_MERGE_UDF
+
+    import pandas as pd
+
+    # no type hints: module has no pandas import for the string annotations
+    # (PEP 563) to resolve against, and the return type is given explicitly
+    @F.pandas_udf("array<string>")
+    def merge(sym_s, pair_s):
+        a, b = pair_s.iloc[0][0], pair_s.iloc[0][1]
+        ab = a + b
+        out = []
+        for syms in sym_s:
+            L = list(syms)
+            res = []
+            i = 0
+            while i < len(L):
+                if i + 1 < len(L) and L[i] == a and L[i + 1] == b:
+                    res.append(ab)
+                    i += 2
+                else:
+                    res.append(L[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    _BPE_MERGE_UDF = merge
+    return merge
+
+
+def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_N_MERGES`` byte-pair-encoding merges on the
+    corpus (Sennrich et al. 2016) — tokenizer TRAINING itself, not just the
+    vocab counts that feed it, as an iterative-DataFrame algorithm:
+
+    - ONE corpus pass collapses to the (word, freq) table — BPE's classic
+      trick: training cost is vocab-sized, corpus-size-independent after
+      this pass, so at 100 TB the loop runs on a frame of a few million
+      rows no matter the input.
+    - Each iteration: adjacent-pair counts via ``arrays_zip(slice, slice)``
+      explode weighted by freq (one small shuffle), argmax with
+      lexicographic tie-break (2-row-bounded collect — the merge list is
+      the model and is inherently driver-sized), then the shared Arrow
+      kernel rewrites the symbol arrays; ``localCheckpoint`` per iteration
+      stops lineage growth (same discipline as `_kmeans_fit`).
+
+    Deterministic (ties: count desc, pair lexicographic asc). No SQL
+    oracle — the loop is data-dependent sequential; semantics pinned by a
+    python-reference equality test.
+
+    Output: (merge_rank, left, right, pair_count) — the merge table a
+    tokenizer ships.
+    """
+    words = (
+        tables.load(spark, sf_dir, "documents", fan=True)
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        sz = F.size("syms")
+        prs = F.arrays_zip(
+            F.slice("syms", 1, F.greatest(sz - 1, F.lit(0))).alias("a"),
+            F.slice("syms", 2, F.greatest(sz - 1, F.lit(0))).alias("b"),
+        )
+        top = (
+            words.select("freq", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append((rank, r["a"], r["b"], int(r["c"])))
+        words = words.select(
+            _bpe_merge()("syms", F.lit([r["a"], r["b"]])).alias("syms"), "freq"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

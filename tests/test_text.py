@@ -273,3 +273,56 @@ def test_bigram_logprob_frequent_beats_rare(spark, tmp_path):
     assert out[4].n_bigrams == 0 and out[4].mean_logprob is None
     assert out[5].n_bigrams == 0 and out[5].mean_logprob is None
     assert out[0].n_bigrams == 2
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Distributed BPE merge learning equals the classic in-memory
+    algorithm (Sennrich-style) run over the same word-freq table."""
+    from collections import Counter
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        BPE_N_MERGES,
+        ext_bpe_merges,
+        tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    wf = Counter()
+    for r in (
+        tables.load(spark, sf, "documents")
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .collect()
+    ):
+        wf[r.w] += 1
+
+    words = {w: list(w) for w in wf}
+    want = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        want.append((rank, a, b, c))
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in ext_bpe_merges(spark, sf).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+    assert len(got) == BPE_N_MERGES
