@@ -449,3 +449,67 @@ def probe_minhash_band_index(
     return paired.select("doc_id", "dup_of", jac.alias("jaccard")).where(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+
+
+ZORDER_BITS = 16  # per-dimension quantization for the interleave
+
+
+def _zvalue(col_a, col_b, lo_a, hi_a, lo_b, hi_b):
+    """Morton/Z-value of two columns: quantize each to ZORDER_BITS against
+    the observed [lo, hi], then interleave bits — pure native bit
+    expressions (shiftleft/bitwise-or fold), no UDF."""
+    span_a = F.greatest(F.lit(hi_a) - F.lit(lo_a), F.lit(1e-12))
+    span_b = F.greatest(F.lit(hi_b) - F.lit(lo_b), F.lit(1e-12))
+    max_q = (1 << ZORDER_BITS) - 1
+    qa = F.least(
+        F.lit(max_q),
+        F.floor((col_a.cast("double") - F.lit(lo_a)) / span_a * max_q).cast("long"),
+    )
+    qb = F.least(
+        F.lit(max_q),
+        F.floor((col_b.cast("double") - F.lit(lo_b)) / span_b * max_q).cast("long"),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zorder_events(
+    spark: SparkSession, sf_dir: str, out_path: str, n_files: int = 16
+) -> None:
+    """Z-ORDER the event log on (user_id, value) — the lakehouse
+    multi-dimensional clustering move (Delta OPTIMIZE ZORDER BY): a linear
+    sort can make file-level min/max statistics selective on ONE column
+    only; interleaving the bits of both keys keeps every file's min/max
+    tight on BOTH dimensions simultaneously, so a reader filtering on either column
+    (or both) skips most files via footer statistics alone.
+
+    Plan: one bounds aggregation (2 scalars per dimension), a narrow
+    Z-value map, then ``repartitionByRange(z)`` — Spark's sampled range
+    exchange — with files cut along the curve. No shuffle beyond the one
+    range exchange any global clustering pays.
+    """
+    from .. import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("user_id").alias("lo_a"),
+        F.max("user_id").alias("hi_a"),
+        F.min("value").alias("lo_b"),
+        F.max("value").alias("hi_b"),
+    ).collect()[0]
+    z = _zvalue(
+        F.col("user_id"), F.col("value"), b["lo_a"], b["hi_a"], b["lo_b"], b["hi_b"]
+    )
+    (
+        ev.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -193,3 +193,56 @@ def test_corpus_snapshot_manifest_and_pruned_slices(spark, tmp_path):
     want = {r.doc_id for r in keep if langs[r.doc_id] == "en"}
     got = {r.doc_id for r in sl.collect()}
     assert got == want and got
+
+
+def test_zorder_layout_selective_on_both_dimensions(spark, tmp_path):
+    """Z-ordered files carry tight min/max on BOTH (user_id, value) —
+    the property footer-statistics skipping needs — where a linear
+    user_id sort leaves value unconstrained per file; row content is
+    preserved."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.sources import layouts
+
+    sf = SF_SMOKE
+    zpath = str(tmp_path / "zorder")
+    layouts.write_zorder_events(spark, sf, zpath, n_files=8)
+
+    ev = tables.load(spark, sf, "events")
+    lpath = str(tmp_path / "linear")
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(lpath)
+
+    def spreads(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        per = (
+            df.groupBy("f")
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("su"),
+                (F.max("value") - F.min("value")).alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        tot_u = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+        tot_v = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+        import statistics
+
+        return (
+            statistics.mean(r.su / tot_u for r in per),
+            statistics.mean(r.sv / tot_v for r in per),
+            sum(r.n for r in per),
+        )
+
+    zu, zv, zn = spreads(zpath)
+    lu, lv, ln = spreads(lpath)
+    assert zn == ln == ev.count()
+    # linear layout: tight on user_id, value essentially unconstrained
+    assert lu < 0.35 and lv > 0.6
+    # z-order: BOTH dimensions materially constrained per file, value
+    # clearly tighter than under the linear sort (the whole point)
+    assert zu < 0.75 and zv < 0.75
+    assert zv < 0.8 * lv
+    # the real z-order property: the WORST dimension is bounded — a linear
+    # sort leaves one dimension unskippable, the curve leaves neither
+    assert max(zu, zv) < max(lu, lv)
