@@ -995,6 +995,10 @@ def ext_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
         .groupBy("doc_id", "prev", "cur")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        # tf2 feeds BOTH the LM-derivation branch and the scoring join —
+        # materialize once so the corpus tokenize+explode+agg doesn't
+        # re-execute per branch (same move as the minhash signature stage)
+        .localCheckpoint(eager=False)
     )
     lm2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
     ctx = lm2.groupBy("prev").agg(F.sum("c2").alias("c1prev"))
@@ -1009,12 +1013,18 @@ def ext_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = lam * F.col("c2") / F.col("c1prev") + (F.lit(1.0) - lam) * (
         F.col("c1cur") + 1.0
     ) / (F.col("t_total") + F.col("v"))
-    scored = (
-        tf2.join(lm2, ["prev", "cur"])
-        .join(ctx, "prev")
+    # assemble the full LM on the VOCAB-sized frames first (bigram-key ×
+    # context × unigram joins never touch corpus-scale rows), so the
+    # corpus-sized tf2 frame pays exactly ONE join — three shuffles of the
+    # big side collapse to one
+    lm_full = (
+        lm2.join(ctx, "prev")
         .join(uni, "cur")
         .crossJoin(F.broadcast(scalars))
-        .withColumn("ll", F.col("tf") * F.log(p))
+        .select("prev", "cur", F.log(p).alias("logp"))
+    )
+    scored = tf2.join(lm_full, ["prev", "cur"]).withColumn(
+        "ll", F.col("tf") * F.col("logp")
     )
     per = scored.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
