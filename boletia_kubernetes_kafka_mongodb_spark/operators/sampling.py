@@ -950,8 +950,12 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("long").alias("n_bytes"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
-            # loader sanity: first doc in within-shard shuffle order
-            F.min_by("doc_id", "shuffle_key").alias("first_doc_id"),
+            # loader sanity: first doc in within-shard shuffle order —
+            # tie-break on doc_id so a 32-bit shuffle-key collision can't
+            # make the winner engine-arbitrary (lexicographic array order)
+            F.min_by("doc_id", F.array("shuffle_key", "doc_id")).alias(
+                "first_doc_id"
+            ),
         )
     )
 
@@ -967,14 +971,22 @@ def ext_shard_manifest_oracle() -> str:
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_bytes
             FROM documents
+        ),
+        firsts AS (
+            SELECT shard, doc_id AS first_doc_id FROM (
+                SELECT shard, doc_id,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY shuffle_key, doc_id) AS rn
+                FROM assigned
+            ) WHERE rn = 1
         )
-        SELECT shard,
+        SELECT a.shard,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
-               MIN(doc_id) AS min_doc_id,
-               MAX(doc_id) AS max_doc_id,
-               min_by(doc_id, shuffle_key) AS first_doc_id
-        FROM assigned
-        GROUP BY shard
+               MIN(a.doc_id) AS min_doc_id,
+               MAX(a.doc_id) AS max_doc_id,
+               MIN(f.first_doc_id) AS first_doc_id
+        FROM assigned a JOIN firsts f ON a.shard = f.shard
+        GROUP BY a.shard
     """
