@@ -841,6 +841,10 @@ def ext_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "token")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        # tf feeds THREE branches (general LM, target LM, scoring join) —
+        # materialize once so the tokenize+explode+shuffle doesn't
+        # re-execute per branch (same move as ext_text_bigram_logprob)
+        .localCheckpoint(eager=False)
     )
     general = tf.groupBy("token").agg(F.sum("tf").alias("cg"))
     target = (
@@ -961,6 +965,8 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_shard_manifest_oracle() -> str:
+    from .text import TOKEN_RE
+
     h_doc = _oracle_key_hash("doc_id")
     h_shuf = _oracle_key_hash("'shuffle:' || doc_id")
     return f"""
@@ -968,7 +974,7 @@ def ext_shard_manifest_oracle() -> str:
             SELECT doc_id,
                    CAST({h_doc} % {N_SHARDS} AS INTEGER) AS shard,
                    {h_shuf} AS shuffle_key,
-                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_bytes
             FROM documents
         ),

@@ -47,7 +47,7 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the Lucene/ATIRE idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` which is
     non-negative even for terms in more than half the corpus.
     """
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = tokens_col("text")
 
     def term_eq(term):
@@ -62,7 +62,9 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, term_eq(t))).cast("double").alias(f"tf_{i}")
             for i, t in enumerate(BM25_QUERY_TERMS)
         ],
-    )
+        # base feeds the stats aggregate AND the scored output — materialize
+        # once so the scan + per-term filter HOFs run a single time
+    ).localCheckpoint(eager=False)
     # corpus stats: one row — N, avgdl, df per term (from the same frame)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

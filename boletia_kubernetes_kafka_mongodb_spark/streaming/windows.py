@@ -197,9 +197,22 @@ def anomaly_alert_stream(
     the heavy lift and runs in batch; the detector itself keeps one count
     per (type, open day) of state and never rescans history.
 
-    Append-finalized windows only agree with the batch twin after replay —
-    asserted in tests (stream alerts == batch ``is_anomaly`` rows when fed
-    the same baseline)."""
+    Emission semantics: in append mode a day's alert emits when the
+    watermark passes the day's END — i.e. the alert for the STILL-OPEN day
+    is withheld until the day closes (the watermark tracks max event time,
+    which never reaches the open window's end). That is the finalized-facts
+    contract; a monitoring deployment that wants provisional intra-day
+    alerts runs this same frame in ``update`` output mode, where every
+    trigger re-emits the open day's current z. The parity test replays with
+    a far-future sentinel so every data day finalizes regardless of whether
+    the fixture's LAST day is the anomalous one.
+
+    Flagging uses the shared ``ZSCORE_THRESHOLD`` on the UNROUNDED z —
+    identical to the batch twin, so threshold-boundary days can't diverge
+    between the two (rounding happens only on the emitted display column).
+    """
+    from ..operators.aggregates import ZSCORE_THRESHOLD
+
     with_ts = events_stream.withColumn(
         "event_time", F.col("ts").cast("timestamp")
     ).withWatermark("event_time", watermark)
@@ -215,7 +228,10 @@ def anomaly_alert_stream(
             "event_type",
             F.col("w.start").cast("date").alias("day"),
             "n",
-            F.round(z, 6).alias("zscore"),
+            z.alias("_z"),
         )
-        .where(F.abs(F.col("zscore")) > 2.0)
+        .where(F.abs(F.col("_z")) > ZSCORE_THRESHOLD)
+        .select(
+            "event_type", "day", "n", F.round("_z", 6).alias("zscore")
+        )
     )

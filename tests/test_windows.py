@@ -362,8 +362,19 @@ def test_anomaly_alert_stream_matches_batch_flags(spark, tmp_path):
     from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates
 
     ev = tables.load(spark, SF_SMOKE, "events")
+    # far-future sentinel (type unknown to the baseline, dropped by the
+    # join) advances the watermark past every data day so the LAST day
+    # finalizes too — without it an append-mode alert on the fixture's
+    # final day would be withheld and the parity assert would be
+    # fixture-luck-dependent
+    sentinel = spark.createDataFrame(
+        [(10**9, __import__("datetime").datetime(2035, 1, 1), 0, "__sentinel__", 0.0, "{}")],
+        ev.schema,
+    )
     path = str(tmp_path / "events")
-    cdc_stream.write_ordered_files(ev, path, n_files=4, order_col="event_id")
+    cdc_stream.write_ordered_files(
+        ev.unionByName(sentinel), path, n_files=4, order_col="event_id"
+    )
 
     baseline = windows.anomaly_baseline(spark, SF_SMOKE)
     stream = (
