@@ -34,13 +34,26 @@ from .. import tables
 # IVF-partitioned embedding layout
 # ---------------------------------------------------------------------------
 
+_IVF_QUANTIZER_CACHE: dict = {}
+
+
 def ivf_assignment_udf(spark: SparkSession, sf_dir: str):
     """The same deterministic coarse quantizer ``ext_ann_ivf_topk`` uses,
-    as a reusable (assign_udf, centroid_matrix, centroid_norms) triple."""
+    as a reusable (assign_udf, centroid_matrix, centroid_norms) triple.
+
+    The centroid fetch is cached per (application, sf_dir) — the quantizer
+    is part of the index (it was fixed when the layout was written), so
+    re-collecting it per probe would bill index construction to every
+    query."""
     import numpy as np
     import pandas as pd
 
     from ..operators.similarity import IVF_NLIST
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_QUANTIZER_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     emb = tables.load(spark, sf_dir, "embeddings")
     cent = sorted(
@@ -60,6 +73,7 @@ def ivf_assignment_udf(spark: SparkSession, sf_dir: str):
         sims = (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * c_norm)
         return pd.Series(np.argmax(sims, axis=1).astype("int64"))
 
+    _IVF_QUANTIZER_CACHE[key] = (assign, C, c_norm)
     return assign, C, c_norm
 
 
