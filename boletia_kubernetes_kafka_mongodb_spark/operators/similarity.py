@@ -539,8 +539,17 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     constant-size sample regardless of corpus size, so this driver state is
     O(M·Ks·dim), never O(corpus)). Vectors are L2-normalized first so ADC
     inner products are cosines. Deterministic throughout: hash-ordered
-    sample, evenly-spaced init, fixed Lloyd iteration count — no RNG."""
+    sample, evenly-spaced init, fixed Lloyd iteration count — no RNG.
+
+    Cached per (application, sf_dir) like `_kmeans_fit`: the codebooks are
+    the index's model artifact — trained once when the index is built,
+    served by every query."""
     import numpy as np
+
+    key = ("pq", spark.sparkContext.applicationId, sf_dir)
+    cached = _KMEANS_FIT_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     emb = tables.load(spark, sf_dir, "embeddings")
     hash_key = F.conv(
@@ -571,6 +580,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
                 if len(members):
                     C[k] = members.mean(axis=0)
         books[m] = C
+    _KMEANS_FIT_CACHE[key] = books
     return books
 
 
