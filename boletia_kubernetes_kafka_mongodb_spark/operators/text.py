@@ -1150,7 +1150,15 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(F.split("w", "").alias("syms"), "freq")
-        .localCheckpoint(eager=False)
+    )
+    # right-size the iterated frame: vocab size is known cheaply (it's the
+    # model-sizing number anyway) and the loop re-reads this frame 2×N
+    # times — a 31-word test vocab on 32 shuffle partitions would pay 16
+    # jobs of pure task-scheduling overhead, while a web-scale vocab keeps
+    # one partition per ~500k words
+    n_vocab = words.count()
+    words = words.coalesce(max(1, -(-n_vocab // 500_000))).localCheckpoint(
+        eager=False
     )
     merges = []
     for rank in range(1, BPE_N_MERGES + 1):
