@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (data-dependent sequential merge loop; python-reference
         # equality test pins the semantics)
         "ext_bpe_merges": text.ext_bpe_merges,
+        # rows-only (UDF-computed hash; exhaustive-equality reference test)
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         # rows-only (MinHash banding is Spark-hash-dependent; exact verify
         # stage gives perfect precision, recall pinned in tests)

@@ -396,3 +396,103 @@ def ext_multimodal_dedup_oracle() -> str:
         GROUP BY 1
         HAVING COUNT(*) > 1
     """
+
+
+PHASH_BANDS = 4        # 4 × 16-bit bands
+PHASH_MAX_HAMMING = 3  # ≤ 3 < 4 bands ⇒ pigeonhole banding is LOSSLESS
+
+
+def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over binary payloads — the image
+    analogue of SimHash text dedup (aHash family: resample to a fixed grid,
+    threshold against the mean, compare by Hamming distance). Catches
+    re-encoded/slightly-edited media that `ext_multimodal_dedup`'s exact
+    byte-md5 cannot.
+
+    The 64-bit hash derives from the DECODED sample grid; decode is the
+    deterministic fake per the stub mandate (real deployments swap in the
+    codec), so the hash math, banding, and verify — the Spark-side shape —
+    are all real: payload bytes never shuffle (only (doc_id, phash) rows
+    move), candidates come from the same lossless 4×16-bit pigeonhole
+    banding as SimHash (hamming ≤ 3 forces ≥ 1 exact band match), and the
+    verify is the ``bit_count(xor)`` JVM intrinsic. Rows-only driver check
+    (UDF-dependent); exhaustive-equality python-reference test.
+    """
+    from collections.abc import Iterator as _It
+
+    media = media_table(spark, sf_dir)
+
+    def hash_batches(batches: _It) -> _It:
+        import numpy as np
+        import pandas as pd
+
+        def decode(p):  # identity fake — see module header
+            return p
+
+        out_ids, out_hashes = [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(decode(bytes(payload)), dtype=np.uint8)
+                if raw.size == 0:
+                    out_ids.append(doc_id)
+                    out_hashes.append(0)
+                    continue
+                # resample to a fixed 64-cell grid (mean per cell), then
+                # threshold on the grid mean — classic average-hash
+                cells = np.array_split(raw.astype(np.float64), 64)
+                means = np.array([c.mean() if c.size else 0.0 for c in cells])
+                bits = (means > means.mean()).astype(np.uint64)
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # to signed 64-bit (Spark LongType)
+                out_ids.append(doc_id)
+                out_hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+        yield pd.DataFrame({"doc_id": out_ids, "phash": out_hashes})
+
+    sigs = media.select("doc_id", "payload").mapInPandas(
+        hash_batches, "doc_id long, phash long"
+    )
+    band_keys = F.array(
+        *[
+            F.shiftright("phash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "phash", F.posexplode(band_keys).alias("band", "bits")
+    )
+    buckets = (
+        banded.groupBy("band", "bits")
+        .agg(F.collect_list(F.struct("doc_id", "phash")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pair_struct = F.filter(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x: F.transform(
+                    "members",
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["phash"].alias("sig_a"),
+                        y["phash"].alias("sig_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    candidates = (
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -398,3 +398,42 @@ def test_text_clean_removes_shared_segment_keeps_unique(spark, tmp_path):
     assert out[1].clean_text == v and out[1].n_dropped_segments == 1
     assert out[2].clean_text == w and out[2].n_dropped_segments == 0
     assert out[3].clean_text == "" and out[3].n_kept_segments == 0
+
+
+def test_multimodal_phash_matches_exhaustive_reference(spark):
+    """Banded pHash pairs == exhaustive all-pairs hamming ≤ 3 over the same
+    python-computed hashes (the ≤3-of-4-bands pigeonhole is lossless)."""
+    import numpy as np
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    media = multimodal.media_table(spark, sf).select("doc_id", "payload").collect()
+
+    def phash(payload):
+        raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+        if raw.size == 0:
+            return 0
+        cells = np.array_split(raw.astype(np.float64), 64)
+        means = np.array([c.mean() if c.size else 0.0 for c in cells])
+        bits = (means > means.mean()).astype(np.uint64)
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        return h
+
+    hashes = {r.doc_id: phash(r.payload) for r in media}
+    ids = sorted(hashes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= multimodal.PHASH_MAX_HAMMING:
+                want.add((a, b, d))
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.ext_multimodal_phash(spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 0, "fixture should contain at least one near-dup payload"
