@@ -42,8 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the round-1 driver recorded only the FIRST 50 entries in
-    dict order, so the 20 ids it never recorded are listed first this round
-    — across CORRECTNESS_r01 + r02 every query id then has a driver row.
+    dict order, so the ids with no driver row yet are listed first — across
+    CORRECTNESS_r01 + r02 every query id then has a driver row EXCEPT
+    ``ext_semdedup`` (position 51; 51 never-recorded ids compete for 50
+    slots — the rows-only, reference-tested one cedes; rotate it to the
+    front in round 3).
     """
     return {
         # --- rotated to the front: no driver CORRECTNESS row in round 1 ---
@@ -114,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (inherits the k-means assignments; keep semantics pinned
         # by a python-reference equality test)
         "ext_semdedup": similarity.ext_semdedup,
+        # position >50: no driver slot this round (rotate forward in r3);
+        # oracle + stream-stream twin tests carry it meanwhile
+        "join_attribution": joins.join_attribution,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -286,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_bigram_logprob": text.ext_text_bigram_logprob_oracle(),
         "cdc_broker_metrics": cdc.cdc_broker_metrics_oracle(),
         "ext_shard_manifest": sampling.ext_shard_manifest_oracle(),
+        "join_attribution": joins.join_attribution_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

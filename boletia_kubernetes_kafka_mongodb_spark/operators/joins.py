@@ -258,3 +258,58 @@ def ext_range_join_oracle() -> str:
           ON e.e_tus BETWEEN p.p_tus - {RANGE_US} AND p.p_tus + {RANGE_US}
         GROUP BY p.purchase_id, p.p_tus
         """
+
+
+ATTRIBUTION_WINDOW_SEC = 7200  # attribute a purchase to views ≤ 2h before it
+
+
+def join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-attribution interval join: every (purchase, prior view ≤ 2h, same
+    user) pair with the gap — the classic two-event-stream correlation
+    (J-family extension; the streaming twin in ``streaming/windows.py`` is
+    this repo's stream-STREAM join, where BOTH sides carry watermarks and
+    the interval condition bounds the join state).
+
+    Plan: both sides prune at the scan (event_type pushdown), ONE equi
+    shuffle on user_id, residual range predicate evaluated in-join — the
+    bounded-interval shape that never degenerates to a cartesian. Per-user
+    fan-out is bounded by views-per-2h, not history length.
+    """
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
+        # epoch-preserving (same move as agg_time_window)
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+    gap = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))
+    return (
+        purchases.join(views, "user_id")
+        .where((gap >= 0) & (gap <= ATTRIBUTION_WINDOW_SEC * 1_000_000))
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            (gap / 1_000_000).cast("long").alias("gap_sec"),
+        )
+    )
+
+
+def join_attribution_oracle() -> str:
+    return f"""
+        SELECT p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               p.user_id,
+               CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS gap_sec
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND epoch_us(p.ts) - epoch_us(v.ts) BETWEEN 0
+             AND CAST({ATTRIBUTION_WINDOW_SEC} AS BIGINT) * 1000000
+    """

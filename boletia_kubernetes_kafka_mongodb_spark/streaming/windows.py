@@ -235,3 +235,57 @@ def anomaly_alert_stream(
             "event_type", "day", "n", F.round("_z", 6).alias("zscore")
         )
     )
+
+
+def attribution_stream(
+    views_stream: DataFrame,
+    purchases_stream: DataFrame,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-STREAM twin of ``operators.joins.join_attribution`` — the one
+    join class where BOTH inputs are unbounded: each side carries its own
+    watermark and the interval predicate (`view_ts ∈ [purchase_ts − 2h,
+    purchase_ts]`) gives Spark the event-time bound it needs to EVICT
+    buffered rows (a view older than watermark − 2h can never match a
+    future purchase, so its state drops). Without the two-sided time
+    constraint the buffers grow forever — that constraint is the entire
+    design burden stream-stream joins add over stream-static ones.
+
+    Inner join ⇒ results emit as soon as both sides arrive; replayed to
+    completion it must equal the batch interval join (asserted in tests).
+    """
+    from ..operators.joins import ATTRIBUTION_WINDOW_SEC
+
+    v = (
+        views_stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases_stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SEC} SECONDS")
+        )
+    )
+    gap = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))
+    return p.join(v, cond).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (gap / 1_000_000).cast("long").alias("gap_sec"),
+    )

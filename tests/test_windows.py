@@ -402,3 +402,41 @@ def test_anomaly_alert_stream_matches_batch_flags(spark, tmp_path):
         if r.is_anomaly
     }
     assert got == expect
+
+
+def test_attribution_stream_stream_join_equals_batch(spark, tmp_path):
+    """Replayed stream-stream interval join == the batch attribution join
+    (both watermarked sides, interval-bounded state)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events")
+    cdc_stream.write_ordered_files(ev, path, n_files=4, order_col="event_id")
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(path)
+        )
+
+    q = (
+        windows.attribution_stream(stream(), stream())
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.purchase_id, r.view_id): r.gap_sec
+        for r in spark.sql("select * from attr_out").collect()
+    }
+    expect = {
+        (r.purchase_id, r.view_id): r.gap_sec
+        for r in joins.join_attribution(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
