@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position >50: no driver slot this round (rotate forward in r3);
         # oracle + stream-stream twin tests carry it meanwhile
         "join_attribution": joins.join_attribution,
+        "ext_entity_resolution": dedup.ext_entity_resolution,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_broker_metrics": cdc.cdc_broker_metrics_oracle(),
         "ext_shard_manifest": sampling.ext_shard_manifest_oracle(),
         "join_attribution": joins.join_attribution_oracle(),
+        "ext_entity_resolution": dedup.ext_entity_resolution_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

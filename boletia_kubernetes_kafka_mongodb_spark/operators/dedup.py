@@ -1208,3 +1208,113 @@ def ext_text_clean_oracle() -> str:
                    AS n_dropped_segments
         FROM totals t LEFT JOIN kept k USING (doc_id)
     """
+
+
+ER_MAX_EDIT = 1  # near-duplicate identity threshold (typo distance)
+
+
+def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-customer detection over reservation emails — classic
+    entity resolution with EXPLICIT blocking: two identities are candidate
+    duplicates when their emails' local parts are within levenshtein
+    ``ER_MAX_EDIT`` on the same domain (typo-distance identity, the
+    fuzzy-join the reference's unique-index model cannot express).
+
+    Blocking is part of the operator contract (standard ER design — recall
+    is determined by the declared keys, not luck): each email emits TWO
+    band keys, (domain, len) and (domain, len+1), so any pair whose length
+    differs by ≤ 1 — a necessity for edit distance 1 — shares a band.
+    Pairs expand in-bucket (the SimHash candidate idiom), the verify is the
+    native ``levenshtein`` intrinsic, and band-double-matches collapse with
+    one distinct. Fully oracle-checkable: DuckDB's levenshtein agrees with
+    Spark's on the classic definition and the oracle replays the SAME
+    blocking, so the hash compares engine to engine, not luck to luck.
+    """
+    res = tables.reservas(spark, sf_dir, fan=True)
+    emails = (
+        res.groupBy("email")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reservas"))
+        .select(
+            "email",
+            "n_reservas",
+            F.substring_index("email", "@", 1).alias("local"),
+            F.substring_index("email", "@", -1).alias("domain"),
+        )
+    )
+    banded = emails.select(
+        "email",
+        "local",
+        "domain",
+        "n_reservas",
+        F.explode(
+            F.array(F.length("local"), F.length("local") + 1)
+        ).alias("band_len"),
+    )
+    buckets = (
+        banded.groupBy("domain", "band_len")
+        .agg(F.collect_list(F.struct("email", "local", "n_reservas")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pair_struct = F.filter(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x: F.transform(
+                    "members",
+                    lambda y: F.struct(
+                        x["email"].alias("email_a"),
+                        y["email"].alias("email_b"),
+                        x["local"].alias("local_a"),
+                        y["local"].alias("local_b"),
+                        x["n_reservas"].alias("n_a"),
+                        y["n_reservas"].alias("n_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["email_a"] < p["email_b"],
+    )
+    return (
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.email_a", "p.email_b", "p.local_a", "p.local_b", "p.n_a", "p.n_b")
+        .distinct()
+        .withColumn("distance", F.levenshtein("local_a", "local_b"))
+        .where(F.col("distance") <= ER_MAX_EDIT)
+        .select(
+            "email_a",
+            "email_b",
+            "distance",
+            (F.col("n_a") + F.col("n_b")).alias("n_reservas_merged"),
+        )
+    )
+
+
+def ext_entity_resolution_oracle() -> str:
+    from ..oracle import with_domain
+
+    return with_domain(
+        f""", emails AS (
+            SELECT email, CAST(COUNT(*) AS BIGINT) AS n_reservas,
+                   split_part(email, '@', 1) AS local,
+                   split_part(email, '@', 2) AS domain
+            FROM reservas GROUP BY email
+        ),
+        banded AS (
+            SELECT email, local, domain, n_reservas, band_len
+            FROM emails,
+                 unnest([length(local), length(local) + 1]) AS u(band_len)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.email AS email_a, b.email AS email_b,
+                   a.local AS local_a, b.local AS local_b,
+                   a.n_reservas AS n_a, b.n_reservas AS n_b
+            FROM banded a JOIN banded b
+              ON a.domain = b.domain AND a.band_len = b.band_len
+             AND a.email < b.email
+        )
+        SELECT email_a, email_b,
+               CAST(levenshtein(local_a, local_b) AS INTEGER) AS distance,
+               n_a + n_b AS n_reservas_merged
+        FROM pairs
+        WHERE levenshtein(local_a, local_b) <= {ER_MAX_EDIT}"""
+    )

@@ -437,3 +437,29 @@ def test_multimodal_phash_matches_exhaustive_reference(spark):
     }
     assert got == want
     assert len(got) > 0, "fixture should contain at least one near-dup payload"
+
+
+def test_entity_resolution_blocking_and_verify(spark, monkeypatch):
+    """Typo pairs within the declared blocking match; cross-domain and
+    over-threshold pairs never pair."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    rows = [
+        ("alice@x.com",), ("alicd@x.com",),      # lev 1, same len → pair
+        ("bob@x.com",), ("bobb@x.com",),         # lev 1, len ±1 → pair
+        ("alice@y.com",),                        # same local, other domain → no
+        ("carol@x.com",), ("carzzz@x.com",),     # lev 3 → no
+    ]
+    fake = spark.createDataFrame(rows * 2, "email string")  # counts of 2 each
+
+    monkeypatch.setattr(
+        tables, "reservas", lambda _s, _d, fan=False: fake
+    )
+    out = {
+        (r.email_a, r.email_b): (r.distance, r.n_reservas_merged)
+        for r in dedup.ext_entity_resolution(spark, "unused").collect()
+    }
+    assert out == {
+        ("alicd@x.com", "alice@x.com"): (1, 4),
+        ("bob@x.com", "bobb@x.com"): (1, 4),
+    }
