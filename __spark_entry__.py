@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle + stream-stream twin tests carry it meanwhile
         "join_attribution": joins.join_attribution,
         "ext_entity_resolution": dedup.ext_entity_resolution,
+        # rows-only (serves the learned BPE merges; encode equality vs a
+        # python reference in tests)
+        "ext_tokenizer_apply": text.ext_tokenizer_apply,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,

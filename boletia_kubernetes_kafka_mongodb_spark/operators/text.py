@@ -1144,6 +1144,25 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (merge_rank, left, right, pair_count) — the merge table a
     tokenizer ships.
     """
+    return spark.createDataFrame(
+        _bpe_learn(spark, sf_dir),
+        "merge_rank int, left string, right string, pair_count long",
+    )
+
+
+_BPE_LEARN_CACHE: dict = {}
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list:
+    """The merge-learning loop; returns [(rank, left, right, count), ...].
+
+    Cached per (application, sf_dir) like `_kmeans_fit`: the merge table is
+    the trained tokenizer — `ext_tokenizer_apply` SERVES it, and a
+    deployment trains once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_LEARN_CACHE.get(key)
+    if cached is not None:
+        return cached
     words = (
         tables.load(spark, sf_dir, "documents", fan=True)
         .select(F.explode(tokens_col("text")).alias("w"))
@@ -1182,6 +1201,55 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.select(
             _bpe_merge()("syms", F.lit([r["a"], r["b"]])).alias("syms"), "freq"
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_count long"
+    _BPE_LEARN_CACHE[key] = merges
+    return merges
+
+
+def ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE the learned tokenizer: encode every document with the
+    ``_bpe_learn`` merge table (classic BPE encode — chars, then each merge
+    applied in rank order) and report the per-doc subword count next to the
+    whitespace-token count. The train→serve composition mirrors
+    k-means→SemDeDup: model learned by the iterative loop, applied in one
+    distributed narrow pass (merge list rides the closure — it is the
+    model, a few dozen strings; corpus never leaves executors).
+
+    Rows-only driver check (inherits the learned merges); encode equality
+    vs a pure-python reference in tests.
+    """
+    import pandas as pd
+
+    merges = [(m[1], m[2]) for m in _bpe_learn(spark, sf_dir)]
+
+    @F.pandas_udf("long")
+    def bpe_count(words_s):
+        def encode_len(word):
+            syms = list(word)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return pd.Series(
+            [sum(encode_len(w) for w in words) for words in words_s]
+        )
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens_ws"),
+        bpe_count(toks).alias("n_tokens_bpe"),
+    ).withColumn(
+        "compression",
+        F.round(
+            F.col("n_tokens_bpe") / F.greatest(F.col("n_tokens_ws"), F.lit(1)), 6
+        ),
     )

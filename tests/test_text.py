@@ -326,3 +326,45 @@ def test_bpe_merges_match_python_reference(spark):
     ]
     assert got == want
     assert len(got) == BPE_N_MERGES
+
+
+def test_tokenizer_apply_matches_python_encode(spark):
+    """Serving the learned merges: distributed per-doc BPE token counts ==
+    pure-python encode over the same merge table."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        _bpe_learn,
+        ext_tokenizer_apply,
+        tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    merges = [(m[1], m[2]) for m in _bpe_learn(spark, sf)]
+
+    def encode_len(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = (
+        tables.load(spark, sf, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .collect()
+    )
+    want = {r.doc_id: sum(encode_len(w) for w in r.toks) for r in docs}
+
+    out = {r.doc_id: r for r in ext_tokenizer_apply(spark, sf).collect()}
+    assert {k: r.n_tokens_bpe for k, r in out.items()} == want
+    # merges strictly compress: bpe count ≤ char count, ≥ word count
+    for r in out.values():
+        assert r.n_tokens_bpe >= r.n_tokens_ws or r.n_tokens_ws == 0
