@@ -1211,6 +1211,21 @@ def ext_text_clean_oracle() -> str:
 
 
 ER_MAX_EDIT = 1  # near-duplicate identity threshold (typo distance)
+ER_TILES = 8     # chunk-pair tiling degree for skewed blocks
+
+
+def _er_identities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(email, n_reservas) per identity — aggregated on the raw LONG key
+    (l_suppkey), email rendered on the aggregated frame only (the
+    post-shuffle-render discipline). Seam for crafted-fixture tests."""
+    keyed = tables.reservas_keyed(spark, sf_dir, fan=True)
+    return (
+        keyed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reservas"))
+        .select(
+            tables.email_label(F.col("l_suppkey")).alias("email"), "n_reservas"
+        )
+    )
 
 
 def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,65 +1239,85 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is determined by the declared keys, not luck): each email emits TWO
     band keys, (domain, len) and (domain, len+1), so any pair whose length
     differs by ≤ 1 — a necessity for edit distance 1 — shares a band.
-    Pairs expand in-bucket (the SimHash candidate idiom), the verify is the
-    native ``levenshtein`` intrinsic, and band-double-matches collapse with
-    one distinct. Fully oracle-checkable: DuckDB's levenshtein agrees with
-    Spark's on the classic definition and the oracle replays the SAME
-    blocking, so the hash compares engine to engine, not luck to luck.
+    Pair expansion is a chunk-pair TILED equi join (T=8 hash chunks per
+    band; join key carries the (chunk_a, chunk_b) tile id), so a skewed
+    band spreads its |block|² over T² tasks instead of one; a pair is KEPT
+    only in the band keyed by the longer member's length and only in one
+    chunk orientation, so every pair materializes exactly once with no
+    dedup shuffle. The verify is the native ``levenshtein`` intrinsic. Fully
+    oracle-checkable: DuckDB's levenshtein agrees with Spark's on the
+    classic definition and the oracle replays the SAME blocking, so the
+    hash compares engine to engine, not luck to luck.
+
+    Scale: the per-identity aggregation shuffles the raw LONG key
+    (``l_suppkey``) — fact rows never carry rendered strings through an
+    exchange (the repo-wide post-shuffle-render discipline); emails
+    materialize only on the |identities|-sized aggregated frame. In-bucket
+    cost is |block|², the knob the declared blocking keys control.
     """
-    res = tables.reservas(spark, sf_dir, fan=True)
-    emails = (
-        res.groupBy("email")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_reservas"))
-        .select(
-            "email",
-            "n_reservas",
-            F.substring_index("email", "@", 1).alias("local"),
-            F.substring_index("email", "@", -1).alias("domain"),
-        )
+    emails = _er_identities(spark, sf_dir).select(
+        "email",
+        "n_reservas",
+        F.substring_index("email", "@", 1).alias("local"),
+        F.substring_index("email", "@", -1).alias("domain"),
     )
     banded = emails.select(
         "email",
         "local",
+        F.length("local").alias("len"),
         "domain",
         "n_reservas",
         F.explode(
             F.array(F.length("local"), F.length("local") + 1)
         ).alias("band_len"),
+        # tile chunk: a skewed band (many same-length identities — exactly
+        # this fixture's userN emails) would otherwise put its whole |block|²
+        # in ONE task; chunk-pair keys spread it over T² tasks (the
+        # EMBED_BLOCKS tiling pattern applied to ER)
+        F.pmod(F.xxhash64("email"), F.lit(ER_TILES)).cast("int").alias("chunk"),
     )
-    buckets = (
-        banded.groupBy("domain", "band_len")
-        .agg(F.collect_list(F.struct("email", "local", "n_reservas")).alias("members"))
-        .where(F.size("members") > 1)
+    a = banded.select(
+        F.col("domain").alias("d"),
+        F.col("band_len").alias("bl"),
+        F.col("chunk").alias("ca"),
+        F.explode(F.sequence("chunk", F.lit(ER_TILES - 1))).alias("cb"),
+        F.col("email").alias("email_a"),
+        F.col("local").alias("local_a"),
+        F.col("len").alias("len_a"),
+        F.col("n_reservas").alias("n_a"),
     )
-    pair_struct = F.filter(
-        F.flatten(
-            F.transform(
-                "members",
-                lambda x: F.transform(
-                    "members",
-                    lambda y: F.struct(
-                        x["email"].alias("email_a"),
-                        y["email"].alias("email_b"),
-                        x["local"].alias("local_a"),
-                        y["local"].alias("local_b"),
-                        x["n_reservas"].alias("n_a"),
-                        y["n_reservas"].alias("n_b"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["email_a"] < p["email_b"],
+    b = banded.select(
+        F.col("domain").alias("d"),
+        F.col("band_len").alias("bl"),
+        F.explode(F.sequence(F.lit(0), "chunk")).alias("ca"),
+        F.col("chunk").alias("cb"),
+        F.col("email").alias("email_b"),
+        F.col("local").alias("local_b"),
+        F.col("len").alias("len_b"),
+        F.col("n_reservas").alias("n_b"),
     )
+    pairs = (
+        a.join(b, ["d", "bl", "ca", "cb"])
+        # cross-chunk (ca<cb): each unordered pair meets exactly once;
+        # same-chunk: both orders meet — keep one via email order. Then
+        # keep each pair in exactly ONE length band: the longer member's.
+        .where(
+            ((F.col("ca") < F.col("cb")) | (F.col("email_a") < F.col("email_b")))
+            & (F.col("email_a") != F.col("email_b"))
+            & (F.col("bl") == F.greatest("len_a", "len_b"))
+        )
+    )
+    lo_first = F.col("email_a") < F.col("email_b")
     return (
-        buckets.select(F.explode(pair_struct).alias("p"))
-        .select("p.email_a", "p.email_b", "p.local_a", "p.local_b", "p.n_a", "p.n_b")
-        .distinct()
-        .withColumn("distance", F.levenshtein("local_a", "local_b"))
+        pairs.withColumn("distance", F.levenshtein("local_a", "local_b"))
         .where(F.col("distance") <= ER_MAX_EDIT)
         .select(
-            "email_a",
-            "email_b",
+            F.when(lo_first, F.col("email_a")).otherwise(F.col("email_b")).alias(
+                "email_a"
+            ),
+            F.when(lo_first, F.col("email_b")).otherwise(F.col("email_a")).alias(
+                "email_b"
+            ),
             "distance",
             (F.col("n_a") + F.col("n_b")).alias("n_reservas_merged"),
         )

@@ -112,6 +112,11 @@ def evento_label(pk: F.Column) -> F.Column:
     return F.concat(F.lit("Evento "), F.lpad(pk.cast("string"), 6, "0"))
 
 
+def email_label(suppkey: F.Column) -> F.Column:
+    """``user<N>@example.com`` of a suppkey (the reservas email contract)."""
+    return F.concat(F.lit("user"), suppkey.cast("string"), F.lit("@example.com"))
+
+
 def partkey_of_nombre(nombre: str) -> int | None:
     """Invert the ``nombre`` derivation ("Evento %06d" of p_partkey).
 
@@ -217,9 +222,7 @@ def reserva_render(keyed: DataFrame) -> DataFrame:
         hex24(F.col("seq")).alias("_id"),
         evento_label(F.col("l_partkey")).alias("evento"),
         "estado",
-        F.concat(
-            F.lit("user"), F.col("l_suppkey").cast("string"), F.lit("@example.com")
-        ).alias("email"),
+        email_label(F.col("l_suppkey")).alias("email"),
         "cantidad",
         "seq",
     )

@@ -445,15 +445,15 @@ def test_entity_resolution_blocking_and_verify(spark, monkeypatch):
     from boletia_kubernetes_kafka_mongodb_spark import tables
 
     rows = [
-        ("alice@x.com",), ("alicd@x.com",),      # lev 1, same len → pair
-        ("bob@x.com",), ("bobb@x.com",),         # lev 1, len ±1 → pair
-        ("alice@y.com",),                        # same local, other domain → no
-        ("carol@x.com",), ("carzzz@x.com",),     # lev 3 → no
+        ("alice@x.com", 2), ("alicd@x.com", 2),  # lev 1, same len → pair
+        ("bob@x.com", 2), ("bobb@x.com", 2),     # lev 1, len ±1 → pair
+        ("alice@y.com", 2),                      # same local, other domain → no
+        ("carol@x.com", 2), ("carzzz@x.com", 2), # lev 3 → no
     ]
-    fake = spark.createDataFrame(rows * 2, "email string")  # counts of 2 each
+    fake = spark.createDataFrame(rows, "email string, n_reservas long")
 
     monkeypatch.setattr(
-        tables, "reservas", lambda _s, _d, fan=False: fake
+        dedup, "_er_identities", lambda _s, _d: fake
     )
     out = {
         (r.email_a, r.email_b): (r.distance, r.n_reservas_merged)
