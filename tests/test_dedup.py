@@ -463,3 +463,46 @@ def test_entity_resolution_blocking_and_verify(spark, monkeypatch):
         ("alicd@x.com", "alice@x.com"): (1, 4),
         ("bob@x.com", "bobb@x.com"): (1, 4),
     }
+
+
+def test_entity_resolution_randomized_vs_exhaustive(spark, monkeypatch):
+    """Tiled pair generation emits every qualifying pair EXACTLY once:
+    compare against exhaustive python pairs over random identities (runs
+    two seeds to exercise tile-boundary layouts)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        locals_ = set()
+        while len(locals_) < 60:
+            n = rng.randint(3, 6)
+            locals_.add("".join(rng.choice("abc") for _ in range(n)))
+        rows = [(f"{l}@x.com", rng.randint(1, 5)) for l in sorted(locals_)]
+        fake = spark.createDataFrame(rows, "email string, n_reservas long")
+        monkeypatch.setattr(dedup, "_er_identities", lambda _s, _d: fake)
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        counts = dict(rows)
+        want = {}
+        emails = sorted(counts)
+        for i, ea in enumerate(emails):
+            for eb in emails[i + 1 :]:
+                la, lb = ea.split("@")[0], eb.split("@")[0]
+                if abs(len(la) - len(lb)) <= 1 and lev(la, lb) <= dedup.ER_MAX_EDIT:
+                    want[(ea, eb)] = (lev(la, lb), counts[ea] + counts[eb])
+
+        out = dedup.ext_entity_resolution(spark, "unused").collect()
+        got = {}
+        for r in out:
+            assert (r.email_a, r.email_b) not in got, "pair emitted twice"
+            got[(r.email_a, r.email_b)] = (r.distance, r.n_reservas_merged)
+        assert got == want
