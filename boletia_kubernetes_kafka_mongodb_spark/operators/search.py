@@ -213,3 +213,81 @@ def ext_tfidf_terms_oracle() -> str:
             FROM scored
         ) WHERE rank <= {TFIDF_TOPK}
     """
+
+
+RRF_K = 60        # standard reciprocal-rank-fusion constant
+HYBRID_TOPK = 10
+
+
+def ext_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword ranking with the dense-vector
+    cosine ranking by Reciprocal Rank Fusion (Cormack et al. 2009) —
+    score(d) = Σ 1/(K + rank_i(d)) over the rankers that returned d. The
+    standard two-tower serving shape: lexical and semantic candidates are
+    produced independently (each with its own scale path), and fusion runs
+    on the RANK-SIZED frames only, so it costs nothing at corpus scale.
+
+    doc_id ≡ vec_id joins the `documents` and `embeddings` modalities (the
+    fixture's shared key space). Full-outer fusion: a doc found by only one
+    ranker still scores. Deterministic tie-break (score desc, id asc).
+    """
+    from .similarity import ext_topk_similarity
+
+    bm = ext_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rank_bm25"),
+    )
+    vec = ext_topk_similarity(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("rank_vec")
+    )
+    fused = bm.join(vec, "id", "full_outer").select(
+        "id",
+        "rank_bm25",
+        "rank_vec",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+            ),
+        )
+        .where(F.col("rank") <= HYBRID_TOPK)
+        .select("rank", "id", "rrf", "rank_bm25", "rank_vec")
+    )
+
+
+def ext_hybrid_search_rrf_oracle() -> str:
+    from .similarity import ext_topk_similarity_oracle
+
+    return f"""
+        WITH bm_base AS (SELECT * FROM ({ext_bm25_search_oracle()})),
+        bm AS (
+            SELECT doc_id AS id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+                       AS rank_bm25
+            FROM bm_base
+        ),
+        vec AS (
+            SELECT vec_id AS id, rank AS rank_vec
+            FROM ({ext_topk_similarity_oracle()})
+        ),
+        fused AS (
+            SELECT COALESCE(bm.id, vec.id) AS id, rank_bm25, rank_vec,
+                   ROUND(COALESCE(1.0 / ({RRF_K} + rank_bm25), 0.0)
+                         + COALESCE(1.0 / ({RRF_K} + rank_vec), 0.0), 6) AS rrf
+            FROM bm FULL OUTER JOIN vec ON bm.id = vec.id
+        )
+        SELECT rank, id, rrf, rank_bm25, rank_vec FROM (
+            SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER)
+                          AS rank
+            FROM fused
+        ) WHERE rank <= {HYBRID_TOPK}
+    """
