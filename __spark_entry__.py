@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python reference in tests)
         "ext_tokenizer_apply": text.ext_tokenizer_apply,
         "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
+        "cdc_scd2_history": cdc.cdc_scd2_history,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -300,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "join_attribution": joins.join_attribution_oracle(),
         "ext_entity_resolution": dedup.ext_entity_resolution_oracle(),
         "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf_oracle(),
+        "cdc_scd2_history": cdc.cdc_scd2_history_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

@@ -266,3 +266,50 @@ def cdc_broker_metrics_oracle() -> str:
         FROM log_with_dups
         GROUP BY topic"""
     )
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from the change feed — the
+    keep-EVERY-version counterpart to ``sink_upsert_clone``'s keep-last: per
+    key, each change becomes a versioned row with a validity interval
+    [valid_from, valid_to) and an ``is_current`` flag, the shape a lakehouse
+    dimension table takes when consumers need as-of reads (the reference's
+    sink connector discards history; this is what it would write with
+    ``document.id.strategy`` = versioned).
+
+    Plan: ONE window over one key shuffle computes version number (order:
+    event time, then id — the arrival-order contract), the successor's
+    timestamp (``lead`` → valid_to, NULL while current), and the current
+    flag; everything else is a narrow projection. At 100 TB this is the
+    same single-exchange shape as the upsert clone, writing all rows
+    instead of one per key.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lead_us = F.lead(ts_us).over(w)
+    return ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("version_id"),
+        F.row_number().over(w).alias("version"),
+        ts_us.alias("valid_from_us"),
+        lead_us.alias("valid_to_us"),
+        lead_us.isNull().alias("is_current"),
+        F.col("event_type").alias("change_type"),
+        F.col("value").alias("value"),
+    )
+
+
+def cdc_scd2_history_oracle() -> str:
+    return """
+        SELECT user_id AS key,
+               event_id AS version_id,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               epoch_us(ts) AS valid_from_us,
+               lead(epoch_us(ts)) OVER w AS valid_to_us,
+               lead(epoch_us(ts)) OVER w IS NULL AS is_current,
+               event_type AS change_type,
+               value AS value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """

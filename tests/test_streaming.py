@@ -401,3 +401,23 @@ def test_cdc_broker_metrics_redelivery_accounting(spark):
         assert w.dup_rows == 2 * r.n_redelivered
         assert 0 < r.redelivery_rate < 0.2
         assert r.min_seq < r.max_seq
+
+
+def test_scd2_intervals_contiguous_one_current_per_key(spark):
+    """SCD2 invariants: versions dense from 1, valid_to of version v equals
+    valid_from of v+1 (contiguous timeline), exactly one current row per
+    key."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import cdc as cdc_ops
+
+    rows = cdc_ops.cdc_scd2_history(spark, "/root/testdata/sf0.001").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    assert by_key
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r.version)
+        assert [r.version for r in versions] == list(range(1, len(versions) + 1))
+        assert sum(r.is_current for r in versions) == 1
+        assert versions[-1].is_current and versions[-1].valid_to_us is None
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to_us == b.valid_from_us
