@@ -42,11 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the round-1 driver recorded only the FIRST 50 entries in
-    dict order, so the ids with no driver row yet are listed first — across
-    CORRECTNESS_r01 + r02 every query id then has a driver row EXCEPT
-    ``ext_semdedup`` (position 51; 51 never-recorded ids compete for 50
-    slots — the rows-only, reference-tested one cedes; rotate it to the
-    front in round 3).
+    dict order, so ids with no driver row yet are listed first. Across
+    CORRECTNESS_r01 + r02 every query id then has a driver row EXCEPT the
+    six at positions 51-56 (ext_semdedup, join_attribution,
+    ext_entity_resolution, ext_tokenizer_apply, ext_hybrid_search_rrf,
+    cdc_scd2_history — more never-recorded ids than slots this round);
+    rotate those six to the front in round 3.
     """
     return {
         # --- rotated to the front: no driver CORRECTNESS row in round 1 ---

@@ -483,7 +483,11 @@ def agg_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.stage").alias("stage"),
         F.col("s.event_type").alias("event_type"),
         F.col("s.n_users").alias("n_users"),
-        F.round(F.col("s.n_users") / F.col("base"), 6).alias("conversion"),
+        # base = 0 (no stage-1 events at all): NULL, matching the oracle's
+        # n/0.0 → NULL instead of an ANSI divide-by-zero throw
+        F.round(
+            F.when(F.col("base") > 0, F.col("s.n_users") / F.col("base")), 6
+        ).alias("conversion"),
     )
 
 
@@ -625,10 +629,16 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
     w = (F.col("hi") - F.col("lo")) / HIST_N_BUCKETS
-    b = F.least(
-        F.lit(HIST_N_BUCKETS),
-        (F.floor((F.col("value") - F.col("lo")) / w) + 1).cast("int"),
-    )
+    # degenerate range (all values equal / one row): w = 0 would divide by
+    # zero under ANSI while the oracle NULLs through — define bucket 1
+    # explicitly on BOTH engines instead
+    b = F.when(
+        w > 0,
+        F.least(
+            F.lit(HIST_N_BUCKETS),
+            (F.floor((F.col("value") - F.col("lo")) / w) + 1).cast("int"),
+        ),
+    ).otherwise(F.lit(1))
     return (
         ev.crossJoin(F.broadcast(bounds))
         .select(b.alias("bucket"), "lo", "hi", "value")
@@ -648,9 +658,11 @@ def agg_value_histogram_oracle() -> str:
     return f"""
         WITH bounds AS (SELECT MIN(value) lo, MAX(value) hi FROM events),
         assigned AS (
-            SELECT LEAST({HIST_N_BUCKETS},
-                         CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_N_BUCKETS}))
-                              AS INTEGER) + 1) AS bucket,
+            SELECT CASE WHEN (hi - lo) / {HIST_N_BUCKETS} > 0
+                        THEN LEAST({HIST_N_BUCKETS},
+                                   CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_N_BUCKETS}))
+                                        AS INTEGER) + 1)
+                        ELSE 1 END AS bucket,
                    lo, (hi - lo) / {HIST_N_BUCKETS} AS w
             FROM events, bounds
         )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from .. import tables
-from .text import TOKEN_RE, tokens_col
+from .text import TOKEN_RE, fingerprint_col, tokens_col
 
 JACCARD_THRESHOLD = 0.5
 MINHASH_PERMS = 32          # signature length
@@ -49,7 +49,7 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is one shuffle of ~32 bytes/row. Emits survivor + duplicate count.
     """
     docs = tables.load(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = fingerprint_col()
     return (
         docs.select(fp.alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -842,6 +842,26 @@ def ext_dedup_containment_oracle() -> str:
 SEGMENT_W = 8  # tokens per segment (disjoint windows; tail may be shorter)
 
 
+def _segment_array(t: str = "t"):
+    """Disjoint SEGMENT_W-token windows of the token array column ``t`` —
+    shared by the boilerplate MEASUREMENT (`ext_dedup_segments`) and the
+    boilerplate REMOVAL (`ext_text_clean`), which must segment identically
+    or the transform disagrees with the measurement the keep-list gates on.
+    Guard: ``sequence(0, -1)`` would DESCEND for empty docs."""
+    n = F.size(t)
+    n_segs = F.ceil(n / F.lit(float(SEGMENT_W))).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(F.col(t), i * SEGMENT_W + 1, SEGMENT_W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+
 def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-segment fraction — the CCNet/RefinedWeb
     paragraph-dedup step re-expressed over whitespace text: split each
@@ -866,18 +886,7 @@ def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
-    n = F.size("t")
-    n_segs = F.ceil(n / F.lit(float(SEGMENT_W))).cast("int")
-    # guard: sequence(0, -1) would DESCEND for empty docs
-    seg_arr = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(
-                F.slice(F.col("t"), i * SEGMENT_W + 1, SEGMENT_W), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    seg_arr = _segment_array()
     segs = toks.select("doc_id", F.explode(seg_arr).alias("seg"))
     cnt = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("c"))
     per = (
@@ -952,7 +961,7 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import split_assignment
 
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = fingerprint_col()
     tagged = docs.select(
         "doc_id", split_assignment("doc_id").alias("split"), fp.alias("fingerprint")
     )
@@ -995,11 +1004,14 @@ def ext_dedup_incremental_oracle() -> str:
 
 
 def _band_index_path(sf_dir: str) -> str:
-    import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    from ..sources.layouts import dataset_cache_key
+
+    # keyed by the source table's content signature, not just the path —
+    # a regenerated fixture must invalidate the standing index
+    key = dataset_cache_key(sf_dir, "documents")
     return os.path.join(tempfile.gettempdir(), f"boletia_band_index_{key}")
 
 
@@ -1136,17 +1148,7 @@ def ext_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
-    n = F.size("t")
-    n_segs = F.ceil(n / F.lit(float(SEGMENT_W))).cast("int")
-    seg_arr = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(
-                F.slice(F.col("t"), i * SEGMENT_W + 1, SEGMENT_W), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    seg_arr = _segment_array()
     segs = toks.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
     cnt = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("c"))
     kept = (
@@ -1164,7 +1166,10 @@ def ext_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
-    totals = toks.select("doc_id", n_segs.alias("n_total"))
+    totals = toks.select(
+        "doc_id",
+        F.ceil(F.size("t") / F.lit(float(SEGMENT_W))).cast("int").alias("n_total"),
+    )
     return (
         totals.join(kept, "doc_id", "left")
         .select(

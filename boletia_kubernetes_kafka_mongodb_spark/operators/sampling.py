@@ -442,10 +442,10 @@ def ext_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SF), so the decision layer adds no new scan logic that could drift
     from the stages it audits; the oracle composes the same stages as CTEs.
     """
-    from .text import ext_text_quality
+    from .text import ext_text_quality, fingerprint_col
 
     docs = tables.load(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = fingerprint_col()
     w = Window.partitionBy("fingerprint")
     surv = (
         docs.select("doc_id", fp.alias("fingerprint"))

@@ -269,11 +269,14 @@ def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_layout_path(sf_dir: str) -> str:
-    import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    from ..sources.layouts import dataset_cache_key
+
+    # content-signature key: a regenerated embeddings table invalidates the
+    # layout (path-only keys serve stale indexes silently)
+    key = dataset_cache_key(sf_dir, "embeddings")
     return os.path.join(tempfile.gettempdir(), f"boletia_ivf_layout_{key}")
 
 
@@ -939,8 +942,11 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
     )
+    # SELF-pairs included (join condition True): every candidate reaches the
+    # greedy kernel even when the pool has one member and no cross pairs —
+    # the kernel ignores a==b rows when computing the diversity penalty
     pairs = (
-        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        a.crossJoin(F.broadcast(b))
         .select(
             "a",
             "rel_a",
@@ -955,9 +961,11 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         rel = dict(zip(pdf["a"], pdf["rel_a"]))
-        sim: dict[tuple[int, int], float] = dict(
-            zip(zip(pdf["a"], pdf["b"]), pdf["sim"])
-        )
+        sim: dict[tuple[int, int], float] = {
+            (x, y): s
+            for x, y, s in zip(pdf["a"], pdf["b"], pdf["sim"])
+            if x != y  # self-sim must not count as a diversity penalty
+        }
         remaining = sorted(rel)
         selected: list[int] = []
         out = []

@@ -33,6 +33,16 @@ def tokens_col(text: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
 
 
+def fingerprint_col(text: Column | str = "text") -> Column:
+    """md5 of whitespace-normalized lowercase text — THE document identity
+    key. Exact dedup, incremental dedup, its streaming twins, the keep-list
+    survivorship stage and the standing fingerprint index all join on this;
+    they must stay byte-identical, so every site calls this one helper."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+
 def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace-word tokens, distinct tokens, length stats."""
     docs = tables.load(spark, sf_dir, "documents")

@@ -34,6 +34,24 @@ from .. import tables
 # IVF-partitioned embedding layout
 # ---------------------------------------------------------------------------
 
+def dataset_cache_key(sf_dir: str, table: str) -> str:
+    """Cache key for derived on-disk artifacts (IVF layout, band index):
+    hashes the source table's (path, mtime, size) so a REGENERATED fixture
+    at the same path invalidates the artifact instead of silently serving
+    stale verdicts — _SUCCESS alone cannot distinguish 'built from this
+    data' from 'built from whatever used to live here'."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        sig = f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:  # directory dataset — fall back to the path string
+        sig = path
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 _IVF_QUANTIZER_CACHE: dict = {}
 
 

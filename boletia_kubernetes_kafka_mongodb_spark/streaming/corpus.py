@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.text import tokens_col
+from ..operators.text import fingerprint_col, tokens_col
 
 
 def vocab_counts_stream(docs_stream: DataFrame) -> DataFrame:
@@ -39,7 +39,7 @@ def vocab_counts_stream(docs_stream: DataFrame) -> DataFrame:
 def dedup_exact_stream(docs_stream: DataFrame) -> DataFrame:
     """Streaming exact dedup: first document per normalized-text fingerprint
     survives; later copies (and redeliveries) are dropped statefully."""
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = fingerprint_col()
     return docs_stream.select(
         fp.alias("fingerprint"), "doc_id", "lang", "source"
     ).dropDuplicates(["fingerprint"])
@@ -57,7 +57,7 @@ def dedup_incremental_stream(docs_stream: DataFrame, standing: DataFrame) -> Dat
     batch operator builds; at scale it lives as a bucketed layout so the
     per-batch join is broadcast- or bucket-local.
     """
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = fingerprint_col()
     new = docs_stream.select("doc_id", fp.alias("fingerprint"))
     return new.join(standing, "fingerprint", "left").select(
         "doc_id",
