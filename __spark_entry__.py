@@ -43,11 +43,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering note: the round-1 driver recorded only the FIRST 50 entries in
     dict order, so ids with no driver row yet are listed first. Across
-    CORRECTNESS_r01 + r02 every query id then has a driver row EXCEPT the
-    six at positions 51-56 (ext_semdedup, join_attribution,
-    ext_entity_resolution, ext_tokenizer_apply, ext_hybrid_search_rrf,
-    cdc_scd2_history — more never-recorded ids than slots this round);
-    rotate those six to the front in round 3.
+    CORRECTNESS_r01 + r02 every query id then has a driver row EXCEPT those
+    between position 51 and the "recorded in round 1" marker below
+    (ext_semdedup plus the operators added after the 50 slots filled —
+    more never-recorded ids than slots this round); rotate that group to
+    the front in round 3.
     """
     return {
         # --- rotated to the front: no driver CORRECTNESS row in round 1 ---
@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_tokenizer_apply": text.ext_tokenizer_apply,
         "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
         "cdc_scd2_history": cdc.cdc_scd2_history,
+        "agg_latency_bands": aggregates.agg_latency_bands,
+        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -303,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_entity_resolution": dedup.ext_entity_resolution_oracle(),
         "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf_oracle(),
         "cdc_scd2_history": cdc.cdc_scd2_history_oracle(),
+        "agg_latency_bands": aggregates.agg_latency_bands_oracle(),
+        "agg_cube_source_lang": aggregates.agg_cube_source_lang_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

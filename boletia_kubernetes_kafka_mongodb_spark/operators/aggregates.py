@@ -808,3 +808,73 @@ def ext_cooccurrence_oracle() -> str:
         JOIN supports sb ON sb.event_type = pairs.type_b
         CROSS JOIN n
     """
+
+
+def agg_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly P50/P95/P99 bands of the event ``value`` measure per type —
+    the observability panel every service dashboard draws. Exact
+    interpolated percentiles (same estimator as `agg_value_quantiles` =
+    DuckDB ``quantile_cont``) computed per (hour, type) group in ONE
+    partial+final aggregation pass; group count is hours×types, so the
+    percentile state is bounded per group and the plan is a single shuffle
+    on the composite key.
+    """
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    bucket = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long")
+    return (
+        ev.groupBy(bucket.alias("hour_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+def agg_latency_bands_oracle() -> str:
+    return """
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+def agg_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang) on the documents table — all four grouping
+    sets ((source,lang), (source), (lang), ()) in ONE partial+final
+    aggregation pass (completes the grouping-sets family next to A7's
+    ROLLUP). ``grouping()`` flags disambiguate subtotal NULLs from genuine
+    NULL values, keeping the hash comparison exact.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            # grouping() must live inside the aggregate expression list
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .select("source", "lang", "g_source", "g_lang", "n_docs", "n_chars")
+    )
+
+
+def agg_cube_source_lang_oracle() -> str:
+    return """
+        SELECT source, lang,
+               CAST(GROUPING(source) AS INTEGER) AS g_source,
+               CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY CUBE (source, lang)
+    """
