@@ -878,3 +878,73 @@ def agg_cube_source_lang_oracle() -> str:
         FROM documents
         GROUP BY CUBE (source, lang)
     """
+
+
+EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
+
+
+def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event counts per type
+    — the trend line dashboards draw next to the raw series. EWMA is
+    defined recursively (s_t = α·x_t + (1−α)·s_{t−1}) but needs NO
+    sequential fold: with day index t, s_t = α·(1−α)^t · Σ_{i≤t} x_i/(1−α)^i
+    — one cumulative sum over a window ordered by day, all closed-form
+    arithmetic. The scaling stays finite for bounded windows (30 days at
+    α=0.3 → (1−α)^{−30} ≈ 4·10⁴); a years-long series would chunk the
+    window to bound the exponent, exactly like any numerically-scaled
+    prefix computation.
+
+    Plan: one (type, day) aggregation, then the window runs over the
+    AGGREGATED frame (types × days rows). Round to 6dp; identical formula
+    in the oracle so the cross-engine check is exact.
+    """
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w0 = Window.partitionBy("event_type").orderBy("day")
+    t = F.row_number().over(w0) - 1
+    with_t = daily.withColumn("t", t)
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    scaled = F.col("n") / F.pow(decay, F.col("t"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ewma = F.lit(EWMA_ALPHA) * F.pow(decay, F.col("t")) * F.sum(scaled).over(w)
+    # the standard convention seeds s_0 with the first observation, which
+    # the pure-sum form underweights; rescale by the partial normalizer
+    # 1 - (1-α)^(t+1) (the adjust=True/debiased EWMA every stats library
+    # defaults to)
+    adj = F.lit(1.0) - F.pow(decay, F.col("t") + 1)
+    return with_t.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(ewma / adj, 6).alias("ewma"),
+    )
+
+
+def agg_ewma_daily_oracle() -> str:
+    a, d = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+            FROM daily
+        )
+        SELECT event_type, day, n,
+               ROUND({a} * power({d}, t)
+                     * SUM(n / power({d}, t)) OVER (
+                           PARTITION BY event_type ORDER BY t
+                           ROWS UNBOUNDED PRECEDING)
+                     / (1.0 - power({d}, t + 1)), 6) AS ewma
+        FROM idx
+    """

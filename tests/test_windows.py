@@ -440,3 +440,26 @@ def test_attribution_stream_stream_join_equals_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_ewma_matches_pandas_convention(spark):
+    """The closed-form windowed EWMA equals pandas' adjust=True ewm mean
+    per series (the debiased convention every stats library defaults to)."""
+    import pandas as pd
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    rows = A.agg_ewma_daily(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r.day)
+        want = (
+            pd.Series([r.n for r in series])
+            .ewm(alpha=A.EWMA_ALPHA, adjust=True)
+            .mean()
+        )
+        for r, w in zip(series, want):
+            assert abs(r.ewma - round(w, 6)) <= 1e-6, (et, r.day)
