@@ -320,3 +320,50 @@ def test_substring_windows_hash_in_narrow_map(spark):
     assert "CartesianProduct" not in s
     assert s.count("regexp_extract_all") <= 2, "tokenizer re-runs per window"
     assert "md5" in s
+
+
+def test_entity_resolution_tiled_equi_join(spark):
+    """Pair expansion must be an equi hash join on the tile key — no
+    cartesian, no sort-merge over the banded frame."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup
+
+    df = dedup.ext_entity_resolution(spark, SF_CORRECT)
+    s = plans.explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "levenshtein" in s
+
+
+def test_scd2_single_key_exchange(spark):
+    """All three window functions (version, lead, is_current) ride ONE
+    user_id exchange and one sort."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import cdc
+
+    df = cdc.cdc_scd2_history(spark, SF_CORRECT)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange hashpartitioning(user_id") == 1
+    assert s.count("+- Sort ") == 1
+
+
+def test_latency_bands_single_composite_shuffle(spark):
+    """Exact percentiles per (hour, type): one partial+final aggregation,
+    one exchange on the composite key."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates
+
+    df = aggregates.agg_latency_bands(spark, SF_CORRECT)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in s
+
+
+def test_ewma_window_over_aggregated_frame(spark):
+    """The EWMA windows must consume the (type, day) AGGREGATED frame: the
+    raw-event exchange feeds an aggregate first, and the window sorts only
+    the daily rows."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates
+
+    df = aggregates.agg_ewma_daily(spark, SF_CORRECT)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in s
+    assert "Window" in s and "CartesianProduct" not in s
+    # windows must partition by event_type, never collapse to one partition
+    assert "Exchange SinglePartition" not in s
