@@ -429,26 +429,47 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         def decode(p):  # identity fake — see module header
             return p
 
-        out_ids, out_hashes = [], []
         for pdf in batches:
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = np.frombuffer(decode(bytes(payload)), dtype=np.uint8)
-                if raw.size == 0:
-                    out_ids.append(doc_id)
-                    out_hashes.append(0)
-                    continue
-                # resample to a fixed 64-cell grid (mean per cell), then
-                # threshold on the grid mean — classic average-hash
-                cells = np.array_split(raw.astype(np.float64), 64)
-                means = np.array([c.mean() if c.size else 0.0 for c in cells])
-                bits = (means > means.mean()).astype(np.uint64)
+            raws = [
+                np.frombuffer(decode(bytes(p)), dtype=np.uint8)
+                for p in pdf["payload"]
+            ]
+            lens = np.array([r.size for r in raws], dtype=np.int64)
+            hashes = np.zeros(len(raws), dtype=np.int64)
+            # payloads ≥ 64 bytes (the common case): ONE vectorized pass —
+            # array_split's boundary rule (l%64 leading cells of size
+            # l//64+1) reproduced as reduceat segments over the batch
+            # concatenation, bits packed MSB-first like the scalar fold
+            big = np.nonzero(lens >= 64)[0]
+            if big.size:
+                L = lens[big]
+                k, m = L // 64, L % 64
+                sizes = k[:, None] + (np.arange(64)[None, :] < m[:, None])
+                flat = sizes.ravel()
+                starts = np.zeros(flat.size, dtype=np.int64)
+                starts[1:] = np.cumsum(flat)[:-1]
+                concat = np.concatenate([raws[i] for i in big]).astype(np.float64)
+                means = (np.add.reduceat(concat, starts) / flat).reshape(-1, 64)
+                bits = means > means.mean(axis=1)[:, None]
+                packed = (
+                    np.packbits(bits, axis=1)
+                    .view(">u8")
+                    .ravel()
+                    .astype(np.uint64)
+                    .view(np.int64)
+                )
+                hashes[big] = packed
+            # sub-64-byte payloads (rare): scalar reference path, zero-size
+            # cells contribute mean 0.0
+            for i in np.nonzero((lens < 64) & (lens > 0))[0]:
+                cells = np.array_split(raws[i].astype(np.float64), 64)
+                means1 = np.array([c.mean() if c.size else 0.0 for c in cells])
+                bits1 = (means1 > means1.mean()).astype(np.uint64)
                 h = 0
-                for b in bits:
+                for b in bits1:
                     h = (h << 1) | int(b)
-                # to signed 64-bit (Spark LongType)
-                out_ids.append(doc_id)
-                out_hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
-        yield pd.DataFrame({"doc_id": out_ids, "phash": out_hashes})
+                hashes[i] = h - (1 << 64) if h >= (1 << 63) else h
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
     sigs = media.select("doc_id", "payload").mapInPandas(
         hash_batches, "doc_id long, phash long"
