@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_latency_bands": aggregates.agg_latency_bands,
         "agg_cube_source_lang": aggregates.agg_cube_source_lang,
         "agg_ewma_daily": aggregates.agg_ewma_daily,
+        "ext_percolate_match": search.ext_percolate_match,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -309,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_latency_bands": aggregates.agg_latency_bands_oracle(),
         "agg_cube_source_lang": aggregates.agg_cube_source_lang_oracle(),
         "agg_ewma_daily": aggregates.agg_ewma_daily_oracle(),
+        "ext_percolate_match": search.ext_percolate_match_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

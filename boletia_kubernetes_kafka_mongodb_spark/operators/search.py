@@ -291,3 +291,69 @@ def ext_hybrid_search_rrf_oracle() -> str:
             FROM fused
         ) WHERE rank <= {HYBRID_TOPK}
     """
+
+
+# standing queries for percolation: (query_id, terms, min_hits)
+PERCOLATE_QUERIES = (
+    (1, ("spark", "shuffle"), 2),
+    (2, ("broadcast", "join"), 2),
+    (3, ("stream", "window", "state"), 2),
+)
+
+
+def _percolate_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, list(t), m) for q, t, m in PERCOLATE_QUERIES],
+        "query_id int, terms array<string>, min_hits int",
+    )
+
+
+def ext_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation — REVERSE search: a registry of standing keyword queries
+    is matched against every document (the publish-subscribe search shape:
+    saved searches, alerting rules, routing filters). A query fires when at
+    least ``min_hits`` of its terms occur in the document.
+
+    Plan: the query registry is tiny by nature → broadcast; matching is a
+    narrow map per (doc × query) via ``array_intersect`` on the doc's
+    distinct-token array against the query's term array — no explode of
+    corpus tokens, no shuffle at all (the registry cross joins in at
+    |queries| rows). At 100 TB this pipelines over the scan; a
+    million-query registry would flip to the inverted form (explode query
+    terms, join on token) — the `ext_text_sentiment` lexicon shape.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = F.array_distinct(tokens_col("text"))
+    reg = _percolate_frame(spark)
+    hits = F.size(F.array_intersect(F.col("toks"), F.col("terms")))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .crossJoin(F.broadcast(reg))
+        .select(
+            "doc_id",
+            "query_id",
+            hits.alias("n_hits"),
+            (hits >= F.col("min_hits")).alias("matched"),
+        )
+        .where(F.col("matched"))
+        .select("doc_id", "query_id", "n_hits")
+    )
+
+
+def ext_percolate_match_oracle() -> str:
+    # DuckDB list literal syntax: ['a', 'b'] — python repr of a str list
+    vals = ", ".join(
+        f"({q}, {list(t)!r}, {m})" for q, t, m in PERCOLATE_QUERIES
+    )
+    return f"""
+        WITH reg(query_id, terms, min_hits) AS (VALUES {vals}),
+        d AS (
+            SELECT doc_id,
+                   list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS toks
+            FROM documents
+        )
+        SELECT d.doc_id, reg.query_id,
+               CAST(len(list_intersect(d.toks, reg.terms)) AS INTEGER) AS n_hits
+        FROM d CROSS JOIN reg
+        WHERE len(list_intersect(d.toks, reg.terms)) >= reg.min_hits
+    """

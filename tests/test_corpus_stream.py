@@ -171,3 +171,41 @@ def test_funnel_stream_equals_batch_reach(spark, tmp_path):
     assert batch[1] == sum(1 for v in got.values() if v[0])
     assert batch[2] == sum(1 for v in got.values() if v[1])
     assert batch[3] == sum(1 for v in got.values() if v[2])
+
+
+def test_percolate_stream_equals_batch(spark, tmp_path):
+    """Replayed streaming percolation == the batch operator (stream-static
+    broadcast match, zero stream state)."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import search
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as sc
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        sc.percolate_stream(stream, search._percolate_frame(spark))
+        .writeStream.format("memory")
+        .queryName("perc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_perc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.query_id): r.n_hits
+        for r in spark.sql("select * from perc_out").collect()
+    }
+    expect = {
+        (r.doc_id, r.query_id): r.n_hits
+        for r in search.ext_percolate_match(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
