@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube_source_lang": aggregates.agg_cube_source_lang,
         "agg_ewma_daily": aggregates.agg_ewma_daily,
         "ext_percolate_match": search.ext_percolate_match,
+        "order_page_keyset": ordering.order_page_keyset,
         # --- recorded in round 1 from here on ---
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_cube_source_lang": aggregates.agg_cube_source_lang_oracle(),
         "agg_ewma_daily": aggregates.agg_ewma_daily_oracle(),
         "ext_percolate_match": search.ext_percolate_match_oracle(),
+        "order_page_keyset": ordering.order_page_keyset_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /

@@ -175,3 +175,34 @@ def order_user_event_ranks_oracle() -> str:
         FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         """
+
+
+PAGE_SIZE = 25
+PAGE_CURSOR = 5000  # the last event_id the client saw
+
+
+def order_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scalable form of the reference's
+    HTTP listings: page N+1 is ``WHERE key > last_seen ORDER BY key LIMIT
+    page`` instead of OFFSET. OFFSET pagination scans and discards
+    everything before the offset (O(offset) per page, and rows shift under
+    concurrent writes); the keyset predicate reaches the parquet scan as a
+    PushedFilter, row groups below the cursor are skipped via min/max
+    stats, and the limit compiles to ``TakeOrderedAndProject`` bounded
+    heaps — every page costs the same at any depth.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_id") > PAGE_CURSOR)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(PAGE_SIZE)
+    )
+
+
+def order_page_keyset_oracle() -> str:
+    return f"""
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id > {PAGE_CURSOR}
+        ORDER BY event_id LIMIT {PAGE_SIZE}
+    """

@@ -367,3 +367,14 @@ def test_ewma_window_over_aggregated_frame(spark):
     assert "Window" in s and "CartesianProduct" not in s
     # windows must partition by event_type, never collapse to one partition
     assert "Exchange SinglePartition" not in s
+
+
+def test_keyset_pagination_pushes_cursor_and_bounds_heap(spark):
+    """The cursor predicate must reach the scan (row-group skipping) and
+    the page limit must compile to TakeOrderedAndProject."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import ordering
+
+    df = ordering.order_page_keyset(spark, SF_CORRECT)
+    plans.assert_pushed_filter(df, "event_id")
+    s = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in s
