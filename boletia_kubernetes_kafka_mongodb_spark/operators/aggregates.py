@@ -823,13 +823,22 @@ def agg_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.floor(
         F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
     ).cast("long")
+    # ONE percentile buffer per group (array form), not three — three
+    # separate aggregates would each hold and sort the group's value map
+    pcts = F.percentile("value", F.lit([0.5, 0.95, 0.99]))
     return (
         ev.groupBy(bucket.alias("hour_bucket"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+            pcts.alias("_p"),
+        )
+        .select(
+            "hour_bucket",
+            "event_type",
+            "n",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p95"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
         )
     )
 
@@ -909,9 +918,13 @@ def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_t = daily.withColumn("t", t)
     decay = F.lit(1.0 - EWMA_ALPHA)
     scaled = F.col("n") / F.pow(decay, F.col("t"))
+    # order by day (not the derived t): rows already carry the w0 sort
+    # order, so the running-sum window reuses it instead of adding a
+    # second Sort over the aggregated frame; t is row_number-1 over day,
+    # so the two orders are identical
     w = (
         Window.partitionBy("event_type")
-        .orderBy("t")
+        .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ewma = F.lit(EWMA_ALPHA) * F.pow(decay, F.col("t")) * F.sum(scaled).over(w)

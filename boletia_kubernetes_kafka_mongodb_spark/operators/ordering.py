@@ -178,7 +178,10 @@ def order_user_event_ranks_oracle() -> str:
 
 
 PAGE_SIZE = 25
-PAGE_CURSOR = 5000  # the last event_id the client saw
+# below every fixture's max event_id (sf0.001 tops out at 999) so the page
+# is non-vacuous at EVERY scale factor — an empty==empty smoke pass would
+# hide predicate regressions
+PAGE_CURSOR = 500
 
 
 def order_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -323,12 +323,18 @@ def ext_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms, join on token) — the `ext_text_sentiment` lexicon shape.
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
+    return percolate(docs, _percolate_frame(spark))
+
+
+def percolate(docs: DataFrame, registry: DataFrame) -> DataFrame:
+    """The match pipeline itself — ONE definition shared by the batch query
+    and the streaming twin (`streaming/corpus.percolate_stream`), so the
+    semantics the stream≡batch test pins cannot drift between them."""
     toks = F.array_distinct(tokens_col("text"))
-    reg = _percolate_frame(spark)
     hits = F.size(F.array_intersect(F.col("toks"), F.col("terms")))
     return (
         docs.select("doc_id", toks.alias("toks"))
-        .crossJoin(F.broadcast(reg))
+        .crossJoin(F.broadcast(registry))
         .select(
             "doc_id",
             "query_id",

@@ -73,19 +73,6 @@ def percolate_stream(docs_stream: DataFrame, registry: DataFrame) -> DataFrame:
     alerting-rule delivery with ZERO stream state (pure stream-static map;
     a registry update is picked up on the next micro-batch, the same
     static-side re-resolution contract as `dedup_incremental_stream`)."""
-    from pyspark.sql import functions as F
+    from ..operators.search import percolate
 
-    toks = F.array_distinct(tokens_col("text"))
-    hits = F.size(F.array_intersect(F.col("toks"), F.col("terms")))
-    return (
-        docs_stream.select("doc_id", toks.alias("toks"))
-        .crossJoin(F.broadcast(registry))
-        .select(
-            "doc_id",
-            "query_id",
-            hits.alias("n_hits"),
-            (hits >= F.col("min_hits")).alias("matched"),
-        )
-        .where(F.col("matched"))
-        .select("doc_id", "query_id", "n_hits")
-    )
+    return percolate(docs_stream, registry)
