@@ -41,85 +41,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering note: the round-1 driver recorded only the FIRST 50 entries in
-    dict order, so ids with no driver row yet are listed first. Across
-    CORRECTNESS_r01 + r02 every query id then has a driver row EXCEPT those
-    between position 51 and the "recorded in round 1" marker below
-    (ext_semdedup plus the operators added after the 50 slots filled —
-    more never-recorded ids than slots this round); rotate that group to
-    the front in round 3.
+    Ordering note: the driver records only the FIRST 50 entries in dict
+    order per round. Round-3 window = the 17 ids with no driver row in
+    CORRECTNESS_r01/r02, the round-2 red row (`ext_text_winnowing`, output
+    contract fixed), ids whose implementation or oracle changed this round,
+    and the round's new ids. Everything after position 50 already has a
+    green driver row from r01 or r02. Any new query MUST be added inside
+    the first 50 (and an already-recorded id bumped past it) — the window
+    cannot absorb more than 50 re-records per round.
     """
     return {
-        # --- rotated to the front: no driver CORRECTNESS row in round 1 ---
-        # §2.9 extensions: text analysis
-        "ext_text_tokens": text.ext_text_tokens,
-        "ext_text_langid": text.ext_text_langid,
-        "ext_text_quality": text.ext_text_quality,
-        "ext_text_fingerprint": text.ext_text_fingerprint,
-        "ext_text_winnowing": text.ext_text_winnowing,
-        "ext_text_repetition": text.ext_text_repetition,
-        "ext_text_pii_mask": text.ext_text_pii_mask,
-        "ext_corpus_stats": text.ext_corpus_stats,
-        "ext_text_sentiment": text.ext_text_sentiment,
-        # §2.9 extensions: multimodal
-        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
-        "ext_multimodal_features": multimodal.ext_multimodal_features,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
-        # §2.9 sampling / split
-        "ext_sample_split": sampling.ext_sample_split,
-        "ext_sample_quota": sampling.ext_sample_quota,
-        "ext_decontaminate": sampling.ext_decontaminate,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
-        "ext_sample_pack": sampling.ext_sample_pack,
-        # §2.9 IVF ANN (rows-only; recorded as such)
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
-        # --- new this round (kept inside the driver's 50-row window) ---
-        "ext_dedup_segments": dedup.ext_dedup_segments,
-        "ext_split_drift": sampling.ext_split_drift,
-        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        "ext_sample_weighted": sampling.ext_sample_weighted,
-        "ext_embed_quantize": similarity.ext_embed_quantize,
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "ext_dedup_incremental": dedup.ext_dedup_incremental,
-        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
-        "ext_quality_buckets": text.ext_quality_buckets,
-        "ext_text_entropy": text.ext_text_entropy,
-        "ext_vocab_coverage": text.ext_vocab_coverage,
-        "agg_funnel_stages": aggregates.agg_funnel_stages,
-        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
-        "agg_value_histogram": aggregates.agg_value_histogram,
-        "ext_heavy_hitters": text.ext_heavy_hitters,
-        # §2.9 extensions: search / relevance + association analytics (new
-        # this round — front of dict so the driver records them)
-        "ext_bm25_search": search.ext_bm25_search,
-        "ext_tfidf_terms": search.ext_tfidf_terms,
-        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
-        "ext_cooccurrence": aggregates.ext_cooccurrence,
-        "ext_dedup_substring": dedup.ext_dedup_substring,
-        "ext_text_clean": dedup.ext_text_clean,
-        "ext_sample_importance": sampling.ext_sample_importance,
-        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
-        "cdc_broker_metrics": cdc.cdc_broker_metrics,
-        "ext_shard_manifest": sampling.ext_shard_manifest,
-        # rows-only (data-dependent sequential merge loop; python-reference
-        # equality test pins the semantics)
-        "ext_bpe_merges": text.ext_bpe_merges,
-        # rows-only (UDF-computed hash; exhaustive-equality reference test)
-        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
-        "ext_mmr_diversify": similarity.ext_mmr_diversify,
-        # rows-only (MinHash banding is Spark-hash-dependent; exact verify
-        # stage gives perfect precision, recall pinned in tests)
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
-        # rows-only (float summation order is engine-specific; assignments
-        # pinned against a python reference in tests)
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
-        # rows-only (inherits the k-means assignments; keep semantics pinned
-        # by a python-reference equality test)
-        "ext_semdedup": similarity.ext_semdedup,
-        # position >50: no driver slot this round (rotate forward in r3);
-        # oracle + stream-stream twin tests carry it meanwhile
+        # --- 17 ids never recorded by the driver in r01/r02 ---
+        "ext_semdedup": similarity.ext_semdedup,  # rows-only (inherits
+        # k-means assignments; python-reference equality test)
         "join_attribution": joins.join_attribution,
         "ext_entity_resolution": dedup.ext_entity_resolution,
         # rows-only (serves the learned BPE merges; encode equality vs a
@@ -132,7 +66,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_ewma_daily": aggregates.agg_ewma_daily,
         "ext_percolate_match": search.ext_percolate_match,
         "order_page_keyset": ordering.order_page_keyset,
-        # --- recorded in round 1 from here on ---
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
+        "ext_vocab_topk": text.ext_vocab_topk,
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
+        # --- round-2 red row: array output → scalar csv contract fix ---
+        "ext_text_winnowing": text.ext_text_winnowing,
+        # --- changed this round: re-record ---
+        # now serves from the write-time SRP band-bucket layout (partition-
+        # pruned probe; rows-only — approximation is hash-dependent)
+        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        # merge loop unchanged, but now oracle-backed (recursive-CTE oracle)
+        "ext_bpe_merges": text.ext_bpe_merges,
+        # --- new this round ---
+        # J4 flagship over write-time bucketed tables (no-Exchange plan)
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        # hash-checked assign step of the k-means family (fixed init
+        # centroids; the fit stays rows-only below)
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
+        # --- green driver rows exist (r01/r02); re-recorded as space allows ---
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,  # rows-only
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,  # rows-only
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,  # rows-only
+        "ext_text_tokens": text.ext_text_tokens,
+        "ext_text_langid": text.ext_text_langid,
+        "ext_text_quality": text.ext_text_quality,
+        "ext_text_fingerprint": text.ext_text_fingerprint,
+        "ext_text_repetition": text.ext_text_repetition,
+        "ext_text_pii_mask": text.ext_text_pii_mask,
+        "ext_corpus_stats": text.ext_corpus_stats,
+        "ext_text_sentiment": text.ext_text_sentiment,
+        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
+        "ext_multimodal_features": multimodal.ext_multimodal_features,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
+        "ext_sample_split": sampling.ext_sample_split,
+        "ext_sample_quota": sampling.ext_sample_quota,
+        "ext_decontaminate": sampling.ext_decontaminate,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,  # rows-only
+        "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_split_drift": sampling.ext_split_drift,
+        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        # --- position > 50 from here: all have green r01/r02 rows ---
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,  # rows-only
+        "ext_dedup_incremental": dedup.ext_dedup_incremental,
+        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
+        "ext_quality_buckets": text.ext_quality_buckets,
+        "ext_text_entropy": text.ext_text_entropy,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
+        "agg_value_histogram": aggregates.agg_value_histogram,
+        "ext_heavy_hitters": text.ext_heavy_hitters,
+        "ext_bm25_search": search.ext_bm25_search,
+        "ext_tfidf_terms": search.ext_tfidf_terms,
+        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "ext_cooccurrence": aggregates.ext_cooccurrence,
+        "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_text_clean": dedup.ext_text_clean,
+        "ext_sample_importance": sampling.ext_sample_importance,
+        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
+        "cdc_broker_metrics": cdc.cdc_broker_metrics,
+        "ext_shard_manifest": sampling.ext_shard_manifest,
         # §2.2 scans / filters / projections
         "scan_full_eventos": scans.scan_full_eventos,
         "scan_full_inventario": scans.scan_full_inventario,
@@ -229,6 +232,8 @@ def oracle_sql() -> dict[str, str]:
         "join_exists_anti": joins.join_exists_anti_oracle(),
         "join_cascade": joins.join_cascade_oracle(),
         "join_availability": joins.join_availability_oracle(),
+        "join_availability_bucketed": joins.join_availability_bucketed_oracle(),
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts_oracle(),
         "ext_asof_join": joins.ext_asof_join_oracle(),
         "ext_range_join": joins.ext_range_join_oracle(),
         "agg_running_capacity": aggregates.agg_running_capacity_oracle(),

@@ -126,6 +126,29 @@ def join_availability_oracle() -> str:
     return with_domain("SELECT * FROM inventario")
 
 
+def join_availability_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 over write-time bucketed tables — the flagship's 100 TB plan.
+
+    Same semantics and oracle as :func:`join_availability`, but both join
+    sides persist ``bucketBy(N, key).sortBy(key)`` so the equi-join matches
+    buckets pairwise with NO Exchange on either side and the fact-side
+    groupBy inherits the bucket distribution
+    (``sources/layouts.write_bucketed_tables`` /
+    ``availability_join_bucketed``; no-Exchange plan gate in
+    tests/test_layouts.py). The one-time bucketed write amortizes the
+    shuffle every daily run of the join would otherwise pay — exactly what
+    a 1000-executor cluster wants for a recurring 100 TB join.
+    """
+    from ..sources import layouts
+
+    db = layouts.ensure_bucketed_tables(spark, sf_dir)
+    return layouts.availability_join_bucketed(spark, db)
+
+
+def join_availability_bucketed_oracle() -> str:
+    return join_availability_oracle()
+
+
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each ``purchase`` event matched to the same user's latest
     ``view`` at-or-before it (the operator Spark's join menu lacks; DuckDB

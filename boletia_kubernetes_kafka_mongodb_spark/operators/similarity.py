@@ -181,16 +181,57 @@ def _hyperplanes(dim: int) -> list[list[float]]:
 
 
 def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via sign-random-projection LSH with multi-probe bands.
+    """ANN top-k via sign-random-projection LSH, served from the write-time
+    band-bucket layout.
 
     Candidates = vectors agreeing with the query on ALL planes of ≥1 of the
-    8 bands; exact cosine re-ranking on candidates only. The query's sign
-    bits are computed driver-side from the deterministic hyperplane matrix;
-    the corpus side is a single vectorized Arrow-batched boolean UDF (numpy
-    matmul). At 100 TB: band codes are precomputed/bucketed at write time,
-    the probe is an 8-way bucket lookup — the full-corpus scan disappears.
+    8 bands. The band codes are precomputed at write time
+    (``sources/layouts.write_srp_band_layout``: embeddings replicated once
+    per band, Hive-partitioned by ``srp_bucket``); the probe reads ONLY the
+    query's 8 bucket partitions — partition pruning at planning time, the
+    full-corpus scan from rounds 1-2 is gone (that form survives below as
+    ``ann_lsh_topk_scan``, the index-free fallback the layout path is
+    equivalence-tested against). Exact cosine re-rank on candidates only.
     Approximate ⇒ rows-only driver check; recall vs brute force asserted in
     tests/test_similarity.py.
+    """
+    from ..sources import layouts
+
+    path = ensure_srp_layout(spark, sf_dir)
+    return layouts.ann_lsh_topk_over_layout(spark, sf_dir, path)
+
+
+def _srp_layout_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..sources.layouts import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "embeddings")
+    return os.path.join(tempfile.gettempdir(), f"boletia_srp_layout_{key}")
+
+
+def ensure_srp_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write the SRP band-bucket layout for ``sf_dir`` if absent (checked
+    via parquet's ``_SUCCESS``), and return its path — the one-time
+    indexing cost; every probe afterwards is an 8-partition pruned scan."""
+    import os
+
+    from ..sources import layouts
+
+    path = _srp_layout_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        layouts.write_srp_band_layout(spark, sf_dir, path)
+    return path
+
+
+def ann_lsh_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free SRP-LSH serving path (full scan + in-row band filter).
+
+    The query's sign bits are computed driver-side from the deterministic
+    hyperplane matrix; the corpus side is a single vectorized Arrow-batched
+    boolean UDF (numpy matmul). Exists as the no-index fallback and as the
+    reference ``ext_ann_lsh_topk``'s layout path must exactly match.
     """
     import numpy as np
 
@@ -883,6 +924,79 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _kmeans_assign()("x", _centroid_col(C)).getField("cluster").alias("cluster"),
     )
+
+
+def ext_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to ``ext_kmeans_embeddings``: per-cluster
+    assignment counts under the DETERMINISTIC INIT centroids (the K
+    lowest-vec_id vectors — Lloyd iteration 0), computed with engine-stable
+    arithmetic so the driver's exact value-hash gate applies.
+
+    The fitted model stays rows-only (float summation order in the
+    centroid means is engine-specific), but the assign step itself — the
+    part that serves at corpus scale — is exactly checkable: squared
+    distance is a LEFT FOLD over zip(x, c) on both engines (Spark
+    ``F.aggregate``, DuckDB ``list_reduce`` — IEEE ops in identical order
+    are bit-identical), rounded to 6 dp BEFORE the argmin, ties to the
+    lowest cluster id. Plan: broadcast the K-row centroid side, one narrow
+    distance map, one per-vec window, one K-group count — no corpus
+    shuffle beyond the final K-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    cent = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), x.alias("cvec")
+    )
+    pts = emb.select("vec_id", x.alias("x"))
+    sqd = F.round(
+        F.aggregate(
+            F.zip_with("x", "cvec", lambda a, c: (a - c) * (a - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+    scored = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster", sqd.alias("sqdist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sqdist").asc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def ext_kmeans_assign_counts_oracle() -> str:
+    k = KMEANS_K
+    return f"""
+        WITH cent AS (
+            SELECT CAST(vec_id AS INTEGER) AS cluster, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {k}
+        ), d AS (
+            SELECT e.vec_id, c.cluster,
+                   ROUND(list_reduce(
+                       list_transform(
+                           list_zip(e.embedding::DOUBLE[], c.cvec),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])
+                       ),
+                       (acc, v) -> acc + v
+                   ), 6) AS sqdist
+            FROM embeddings e CROSS JOIN cent c
+        ), r AS (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sqdist ASC, cluster ASC) AS rk
+            FROM d
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+        FROM r WHERE rk = 1 GROUP BY cluster
+    """
 
 
 MMR_POOL = 20     # candidate pool from the brute-force retrieval stage

@@ -266,9 +266,22 @@ def ext_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream lambda invocation (lambda variables defeat subexpression
     elimination — the minhash_signatures lesson), turning O(n·K) into
     O(n²·K).
+
+    Driver-facing output contract: the fingerprint set is emitted as a
+    comma-joined string (``fingerprints_csv``), not ``array<bigint>`` —
+    the driver's pandas canonicalization sorts cells and cannot factorize
+    list values (the round-2 red row). Internal consumers that want the
+    array form use :func:`winnow_fingerprints` directly.
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    return winnow_fingerprints(docs)
+    fp = winnow_fingerprints(docs)
+    return fp.select(
+        "doc_id",
+        "n_grams",
+        F.array_join(
+            F.transform(F.col("fingerprints"), lambda x: x.cast("string")), ","
+        ).alias("fingerprints_csv"),
+    )
 
 
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
@@ -355,12 +368,13 @@ def ext_text_winnowing_oracle() -> str:
         )
         SELECT doc_id,
                CAST(len(hs) AS BIGINT) AS n_grams,
-               CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
-                    WHEN len(hs) < {w} THEN [list_min(hs)]
-                    ELSE list_sort(list_distinct(
-                        [list_min(hs[t:t+{w - 1}])
-                         for t in generate_series(1, len(hs) - {w - 1})]))
-               END AS fingerprints
+               array_to_string(
+                   CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                        WHEN len(hs) < {w} THEN [list_min(hs)]
+                        ELSE list_sort(list_distinct(
+                            [list_min(hs[t:t+{w - 1}])
+                             for t in generate_series(1, len(hs) - {w - 1})]))
+                   END, ',') AS fingerprints_csv
         FROM grams
     """
 

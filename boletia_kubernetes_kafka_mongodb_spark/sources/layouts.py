@@ -218,6 +218,30 @@ def write_bucketed_tables(
     )
 
 
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Write the bucketed availability tables for ``sf_dir`` if this
+    session's catalog doesn't have them yet, and return the database name.
+
+    The db name carries the source tables' content signature, so a
+    regenerated fixture gets fresh buckets (the dataset_cache_key staleness
+    contract); the files live under the system temp dir, NOT the repo's
+    warehouse. Catalog state is session-scoped (in-memory catalog), so a
+    fresh driver session re-registers — the bucketed WRITE is the one-time
+    cost the layout amortizes, re-done here only because the test/driver
+    environment tears sessions down."""
+    import os
+    import tempfile
+
+    key = dataset_cache_key(sf_dir, "lineitem")
+    db = f"boletia_bucketed_{key}"
+    if not spark.catalog.databaseExists(db) or not spark.catalog.tableExists(
+        f"{db}.eventos_keyed"
+    ):
+        location = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")
+        write_bucketed_tables(spark, sf_dir, db=db, location=location)
+    return db
+
+
 def availability_join_bucketed(
     spark: SparkSession, db: str = "boletia_bucketed"
 ) -> DataFrame:
@@ -480,6 +504,143 @@ def probe_minhash_band_index(
     )
     return paired.select("doc_id", "dup_of", jac.alias("jaccard")).where(
         F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP band-bucket layout (LSH ANN served from a pruned scan)
+# ---------------------------------------------------------------------------
+
+
+def srp_bucket_ids_udf(dim: int):
+    """Arrow UDF: embedding → the vector's LSH_BANDS_ANN bucket ids.
+
+    Bucket id = band * 2^LSH_PLANES + code, where code packs the band's
+    sign bits little-endian (bit p = sign of hyperplane band*P+p). One
+    (rows × D) @ (D × B·P) matmul per Arrow batch — the identical bit
+    convention the query side uses in ``srp_query_buckets``, so layout and
+    probe can never disagree on bucket membership. The hyperplane matrix is
+    resolved driver-side and captured as a plain numpy array: a closure
+    that references package symbols would make the worker import the
+    package, which the external driver's cwd cannot guarantee."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import LSH_BANDS_ANN, LSH_PLANES, _hyperplanes
+
+    n_bands, n_planes = LSH_BANDS_ANN, LSH_PLANES
+    weights = np.asarray(2 ** np.arange(n_planes), dtype=np.int64)
+    H = np.asarray(_hyperplanes(dim))
+    base = np.arange(n_bands, dtype=np.int64) * (1 << n_planes)
+
+    @F.pandas_udf("array<long>")
+    def bucket_ids(emb_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.array([np.asarray(e, dtype=np.float64) for e in emb_s])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (X @ H.T >= 0).reshape(-1, n_bands, n_planes)
+        codes = (bits * weights).sum(axis=2)  # (n, B)
+        return pd.Series(list(codes + base))
+
+    return bucket_ids
+
+
+def srp_query_buckets(q_vec) -> list[int]:
+    """The query vector's LSH_BANDS_ANN bucket ids (driver-side numpy)."""
+    import numpy as np
+
+    from ..operators.similarity import LSH_BANDS_ANN, LSH_PLANES, _hyperplanes
+
+    q = np.asarray(q_vec, dtype=np.float64)
+    H = np.asarray(_hyperplanes(len(q)))
+    bits = (H @ q >= 0).reshape(LSH_BANDS_ANN, LSH_PLANES)
+    weights = 2 ** np.arange(LSH_PLANES)
+    codes = (bits * weights).sum(axis=1)
+    base = np.arange(LSH_BANDS_ANN) * (1 << LSH_PLANES)
+    return sorted((codes + base).astype(int).tolist())
+
+
+def write_srp_band_layout(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist embeddings replicated once per band, Hive-partitioned by
+    ``srp_bucket`` (band × 2^planes directories).
+
+    The LSH analogue of `write_ivf_layout`: storage pays the B-way
+    replication once at write time; a probe then reads EXACTLY the query's
+    B bucket partitions — partition pruning at planning time, no per-row
+    band filter, no full-corpus scan. This is the round-2 verdict's ask:
+    the 100 TB serving path `ext_ann_lsh_topk`'s docstring promised."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    bucket_ids = srp_bucket_ids_udf(dim)
+    (
+        emb.select(
+            "vec_id", "label", "embedding",
+            F.explode(bucket_ids("embedding")).alias("srp_bucket"),
+        )
+        .repartition("srp_bucket")
+        .write.mode("overwrite")
+        .partitionBy("srp_bucket")
+        .parquet(out_path)
+    )
+
+
+def read_srp_probe(
+    spark: SparkSession, layout_path: str, bucket_ids: list[int]
+) -> DataFrame:
+    """Scan ONLY the probe buckets' partitions of an SRP layout — the
+    ``isin`` resolves as PartitionFilters (pinned in tests/test_layouts.py)."""
+    return spark.read.parquet(layout_path).where(
+        F.col("srp_bucket").isin([int(b) for b in bucket_ids])
+    )
+
+
+def ann_lsh_topk_over_layout(
+    spark: SparkSession, sf_dir: str, layout_path: str
+) -> DataFrame:
+    """`ext_ann_lsh_topk` semantics served from the band-bucket layout.
+
+    Candidate set is IDENTICAL to the scan form (a vector agrees with the
+    query on all planes of ≥1 band ⟺ it lives in ≥1 of the query's B
+    bucket partitions), so the exact re-rank yields byte-identical top-k —
+    equivalence pinned in tests. Dedup across bands is a `dropDuplicates`
+    on the (pruned, tiny) candidate set, not the corpus."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import QUERY_VEC_ID, TOPK, _cosine, _with_norm
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q_vec = np.asarray(
+        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    q_norm = float(np.sqrt(q_vec @ q_vec))
+    buckets = srp_query_buckets(q_vec)
+
+    candidates = _with_norm(
+        read_srp_probe(spark, layout_path, buckets)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    q = spark.createDataFrame(
+        [(q_vec.tolist(), q_norm)], "q_emb: array<double>, q_norm: double"
+    )
+    scored = candidates.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _cosine("embedding", F.col("q_emb"), F.col("norm"), F.col("q_norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("rank", "vec_id", "label", "cosine")
     )
 
 

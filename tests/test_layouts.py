@@ -52,6 +52,46 @@ def test_ext_ann_ivf_topk_serves_from_pruned_layout(spark):
     assert got == ref
 
 
+def test_srp_layout_prunes_partitions_and_matches_scan(spark, tmp_path):
+    """The SRP band-bucket layout: probe plans a partition-pruned scan and
+    the served top-k is byte-identical to the index-free scan form (same
+    candidate set by construction, same deterministic re-rank)."""
+    path = f"{tmp_path}/emb_srp"
+    layouts.write_srp_band_layout(spark, SF_SMOKE, path)
+
+    probe_df = layouts.read_srp_probe(spark, path, [0, 70, 130])
+    plan = plans.explain_str(probe_df)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "srp_bucket" in m.group(1)
+    got_buckets = {r.srp_bucket for r in probe_df.select("srp_bucket").distinct().collect()}
+    assert got_buckets <= {0, 70, 130}
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    over_layout = sorted(
+        map(tuple, layouts.ann_lsh_topk_over_layout(spark, SF_SMOKE, path).collect())
+    )
+    in_memory = sorted(map(tuple, similarity.ann_lsh_topk_scan(spark, SF_SMOKE).collect()))
+    assert over_layout == in_memory
+
+
+def test_ext_ann_lsh_topk_serves_from_pruned_layout(spark):
+    """The driver query itself must plan a partition-pruned scan of the SRP
+    layout (not the full-corpus UDF band filter) and agree with the
+    index-free fallback."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    df = similarity.ext_ann_lsh_topk(spark, SF_SMOKE)  # builds layout on first call
+    plan = plans.explain_str(df)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "srp_bucket" in m.group(1)
+    got = sorted(map(tuple, df.collect()))
+    ref = sorted(map(tuple, similarity.ann_lsh_topk_scan(spark, SF_SMOKE).collect()))
+    assert got == ref
+
+
 def test_bucketed_availability_join_is_exchange_free(spark, tmp_path):
     db = "boletia_bucketed_test"
     layouts.write_bucketed_tables(spark, SF_SMOKE, db=db, location=f"{tmp_path}/wh")

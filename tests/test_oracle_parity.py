@@ -23,6 +23,25 @@ def test_queries_and_oracles_align():
 
 
 @pytest.mark.parametrize("qid", QIDS)
+def test_driver_canonicalizable_schema(spark, qid):
+    """The driver's pandas canonicalization sorts result cells; array/map
+    cells crash it (round-2 red row `ext_text_winnowing`). Gate: every
+    oracle-backed driver query emits scalar columns only. Schema-only —
+    builds the plan, never executes it."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if entrymod.oracle_sql().get(qid) is None:
+        return  # rows-only ids never reach the driver's value-hash path
+    df = entrymod.queries()[qid](spark, "/root/testdata/sf0.001")
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{qid}: non-scalar driver-facing columns {bad}"
+
+
+@pytest.mark.parametrize("qid", QIDS)
 def test_oracle_parity(spark, duck, qid):
     q = entrymod.queries()[qid]
     sql = entrymod.oracle_sql().get(qid)
