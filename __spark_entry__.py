@@ -272,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_quality": text.ext_text_quality_oracle(),
         "ext_text_fingerprint": text.ext_text_fingerprint_oracle(),
         "ext_text_winnowing": text.ext_text_winnowing_oracle(),
+        "ext_bpe_merges": text.ext_bpe_merges_oracle(),
+        "ext_tokenizer_apply": text.ext_tokenizer_apply_oracle(),
         "ext_text_repetition": text.ext_text_repetition_oracle(),
         "ext_text_pii_mask": text.ext_text_pii_mask_oracle(),
         "ext_corpus_stats": text.ext_corpus_stats_oracle(),

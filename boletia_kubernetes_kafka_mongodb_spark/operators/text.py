@@ -1161,9 +1161,10 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       kernel rewrites the symbol arrays; ``localCheckpoint`` per iteration
       stops lineage growth (same discipline as `_kmeans_fit`).
 
-    Deterministic (ties: count desc, pair lexicographic asc). No SQL
-    oracle — the loop is data-dependent sequential; semantics pinned by a
-    python-reference equality test.
+    Deterministic (ties: count desc, pair lexicographic asc); oracle = a
+    DuckDB RECURSIVE CTE carrying the whole (word→symbols, freq) vocab as
+    list state, one merge per iteration (the MMR-oracle pattern applied to
+    tokenizer training) — plus a python-reference equality test.
 
     Output: (merge_rank, left, right, pair_count) — the merge table a
     tokenizer ships.
@@ -1229,6 +1230,74 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> list:
     return merges
 
 
+def _bpe_cte_sql() -> str:
+    """Shared RECURSIVE-CTE body computing the BPE merge table in DuckDB.
+
+    State = one row per iteration carrying the ENTIRE (word, freq) vocab as
+    a list of structs; the word's symbol sequence is encoded as a
+    ``|a||b||c|`` delimiter string so that applying merge (a, b) is exactly
+    one ``replace('|a||b|' → '|ab|')`` — SQL ``replace`` scans left-to-right
+    non-overlapping, which IS the greedy merge-application semantics of the
+    Spark kernel (``_bpe_merge``). The argmax per iteration runs in a
+    LATERAL over the unnested vocab (count desc, pair lexicographic asc
+    tie-break, same as the Spark loop). Token chars are [a-z0-9], so the
+    '|' delimiter can never collide with symbol text."""
+    n = BPE_N_MERGES
+    return f"""
+        vocab0 AS (
+            SELECT list(struct_pack(
+                       ws := '|' || array_to_string(
+                           [substr(w, i, 1) for i in generate_series(1, length(w))],
+                           '||') || '|',
+                       freq := freq)) AS vocab
+            FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+                      FROM documents)
+                GROUP BY w
+            )
+        ),
+        bpe AS (
+            SELECT 0 AS merge_rank, CAST(NULL AS VARCHAR) AS l,
+                   CAST(NULL AS VARCHAR) AS r, CAST(NULL AS BIGINT) AS pair_count,
+                   vocab
+            FROM vocab0
+            UNION ALL
+            SELECT s.merge_rank + 1, nxt.a, nxt.b, nxt.c,
+                   list_transform(s.vocab, x -> struct_pack(
+                       ws := replace(x.ws, '|' || nxt.a || '||' || nxt.b || '|',
+                                           '|' || nxt.a || nxt.b || '|'),
+                       freq := x.freq))
+            FROM bpe s, LATERAL (
+                SELECT p.a AS a, p.b AS b, CAST(SUM(p.freq) AS BIGINT) AS c
+                FROM (
+                    SELECT unnest([struct_pack(a := syms[i], b := syms[i+1],
+                                               freq := freq)
+                                   for i in generate_series(1, len(syms) - 1)]) AS p
+                    FROM (
+                        SELECT str_split(trim(x.ws, '|'), '||') AS syms,
+                               x.freq AS freq
+                        FROM unnest(s.vocab) AS t(x)
+                    )
+                    WHERE len(syms) >= 2
+                )
+                GROUP BY p.a, p.b
+                ORDER BY c DESC, a ASC, b ASC
+                LIMIT 1
+            ) nxt
+            WHERE s.merge_rank < {n}
+        )"""
+
+
+def ext_bpe_merges_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_bpe_cte_sql()}
+        SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+               l AS "left", r AS "right", pair_count
+        FROM bpe WHERE merge_rank >= 1
+    """
+
+
 def ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVE the learned tokenizer: encode every document with the
     ``_bpe_learn`` merge table (classic BPE encode — chars, then each merge
@@ -1238,8 +1307,11 @@ def ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed narrow pass (merge list rides the closure — it is the
     model, a few dozen strings; corpus never leaves executors).
 
-    Rows-only driver check (inherits the learned merges); encode equality
-    vs a pure-python reference in tests.
+    Oracle-backed: the recursive BPE CTE (``_bpe_cte_sql``) re-derives the
+    merge table, a second recursive CTE encodes each DISTINCT word by
+    applying the merges in rank order (one delimiter-string ``replace``
+    per rank), and per-doc counts join tokens to encoded lengths — plus an
+    encode-equality test vs a pure-python reference.
     """
     import pandas as pd
 
@@ -1277,3 +1349,45 @@ def ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens_bpe") / F.greatest(F.col("n_tokens_ws"), F.lit(1)), 6
         ),
     )
+
+
+def ext_tokenizer_apply_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_bpe_cte_sql()},
+        words AS (
+            SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents
+        ),
+        enc AS (
+            SELECT w, 0 AS rk,
+                   '|' || array_to_string(
+                       [substr(w, i, 1) for i in generate_series(1, length(w))],
+                       '||') || '|' AS s
+            FROM words
+            UNION ALL
+            SELECT e.w, e.rk + 1,
+                   replace(e.s, '|' || m.l || '||' || m.r || '|',
+                                '|' || m.l || m.r || '|')
+            FROM enc e JOIN bpe m ON m.merge_rank = e.rk + 1
+        ),
+        enc_len AS (
+            SELECT w, CAST(len(str_split(trim(s, '|'), '||')) AS BIGINT) AS n_sub
+            FROM enc WHERE rk = (SELECT MAX(merge_rank) FROM bpe)
+        ),
+        doc_tokens AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+                   CAST(SUM(e.n_sub) AS BIGINT) AS n_tokens_bpe
+            FROM doc_tokens t JOIN enc_len e USING (w)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens_ws, 0) AS n_tokens_ws,
+               COALESCE(p.n_tokens_bpe, 0) AS n_tokens_bpe,
+               ROUND(COALESCE(p.n_tokens_bpe, 0)
+                     / GREATEST(COALESCE(p.n_tokens_ws, 0), 1), 6) AS compression
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -237,7 +237,15 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     if not spark.catalog.databaseExists(db) or not spark.catalog.tableExists(
         f"{db}.eventos_keyed"
     ):
+        import shutil
+
         location = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")
+        # a PREVIOUS session's files may survive at the keyed location while
+        # this session's in-memory catalog has no table for them —
+        # saveAsTable refuses to adopt an existing managed location, so
+        # clear it; the key is a content signature, the rewrite reproduces
+        # identical buckets
+        shutil.rmtree(location, ignore_errors=True)
         write_bucketed_tables(spark, sf_dir, db=db, location=location)
     return db
 

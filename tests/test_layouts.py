@@ -92,6 +92,20 @@ def test_ext_ann_lsh_topk_serves_from_pruned_layout(spark):
     assert got == ref
 
 
+def test_driver_join_availability_bucketed_is_exchange_free(spark):
+    """The driver query id itself (not just the layouts helper) must plan
+    the co-located bucket join: no Exchange anywhere, and it must agree
+    with the shuffling J4 it twins."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import joins
+
+    df = joins.join_availability_bucketed(spark, SF_SMOKE)
+    plan = plans.explain_str(df)
+    assert "Exchange" not in plan, plan
+    got = sorted(map(tuple, df.collect()))
+    ref = sorted(map(tuple, joins.join_availability(spark, SF_SMOKE).collect()))
+    assert got == ref
+
+
 def test_bucketed_availability_join_is_exchange_free(spark, tmp_path):
     db = "boletia_bucketed_test"
     layouts.write_bucketed_tables(spark, SF_SMOKE, db=db, location=f"{tmp_path}/wh")
