@@ -100,7 +100,10 @@ def test_driver_join_availability_bucketed_is_exchange_free(spark):
 
     df = joins.join_availability_bucketed(spark, SF_SMOKE)
     plan = plans.explain_str(df)
-    assert "Exchange" not in plan, plan
+    # no SHUFFLE exchange: AQE may legitimately pick a BroadcastExchange
+    # when the aggregated side is tiny (smoke scale) — the bucket layout's
+    # point is that nothing ever hash-REPARTITIONS
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
     got = sorted(map(tuple, df.collect()))
     ref = sorted(map(tuple, joins.join_availability(spark, SF_SMOKE).collect()))
     assert got == ref
