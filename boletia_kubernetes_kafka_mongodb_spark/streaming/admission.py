@@ -160,6 +160,49 @@ def admission_oracle_sql() -> str:
     ).replace("WITH ", "WITH RECURSIVE ", 1)
 
 
+def fold_with_state(key, pdf_iter, state):
+    """The applyInPandasWithState fold — MODULE-LEVEL so the hypothesis
+    replay-boundary property test drives the exact production closure (a
+    private copy inside the operator would let the two drift). Must stay
+    self-contained (stdlib+pandas): workers don't share the driver's
+    sys.path."""
+    import pandas as pd
+
+    rows = [pdf for pdf in pdf_iter]
+    pdf = pd.concat(rows).sort_values("seq") if rows else None
+    if pdf is None or pdf.empty:
+        return
+    if state.exists:
+        (available,) = state.get
+    else:
+        available = int(pdf["capacidad"].iloc[0])
+    admitted, after = [], []
+    for op, qty in zip(pdf["op"], pdf["cantidad"]):
+        qty = int(qty)
+        if op == "reserve":
+            ok = available >= qty
+            if ok:
+                available -= qty
+        else:
+            ok = True
+            available += qty
+        admitted.append(ok)
+        after.append(available)
+    state.update((available,))
+    yield pd.DataFrame(
+        {
+            "evento": pdf["evento"],
+            "seq": pdf["seq"],
+            "_id": pdf["_id"],
+            "email": pdf["email"],
+            "op": pdf["op"],
+            "cantidad": pdf["cantidad"],
+            "admitted": admitted,
+            "disponible_despues": after,
+        }
+    )
+
+
 def admission_ledger_stream(requests: DataFrame) -> DataFrame:
     """Streaming twin: ``applyInPandasWithState`` keyed by evento.
 
@@ -170,43 +213,6 @@ def admission_ledger_stream(requests: DataFrame) -> DataFrame:
     seq-ordered file replay / 1-partition topic).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
-
-    def fold_with_state(key, pdf_iter, state):
-        import pandas as pd
-
-        rows = [pdf for pdf in pdf_iter]
-        pdf = pd.concat(rows).sort_values("seq") if rows else None
-        if pdf is None or pdf.empty:
-            return
-        if state.exists:
-            (available,) = state.get
-        else:
-            available = int(pdf["capacidad"].iloc[0])
-        admitted, after = [], []
-        for op, qty in zip(pdf["op"], pdf["cantidad"]):
-            qty = int(qty)
-            if op == "reserve":
-                ok = available >= qty
-                if ok:
-                    available -= qty
-            else:
-                ok = True
-                available += qty
-            admitted.append(ok)
-            after.append(available)
-        state.update((available,))
-        yield pd.DataFrame(
-            {
-                "evento": pdf["evento"],
-                "seq": pdf["seq"],
-                "_id": pdf["_id"],
-                "email": pdf["email"],
-                "op": pdf["op"],
-                "cantidad": pdf["cantidad"],
-                "admitted": admitted,
-                "disponible_despues": after,
-            }
-        )
 
     return requests.groupBy("evento").applyInPandasWithState(
         fold_with_state,

@@ -177,6 +177,142 @@ def test_fold_batch_boundary_invariant(capacity, ops, split):
 
 
 # ---------------------------------------------------------------------------
+# cross-micro-batch replay at arbitrary boundaries + hot-key skew
+# (round-3 verdict #5: the one operator where a subtle state bug silently
+# oversells)
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: exists/get/update — lets the
+    hypothesis property drive ``fold_with_state``'s cross-batch state carry
+    without paying a full streaming query per example."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+import pandas as pd  # noqa: E402
+
+
+def _ops_pdf(ops, seqs, capacity, evento="E"):
+    return pd.DataFrame(
+        {
+            "evento": [evento] * len(ops),
+            "seq": list(seqs),
+            "_id": [f"id{s}" for s in seqs],
+            "email": ["u@x"] * len(ops),
+            "op": [o for o, _ in ops],
+            "cantidad": [q for _, q in ops],
+            "capacidad": [capacity] * len(ops),
+        }
+    )
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    capacity=st.integers(min_value=0, max_value=50),
+    ops=st.lists(
+        st.tuples(st.sampled_from(["reserve", "cancel"]), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+    shuffle_seed=st.integers(0, 2**31 - 1),
+)
+def test_stream_fold_replay_split_any_boundary(capacity, ops, cuts, shuffle_seed):
+    """Replaying the SAME op sequence split across micro-batches at ANY
+    boundaries (including empty batches), with rows arbitrarily shuffled
+    WITHIN each batch (the within-batch sort_values('seq') must restore
+    order), yields the identical ledger as one batch — the
+    applyInPandasWithState state-carry contract."""
+    import random
+
+    bounds = sorted({min(c, len(ops)) for c in cuts})
+    slices = []
+    prev = 0
+    for b in bounds + [len(ops)]:
+        slices.append((prev, b))
+        prev = b
+    state = _FakeGroupState()
+    fold = admission.fold_with_state  # the PRODUCTION closure, not a copy
+    rng = random.Random(shuffle_seed)
+    outs = []
+    for lo, hi in slices:
+        batch_ops = ops[lo:hi]
+        if not batch_ops:
+            # empty micro-batch for the key: the state API never calls the
+            # fold for absent keys; skip (state must be untouched)
+            continue
+        pdf = _ops_pdf(batch_ops, range(lo, hi), capacity)
+        pdf = pdf.sample(frac=1.0, random_state=rng.randrange(2**31))
+        outs.extend(list(fold(("E",), iter([pdf]), state)))
+    got = pd.concat(outs).sort_values("seq") if outs else pd.DataFrame()
+    expect = _python_model(capacity, ops)
+    assert [(bool(a), int(d)) for a, d in zip(got["admitted"], got["disponible_despues"])] == expect
+
+
+def test_admission_stream_hot_key_skew(spark, tmp_path):
+    """Hot-key skew fixture: ONE evento carries ~50% of all ops while 19
+    others share the rest. The streaming ledger (applyInPandasWithState,
+    replayed one file per micro-batch, batch boundaries NOT aligned to key
+    boundaries) must equal the batch fold row-for-row — per-key
+    serialization with cross-key parallelism, never cross-key interference."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    seq = 0
+    eventos = [f"HOT"] + [f"E{i:02d}" for i in range(19)]
+    caps = {e: rng.randint(5, 60) for e in eventos}
+    for _ in range(400):
+        e = "HOT" if rng.random() < 0.5 else rng.choice(eventos[1:])
+        op = "reserve" if rng.random() < 0.8 else "cancel"
+        rows.append((e, seq, f"id{seq}", "u@x", op, rng.randint(1, 8), caps[e]))
+        seq += 1
+    ops = spark.createDataFrame(
+        rows, "evento string, seq long, _id string, email string, op string, cantidad int, capacidad int"
+    )
+    batch = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in admission.fold_requests_batch(ops).collect()
+    }
+    path = str(tmp_path / "skew_ops")
+    cdc_stream.write_ordered_files(ops, path, n_files=7)
+    stream_reqs = (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        admission.admission_ledger_stream(stream_reqs)
+        .writeStream.format("memory")
+        .queryName("ledger_skew_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "skew_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in spark.sql("select * from ledger_skew_out").collect()
+    }
+    assert got == batch
+
+
+# ---------------------------------------------------------------------------
 # every driver query runs at the smallest SF (schema/file robustness)
 # ---------------------------------------------------------------------------
 
