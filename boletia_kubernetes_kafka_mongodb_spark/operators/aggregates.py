@@ -815,9 +815,13 @@ def agg_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the observability panel every service dashboard draws. Exact
     interpolated percentiles (same estimator as `agg_value_quantiles` =
     DuckDB ``quantile_cont``) computed per (hour, type) group in ONE
-    partial+final aggregation pass; group count is hours×types, so the
-    percentile state is bounded per group and the plan is a single shuffle
-    on the composite key.
+    partial+final aggregation pass; the plan is a single shuffle on the
+    composite key. NOTE on state: exact ``percentile``'s aggregation
+    buffer holds every value of its group — O(group size), NOT bounded —
+    which is fine while (hour, type) groups stay modest but risks executor
+    memory on a hot group at 100 TB; the at-scale variant swaps in
+    ``approx_percentile`` (fixed-size t-digest-style sketch, relaxed
+    oracle) with no other plan change.
     """
     ev = tables.load(spark, sf_dir, "events", fan=True)
     bucket = F.floor(
@@ -890,6 +894,12 @@ def agg_cube_source_lang_oracle() -> str:
 
 
 EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
+# (1−α)^−t overflows double (→ inf, and 0·inf = NaN) near t ≈ 2000 at
+# α=0.3; cap well below with plenty of margin ((0.7)^−600 ≈ 1e93) so a
+# years-long series FAILS LOUDLY instead of silently emitting NaN — the
+# at-scale fix is restarting the scaled prefix sum every EWMA_MAX_T days
+# with a carried seed (one extra window pass per chunk boundary)
+EWMA_MAX_T = 600
 
 
 def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,9 +909,9 @@ def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold: with day index t, s_t = α·(1−α)^t · Σ_{i≤t} x_i/(1−α)^i
     — one cumulative sum over a window ordered by day, all closed-form
     arithmetic. The scaling stays finite for bounded windows (30 days at
-    α=0.3 → (1−α)^{−30} ≈ 4·10⁴); a years-long series would chunk the
-    window to bound the exponent, exactly like any numerically-scaled
-    prefix computation.
+    α=0.3 → (1−α)^{−30} ≈ 4·10⁴); series longer than ``EWMA_MAX_T`` days
+    raise in-plan (guard below) rather than silently emitting NaN — the
+    at-scale continuation is a chunked prefix sum with a carried seed.
 
     Plan: one (type, day) aggregation, then the window runs over the
     AGGREGATED frame (types × days rows). Round to 6dp; identical formula
@@ -933,11 +943,21 @@ def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 - (1-α)^(t+1) (the adjust=True/debiased EWMA every stats library
     # defaults to)
     adj = F.lit(1.0) - F.pow(decay, F.col("t") + 1)
+    # loud-failure guard inside the output expression (a dropped assert
+    # column would be pruned away by the optimizer and never execute)
+    guarded = F.when(F.col("t") <= EWMA_MAX_T, F.round(ewma / adj, 6)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"agg_ewma_daily: series exceeds EWMA_MAX_T={EWMA_MAX_T} days; "
+                "the (1-a)^-t scaling would overflow — chunk the prefix sum"
+            )
+        ).cast("double")
+    )
     return with_t.select(
         "event_type",
         "day",
         "n",
-        F.round(ewma / adj, 6).alias("ewma"),
+        guarded.alias("ewma"),
     )
 
 

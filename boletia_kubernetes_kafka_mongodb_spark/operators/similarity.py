@@ -840,7 +840,16 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     would measure training three times and serving once. First call pays
     the full fit.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from ..sources.layouts import dataset_cache_key
+
+    # content signature in the key: a fixture REGENERATED at the same path
+    # within one session must not serve the stale model (same staleness
+    # contract as the on-disk layout artifacts)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, "embeddings"),
+    )
     cached = _KMEANS_FIT_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1181,10 +1181,17 @@ _BPE_LEARN_CACHE: dict = {}
 def _bpe_learn(spark: SparkSession, sf_dir: str) -> list:
     """The merge-learning loop; returns [(rank, left, right, count), ...].
 
-    Cached per (application, sf_dir) like `_kmeans_fit`: the merge table is
-    the trained tokenizer — `ext_tokenizer_apply` SERVES it, and a
-    deployment trains once."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    Cached per (application, sf_dir, dataset signature) like `_kmeans_fit`:
+    the merge table is the trained tokenizer — `ext_tokenizer_apply` SERVES
+    it, and a deployment trains once; the content signature keeps a
+    same-path regenerated fixture from serving stale merges."""
+    from ..sources.layouts import dataset_cache_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, "documents"),
+    )
     cached = _BPE_LEARN_CACHE.get(key)
     if cached is not None:
         return cached

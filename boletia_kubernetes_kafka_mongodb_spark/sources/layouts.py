@@ -46,9 +46,22 @@ def dataset_cache_key(sf_dir: str, table: str) -> str:
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(path)
-        sig = f"{path}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:  # directory dataset — fall back to the path string
-        sig = path
+        # os.stat succeeds on directory datasets too, but a directory's
+        # size/mtime don't reflect file rewrites inside it — hash the
+        # per-file (name, mtime, size) listing instead
+        if os.path.isdir(path):
+            parts = sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+                if e.is_file()
+            )
+            sig = f"{path}:{parts}"
+        else:
+            sig = f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        # missing dataset: fail loudly rather than silently degrading to a
+        # path-only key (the staleness class this function exists to stop)
+        raise FileNotFoundError(f"dataset not found for cache key: {path}")
     return hashlib.md5(sig.encode()).hexdigest()[:12]
 
 
@@ -68,7 +81,11 @@ def ivf_assignment_udf(spark: SparkSession, sf_dir: str):
 
     from ..operators.similarity import IVF_NLIST
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, "embeddings"),
+    )
     cached = _IVF_QUANTIZER_CACHE.get(key)
     if cached is not None:
         return cached

@@ -463,3 +463,16 @@ def test_ewma_matches_pandas_convention(spark):
         )
         for r, w in zip(series, want):
             assert abs(r.ewma - round(w, 6)) <= 1e-6, (et, r.day)
+
+
+def test_ewma_overflow_guard_fires(spark, monkeypatch):
+    """Series longer than EWMA_MAX_T must raise in-plan (not emit NaN):
+    shrink the cap below the fixture's ~30-day window and expect the
+    raise_error branch to fire on execution."""
+    import pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    monkeypatch.setattr(A, "EWMA_MAX_T", 5)
+    with pytest.raises(Exception, match="EWMA_MAX_T"):
+        A.agg_ewma_daily(spark, SF_SMOKE).collect()
