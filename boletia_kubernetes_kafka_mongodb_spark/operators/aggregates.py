@@ -847,6 +847,35 @@ def agg_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_latency_bands_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of :func:`agg_latency_bands`: same plan, but
+    ``approx_percentile`` (fixed-size quantile sketch — bounded aggregation
+    state per group regardless of group size) instead of exact
+    ``percentile`` (O(group size) buffer). Not a driver id — the sketch's
+    answers are engine-specific; the proximity test in tests/test_windows.py
+    pins it to the exact form instead."""
+    ev = tables.load(spark, sf_dir, "events", fan=True)
+    bucket = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long")
+    pcts = F.approx_percentile("value", F.lit([0.5, 0.95, 0.99]), F.lit(10_000))
+    return (
+        ev.groupBy(bucket.alias("hour_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pcts.alias("_p"),
+        )
+        .select(
+            "hour_bucket",
+            "event_type",
+            "n",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p95"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+        )
+    )
+
+
 def agg_latency_bands_oracle() -> str:
     return """
         SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,

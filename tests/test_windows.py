@@ -476,3 +476,50 @@ def test_ewma_overflow_guard_fires(spark, monkeypatch):
     monkeypatch.setattr(A, "EWMA_MAX_T", 5)
     with pytest.raises(Exception, match="EWMA_MAX_T"):
         A.agg_ewma_daily(spark, SF_SMOKE).collect()
+
+
+def test_latency_bands_approx_tracks_exact(spark):
+    """The bounded-state approx_percentile variant (the at-scale form the
+    agg_latency_bands docstring names) must track the exact bands closely.
+    approx_percentile returns ELEMENTS (no interpolation), so tiny groups
+    legitimately diverge by one inter-element gap — the accuracy claim is
+    about large groups, so craft one 5000-row group (the fixture's hourly
+    groups are all < 30 rows at test SFs) plus small ones."""
+    import random
+    from datetime import datetime, timedelta
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    rng = random.Random(11)
+    t0 = datetime(2026, 1, 1, 12, 30, 0)
+    rows = [(i, t0, 0, "load", rng.gauss(100.0, 25.0), "{}") for i in range(5000)]
+    rows += [
+        (10_000 + i, t0 + timedelta(hours=2), 0, "spike", float(i), "{}")
+        for i in range(4)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with mock.patch.object(A.tables, "load", return_value=ev):
+        exact = {
+            (r.hour_bucket, r.event_type): r
+            for r in A.agg_latency_bands(None, "x").collect()
+        }
+        approx = {
+            (r.hour_bucket, r.event_type): r
+            for r in A.agg_latency_bands_approx(None, "x").collect()
+        }
+    assert set(exact) == set(approx) and len(exact) == 2
+    large = 0
+    for k, e in exact.items():
+        a = approx[k]
+        assert a.n == e.n
+        assert a.p50 <= a.p95 <= a.p99  # ordering sanity for every group
+        if e.n >= 30:
+            large += 1
+            spread = max(e.p99 - e.p50, 1e-9)
+            for band in ("p50", "p95", "p99"):
+                assert abs(getattr(a, band) - getattr(e, band)) <= 0.1 * spread + 1e-6, (
+                    k, band, getattr(a, band), getattr(e, band))
+    assert large == 1  # the tight branch actually exercised
