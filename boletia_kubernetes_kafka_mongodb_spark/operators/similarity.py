@@ -55,6 +55,35 @@ def _with_norm(emb: DataFrame) -> DataFrame:
     )
 
 
+_QUERY_VEC_CACHE: dict = {}
+
+
+def query_vector(spark: SparkSession, sf_dir: str):
+    """The fixed probe vector (vec_id = QUERY_VEC_ID) as a numpy array,
+    fetched once per (application, dataset signature) — every ANN serve
+    needs it, and re-running the 1-row pushdown scan per probe bills a
+    whole Spark job to each query for a value that cannot change while the
+    dataset doesn't."""
+    import numpy as np
+
+    from ..sources.layouts import dataset_cache_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, "embeddings"),
+    )
+    q = _QUERY_VEC_CACHE.get(key)
+    if q is None:
+        emb = tables.load(spark, sf_dir, "embeddings")
+        q = np.asarray(
+            emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
+            dtype=np.float64,
+        )
+        _QUERY_VEC_CACHE[key] = q
+    return q
+
+
 def ext_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k neighbors of the query vector (vec_id=0).
 
@@ -238,10 +267,7 @@ def ann_lsh_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     # the query's sign bits are one D-dim vector × the hyperplane matrix —
     # computed driver-side (a 1-row parquet read with vec_id pushdown)
-    q_vec = np.asarray(
-        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
-        dtype=np.float64,
-    )
+    q_vec = query_vector(spark, sf_dir)
     H = _hyperplanes(len(q_vec))
     q_bits = [bool(b) for b in (np.asarray(H) @ q_vec >= 0)]
     q_norm = float(np.sqrt(q_vec @ q_vec))
@@ -359,10 +385,7 @@ def ann_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     C = np.array([r.embedding for r in cent], dtype=np.float64)  # (NL, D)
     c_norm = np.sqrt((C * C).sum(axis=1))
-    q_vec = np.asarray(
-        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
-        dtype=np.float64,
-    )
+    q_vec = query_vector(spark, sf_dir)
     q_norm = float(np.sqrt(q_vec @ q_vec))
     # the query's IVF_NPROBE nearest centroids (ties → lowest cent_id, same
     # as the former row_number(ORDER BY sim DESC, cent_id) formulation)
@@ -647,10 +670,7 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     books = _pq_codebooks(spark, sf_dir)
     emb = tables.load(spark, sf_dir, "embeddings", fan=True)
-    q_vec = np.asarray(
-        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
-        dtype=np.float64,
-    )
+    q_vec = query_vector(spark, sf_dir)
     q_unit = q_vec / np.linalg.norm(q_vec)
     dim = len(q_vec)
     sub = dim // PQ_M

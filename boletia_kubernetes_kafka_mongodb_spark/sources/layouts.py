@@ -112,6 +112,35 @@ def ivf_assignment_udf(spark: SparkSession, sf_dir: str):
     return assign, C, c_norm
 
 
+_LAYOUT_DF_CACHE: dict = {}
+
+
+def read_layout(spark: SparkSession, layout_path: str) -> DataFrame:
+    """Session-cached parquet read of a partitioned layout.
+
+    ``spark.read.parquet`` builds a fresh InMemoryFileIndex per call — for
+    a 512-directory band layout that is ~2 s of pure file listing billed
+    to EVERY probe. A deployment registers the layout as a catalog table
+    and lists once; this cache is that model for ad-hoc paths (layout
+    paths are content-keyed, so a regenerated dataset lands at a NEW path
+    and can never hit a stale entry). Partition pruning still happens per
+    query on top of the cached relation."""
+    key = (spark.sparkContext.applicationId, layout_path)
+    df = _LAYOUT_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(layout_path)
+        _LAYOUT_DF_CACHE[key] = df
+    return df
+
+
+def _invalidate_layout(layout_path: str) -> None:
+    """Drop cached relations for a path about to be rewritten (writers call
+    this — in-place rewrites are the one way a cached listing could go
+    stale)."""
+    for key in [k for k in _LAYOUT_DF_CACHE if k[1] == layout_path]:
+        del _LAYOUT_DF_CACHE[key]
+
+
 def write_ivf_layout(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Persist embeddings partitioned by IVF list id (`ivf_list=<k>/` dirs).
 
@@ -119,6 +148,7 @@ def write_ivf_layout(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     is a partition-pruned scan. Hive-style partitioning means the list id
     never occupies row space — it lives in the directory name.
     """
+    _invalidate_layout(out_path)
     assign, _, _ = ivf_assignment_udf(spark, sf_dir)
     emb = tables.load(spark, sf_dir, "embeddings")
     (
@@ -138,7 +168,7 @@ def read_ivf_probe(
     ``PartitionFilters`` in the scan node, zero data files opened outside
     the probe set. (`assert_partition_pruned` in tests pins this.)
     """
-    return spark.read.parquet(layout_path).where(
+    return read_layout(spark, layout_path).where(
         F.col("ivf_list").isin([int(p) for p in probe_lists])
     )
 
@@ -162,10 +192,8 @@ def ann_topk_over_layout(
 
     emb = tables.load(spark, sf_dir, "embeddings")
     _, C, c_norm = ivf_assignment_udf(spark, sf_dir)
-    q_vec = np.asarray(
-        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
-        dtype=np.float64,
-    )
+    from ..operators.similarity import query_vector
+    q_vec = query_vector(spark, sf_dir)
     q_norm = float(np.sqrt(q_vec @ q_vec))
     c_sims = (C @ q_vec) / (c_norm * q_norm)
     probe = sorted(np.argsort(-c_sims, kind="stable")[:IVF_NPROBE].tolist())
@@ -596,6 +624,7 @@ def write_srp_band_layout(spark: SparkSession, sf_dir: str, out_path: str) -> No
     B bucket partitions — partition pruning at planning time, no per-row
     band filter, no full-corpus scan. This is the round-2 verdict's ask:
     the 100 TB serving path `ext_ann_lsh_topk`'s docstring promised."""
+    _invalidate_layout(out_path)
     emb = tables.load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     bucket_ids = srp_bucket_ids_udf(dim)
@@ -616,7 +645,7 @@ def read_srp_probe(
 ) -> DataFrame:
     """Scan ONLY the probe buckets' partitions of an SRP layout — the
     ``isin`` resolves as PartitionFilters (pinned in tests/test_layouts.py)."""
-    return spark.read.parquet(layout_path).where(
+    return read_layout(spark, layout_path).where(
         F.col("srp_bucket").isin([int(b) for b in bucket_ids])
     )
 
@@ -638,10 +667,8 @@ def ann_lsh_topk_over_layout(
     from ..operators.similarity import QUERY_VEC_ID, TOPK, _cosine, _with_norm
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    q_vec = np.asarray(
-        emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
-        dtype=np.float64,
-    )
+    from ..operators.similarity import query_vector
+    q_vec = query_vector(spark, sf_dir)
     q_norm = float(np.sqrt(q_vec @ q_vec))
     buckets = srp_query_buckets(q_vec)
 
