@@ -678,20 +678,29 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    sh = docs.select(
-        "doc_id",
-        split_assignment("doc_id").alias("split"),
-        F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias("shingle"),
-    )
     probes = F.array(*[_bloom_pos("shingle", j) for j in range(BLOOM_K)])
+    # materialize ONCE: both branches (filter bits + train probes) consume
+    # the tokenize→shingle→md5-probe frame, and without the checkpoint each
+    # re-runs the whole corpus stage (the BM25/bigram/importance lesson)
+    sh = (
+        docs.select(
+            "doc_id",
+            split_assignment("doc_id").alias("split"),
+            F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias(
+                "shingle"
+            ),
+        )
+        .withColumn("pos_arr", probes)
+        .localCheckpoint(eager=False)
+    )
     bits = (
         sh.where(F.col("split") != "train")
-        .select(F.explode(probes).alias("pos"))
+        .select(F.explode("pos_arr").alias("pos"))
         .distinct()
         .withColumn("_set", F.lit(1))
     )
     train = sh.where(F.col("split") == "train").select(
-        "doc_id", "shingle", F.explode(probes).alias("pos")
+        "doc_id", "shingle", F.explode("pos_arr").alias("pos")
     )
     per_shingle = (
         train.join(F.broadcast(bits), "pos", "left")
