@@ -76,7 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_winnowing": text.ext_text_winnowing,
         # --- changed this round: re-record ---
         # now serves from the write-time SRP band-bucket layout (partition-
-        # pruned probe; rows-only — approximation is hash-dependent)
+        # pruned probe) AND gained a full oracle — the md5-parity hyperplanes
+        # are engine-independent, unlike the xxhash64-seeded MinHash bands
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
         # merge loop unchanged, but now oracle-backed (recursive-CTE oracle)
         "ext_bpe_merges": text.ext_bpe_merges,
@@ -322,7 +323,10 @@ def oracle_sql() -> dict[str, str]:
         "order_page_keyset": ordering.order_page_keyset_oracle(),
         "ext_mmr_diversify": similarity.ext_mmr_diversify_oracle(),
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup_oracle(),
-        # ext_dedup_minhash_lsh / ext_dedup_simhash / ext_ann_lsh_topk /
+        # round 3: the SRP pipeline is md5-derived (engine-independent), so
+        # the LSH ANN id gained a full DuckDB oracle
+        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk_oracle(),
+        # ext_dedup_minhash_lsh / ext_dedup_simhash /
         # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their
         # semantics are asserted against python references in tests/.

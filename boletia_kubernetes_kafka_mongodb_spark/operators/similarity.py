@@ -221,13 +221,66 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus scan from rounds 1-2 is gone (that form survives below as
     ``ann_lsh_topk_scan``, the index-free fallback the layout path is
     equivalence-tested against). Exact cosine re-rank on candidates only.
-    Approximate ⇒ rows-only driver check; recall vs brute force asserted in
-    tests/test_similarity.py.
+
+    Oracle-backed (round 3): unlike MinHash banding (seeded with Spark's
+    xxhash64), the SRP hyperplanes derive from md5 parity — fully
+    engine-independent — so DuckDB recomputes the same band codes,
+    candidate set and re-rank (`ext_ann_lsh_topk_oracle`). The one
+    cross-engine float hazard is the SIGN of a hyperplane dot product
+    computed by numpy matmul (layout/scan side, pairwise summation) vs
+    `list_dot_product` (oracle, sequential): a dot within ~1e-13 of zero
+    could flip — probability ~1e-14 per (vector, plane) on this data;
+    accepted and documented. Recall vs brute force additionally asserted
+    in tests/test_similarity.py.
     """
     from ..sources import layouts
 
     path = ensure_srp_layout(spark, sf_dir)
     return layouts.ann_lsh_topk_over_layout(spark, sf_dir, path)
+
+
+def ext_ann_lsh_topk_oracle() -> str:
+    """DuckDB re-derivation of the full SRP pipeline: md5-parity hyperplane
+    weights -> per-band sign codes -> candidates sharing >=1 band with the
+    query -> exact rounded-cosine re-rank (same tie-breaks)."""
+    p, b, topk, qid, dim = LSH_PLANES, LSH_BANDS_ANN, TOPK, QUERY_VEC_ID, 64
+    return f"""
+        WITH planes AS (
+            SELECT j, list(CASE WHEN CAST(concat('0x', substr(md5(j || ':' || d), 1, 2)) AS INTEGER) % 2 = 0
+                                THEN 1.0 ELSE -1.0 END ORDER BY d) AS w
+            FROM generate_series(0, {b * p - 1}) t1(j), generate_series(0, {dim - 1}) t2(d)
+            GROUP BY j
+        ),
+        bits AS (
+            SELECT e.vec_id, p.j // {p} AS band, p.j % {p} AS plane,
+                   (list_dot_product(e.embedding::DOUBLE[], p.w) >= 0) AS bit
+            FROM embeddings e CROSS JOIN planes p
+        ),
+        codes AS (
+            SELECT vec_id, band,
+                   CAST(SUM(CASE WHEN bit THEN 1 << plane ELSE 0 END) AS BIGINT) AS code
+            FROM bits GROUP BY vec_id, band
+        ),
+        qcodes AS (SELECT band, code FROM codes WHERE vec_id = {qid}),
+        cand AS (
+            SELECT DISTINCT c.vec_id
+            FROM codes c JOIN qcodes q ON c.band = q.band AND c.code = q.code
+            WHERE c.vec_id != {qid}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings e
+            JOIN cand ON cand.vec_id = e.vec_id
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
+        )
+        SELECT rank, vec_id, label, cosine FROM (
+            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, *
+            FROM scored
+        ) WHERE rank <= {topk}
+    """
 
 
 def _srp_layout_path(sf_dir: str) -> str:
