@@ -110,7 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,  # rows-only
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,  # oracle-backed r3
         "ext_dedup_segments": dedup.ext_dedup_segments,
         "ext_split_drift": sampling.ext_split_drift,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
@@ -326,8 +326,11 @@ def oracle_sql() -> dict[str, str]:
         # round 3: the SRP pipeline is md5-derived (engine-independent), so
         # the LSH ANN id gained a full DuckDB oracle
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk_oracle(),
+        # round 3: IVF assignment rounds similarities to 6dp before argmax on
+        # both engines, making the whole probe deterministic cross-engine
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash /
-        # ext_ann_ivf_topk / ext_ann_pq_topk are Spark-hash- or approximation-dependent →
+        # ext_ann_pq_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their
         # semantics are asserted against python references in tests/.
     }

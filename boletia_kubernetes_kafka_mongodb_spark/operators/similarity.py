@@ -290,7 +290,10 @@ def _srp_layout_path(sf_dir: str) -> str:
     from ..sources.layouts import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "embeddings")
-    return os.path.join(tempfile.gettempdir(), f"boletia_srp_layout_{key}")
+    # LAYOUT_FMT version in the path: a quantizer/banding CODE change must
+    # invalidate on-disk layouts built by older code (the dataset key alone
+    # only tracks DATA changes)
+    return os.path.join(tempfile.gettempdir(), f"boletia_srp_layout_v2_{key}")
 
 
 def ensure_srp_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -379,13 +382,69 @@ def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the round-1 form that re-assigned the FULL corpus through a
     pandas UDF on every query (kept below as ``ann_ivf_topk_scan``, the
     index-free fallback and the reference the layout path is tested
-    against). Approximate ⇒ rows-only driver check; recall asserted in
-    tests, partition pruning pinned in tests/test_layouts.py.
+    against). Oracle-backed (round 3): centroids are deterministic
+    (vec_id < IVF_NLIST) and the assignment rounds cosine similarities to
+    6dp BEFORE the argmax on both engines, so DuckDB re-derives the
+    identical lists, probe set and re-rank (`ext_ann_ivf_topk_oracle`).
+    Recall asserted in tests, partition pruning pinned in
+    tests/test_layouts.py.
     """
     from ..sources import layouts
 
     path = ensure_ivf_layout(spark, sf_dir)
     return layouts.ann_topk_over_layout(spark, sf_dir, path)
+
+
+def ext_ann_ivf_topk_oracle() -> str:
+    """DuckDB re-derivation of the IVF probe: deterministic centroids
+    (vec_id < IVF_NLIST), cosine assignment with 6dp rounding before the
+    argmax (identical to the layout quantizer), probe the query's
+    IVF_NPROBE nearest lists, exact rounded-cosine re-rank."""
+    nl, npb, topk, qid = IVF_NLIST, IVF_NPROBE, TOPK, QUERY_VEC_ID
+    cos = """ROUND(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"""
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {nl}
+        ),
+        sims AS (
+            SELECT e.vec_id, c.cid, {cos} AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rk
+                FROM sims
+            ) WHERE rk = 1
+        ),
+        qprobe AS (
+            SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY sim DESC, cid ASC) AS rk
+                FROM sims WHERE vec_id = {qid}
+            ) WHERE rk <= {npb}
+        ),
+        cand AS (
+            SELECT a.vec_id FROM assign a JOIN qprobe USING (cid)
+            WHERE a.vec_id != {qid}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings e
+            JOIN cand ON cand.vec_id = e.vec_id
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
+        )
+        SELECT rank, vec_id, label, cosine FROM (
+            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, *
+            FROM scored
+        ) WHERE rank <= {topk}
+    """
 
 
 def _ivf_layout_path(sf_dir: str) -> str:
@@ -397,7 +456,9 @@ def _ivf_layout_path(sf_dir: str) -> str:
     # content-signature key: a regenerated embeddings table invalidates the
     # layout (path-only keys serve stale indexes silently)
     key = dataset_cache_key(sf_dir, "embeddings")
-    return os.path.join(tempfile.gettempdir(), f"boletia_ivf_layout_{key}")
+    # v2: assignment rounds similarities to 6dp before argmax (cross-engine
+    # determinism) — older layouts used unrounded argmax
+    return os.path.join(tempfile.gettempdir(), f"boletia_ivf_layout_v2_{key}")
 
 
 def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -441,8 +502,9 @@ def ann_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_vec = query_vector(spark, sf_dir)
     q_norm = float(np.sqrt(q_vec @ q_vec))
     # the query's IVF_NPROBE nearest centroids (ties → lowest cent_id, same
-    # as the former row_number(ORDER BY sim DESC, cent_id) formulation)
-    c_sims = (C @ q_vec) / (c_norm * q_norm)
+    # as the former row_number(ORDER BY sim DESC, cent_id) formulation);
+    # rounded to 6dp first — cross-engine determinism, see assignment UDF
+    c_sims = np.round((C @ q_vec) / (c_norm * q_norm), 6)
     probe = sorted(np.argsort(-c_sims, kind="stable")[:IVF_NPROBE].tolist())
 
     @F.pandas_udf("long")
@@ -451,9 +513,10 @@ def ann_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         if X.size == 0:
             return pd.Series([], dtype="int64")
         sims = (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * c_norm)
-        # argmax returns the FIRST max ⇒ lowest cent_id on ties (C is
-        # vec_id-ordered), matching the window tie-break
-        return pd.Series(np.argmax(sims, axis=1).astype("int64"))
+        # rounded before argmax (cross-engine determinism); argmax returns
+        # the FIRST max ⇒ lowest cent_id on ties (C is vec_id-ordered),
+        # matching the window tie-break
+        return pd.Series(np.argmax(np.round(sims, 6), axis=1).astype("int64"))
 
     candidates = _with_norm(
         emb.where(F.col("vec_id") != QUERY_VEC_ID).where(

@@ -106,7 +106,11 @@ def ivf_assignment_udf(spark: SparkSession, sf_dir: str):
         if X.size == 0:
             return pd.Series([], dtype="int64")
         sims = (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * c_norm)
-        return pd.Series(np.argmax(sims, axis=1).astype("int64"))
+        # round BEFORE argmax: makes the assignment identical under any
+        # summation order, so the DuckDB oracle (sequential list ops) and
+        # the numpy matmul (pairwise) agree exactly; first-max ⇒ lowest
+        # cent_id on ties, matching row_number(sim DESC, cid ASC)
+        return pd.Series(np.argmax(np.round(sims, 6), axis=1).astype("int64"))
 
     _IVF_QUANTIZER_CACHE[key] = (assign, C, c_norm)
     return assign, C, c_norm
@@ -195,7 +199,7 @@ def ann_topk_over_layout(
     from ..operators.similarity import query_vector
     q_vec = query_vector(spark, sf_dir)
     q_norm = float(np.sqrt(q_vec @ q_vec))
-    c_sims = (C @ q_vec) / (c_norm * q_norm)
+    c_sims = np.round((C @ q_vec) / (c_norm * q_norm), 6)
     probe = sorted(np.argsort(-c_sims, kind="stable")[:IVF_NPROBE].tolist())
 
     candidates = _with_norm(
