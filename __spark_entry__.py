@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
         # --- green driver rows exist (r01/r02); re-recorded as space allows ---
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,  # rows-only
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,  # oracle-backed r3
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,  # rows-only
         "ext_multimodal_phash": multimodal.ext_multimodal_phash,  # rows-only
         "ext_text_tokens": text.ext_text_tokens,
@@ -329,6 +329,10 @@ def oracle_sql() -> dict[str, str]:
         # round 3: IVF assignment rounds similarities to 6dp before argmax on
         # both engines, making the whole probe deterministic cross-engine
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk_oracle(),
+        # round 3: 6dp rounding of distances + per-iteration centroid means
+        # makes the Lloyd fit itself engine-deterministic (recursive CTE
+        # carries the centroid list as state)
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash /
         # ext_ann_pq_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

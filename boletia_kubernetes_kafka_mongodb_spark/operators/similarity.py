@@ -888,7 +888,10 @@ def _kmeans_assign():
         if X.size == 0:
             return pd.DataFrame({"cluster": [], "sqdist": []})
         C = np.asarray(c_s.iloc[0], dtype=np.float64).reshape(KMEANS_K, -1)
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # 6dp rounding BEFORE the argmin makes the assignment identical
+        # under any float summation order — the cross-engine determinism
+        # that lets the fit carry an exact recursive-CTE oracle
+        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
         cl = d2.argmin(axis=1)
         return pd.DataFrame(
             {"cluster": cl.astype("int32"), "sqdist": d2[np.arange(len(cl)), cl]}
@@ -937,7 +940,8 @@ def _kmeans_partials():
                     KMEANS_K, -1
                 )
             X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["x"]])
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # same 6dp-rounded assignment as _kmeans_assign (oracle contract)
+            d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
             cl = d2.argmin(axis=1)
             for k in np.unique(cl):
                 m = cl == k
@@ -1027,7 +1031,9 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
             sums[r["cluster"]] += np.asarray(r["s"])
             counts[r["cluster"]] += r["n"]
         nonzero = counts > 0
-        C[nonzero] = sums[nonzero] / counts[nonzero, None]
+        # centroid means rounded to 6dp: the per-iteration state the oracle
+        # reproduces exactly (summation-order drift « the rounding grain)
+        C[nonzero] = np.round(sums[nonzero] / counts[nonzero, None], 6)
     _KMEANS_FIT_CACHE[key] = (base, C)
     return base, C
 
@@ -1042,9 +1048,13 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 iterations = 5 scans + 5 aggregations, each independently parallel.
 
     Deterministic assignments (lowest-vec_id init, fixed iterations,
-    lowest-id argmin tie-break); float summation order is not
-    cross-engine-stable, so this is a rows-only driver check with a
-    python-reference equality test on the assignments.
+    lowest-id argmin tie-break). Oracle-backed (round 3): squared
+    distances AND per-iteration centroid means round to 6dp on both
+    engines — summation-order float drift (~1e-12) vanishes under the
+    rounding grain, so a DuckDB RECURSIVE CTE carrying the centroid list
+    as state (the BPE-oracle pattern) re-derives the identical fit
+    (`ext_kmeans_embeddings_oracle`); python-reference equality test on
+    the assignments additionally pins the recipe.
 
     Output: per-cluster size and mean within-cluster squared distance.
     """
@@ -1059,6 +1069,71 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def ext_kmeans_embeddings_oracle() -> str:
+    """DuckDB re-derivation of the full Lloyd fit: recursive CTE whose
+    state row carries the K centroid vectors as a list; per iteration the
+    corpus is re-assigned (6dp-rounded distances, list_position tie-break
+    = lowest cluster) and per-(cluster, dim) means rebuild the list
+    (6dp-rounded, empty clusters carry forward)."""
+    k, iters = KMEANS_K, KMEANS_ITERS
+    dist = ("ROUND(list_reduce(list_transform(list_zip(x, cents_in[k]), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])), (acc,v) -> acc+v), 6)")
+    return f"""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS x
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        init AS (
+            SELECT list(x ORDER BY vec_id) AS cents
+            FROM (SELECT vec_id, x FROM emb ORDER BY vec_id LIMIT {k})
+        ),
+        fit AS (
+            SELECT 0 AS iter, cents FROM init
+            UNION ALL
+            SELECT f.iter + 1, nxt.cents
+            FROM fit f, LATERAL (
+                SELECT list(COALESCE(n.c, f.cents[g.k + 1]) ORDER BY g.k) AS cents
+                FROM generate_series(0, {k - 1}) g(k)
+                LEFT JOIN (
+                    SELECT cl, list(mv ORDER BY d) AS c
+                    FROM (
+                        SELECT cl, d, ROUND(AVG(v), 6) AS mv
+                        FROM (
+                            SELECT cl, unnest(x) AS v,
+                                   generate_subscripts(x, 1) AS d
+                            FROM (
+                                SELECT x, list_position(dl, list_min(dl)) - 1 AS cl
+                                FROM (
+                                    SELECT x,
+                                           [{dist} for k in generate_series(1, {k})] AS dl
+                                    FROM (SELECT e2.x AS x, f.cents AS cents_in
+                                          FROM emb e2)
+                                )
+                            )
+                        )
+                        GROUP BY cl, d
+                    )
+                    GROUP BY cl
+                ) n ON n.cl = g.k
+            ) nxt
+            WHERE f.iter < {iters}
+        ),
+        final AS (SELECT cents FROM fit WHERE iter = {iters}),
+        assigned AS (
+            SELECT vec_id, list_position(dl, list_min(dl)) - 1 AS cluster,
+                   list_min(dl) AS sqdist
+            FROM (
+                SELECT vec_id, x, [{dist} for k in generate_series(1, {k})] AS dl
+                FROM (SELECT e2.vec_id, e2.x, f.cents AS cents_in
+                      FROM emb e2, final f)
+            )
+        )
+        SELECT CAST(cluster AS INTEGER) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(sqdist), 6) AS mean_sqdist
+        FROM assigned GROUP BY cluster
+    """
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,13 +104,15 @@ def test_kmeans_matches_python_reference(spark):
     X = np.array([r.embedding for r in rows], dtype=np.float64)
     K, iters = similarity.KMEANS_K, similarity.KMEANS_ITERS
     C = X[:K].copy()
+    # mirrors the operator's cross-engine contract: distances AND centroid
+    # means round to 6dp (see ext_kmeans_embeddings docstring)
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
         a = d2.argmin(axis=1)
         for k in range(K):
             if (a == k).any():
-                C[k] = X[a == k].mean(axis=0)
-    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                C[k] = np.round(X[a == k].mean(axis=0), 6)
+    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
     want = dict(zip(ids.tolist(), d2.argmin(axis=1).tolist()))
 
     got = {
