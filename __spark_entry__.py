@@ -52,8 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 17 ids never recorded by the driver in r01/r02 ---
-        "ext_semdedup": similarity.ext_semdedup,  # rows-only (inherits
-        # k-means assignments; python-reference equality test)
+        "ext_semdedup": similarity.ext_semdedup,  # oracle-backed r3
         "join_attribution": joins.join_attribution,
         "ext_entity_resolution": dedup.ext_entity_resolution,
         # rows-only (serves the learned BPE merges; encode equality vs a
@@ -333,6 +332,9 @@ def oracle_sql() -> dict[str, str]:
         # makes the Lloyd fit itself engine-deterministic (recursive CTE
         # carries the centroid list as state)
         "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings_oracle(),
+        # round 3: deterministic assignments + 6dp-rounded pairwise sims make
+        # the greedy prune exactly re-derivable (recursive kept-list CTE)
+        "ext_semdedup": similarity.ext_semdedup_oracle(),
         # ext_dedup_minhash_lsh / ext_dedup_simhash /
         # ext_ann_pq_topk are Spark-hash- or approximation-dependent →
         # intentionally no SQL oracle (driver records rows-only); their

@@ -1071,17 +1071,16 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ext_kmeans_embeddings_oracle() -> str:
-    """DuckDB re-derivation of the full Lloyd fit: recursive CTE whose
-    state row carries the K centroid vectors as a list; per iteration the
-    corpus is re-assigned (6dp-rounded distances, list_position tie-break
-    = lowest cluster) and per-(cluster, dim) means rebuild the list
-    (6dp-rounded, empty clusters carry forward)."""
+def _kmeans_cte_sql() -> str:
+    """Shared RECURSIVE-CTE body re-deriving the Lloyd fit in DuckDB —
+    state row carries the K centroid vectors as a list (the BPE-oracle
+    pattern); used by both the cluster-report oracle and the SemDeDup
+    oracle so fit and consumers can never drift."""
     k, iters = KMEANS_K, KMEANS_ITERS
     dist = ("ROUND(list_reduce(list_transform(list_zip(x, cents_in[k]), "
             "p -> (p[1]-p[2])*(p[1]-p[2])), (acc,v) -> acc+v), 6)")
     return f"""
-        WITH RECURSIVE emb AS (
+        emb AS (
             SELECT vec_id, embedding::DOUBLE[] AS x
             FROM embeddings WHERE embedding IS NOT NULL
         ),
@@ -1129,10 +1128,65 @@ def ext_kmeans_embeddings_oracle() -> str:
                 FROM (SELECT e2.vec_id, e2.x, f.cents AS cents_in
                       FROM emb e2, final f)
             )
-        )
+        )"""
+
+
+def ext_kmeans_embeddings_oracle() -> str:
+    """DuckDB re-derivation of the full Lloyd fit (see `_kmeans_cte_sql`)."""
+    return f"""
+        WITH RECURSIVE {_kmeans_cte_sql()}
         SELECT CAST(cluster AS INTEGER) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(AVG(sqdist), 6) AS mean_sqdist
         FROM assigned GROUP BY cluster
+    """
+
+
+def ext_semdedup_oracle() -> str:
+    """SemDeDup oracle: k-means CTE for the assignments, within-cluster
+    6dp-rounded pairwise cosines, then the per-cluster greedy keep scan as
+    a recursive CTE whose state row carries the kept-id list (all clusters
+    advance in lockstep, one rank per recursion step)."""
+    thr = SEMDEDUP_THRESHOLD
+    return f"""
+        WITH RECURSIVE {_kmeans_cte_sql()},
+        ranked AS (
+            SELECT a.cluster, a.vec_id, e.x,
+                   CASE WHEN sqrt(list_reduce(list_transform(e.x, v -> v * v),
+                                              (acc, v) -> acc + v)) = 0
+                        THEN 1.0
+                        ELSE sqrt(list_reduce(list_transform(e.x, v -> v * v),
+                                              (acc, v) -> acc + v)) END AS nrm,
+                   row_number() OVER (PARTITION BY a.cluster
+                                      ORDER BY a.vec_id) AS rn
+            FROM assigned a JOIN emb e USING (vec_id)
+        ),
+        pairs AS (
+            SELECT r1.cluster, r1.vec_id AS a, r2.vec_id AS b,
+                   ROUND(list_dot_product(r1.x, r2.x) / (r1.nrm * r2.nrm), 6) AS sim
+            FROM ranked r1
+            JOIN ranked r2 ON r1.cluster = r2.cluster AND r2.vec_id < r1.vec_id
+        ),
+        greedy AS (
+            SELECT cluster, rn, vec_id, TRUE AS keep,
+                   CAST(NULL AS DOUBLE) AS max_sim_kept, [vec_id] AS kept_ids
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT g.cluster, r.rn, r.vec_id,
+                   (l.ms IS NULL OR l.ms <= {thr}) AS keep, l.ms,
+                   CASE WHEN l.ms IS NULL OR l.ms <= {thr}
+                        THEN list_append(g.kept_ids, r.vec_id)
+                        ELSE g.kept_ids END
+            FROM greedy g
+            JOIN ranked r ON r.cluster = g.cluster AND r.rn = g.rn + 1,
+            LATERAL (
+                SELECT MAX(p.sim) AS ms
+                FROM pairs p
+                WHERE p.cluster = g.cluster AND p.a = r.vec_id
+                  AND list_contains(g.kept_ids, p.b)
+            ) l
+        )
+        SELECT CAST(cluster AS INTEGER) AS cluster, vec_id, keep, max_sim_kept
+        FROM greedy
     """
 
 
@@ -1394,8 +1448,12 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the skew guard is k itself: grow KMEANS_K with corpus size so
     max cluster stays bounded; the kernel is linear in memory (c×dim).
 
-    Rows-only driver check (assignments are float-summation-order
-    dependent); semantics pinned by a python-reference equality test.
+    Oracle-backed (round 3): the k-means assignments are engine-
+    deterministic (see `ext_kmeans_embeddings`), pairwise sims round to
+    6dp before the greedy compare, and the per-cluster greedy itself is a
+    recursive CTE carrying the kept-id list (the MMR-oracle pattern, all
+    clusters advancing in lockstep); python-reference equality test
+    additionally pins the recipe.
     """
     import numpy as np
     import pandas as pd
@@ -1412,14 +1470,18 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms = np.sqrt((X * X).sum(axis=1))
         norms[norms == 0] = 1.0
         Xn = X / norms[:, None]
-        S = Xn @ Xn.T
+        # 6dp-rounded pairwise sims BEFORE the greedy compare: the
+        # normalize-then-matmul float path differs from SQL's
+        # dot/(|a||b|) at ~1e-16, and round∘max == max∘round (rounding is
+        # monotone), so the keep decisions are engine-identical
+        S = np.round(Xn @ Xn.T, 6)
         kept: list[int] = []
         keep_flags, max_sims = [], []
         for i in range(len(pdf)):
             sim = float(S[i, kept].max()) if kept else None
             ok = sim is None or sim <= SEMDEDUP_THRESHOLD
             keep_flags.append(ok)
-            max_sims.append(round(sim, 6) if sim is not None else None)
+            max_sims.append(sim)
             if ok:
                 kept.append(i)
         return pd.DataFrame(

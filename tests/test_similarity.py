@@ -157,7 +157,7 @@ def test_semdedup_matches_python_reference(spark):
         n = np.sqrt((X * X).sum(axis=1))
         n[n == 0] = 1.0
         Xn = X / n[:, None]
-        S = Xn @ Xn.T
+        S = np.round(Xn @ Xn.T, 6)  # mirrors the operator's oracle contract
         kept = []
         for i, m in enumerate(members):
             sim = float(S[i, kept].max()) if kept else None
