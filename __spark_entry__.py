@@ -110,13 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,  # oracle-backed r3
-        "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,  # oracle-backed r3
         "ext_split_drift": sampling.ext_split_drift,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
         "ext_sample_weighted": sampling.ext_sample_weighted,
         "ext_embed_quantize": similarity.ext_embed_quantize,
         # --- position > 50 from here: all have green r01/r02 rows ---
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,  # rows-only
+        "ext_dedup_segments": dedup.ext_dedup_segments,
         "ext_dedup_incremental": dedup.ext_dedup_incremental,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         "ext_quality_buckets": text.ext_quality_buckets,
@@ -335,8 +335,12 @@ def oracle_sql() -> dict[str, str]:
         # round 3: deterministic assignments + 6dp-rounded pairwise sims make
         # the greedy prune exactly re-derivable (recursive kept-list CTE)
         "ext_semdedup": similarity.ext_semdedup_oracle(),
-        # ext_dedup_minhash_lsh / ext_dedup_simhash /
-        # ext_ann_pq_topk are Spark-hash- or approximation-dependent →
+        # round 3: PQ training/encode/ADC all round at 6dp on both engines
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk_oracle(),
+        # ext_dedup_minhash_lsh / ext_dedup_simhash (xxhash64-seeded) /
+        # ext_approx_distinct (HLL sketch) / ext_dedup_incremental_near
+        # (xxhash band index) / ext_multimodal_phash (byte-level media
+        # kernel) are engine-dependent →
         # intentionally no SQL oracle (driver records rows-only); their
         # semantics are asserted against python references in tests/.
     }

@@ -755,13 +755,17 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
         Xm = X[:, m * sub : (m + 1) * sub]
         init_idx = np.linspace(0, len(Xm) - 1, PQ_KS).astype(int)
         C = Xm[init_idx].copy()
+        # 6dp rounding of assignment distances and centroid means per
+        # iteration: the same engine-determinism contract as _kmeans_fit —
+        # summation-order drift vanishes under the rounding grain, so a
+        # DuckDB recursive CTE re-derives byte-identical codebooks
         for _ in range(PQ_ITERS):
-            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2 = np.round(((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
             assign = d2.argmin(axis=1)
             for k in range(PQ_KS):
                 members = Xm[assign == k]
                 if len(members):
-                    C[k] = members.mean(axis=0)
+                    C[k] = np.round(members.mean(axis=0), 6)
         books[m] = C
     _KMEANS_FIT_CACHE[key] = books
     return books
@@ -806,7 +810,10 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = np.empty((len(X), PQ_M), dtype=np.int32)
         for m in range(PQ_M):
             Xm = X[:, m * sub : (m + 1) * sub]
-            d2 = ((Xm[:, None, :] - books_b[m][None, :, :]) ** 2).sum(axis=2)
+            # rounded-before-argmin: same cross-engine contract as training
+            d2 = np.round(
+                ((Xm[:, None, :] - books_b[m][None, :, :]) ** 2).sum(axis=2), 6
+            )
             codes[:, m] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -821,8 +828,11 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = F.array(*[F.lit(float(v)) for v in T[m]])
         term = F.element_at(tbl, F.element_at("codes", m + 1) + 1)
         score = term if score is None else score + term
+    # adc rounded to 6dp before ranking: the lookup-table entries are
+    # engine-computed dots (~1e-14 cross-engine drift); rounding makes the
+    # shortlist ordering deterministic (ties -> vec_id asc)
     shortlist = (
-        coded.withColumn("adc", score)
+        coded.withColumn("adc", F.round(score, 6))
         .withColumn(
             "adc_rank",
             F.row_number().over(
@@ -851,6 +861,124 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOPK)
         .select("rank", "vec_id", "label", "cosine")
     )
+
+
+def ext_ann_pq_topk_oracle() -> str:
+    """DuckDB re-derivation of the full PQ pipeline: hash-ordered bounded
+    sample -> per-subspace Lloyd codebooks (recursive CTE, one lockstep
+    row per subspace, 6dp-rounded distances and means) -> corpus encode
+    (rounded argmin) -> ADC scores (rounded before ranking) -> exact
+    re-rank of the shortlist."""
+    m_, ks, iters, sub, train, rerank, topk, qid = (
+        PQ_M, PQ_KS, PQ_ITERS, 8, PQ_TRAIN, PQ_RERANK, TOPK, QUERY_VEC_ID
+    )
+    dist = ("ROUND(list_reduce(list_transform(list_zip(xm, book_in[k]), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])), (acc,v) -> acc+v), 6)")
+    norm = ("GREATEST(sqrt(list_reduce(list_transform(embedding::DOUBLE[], "
+            "w -> w*w), (a,b) -> a+b)), 1e-12)")
+    return f"""
+        WITH RECURSIVE sample AS (
+            SELECT row_number() OVER (ORDER BY hkey, vec_id) AS rid, xn
+            FROM (
+                SELECT vec_id,
+                       CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hkey,
+                       list_transform(embedding::DOUBLE[], v -> v / {norm}) AS xn
+                FROM embeddings WHERE embedding IS NOT NULL
+                ORDER BY hkey, vec_id LIMIT {train}
+            )
+        ),
+        subsamp AS (
+            SELECT m.m, s.rid, s.xn[m.m * {sub} + 1 : m.m * {sub} + {sub}] AS xm
+            FROM sample s, generate_series(0, {m_ - 1}) m(m)
+        ),
+        n_s AS (SELECT COUNT(*) AS n FROM sample),
+        init AS (
+            SELECT m, list(xm ORDER BY k) AS book
+            FROM (
+                SELECT ss.m, g.k, ss.xm
+                FROM generate_series(0, {ks - 1}) g(k), n_s
+                JOIN subsamp ss
+                  ON ss.rid = CAST(FLOOR((n_s.n - 1) * g.k / {ks - 1}.0) AS BIGINT) + 1
+            ) GROUP BY m
+        ),
+        train AS (
+            SELECT m, 0 AS iter, book FROM init
+            UNION ALL
+            SELECT t.m, t.iter + 1, nxt.book
+            FROM train t, LATERAL (
+                SELECT list(COALESCE(n2.c, t.book[g.k + 1]) ORDER BY g.k) AS book
+                FROM generate_series(0, {ks - 1}) g(k)
+                LEFT JOIN (
+                    SELECT cl, list(mv ORDER BY d) AS c
+                    FROM (
+                        SELECT cl, d, ROUND(AVG(v), 6) AS mv
+                        FROM (
+                            SELECT cl, unnest(xm) AS v,
+                                   generate_subscripts(xm, 1) AS d
+                            FROM (
+                                SELECT xm, list_position(dl, list_min(dl)) - 1 AS cl
+                                FROM (
+                                    SELECT xm,
+                                           [{dist} for k in generate_series(1, {ks})] AS dl
+                                    FROM (SELECT ss.xm AS xm, t.book AS book_in
+                                          FROM subsamp ss WHERE ss.m = t.m)
+                                )
+                            )
+                        ) GROUP BY cl, d
+                    ) GROUP BY cl
+                ) n2 ON n2.cl = g.k
+            ) nxt
+            WHERE t.iter < {iters}
+        ),
+        books AS (SELECT m, book FROM train WHERE iter = {iters}),
+        qn AS (
+            SELECT list_transform(embedding::DOUBLE[], v -> v / {norm}) AS q
+            FROM embeddings WHERE vec_id = {qid}
+        ),
+        corpus AS (
+            SELECT vec_id, label, embedding,
+                   list_transform(embedding::DOUBLE[], v -> v / {norm}) AS xn
+            FROM embeddings
+            WHERE vec_id != {qid} AND embedding IS NOT NULL
+        ),
+        corpus_sub AS (
+            SELECT c.vec_id, b.m, c.xn[b.m * {sub} + 1 : b.m * {sub} + {sub}] AS xm,
+                   b.book AS book_in
+            FROM corpus c, books b
+        ),
+        codes AS (
+            SELECT vec_id, m, list_position(dl, list_min(dl)) AS code1
+            FROM (SELECT vec_id, m, [{dist} for k in generate_series(1, {ks})] AS dl
+                  FROM corpus_sub)
+        ),
+        adc AS (
+            SELECT cd.vec_id, ROUND(SUM(
+                       list_dot_product(q.q[cd.m * {sub} + 1 : cd.m * {sub} + {sub}],
+                                        b.book[cd.code1])), 6) AS adc
+            FROM codes cd JOIN books b USING (m), qn q
+            GROUP BY cd.vec_id
+        ),
+        shortlist AS (
+            SELECT c.vec_id, c.label, c.embedding
+            FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rk
+                FROM adc
+            ) s JOIN corpus c USING (vec_id)
+            WHERE s.rk <= {rerank}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q2.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q2.embedding::DOUBLE[], q2.embedding::DOUBLE[]))), 6) AS cosine
+            FROM shortlist e
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q2
+        )
+        SELECT rank, vec_id, label, cosine FROM (
+            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, *
+            FROM scored
+        ) WHERE rank <= {topk}
+    """
 
 
 # ---------------------------------------------------------------------------
