@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_pack": sampling.ext_sample_pack,
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,  # oracle-backed r3
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk,  # oracle-backed r3
-        "ext_split_drift": sampling.ext_split_drift,
+        "ext_dedup_simhash": dedup.ext_dedup_simhash,  # oracle-backed r3
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
         "ext_sample_weighted": sampling.ext_sample_weighted,
         "ext_embed_quantize": similarity.ext_embed_quantize,
@@ -193,7 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_containment": dedup.ext_dedup_containment,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
-        "ext_dedup_simhash": dedup.ext_dedup_simhash,
+        "ext_split_drift": sampling.ext_split_drift,
         "ext_dedup_embedding": dedup.ext_dedup_embedding,
         "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
         # §2.9 extensions: similarity search
@@ -337,7 +337,10 @@ def oracle_sql() -> dict[str, str]:
         "ext_semdedup": similarity.ext_semdedup_oracle(),
         # round 3: PQ training/encode/ADC all round at 6dp on both engines
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk_oracle(),
-        # ext_dedup_minhash_lsh / ext_dedup_simhash (xxhash64-seeded) /
+        # round 3: md5-derived token hashes make the whole SimHash pipeline
+        # engine-deterministic (integer votes, banding, chunk-wise hamming)
+        "ext_dedup_simhash": dedup.ext_dedup_simhash_oracle(),
+        # ext_dedup_minhash_lsh (xxhash64-seeded) /
         # ext_approx_distinct (HLL sketch) / ext_dedup_incremental_near
         # (xxhash band index) / ext_multimodal_phash (byte-level media
         # kernel) are engine-dependent →

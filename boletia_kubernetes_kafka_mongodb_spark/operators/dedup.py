@@ -592,18 +592,31 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
+def md5_hash64(t):
+    """Engine-independent 64-bit token hash: two 32-bit md5 hex chunks
+    packed into one signed long — DuckDB computes the identical value
+    (conv/substr there), which is what lets SimHash carry an exact oracle.
+    xxhash64 would be faster but is Spark-private; the md5 is paid once per
+    DISTINCT token per doc, a narrow-map cost."""
+    hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → 64-bit SimHash via an Arrow-batched pandas UDF.
 
     Bit-majority voting over per-token 64-bit hashes is genuinely awkward as
     SQL (64 conditional sums); the idiomatic Spark escape hatch is a
     vectorized pandas UDF over the token-hash arrays — Arrow batches in, one
-    numpy popcount-style fold, longs out (SURVEY.md §2.8 policy).
+    numpy popcount-style fold, longs out (SURVEY.md §2.8 policy). Token
+    hashes are md5-derived (`md5_hash64`) so the signature is engine-
+    deterministic and the pair query oracle-checkable.
     """
     from ._pandas_udfs import simhash_from_token_hashes
 
     token_hashes = F.transform(
-        F.array_distinct(tokens_col("text")), lambda t: F.xxhash64(t)
+        F.array_distinct(tokens_col("text")), lambda t: md5_hash64(t)
     )
     return docs.select(
         "doc_id", "lang", simhash_from_token_hashes(token_hashes).alias("simhash")
@@ -623,19 +636,16 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bucket (groupBy + array lambdas — a self-join would re-execute the
     signature UDF per branch AND materialize the lang-blocked n² pair
     space); the Hamming verify is ``bit_count(a XOR b)``, a JVM intrinsic.
-    Spark-hash + UDF dependent ⇒ rows-only driver check; behavior asserted
-    against a python reference in tests/test_dedup.py.
 
-    Signatures consume the cached per-doc token-hash frame (bit-majority
-    voting is order-independent, so the sorted ``hs`` array carries exactly
-    the inputs ``simhash_signatures`` would recompute from raw text).
+    Oracle-backed (round 3): token hashes are md5-derived (`md5_hash64`) —
+    engine-independent — and the vote/banding/verify are all integer
+    arithmetic, so DuckDB re-derives the identical signatures and pair set
+    (`ext_dedup_simhash_oracle`, which computes hamming as the sum of
+    per-16-bit-chunk ``bit_count(xor)`` — equal to the 64-bit form);
+    python-reference equality test additionally pins the kernel.
     """
-    from ._pandas_udfs import simhash_from_token_hashes
-
-    sets = _token_hash_sets(spark, sf_dir)
-    sigs = sets.select(
-        "doc_id", "lang", simhash_from_token_hashes(F.col("hs")).alias("simhash")
-    )
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    sigs = simhash_signatures(docs)
     band_keys = F.array(
         *[
             F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
@@ -679,6 +689,59 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ext_dedup_simhash_oracle() -> str:
+    """DuckDB re-derivation of the full SimHash pipeline: md5-derived
+    signed-64 token hashes (`md5_hash64` twin), per-bit majority vote
+    carried as four LSB-first 16-bit chunks (= the band keys), candidate
+    pairs sharing lang + ≥1 (band, bits), hamming as the chunk-wise
+    ``bit_count(xor)`` sum (equal to the 64-bit form — chunks are disjoint
+    slices)."""
+    bands, maxh = SIMHASH_BANDS, SIMHASH_MAX_HAMMING
+    h64 = ("(CASE WHEN CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) >= 2147483648 "
+           "THEN CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) - 4294967296 "
+           "ELSE CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) END) * 4294967296 "
+           "+ CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT)")
+    return f"""
+        WITH hs AS (
+            SELECT doc_id, lang,
+                   list_transform(
+                       list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')),
+                       t -> {h64}) AS hs
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len(hs) = 0 THEN [0, 0, 0, 0]
+                        ELSE [CAST(list_sum(
+                                 [CASE WHEN 2 * list_sum(list_transform(hs,
+                                           h -> (h >> (i * 16 + p)) & 1)) >= len(hs)
+                                       THEN (1 << p) ELSE 0 END
+                                  for p in generate_series(0, 15)]) AS BIGINT)
+                              for i in generate_series(0, {bands - 1})]
+                   END AS chunks
+            FROM hs
+        ),
+        banded AS (
+            SELECT doc_id, lang, chunks, i.i AS band, chunks[i.i + 1] AS bits
+            FROM sig, generate_series(0, {bands - 1}) i(i)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.chunks AS ca, b.chunks AS cb
+            FROM banded a
+            JOIN banded b ON a.lang = b.lang AND a.band = b.band
+                         AND a.bits = b.bits AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ca[1], cb[1])) + bit_count(xor(ca[2], cb[2]))
+                        + bit_count(xor(ca[3], cb[3])) + bit_count(xor(ca[4], cb[4]))
+                        AS INTEGER) AS hamming
+            FROM cand
+        ) WHERE hamming <= {maxh}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,9 @@ def test_simhash_matches_python_reference(spark):
 
     hashes_df = docs.select(
         "doc_id",
-        F.transform(F.array_distinct(tokens_col("text")), lambda t: F.xxhash64(t)).alias("h"),
+        F.transform(
+            F.array_distinct(tokens_col("text")), lambda t: dedup.md5_hash64(t)
+        ).alias("h"),
     )
     for row in hashes_df.collect():
         hs = [h & ((1 << 64) - 1) for h in row.h]
