@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,  # oracle-backed r3
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,  # rows-only
-        "ext_multimodal_phash": multimodal.ext_multimodal_phash,  # rows-only
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,  # oracle-backed r3
         "ext_text_tokens": text.ext_text_tokens,
         "ext_text_langid": text.ext_text_langid,
         "ext_text_quality": text.ext_text_quality,
@@ -340,6 +340,9 @@ def oracle_sql() -> dict[str, str]:
         # round 3: md5-derived token hashes make the whole SimHash pipeline
         # engine-deterministic (integer votes, banding, chunk-wise hamming)
         "ext_dedup_simhash": dedup.ext_dedup_simhash_oracle(),
+        # round 3: integer-exact aHash threshold; lossless banding => the
+        # oracle checks all pairs directly
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash_oracle(),
         # ext_dedup_minhash_lsh (xxhash64-seeded) /
         # ext_approx_distinct (HLL sketch) / ext_dedup_incremental_near
         # (xxhash band index) / ext_multimodal_phash (byte-level media

@@ -402,6 +402,59 @@ PHASH_BANDS = 4        # 4 × 16-bit bands
 PHASH_MAX_HAMMING = 3  # ≤ 3 < 4 bands ⇒ pigeonhole banding is LOSSLESS
 
 
+def ext_multimodal_phash_oracle() -> str:
+    """All-pairs re-derivation (banding is lossless at hamming ≤ 3 < 4
+    bands): integer-exact aHash bits per payload from the hex-decoded
+    bytes, hamming as a bit-list mismatch count."""
+    maxh = PHASH_MAX_HAMMING
+    return f"""
+        WITH bytes AS (
+            SELECT doc_id,
+                   [CAST(concat('0x', substr(h, 2 * i - 1, 2)) AS BIGINT)
+                    for i in generate_series(1, length(h) // 2)] AS bs
+            FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents)
+        ),
+        cells AS (
+            SELECT doc_id, bs, len(bs) AS l, len(bs) // 64 AS k, len(bs) % 64 AS m
+            FROM bytes
+        ),
+        stats AS (
+            SELECT doc_id, l, k,
+                   CASE WHEN k > 0 THEN k * (k + 1) ELSE 1 END AS dd,
+                   [CASE WHEN (k + CASE WHEN j < m THEN 1 ELSE 0 END) = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE CAST(list_sum(bs[j * k + LEAST(j, m) + 1 :
+                                               j * k + LEAST(j, m) + k
+                                               + CASE WHEN j < m THEN 1 ELSE 0 END])
+                              AS BIGINT)
+                    END for j in generate_series(0, 63)] AS nums,
+                   [CAST(k + CASE WHEN j < m THEN 1 ELSE 0 END AS BIGINT)
+                    for j in generate_series(0, 63)] AS szs
+            FROM cells
+        ),
+        bits AS (
+            SELECT doc_id,
+                   CASE WHEN l = 0 THEN [CAST(0 AS BIGINT) for j in generate_series(0, 63)]
+                        ELSE list_transform(
+                            list_zip(nums, szs),
+                            p -> CASE WHEN p[1] * 64 * dd >
+                                          list_sum(list_transform(list_zip(nums, szs),
+                                              q -> CASE WHEN q[2] = 0 THEN 0
+                                                        ELSE q[1] * (dd // q[2]) END)) * p[2]
+                                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+                   END AS bitsv
+            FROM stats
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(list_sum(list_transform(list_zip(a.bitsv, b.bitsv),
+                        p -> CASE WHEN p[1] != p[2] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+            FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        )
+        WHERE hamming <= {maxh}
+    """
+
+
 def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over binary payloads — the image
     analogue of SimHash text dedup (aHash family: resample to a fixed grid,
@@ -415,8 +468,15 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all real: payload bytes never shuffle (only (doc_id, phash) rows
     move), candidates come from the same lossless 4×16-bit pigeonhole
     banding as SimHash (hamming ≤ 3 forces ≥ 1 exact band match), and the
-    verify is the ``bit_count(xor)`` JVM intrinsic. Rows-only driver check
-    (UDF-dependent); exhaustive-equality python-reference test.
+    verify is the ``bit_count(xor)`` JVM intrinsic.
+
+    Oracle-backed (round 3): the mean-threshold bit rule is INTEGER-EXACT
+    (cell_mean_j > mean-of-cell-means cross-multiplied to
+    num_j·64·k(k+1) > T·size_j — no float division anywhere), so DuckDB
+    re-derives the identical 64 bits per payload; the ≤3-of-4-bands
+    pigeonhole is lossless, so the oracle checks ALL pairs at hamming ≤
+    PHASH_MAX_HAMMING directly (`ext_multimodal_phash_oracle`).
+    Exhaustive-equality python-reference test additionally pins the kernel.
     """
     from collections.abc import Iterator as _It
 
@@ -440,6 +500,12 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             # array_split's boundary rule (l%64 leading cells of size
             # l//64+1) reproduced as reduceat segments over the batch
             # concatenation, bits packed MSB-first like the scalar fold
+            # INTEGER-EXACT threshold (round-3 oracle contract): with cell
+            # sizes ∈ {k, k+1}, cell_mean_j > mean-of-cell-means rewrites
+            # as num_j·64·k(k+1) > T·size_j where T = Σ num_i·(k(k+1)/size_i)
+            # — all int64, no float division, so DuckDB reproduces every
+            # bit decision exactly (incl. uniform payloads, where float
+            # summation order would decide the strict >)
             big = np.nonzero(lens >= 64)[0]
             if big.size:
                 L = lens[big]
@@ -448,9 +514,12 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 flat = sizes.ravel()
                 starts = np.zeros(flat.size, dtype=np.int64)
                 starts[1:] = np.cumsum(flat)[:-1]
-                concat = np.concatenate([raws[i] for i in big]).astype(np.float64)
-                means = (np.add.reduceat(concat, starts) / flat).reshape(-1, 64)
-                bits = means > means.mean(axis=1)[:, None]
+                concat = np.concatenate([raws[i] for i in big]).astype(np.int64)
+                sums = np.add.reduceat(concat, starts).reshape(-1, 64)
+                D = (k * (k + 1))[:, None]
+                mult = np.where(sizes == k[:, None], (k + 1)[:, None], k[:, None])
+                T = (sums * mult).sum(axis=1)[:, None]
+                bits = sums * 64 * D > T * sizes
                 packed = (
                     np.packbits(bits, axis=1)
                     .view(">u8")
@@ -459,12 +528,15 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .view(np.int64)
                 )
                 hashes[big] = packed
-            # sub-64-byte payloads (rare): scalar reference path, zero-size
-            # cells contribute mean 0.0
+            # sub-64-byte payloads (rare): cells are single bytes or empty
+            # (k = 0) — same integer rule with D = 1
             for i in np.nonzero((lens < 64) & (lens > 0))[0]:
-                cells = np.array_split(raws[i].astype(np.float64), 64)
-                means1 = np.array([c.mean() if c.size else 0.0 for c in cells])
-                bits1 = (means1 > means1.mean()).astype(np.uint64)
+                r = raws[i].astype(np.int64)
+                nums = np.zeros(64, dtype=np.int64)
+                nums[: r.size] = r
+                szs = (np.arange(64) < r.size).astype(np.int64)
+                T1 = int(nums.sum())
+                bits1 = (nums * 64 > T1 * szs).astype(np.uint64)
                 h = 0
                 for b in bits1:
                     h = (h << 1) | int(b)

@@ -413,12 +413,18 @@ def test_multimodal_phash_matches_exhaustive_reference(spark):
     media = multimodal.media_table(spark, sf).select("doc_id", "payload").collect()
 
     def phash(payload):
-        raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+        # integer-exact threshold, mirroring the operator's oracle contract
+        raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
         if raw.size == 0:
             return 0
-        cells = np.array_split(raw.astype(np.float64), 64)
-        means = np.array([c.mean() if c.size else 0.0 for c in cells])
-        bits = (means > means.mean()).astype(np.uint64)
+        cells = np.array_split(raw, 64)
+        nums = np.array([c.sum() for c in cells], dtype=np.int64)
+        szs = np.array([c.size for c in cells], dtype=np.int64)
+        k = raw.size // 64
+        D = k * (k + 1) if k > 0 else 1
+        mult = np.where(szs == 0, 0, D // np.maximum(szs, 1))
+        T = int((nums * mult).sum())
+        bits = (nums * 64 * D > T * szs).astype(np.uint64)
         h = 0
         for b in bits:
             h = (h << 1) | int(b)
