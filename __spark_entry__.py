@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- green driver rows exist (r01/r02); re-recorded as space allows ---
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,  # oracle-backed r3
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,  # rows-only
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,  # oracle-backed r3
         "ext_multimodal_phash": multimodal.ext_multimodal_phash,  # oracle-backed r3
         "ext_text_tokens": text.ext_text_tokens,
         "ext_text_langid": text.ext_text_langid,
@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk,  # oracle-backed r3
         "ext_dedup_simhash": dedup.ext_dedup_simhash,  # oracle-backed r3
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,  # oracle-backed r3
         "ext_embed_quantize": similarity.ext_embed_quantize,
         # --- position > 50 from here: all have green r01/r02 rows ---
         "ext_dedup_segments": dedup.ext_dedup_segments,
@@ -192,7 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
         "ext_dedup_containment": dedup.ext_dedup_containment,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
         "ext_split_drift": sampling.ext_split_drift,
         "ext_dedup_embedding": dedup.ext_dedup_embedding,
         "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
@@ -343,10 +343,13 @@ def oracle_sql() -> dict[str, str]:
         # round 3: integer-exact aHash threshold; lossless banding => the
         # oracle checks all pairs directly
         "ext_multimodal_phash": multimodal.ext_multimodal_phash_oracle(),
-        # ext_dedup_minhash_lsh (xxhash64-seeded) /
-        # ext_approx_distinct (HLL sketch) / ext_dedup_incremental_near
-        # (xxhash band index) / ext_multimodal_phash (byte-level media
-        # kernel) are engine-dependent →
+        # round 3: engine-independent MinHash family (md5 base hash +
+        # universal-hash permutations + polynomial band fold)
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh_oracle(),
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near_oracle(),
+        # ext_approx_distinct is the ONE remaining rows-only id — an HLL
+        # sketch is engine-private by nature; its exact companion
+        # ext_distinct_users_exact carries the hash gate →
         # intentionally no SQL oracle (driver records rows-only); their
         # semantics are asserted against python references in tests/.
     }

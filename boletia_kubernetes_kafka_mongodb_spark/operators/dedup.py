@@ -445,14 +445,50 @@ def _shingles(toks):
     return F.array_distinct(out)
 
 
+MINHASH_MOD = (1 << 31) - 1  # Mersenne prime: universal-hash modulus
+BAND_FOLD_P = 1_000_003      # band-bucket polynomial base
+
+
+def minhash_perm_constants() -> list:
+    """The (a_k, b_k) universal-hash constants for the MINHASH_PERMS
+    permutations h_k(x) = (a_k·x + b_k) mod 2³¹−1 — md5-derived so they are
+    reproducible plain integers, embedded as literals in BOTH the Spark
+    expression and the DuckDB oracle (round 3: this replaced per-perm
+    ``xxhash64(h, k)`` reseeds, which only Spark can compute — the
+    universal-hash family is the CLASSIC MinHash construction and makes
+    the signature engine-independent at the same cost class: one md5 per
+    shingle, then 32 integer ops)."""
+    import hashlib
+
+    def c31(tag: str) -> int:
+        return int.from_bytes(hashlib.md5(tag.encode()).digest()[:4], "big") & 0x7FFFFFFF
+
+    return [
+        ((c31(f"a:{k}") % (MINHASH_MOD - 1)) + 1, c31(f"b:{k}") % MINHASH_MOD)
+        for k in range(MINHASH_PERMS)
+    ]
+
+
+def shingle_hash31(s):
+    """Engine-independent 31-bit shingle hash (md5 hex → conv → mask) —
+    DuckDB computes the identical value, the foundation of the MinHash
+    oracle."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → array<long> MinHash signature (MINHASH_PERMS seeded hashes).
+    """doc_id → array<long> MinHash signature (MINHASH_PERMS permutations).
 
     Shuffle-free formulation: string-hash the shingles ONCE into a per-doc
-    array, materialize that array as a concrete attribute behind an
-    ``explode(array(x))`` Generate barrier, then take each permutation as
-    ``array_min(transform(hs, h → xxhash64(h, k)))`` over the bound
-    attribute — a pure narrow map.
+    array (31-bit md5-derived base hash), materialize that array as a
+    concrete attribute behind an ``explode(array(x))`` Generate barrier,
+    then take each permutation as ``array_min(transform(hs, h →
+    (a_k·h + b_k) mod M))`` over the bound attribute — a pure narrow map,
+    and (round 3) every value DuckDB can recompute.
 
     Two earlier formulations lost, both measured: (a) computing the 32
     per-seed mins directly over the shingle expression made CollapseProject
@@ -461,20 +497,24 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     shingling ran 32×, 7.0s); (b) exploding shingles to rows and taking 32
     ``min()`` aggregates avoided the recompute but paid a 1.5M-row shuffle
     for what is a per-doc-local computation (1.5s). The barrier form hashes
-    the same 8-byte values with zero exchange (0.85s at sf0.1) — and at
-    100 TB a signature stage that doesn't shuffle at all beats any agg.
+    the same values with zero exchange — and at 100 TB a signature stage
+    that doesn't shuffle at all beats any agg.
     """
+    consts = minhash_perm_constants()
     shingle_hashes = F.transform(
-        _shingles(tokens_col("text")), lambda s: F.xxhash64(s)
+        _shingles(tokens_col("text")), lambda s: shingle_hash31(s)
     )
     with_hashes = docs.select(
         "doc_id", F.explode(F.array(shingle_hashes)).alias("hs")
     )
+    m = F.lit(MINHASH_MOD)
+
+    def _perm(a: int, b: int):
+        # factory, not default-args: Spark's HOF introspects lambda arity
+        return lambda h: (F.lit(a) * h + F.lit(b)) % m
+
     sig = F.array(
-        *[
-            F.array_min(F.transform("hs", lambda h: F.xxhash64(h, F.lit(k))))
-            for k in range(MINHASH_PERMS)
-        ]
+        *[F.array_min(F.transform("hs", _perm(a, b))) for a, b in consts]
     )
     return with_hashes.select("doc_id", sig.alias("sig"))
 
@@ -486,19 +526,20 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     index is only valid if the probe computes keys identically."""
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
+    m, p = F.lit(MINHASH_MOD), F.lit(BAND_FOLD_P)
+    # polynomial fold mod M instead of xxhash64 over the joined string:
+    # engine-independent (the oracle replays the identical fold), and a
+    # bucket collision only ever ADDS a candidate — the exact-Jaccard
+    # verify stage prices and filters it, so correctness is unaffected
     return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
+                    F.aggregate(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: (acc * p + v) % m,
                     )
                     for b in range(LSH_BANDS)
                 ]
@@ -586,6 +627,79 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def _minhash_sql_parts() -> dict:
+    """Shared SQL fragments for the MinHash oracles: shingle sets (exact
+    `_shingles` semantics incl. the empty-doc guard), 31-bit base hashes,
+    the 32 universal-hash permutation mins, and the band-bucket fold —
+    every value integer-identical to the Spark expressions."""
+    from .text import TOKEN_RE
+
+    n = SHINGLE_N
+    consts = minhash_perm_constants()
+    rpb = MINHASH_PERMS // LSH_BANDS
+    shingles = (
+        f"CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_distinct([array_to_string(t[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(t) - {n - 1}, 1))]) END"
+    )
+    h31 = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) & 2147483647"
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_MOD}))"
+        for a, b in consts
+    )
+    bucket_terms = ", ".join(
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"sig[{b * rpb + 1}:{b * rpb + rpb}]), "
+        f"(acc, v) -> (acc * {BAND_FOLD_P} + v) % {MINHASH_MOD})"
+        for b in range(LSH_BANDS)
+    )
+    jac = (
+        "ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)"
+        " / NULLIF(len(a.sh) + len(b.sh)"
+        " - len(list_filter(a.sh, x -> list_contains(b.sh, x))), 0), 6)"
+    )
+    base = f"""
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        shingled AS (SELECT doc_id, {shingles} AS sh FROM toks),
+        hashed AS (
+            SELECT doc_id, sh, list_transform(sh, s -> {h31}) AS hs
+            FROM shingled
+        ),
+        sigs AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM hashed),
+        banded AS (
+            SELECT doc_id, sh, i.i AS band, buckets[i.i + 1] AS bucket
+            FROM (SELECT doc_id, sh, [{bucket_terms}] AS buckets FROM sigs),
+                 generate_series(0, {LSH_BANDS - 1}) i(i)
+        )"""
+    return {"base": base, "jac": jac}
+
+
+def ext_dedup_minhash_lsh_oracle() -> str:
+    """DuckDB re-derivation of the whole MinHash+LSH pipeline — possible
+    since round 3's engine-independent hash family (md5 base + universal
+    perms + polynomial band fold); candidates share ≥1 (band, bucket) and
+    the exact-Jaccard verify replays on the same shingle sets."""
+    parts = _minhash_sql_parts()
+    return f"""
+        WITH {parts["base"]},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b, {parts["jac"]} AS jaccard
+            FROM cand c
+            JOIN shingled a ON a.doc_id = c.doc_a
+            JOIN shingled b ON b.doc_id = c.doc_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1066,6 +1180,37 @@ def ext_dedup_incremental_oracle() -> str:
     """
 
 
+def ext_dedup_incremental_near_oracle() -> str:
+    """DuckDB replay of the nightly near-dup probe: band keys for BOTH the
+    standing (non-test) corpus and the arriving batch (test split) from the
+    shared MinHash SQL parts, candidates on (band, bucket), exact-Jaccard
+    verify — identical to write_minhash_band_index + probe."""
+    from .sampling import TRAIN_PCT, VAL_PCT, _oracle_key_hash
+
+    parts = _minhash_sql_parts()
+    h = _oracle_key_hash("doc_id")
+    split = (
+        f"CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+        WITH {parts["base"]},
+        tagged AS (SELECT *, {split} AS split FROM banded),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+            FROM tagged n
+            JOIN tagged o ON n.band = o.band AND n.bucket = o.bucket
+            WHERE n.split = 'test' AND o.split <> 'test'
+        )
+        SELECT doc_id, dup_of, jaccard FROM (
+            SELECT c.doc_id, c.dup_of, {parts["jac"]} AS jaccard
+            FROM cand c
+            JOIN shingled a ON a.doc_id = c.doc_id
+            JOIN shingled b ON b.doc_id = c.dup_of
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
 def _band_index_path(sf_dir: str) -> str:
     import os
     import tempfile
@@ -1073,9 +1218,11 @@ def _band_index_path(sf_dir: str) -> str:
     from ..sources.layouts import dataset_cache_key
 
     # keyed by the source table's content signature, not just the path —
-    # a regenerated fixture must invalidate the standing index
+    # a regenerated fixture must invalidate the standing index; v2 in the
+    # name: the hash-scheme change (xxhash64 → md5/universal perms) must
+    # invalidate indexes built by older code
     key = dataset_cache_key(sf_dir, "documents")
-    return os.path.join(tempfile.gettempdir(), f"boletia_band_index_{key}")
+    return os.path.join(tempfile.gettempdir(), f"boletia_band_index_v2_{key}")
 
 
 def ext_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,10 +1234,12 @@ def ext_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact fingerprints catch byte-copies, the band probe catches mutated
     ones, and neither re-processes the standing corpus at probe time.
 
-    MinHash banding is Spark-hash-dependent ⇒ rows-only driver check; the
-    exact verify stage guarantees precision (every emitted pair is a TRUE
-    ≥-threshold pair) and recall vs the exhaustive cross-split pair set is
-    asserted in tests.
+    Oracle-backed (round 3): the engine-independent MinHash family (md5
+    base + universal perms) lets DuckDB re-derive the standing index's band
+    keys AND the probe's, so the whole nightly gate is hash-checked
+    (`ext_dedup_incremental_near_oracle`); the exact verify stage
+    guarantees precision and recall vs the exhaustive cross-split pair set
+    is asserted in tests.
     """
     import os
 
