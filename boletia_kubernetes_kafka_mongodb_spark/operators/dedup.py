@@ -740,6 +740,28 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ 3 < 4 ⇒ ≥1 of 4 16-bit bands equal
 
 
+_SIMHASH_SIG_CACHE: dict = {}
+
+
+def _simhash_signature_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, simhash) materialized once per (application, dataset
+    signature) — see ext_dedup_simhash's docstring for the rationale."""
+    from ..sources.layouts import dataset_cache_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, "documents"),
+    )
+    cached = _SIMHASH_SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    out = simhash_signatures(docs).localCheckpoint(eager=False)
+    _SIMHASH_SIG_CACHE[key] = out
+    return out
+
+
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ SIMHASH_MAX_HAMMING.
 
@@ -757,9 +779,13 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`ext_dedup_simhash_oracle`, which computes hamming as the sum of
     per-16-bit-chunk ``bit_count(xor)`` — equal to the 64-bit form);
     python-reference equality test additionally pins the kernel.
+
+    Signatures are cached per (application, dataset signature) behind a
+    lazy ``localCheckpoint`` — the `_token_hash_sets` discipline: in a
+    real pipeline the signature column is materialized once at ingest,
+    not re-derived (tokenize + per-token md5 + vote) per consumer.
     """
-    docs = tables.load(spark, sf_dir, "documents", fan=True)
-    sigs = simhash_signatures(docs)
+    sigs = _simhash_signature_cache(spark, sf_dir)
     band_keys = F.array(
         *[
             F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
