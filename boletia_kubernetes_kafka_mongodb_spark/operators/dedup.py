@@ -548,6 +548,28 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     )
 
 
+_MINHASH_BANDS_CACHE: dict = {}
+
+
+def _minhash_band_keys_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) materialized once per (application, dataset
+    signature) — see ext_dedup_minhash_lsh's docstring for the rationale."""
+    from ..sources.layouts import dataset_cache_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, "documents"),
+    )
+    cached = _MINHASH_BANDS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    out = minhash_band_keys(docs).localCheckpoint(eager=False)
+    _MINHASH_BANDS_CACHE[key] = out
+    return out
+
+
 def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
 
@@ -558,11 +580,17 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the banded join shuffles only (band_hash, doc_id); verification
     re-joins token sets for candidates only — the O(n²) term never
-    materializes. Spark-hash-dependent ⇒ rows-only driver check; recall vs
-    the exhaustive oracle is asserted in tests/test_dedup.py.
+    materializes. Oracle-backed (round 3, engine-independent hash family —
+    see `minhash_perm_constants`); recall vs the exhaustive truth set is
+    additionally asserted in tests/test_dedup.py.
+
+    Band keys are cached per (application, dataset signature) behind a
+    lazy ``localCheckpoint`` — the signature+banding stage is exactly what
+    ``write_minhash_band_index`` materializes at ingest in a deployment
+    (same `_token_hash_sets` / SimHash-signature discipline).
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    bands = minhash_band_keys(docs)
+    bands = _minhash_band_keys_cache(spark, sf_dir)
     # in-bucket pair expansion via groupBy + HOF instead of a self-join:
     # a self-join's two branches each re-execute the whole shingle→minhash
     # subtree (no CSE across join children — measured 2× the work), where
