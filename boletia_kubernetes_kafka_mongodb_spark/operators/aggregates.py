@@ -743,7 +743,12 @@ def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame and broadcast back. lift = N·c_ab/(c_a·c_b), pmi = ln(lift).
     """
     ev = tables.load(spark, sf_dir, "events", fan=True)
-    baskets = ev.select("user_id", "event_type").distinct()
+    # materialize ONCE: four consumers (supports, n_users, both self-join
+    # branches) would each re-run the scan+distinct — no CSE across join
+    # children (the BM25/bigram/bloom lesson)
+    baskets = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )
     supports = baskets.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("support")
     )
