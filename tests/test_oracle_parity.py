@@ -22,6 +22,28 @@ def test_queries_and_oracles_align():
     assert set(o).issubset(set(q))
 
 
+def test_driver_record_window_rule():
+    """The external driver records only the FIRST 50 queries() entries per
+    round. Standing rule (round-2 verdict #2): every id past position 50
+    must already have a CORRECTNESS row from a previous round — new or
+    changed ids MUST be placed inside the window, bumping an
+    already-recorded id out. This test makes the rule unbreakable."""
+    import glob
+    import json
+
+    recorded: set = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        recorded |= set(json.load(open(path)))
+    if not recorded:
+        return  # round 1: no prior artifacts to check against
+    tail = list(entrymod.queries())[50:]
+    missing = [q for q in tail if q not in recorded]
+    assert not missing, (
+        f"ids beyond the driver's 50-row record window with NO prior "
+        f"CORRECTNESS row: {missing} — move them into the first 50"
+    )
+
+
 @pytest.mark.parametrize("qid", QIDS)
 def test_driver_canonicalizable_schema(spark, qid):
     """The driver's pandas canonicalization sorts result cells; array/map
