@@ -514,3 +514,46 @@ def test_entity_resolution_randomized_vs_exhaustive(spark, monkeypatch):
             assert (r.email_a, r.email_b) not in got, "pair emitted twice"
             got[(r.email_a, r.email_b)] = (r.distance, r.n_reservas_merged)
         assert got == want
+
+
+def test_md5_hash_helpers_match_python_and_duckdb(spark, duck):
+    """The round-3 engine-independent hash helpers must agree byte-for-byte
+    across Spark, python (hashlib), and DuckDB on adversarial tokens —
+    unicode, digits, long strings, sign-bit-setting hashes."""
+    import hashlib
+
+    tokens = [
+        "a", "z9", "hello", "0", "x" * 300, "ñandú", "日本語", "mixed123case",
+        "ffffffff", "éclair",
+    ]
+    df = spark.createDataFrame([(t,) for t in tokens], "t string")
+    got64 = {
+        r.t: r.h
+        for r in df.select("t", dedup.md5_hash64(F.col("t")).alias("h")).collect()
+    }
+    got31 = {
+        r.t: r.h
+        for r in df.select("t", dedup.shingle_hash31(F.col("t")).alias("h")).collect()
+    }
+    for t in tokens:
+        d = hashlib.md5(t.encode()).hexdigest()
+        hi, lo = int(d[:8], 16), int(d[8:16], 16)
+        want64 = (hi << 32) | lo
+        if want64 >= 1 << 63:
+            want64 -= 1 << 64
+        assert got64[t] == want64, ("md5_hash64", t)
+        assert got31[t] == hi & 0x7FFFFFFF, ("shingle_hash31", t)
+        # DuckDB twin expressions (the exact forms the oracles embed)
+        (d64,) = duck.execute(
+            "SELECT (CASE WHEN CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT) >= 2147483648 "
+            "THEN CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT) - 4294967296 "
+            "ELSE CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT) END) * 4294967296 "
+            "+ CAST(concat('0x', substr(md5(?), 9, 8)) AS BIGINT)",
+            [t, t, t, t],
+        ).fetchone()
+        assert d64 == want64, ("duckdb md5 64", t)
+        (d31,) = duck.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT) & 2147483647",
+            [t],
+        ).fetchone()
+        assert d31 == hi & 0x7FFFFFFF, ("duckdb md5 31", t)
