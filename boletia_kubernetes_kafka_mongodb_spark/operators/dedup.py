@@ -554,20 +554,17 @@ _MINHASH_BANDS_CACHE: dict = {}
 def _minhash_band_keys_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, bucket) materialized once per (application, dataset
     signature) — see ext_dedup_minhash_lsh's docstring for the rationale."""
-    from ..sources.layouts import dataset_cache_key
+    from ..sources.layouts import dataset_cache_get
 
-    key = (
-        spark.sparkContext.applicationId,
+    return dataset_cache_get(
+        _MINHASH_BANDS_CACHE,
+        spark,
         sf_dir,
-        dataset_cache_key(sf_dir, "documents"),
+        "documents",
+        lambda: minhash_band_keys(
+            tables.load(spark, sf_dir, "documents", fan=True)
+        ).localCheckpoint(eager=False),
     )
-    cached = _MINHASH_BANDS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    docs = tables.load(spark, sf_dir, "documents", fan=True)
-    out = minhash_band_keys(docs).localCheckpoint(eager=False)
-    _MINHASH_BANDS_CACHE[key] = out
-    return out
 
 
 def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,20 +771,17 @@ _SIMHASH_SIG_CACHE: dict = {}
 def _simhash_signature_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, simhash) materialized once per (application, dataset
     signature) — see ext_dedup_simhash's docstring for the rationale."""
-    from ..sources.layouts import dataset_cache_key
+    from ..sources.layouts import dataset_cache_get
 
-    key = (
-        spark.sparkContext.applicationId,
+    return dataset_cache_get(
+        _SIMHASH_SIG_CACHE,
+        spark,
         sf_dir,
-        dataset_cache_key(sf_dir, "documents"),
+        "documents",
+        lambda: simhash_signatures(
+            tables.load(spark, sf_dir, "documents", fan=True)
+        ).localCheckpoint(eager=False),
     )
-    cached = _SIMHASH_SIG_CACHE.get(key)
-    if cached is not None:
-        return cached
-    docs = tables.load(spark, sf_dir, "documents", fan=True)
-    out = simhash_signatures(docs).localCheckpoint(eager=False)
-    _SIMHASH_SIG_CACHE[key] = out
-    return out
 
 
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -509,6 +509,18 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             big = np.nonzero(lens >= 64)[0]
             if big.size:
                 L = lens[big]
+                # int64 bound on the cross-multiplied compare:
+                # T·size ≤ 64·255·(k+1)³ must stay < 2^63 ⇒ k ≤ ~8·10⁴
+                # (payloads ≤ ~5 MB). Fail LOUDLY past it — numpy would
+                # wrap silently and flip hash bits (the EWMA guard
+                # discipline); the at-scale fix is downsampling the payload
+                # before hashing, which real decoders do anyway.
+                if int(L.max()) // 64 > 80_000:
+                    raise ValueError(
+                        "ext_multimodal_phash: payload over ~5 MB exceeds the "
+                        "int64-exact threshold bound — downsample the decoded "
+                        "bytes before hashing"
+                    )
                 k, m = L // 64, L % 64
                 sizes = k[:, None] + (np.arange(64)[None, :] < m[:, None])
                 flat = sizes.ravel()

@@ -66,22 +66,16 @@ def query_vector(spark: SparkSession, sf_dir: str):
     dataset doesn't."""
     import numpy as np
 
-    from ..sources.layouts import dataset_cache_key
+    from ..sources.layouts import dataset_cache_get
 
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        dataset_cache_key(sf_dir, "embeddings"),
-    )
-    q = _QUERY_VEC_CACHE.get(key)
-    if q is None:
+    def _fetch():
         emb = tables.load(spark, sf_dir, "embeddings")
-        q = np.asarray(
+        return np.asarray(
             emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0],
             dtype=np.float64,
         )
-        _QUERY_VEC_CACHE[key] = q
-    return q
+
+    return dataset_cache_get(_QUERY_VEC_CACHE, spark, sf_dir, "embeddings", _fetch)
 
 
 def ext_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,10 +233,35 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layouts.ann_lsh_topk_over_layout(spark, sf_dir, path)
 
 
+def _sql_rerank_topk(cand_cte: str) -> str:
+    """Shared oracle tail for the three ANN probes: exact rounded-cosine
+    re-rank of ``cand_cte`` (a CTE with a ``vec_id`` column) against the
+    query vector, row_number tie-broken on vec_id — ONE definition so a
+    tie-break or rounding-grain change cannot drift between oracles."""
+    return f"""scored AS (
+            SELECT e.vec_id, e.label,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings e
+            JOIN {cand_cte} ON {cand_cte}.vec_id = e.vec_id
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        )
+        SELECT rank, vec_id, label, cosine FROM (
+            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, *
+            FROM scored
+        ) WHERE rank <= {TOPK}"""
+
+
 def ext_ann_lsh_topk_oracle() -> str:
     """DuckDB re-derivation of the full SRP pipeline: md5-parity hyperplane
     weights -> per-band sign codes -> candidates sharing >=1 band with the
-    query -> exact rounded-cosine re-rank (same tie-breaks)."""
+    query -> exact rounded-cosine re-rank (same tie-breaks).
+
+    BAKES dim = 64 (DuckDB's generate_series cannot take a subquery bound);
+    the Spark side derives dim from data, so a re-dimensioned fixture would
+    silently desynchronize — tests/test_similarity.py pins dim == 64 at
+    every SF to make that loud."""
     p, b, topk, qid, dim = LSH_PLANES, LSH_BANDS_ANN, TOPK, QUERY_VEC_ID, 64
     return f"""
         WITH planes AS (
@@ -267,19 +286,7 @@ def ext_ann_lsh_topk_oracle() -> str:
             FROM codes c JOIN qcodes q ON c.band = q.band AND c.code = q.code
             WHERE c.vec_id != {qid}
         ),
-        scored AS (
-            SELECT e.vec_id, e.label,
-                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
-                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
-            FROM embeddings e
-            JOIN cand ON cand.vec_id = e.vec_id
-            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
-        )
-        SELECT rank, vec_id, label, cosine FROM (
-            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, *
-            FROM scored
-        ) WHERE rank <= {topk}
+        {_sql_rerank_topk("cand")}
     """
 
 
@@ -431,19 +438,7 @@ def ext_ann_ivf_topk_oracle() -> str:
             SELECT a.vec_id FROM assign a JOIN qprobe USING (cid)
             WHERE a.vec_id != {qid}
         ),
-        scored AS (
-            SELECT e.vec_id, e.label,
-                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
-                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
-            FROM embeddings e
-            JOIN cand ON cand.vec_id = e.vec_id
-            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
-        )
-        SELECT rank, vec_id, label, cosine FROM (
-            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, *
-            FROM scored
-        ) WHERE rank <= {topk}
+        {_sql_rerank_topk("cand")}
     """
 
 
@@ -729,7 +724,17 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     served by every query."""
     import numpy as np
 
-    key = ("pq", spark.sparkContext.applicationId, sf_dir)
+    from ..sources.layouts import dataset_cache_key
+
+    # content signature in the key (review fix: this site had been missed
+    # when the other model caches gained it) — a regenerated embeddings
+    # fixture must not serve stale codebooks while the oracle retrains
+    key = (
+        "pq",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, "embeddings"),
+    )
     cached = _KMEANS_FIT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -869,6 +874,8 @@ def ext_ann_pq_topk_oracle() -> str:
     row per subspace, 6dp-rounded distances and means) -> corpus encode
     (rounded argmin) -> ADC scores (rounded before ranking) -> exact
     re-rank of the shortlist."""
+    # sub = 8 BAKED (dim 64 / PQ_M 8) — same fixture-dim contract as the
+    # SRP oracle, pinned by tests/test_similarity.py
     m_, ks, iters, sub, train, rerank, topk, qid = (
         PQ_M, PQ_KS, PQ_ITERS, 8, PQ_TRAIN, PQ_RERANK, TOPK, QUERY_VEC_ID
     )
@@ -959,25 +966,12 @@ def ext_ann_pq_topk_oracle() -> str:
             GROUP BY cd.vec_id
         ),
         shortlist AS (
-            SELECT c.vec_id, c.label, c.embedding
-            FROM (
+            SELECT vec_id FROM (
                 SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rk
                 FROM adc
-            ) s JOIN corpus c USING (vec_id)
-            WHERE s.rk <= {rerank}
+            ) WHERE rk <= {rerank}
         ),
-        scored AS (
-            SELECT e.vec_id, e.label,
-                   ROUND(list_dot_product(e.embedding::DOUBLE[], q2.embedding::DOUBLE[])
-                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                            * sqrt(list_dot_product(q2.embedding::DOUBLE[], q2.embedding::DOUBLE[]))), 6) AS cosine
-            FROM shortlist e
-            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q2
-        )
-        SELECT rank, vec_id, label, cosine FROM (
-            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, *
-            FROM scored
-        ) WHERE rank <= {topk}
+        {_sql_rerank_topk("shortlist")}
     """
 
 
@@ -1348,8 +1342,18 @@ def ext_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     x = F.transform("embedding", lambda v: v.cast("double"))
-    cent = emb.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), x.alias("cvec")
+    # IDENTICAL derivation to _kmeans_fit's init (review fix): the K lowest
+    # NON-NULL vec_ids with cluster = rank-1 — `vec_id < K` would silently
+    # diverge from the fit on non-contiguous ids or null embeddings
+    wc = Window.orderBy("vec_id")
+    cent = (
+        emb.where(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            (F.row_number().over(wc) - 1).cast("int").alias("cluster"),
+            x.alias("cvec"),
+        )
     )
     pts = emb.select("vec_id", x.alias("x"))
     sqd = F.round(
@@ -1378,8 +1382,10 @@ def ext_kmeans_assign_counts_oracle() -> str:
     k = KMEANS_K
     return f"""
         WITH cent AS (
-            SELECT CAST(vec_id AS INTEGER) AS cluster, embedding::DOUBLE[] AS cvec
-            FROM embeddings WHERE vec_id < {k}
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                   embedding::DOUBLE[] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {k})
         ), d AS (
             SELECT e.vec_id, c.cluster,
                    ROUND(list_reduce(

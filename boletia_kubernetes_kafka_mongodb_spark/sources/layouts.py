@@ -48,12 +48,18 @@ def dataset_cache_key(sf_dir: str, table: str) -> str:
         st = os.stat(path)
         # os.stat succeeds on directory datasets too, but a directory's
         # size/mtime don't reflect file rewrites inside it — hash the
-        # per-file (name, mtime, size) listing instead
+        # RECURSIVE per-file (relpath, mtime, size) listing (review fix:
+        # a top-level-only scandir missed rewrites inside Hive-partition
+        # subdirectories entirely)
         if os.path.isdir(path):
             parts = sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in os.scandir(path)
-                if e.is_file()
+                (
+                    os.path.relpath(os.path.join(root, f), path),
+                    os.stat(os.path.join(root, f)).st_mtime_ns,
+                    os.stat(os.path.join(root, f)).st_size,
+                )
+                for root, _dirs, files in os.walk(path)
+                for f in files
             )
             sig = f"{path}:{parts}"
         else:
@@ -63,6 +69,23 @@ def dataset_cache_key(sf_dir: str, table: str) -> str:
         # path-only key (the staleness class this function exists to stop)
         raise FileNotFoundError(f"dataset not found for cache key: {path}")
     return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
+def dataset_cache_get(cache: dict, spark, sf_dir: str, table: str, build):
+    """Shared get-or-compute for per-dataset session caches: key =
+    (applicationId, sf_dir, content signature of ``table``). One helper so
+    no cache site can forget the content-signature component (the round-3
+    review found exactly that omission in the PQ codebook cache)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_cache_key(sf_dir, table),
+    )
+    val = cache.get(key)
+    if val is None:
+        val = build()
+        cache[key] = val
+    return val
 
 
 _IVF_QUANTIZER_CACHE: dict = {}
@@ -281,7 +304,13 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    key = dataset_cache_key(sf_dir, "lineitem")
+    # BOTH source tables in the signature (review fix): eventos_keyed
+    # derives from part, reservas_keyed from lineitem — regenerating either
+    # must produce fresh buckets
+    key = (
+        dataset_cache_key(sf_dir, "part")[:6]
+        + dataset_cache_key(sf_dir, "lineitem")[:6]
+    )
     db = f"boletia_bucketed_{key}"
     if not spark.catalog.databaseExists(db) or not spark.catalog.tableExists(
         f"{db}.eventos_keyed"

@@ -160,47 +160,61 @@ def admission_oracle_sql() -> str:
     ).replace("WITH ", "WITH RECURSIVE ", 1)
 
 
-def fold_with_state(key, pdf_iter, state):
-    """The applyInPandasWithState fold — MODULE-LEVEL so the hypothesis
-    replay-boundary property test drives the exact production closure (a
-    private copy inside the operator would let the two drift). Must stay
-    self-contained (stdlib+pandas): workers don't share the driver's
-    sys.path."""
-    import pandas as pd
+def _make_fold_with_state():
+    """Factory whose product is the applyInPandasWithState fold.
 
-    rows = [pdf for pdf in pdf_iter]
-    pdf = pd.concat(rows).sort_values("seq") if rows else None
-    if pdf is None or pdf.empty:
-        return
-    if state.exists:
-        (available,) = state.get
-    else:
-        available = int(pdf["capacidad"].iloc[0])
-    admitted, after = [], []
-    for op, qty in zip(pdf["op"], pdf["cantidad"]):
-        qty = int(qty)
-        if op == "reserve":
-            ok = available >= qty
-            if ok:
-                available -= qty
+    The factory indirection is LOAD-BEARING: a plain module-level function
+    cloudpickles BY REFERENCE (module + qualname), which would require
+    executor workers to import this package — exactly the failure class
+    the SRP-layout UDF hit when the driver runs outside the repo. A
+    function whose __qualname__ contains ``<locals>`` fails cloudpickle's
+    by-reference lookup and is serialized BY VALUE, keeping the fold
+    self-contained (stdlib+pandas only) on the wire while still giving the
+    property tests the exact production object via the module attribute
+    below."""
+
+    def fold_with_state(key, pdf_iter, state):
+        import pandas as pd
+
+        rows = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(rows).sort_values("seq") if rows else None
+        if pdf is None or pdf.empty:
+            return
+        if state.exists:
+            (available,) = state.get
         else:
-            ok = True
-            available += qty
-        admitted.append(ok)
-        after.append(available)
-    state.update((available,))
-    yield pd.DataFrame(
-        {
-            "evento": pdf["evento"],
-            "seq": pdf["seq"],
-            "_id": pdf["_id"],
-            "email": pdf["email"],
-            "op": pdf["op"],
-            "cantidad": pdf["cantidad"],
-            "admitted": admitted,
-            "disponible_despues": after,
-        }
-    )
+            available = int(pdf["capacidad"].iloc[0])
+        admitted, after = [], []
+        for op, qty in zip(pdf["op"], pdf["cantidad"]):
+            qty = int(qty)
+            if op == "reserve":
+                ok = available >= qty
+                if ok:
+                    available -= qty
+            else:
+                ok = True
+                available += qty
+            admitted.append(ok)
+            after.append(available)
+        state.update((available,))
+        yield pd.DataFrame(
+            {
+                "evento": pdf["evento"],
+                "seq": pdf["seq"],
+                "_id": pdf["_id"],
+                "email": pdf["email"],
+                "op": pdf["op"],
+                "cantidad": pdf["cantidad"],
+                "admitted": admitted,
+                "disponible_despues": after,
+            }
+        )
+
+    return fold_with_state
+
+
+# the production fold object — ``<locals>`` qualname ⇒ cloudpickled by value
+fold_with_state = _make_fold_with_state()
 
 
 def admission_ledger_stream(requests: DataFrame) -> DataFrame:

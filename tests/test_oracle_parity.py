@@ -48,8 +48,10 @@ def test_driver_record_window_rule():
 def test_driver_canonicalizable_schema(spark, qid):
     """The driver's pandas canonicalization sorts result cells; array/map
     cells crash it (round-2 red row `ext_text_winnowing`). Gate: every
-    oracle-backed driver query emits scalar columns only. Schema-only —
-    builds the plan, never executes it."""
+    oracle-backed driver query emits scalar columns only. Checks schema
+    only — no collect — though BUILDING a few queries does run real work
+    (ensure-layout writes, model fits) that later tests reuse via the
+    session caches."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     if entrymod.oracle_sql().get(qid) is None:

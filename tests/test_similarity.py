@@ -178,3 +178,27 @@ def test_semdedup_matches_python_reference(spark):
         assert assign[r.vec_id] == r.cluster
         if r.vec_id == first_per_cluster[r.cluster]:
             assert r.keep and r.max_sim_kept is None
+
+
+def test_embedding_dim_contract_for_baked_oracles(spark):
+    """The SRP and PQ oracles BAKE dim = 64 (DuckDB's generate_series
+    cannot take a subquery bound) while the Spark paths derive dim from
+    data. This pins the fixture contract at every SF so a re-dimensioned
+    fixture fails HERE with a pointer, not as an inscrutable driver
+    hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        dims = (
+            tables.load(spark, sf, "embeddings")
+            .where(F.col("embedding").isNotNull())
+            .select(F.size("embedding").alias("d"))
+            .distinct()
+            .collect()
+        )
+        assert [r.d for r in dims] == [64], (
+            f"{sf}: embedding dim changed — update ext_ann_lsh_topk_oracle "
+            f"and ext_ann_pq_topk_oracle's baked dimensions"
+        )
