@@ -262,7 +262,7 @@ def ext_ann_lsh_topk_oracle() -> str:
     the Spark side derives dim from data, so a re-dimensioned fixture would
     silently desynchronize — tests/test_similarity.py pins dim == 64 at
     every SF to make that loud."""
-    p, b, topk, qid, dim = LSH_PLANES, LSH_BANDS_ANN, TOPK, QUERY_VEC_ID, 64
+    p, b, qid, dim = LSH_PLANES, LSH_BANDS_ANN, QUERY_VEC_ID, 64
     return f"""
         WITH planes AS (
             SELECT j, list(CASE WHEN CAST(concat('0x', substr(md5(j || ':' || d), 1, 2)) AS INTEGER) % 2 = 0
@@ -407,7 +407,7 @@ def ext_ann_ivf_topk_oracle() -> str:
     (vec_id < IVF_NLIST), cosine assignment with 6dp rounding before the
     argmax (identical to the layout quantizer), probe the query's
     IVF_NPROBE nearest lists, exact rounded-cosine re-rank."""
-    nl, npb, topk, qid = IVF_NLIST, IVF_NPROBE, TOPK, QUERY_VEC_ID
+    nl, npb, qid = IVF_NLIST, IVF_NPROBE, QUERY_VEC_ID
     cos = """ROUND(list_dot_product(e.embedding::DOUBLE[], c.cvec)
                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"""
@@ -724,20 +724,20 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     served by every query."""
     import numpy as np
 
-    from ..sources.layouts import dataset_cache_key
+    from ..sources.layouts import dataset_cache_get
 
-    # content signature in the key (review fix: this site had been missed
-    # when the other model caches gained it) — a regenerated embeddings
-    # fixture must not serve stale codebooks while the oracle retrains
-    key = (
-        "pq",
-        spark.sparkContext.applicationId,
+    return dataset_cache_get(
+        _KMEANS_FIT_CACHE,
+        spark,
         sf_dir,
-        dataset_cache_key(sf_dir, "embeddings"),
+        "embeddings",
+        lambda: _pq_codebooks_build(spark, sf_dir),
+        tag="pq",
     )
-    cached = _KMEANS_FIT_CACHE.get(key)
-    if cached is not None:
-        return cached
+
+
+def _pq_codebooks_build(spark: SparkSession, sf_dir: str):
+    import numpy as np
 
     emb = tables.load(spark, sf_dir, "embeddings")
     hash_key = F.conv(
@@ -772,7 +772,6 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
                 if len(members):
                     C[k] = np.round(members.mean(axis=0), 6)
         books[m] = C
-    _KMEANS_FIT_CACHE[key] = books
     return books
 
 
@@ -876,8 +875,8 @@ def ext_ann_pq_topk_oracle() -> str:
     re-rank of the shortlist."""
     # sub = 8 BAKED (dim 64 / PQ_M 8) — same fixture-dim contract as the
     # SRP oracle, pinned by tests/test_similarity.py
-    m_, ks, iters, sub, train, rerank, topk, qid = (
-        PQ_M, PQ_KS, PQ_ITERS, 8, PQ_TRAIN, PQ_RERANK, TOPK, QUERY_VEC_ID
+    m_, ks, iters, sub, train, rerank, qid = (
+        PQ_M, PQ_KS, PQ_ITERS, 8, PQ_TRAIN, PQ_RERANK, QUERY_VEC_ID
     )
     dist = ("ROUND(list_reduce(list_transform(list_zip(xm, book_in[k]), "
             "p -> (p[1]-p[2])*(p[1]-p[2])), (acc,v) -> acc+v), 6)")
@@ -1102,19 +1101,19 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     would measure training three times and serving once. First call pays
     the full fit.
     """
-    from ..sources.layouts import dataset_cache_key
+    from ..sources.layouts import dataset_cache_get
 
-    # content signature in the key: a fixture REGENERATED at the same path
-    # within one session must not serve the stale model (same staleness
-    # contract as the on-disk layout artifacts)
-    key = (
-        spark.sparkContext.applicationId,
+    return dataset_cache_get(
+        _KMEANS_FIT_CACHE,
+        spark,
         sf_dir,
-        dataset_cache_key(sf_dir, "embeddings"),
+        "embeddings",
+        lambda: _kmeans_fit_build(spark, sf_dir),
+        tag="fit",
     )
-    cached = _KMEANS_FIT_CACHE.get(key)
-    if cached is not None:
-        return cached
+
+
+def _kmeans_fit_build(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     # no fan_out: a 5000-row × 64-dim frame fans into 64 micro Arrow
@@ -1156,7 +1155,6 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
         # centroid means rounded to 6dp: the per-iteration state the oracle
         # reproduces exactly (summation-order drift « the rounding grain)
         C[nonzero] = np.round(sums[nonzero] / counts[nonzero, None], 6)
-    _KMEANS_FIT_CACHE[key] = (base, C)
     return base, C
 
 
@@ -1338,8 +1336,6 @@ def ext_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance map, one per-vec window, one K-group count — no corpus
     shuffle beyond the final K-row aggregate.
     """
-    from pyspark.sql import Window
-
     emb = tables.load(spark, sf_dir, "embeddings")
     x = F.transform("embedding", lambda v: v.cast("double"))
     # IDENTICAL derivation to _kmeans_fit's init (review fix): the K lowest
@@ -1355,7 +1351,10 @@ def ext_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.alias("cvec"),
         )
     )
-    pts = emb.select("vec_id", x.alias("x"))
+    # same isNotNull filter as the fit's base frame: a null embedding has
+    # NULL distance to every centroid and would otherwise land on cluster 0
+    # by tie-break luck on both engines
+    pts = emb.where(F.col("embedding").isNotNull()).select("vec_id", x.alias("x"))
     sqd = F.round(
         F.aggregate(
             F.zip_with("x", "cvec", lambda a, c: (a - c) * (a - c)),
@@ -1396,6 +1395,7 @@ def ext_kmeans_assign_counts_oracle() -> str:
                        (acc, v) -> acc + v
                    ), 6) AS sqdist
             FROM embeddings e CROSS JOIN cent c
+            WHERE e.embedding IS NOT NULL
         ), r AS (
             SELECT vec_id, cluster,
                    row_number() OVER (PARTITION BY vec_id

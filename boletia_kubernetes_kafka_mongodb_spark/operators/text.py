@@ -1185,16 +1185,18 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> list:
     the merge table is the trained tokenizer — `ext_tokenizer_apply` SERVES
     it, and a deployment trains once; the content signature keeps a
     same-path regenerated fixture from serving stale merges."""
-    from ..sources.layouts import dataset_cache_key
+    from ..sources.layouts import dataset_cache_get
 
-    key = (
-        spark.sparkContext.applicationId,
+    return dataset_cache_get(
+        _BPE_LEARN_CACHE,
+        spark,
         sf_dir,
-        dataset_cache_key(sf_dir, "documents"),
+        "documents",
+        lambda: _bpe_learn_build(spark, sf_dir),
     )
-    cached = _BPE_LEARN_CACHE.get(key)
-    if cached is not None:
-        return cached
+
+
+def _bpe_learn_build(spark: SparkSession, sf_dir: str) -> list:
     words = (
         tables.load(spark, sf_dir, "documents", fan=True)
         .select(F.explode(tokens_col("text")).alias("w"))
@@ -1233,7 +1235,6 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> list:
         words = words.select(
             _bpe_merge()("syms", F.lit([r["a"], r["b"]])).alias("syms"), "freq"
         ).localCheckpoint(eager=False)
-    _BPE_LEARN_CACHE[key] = merges
     return merges
 
 

@@ -52,12 +52,17 @@ def dataset_cache_key(sf_dir: str, table: str) -> str:
         # a top-level-only scandir missed rewrites inside Hive-partition
         # subdirectories entirely)
         if os.path.isdir(path):
-            parts = sorted(
-                (
+
+            def _entry(root, f):
+                st1 = os.stat(os.path.join(root, f))
+                return (
                     os.path.relpath(os.path.join(root, f), path),
-                    os.stat(os.path.join(root, f)).st_mtime_ns,
-                    os.stat(os.path.join(root, f)).st_size,
+                    st1.st_mtime_ns,
+                    st1.st_size,
                 )
+
+            parts = sorted(
+                _entry(root, f)
                 for root, _dirs, files in os.walk(path)
                 for f in files
             )
@@ -71,12 +76,14 @@ def dataset_cache_key(sf_dir: str, table: str) -> str:
     return hashlib.md5(sig.encode()).hexdigest()[:12]
 
 
-def dataset_cache_get(cache: dict, spark, sf_dir: str, table: str, build):
+def dataset_cache_get(cache: dict, spark, sf_dir: str, table: str, build, tag: str = ""):
     """Shared get-or-compute for per-dataset session caches: key =
-    (applicationId, sf_dir, content signature of ``table``). One helper so
-    no cache site can forget the content-signature component (the round-3
-    review found exactly that omission in the PQ codebook cache)."""
+    (tag, applicationId, sf_dir, content signature of ``table``). One
+    helper so no cache site can forget the content-signature component
+    (the round-3 review found exactly that omission in the PQ codebook
+    cache); ``tag`` discriminates multiple models sharing one dict."""
     key = (
+        tag,
         spark.sparkContext.applicationId,
         sf_dir,
         dataset_cache_key(sf_dir, table),
@@ -104,14 +111,19 @@ def ivf_assignment_udf(spark: SparkSession, sf_dir: str):
 
     from ..operators.similarity import IVF_NLIST
 
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        dataset_cache_key(sf_dir, "embeddings"),
+    def _build():
+        return _build_ivf_quantizer(spark, sf_dir)
+
+    return dataset_cache_get(
+        _IVF_QUANTIZER_CACHE, spark, sf_dir, "embeddings", _build
     )
-    cached = _IVF_QUANTIZER_CACHE.get(key)
-    if cached is not None:
-        return cached
+
+
+def _build_ivf_quantizer(spark: SparkSession, sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import IVF_NLIST
 
     emb = tables.load(spark, sf_dir, "embeddings")
     cent = sorted(
@@ -135,7 +147,6 @@ def ivf_assignment_udf(spark: SparkSession, sf_dir: str):
         # cent_id on ties, matching row_number(sim DESC, cid ASC)
         return pd.Series(np.argmax(np.round(sims, 6), axis=1).astype("int64"))
 
-    _IVF_QUANTIZER_CACHE[key] = (assign, C, c_norm)
     return assign, C, c_norm
 
 
@@ -312,9 +323,11 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
         + dataset_cache_key(sf_dir, "lineitem")[:6]
     )
     db = f"boletia_bucketed_{key}"
-    if not spark.catalog.databaseExists(db) or not spark.catalog.tableExists(
-        f"{db}.eventos_keyed"
-    ):
+    if (
+        not spark.catalog.databaseExists(db)
+        or not spark.catalog.tableExists(f"{db}.eventos_keyed")
+        or not spark.catalog.tableExists(f"{db}.reservas_keyed")
+    ):  # BOTH tables: a crash between the two writes must trigger rebuild
         import shutil
 
         location = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")

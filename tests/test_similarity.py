@@ -189,8 +189,9 @@ def test_embedding_dim_contract_for_baked_oracles(spark):
     from pyspark.sql import functions as F
 
     from boletia_kubernetes_kafka_mongodb_spark import tables
+    from tests.conftest import SF_CORRECT
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (SF_SMOKE, SF_CORRECT, "/root/testdata/sf0.1"):
         dims = (
             tables.load(spark, sf, "embeddings")
             .where(F.col("embedding").isNotNull())
