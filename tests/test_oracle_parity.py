@@ -31,8 +31,11 @@ def test_driver_record_window_rule():
     import glob
     import json
 
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
     recorded: set = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for path in glob.glob(str(repo_root / "CORRECTNESS_r*.json")):
         recorded |= set(json.load(open(path)))
     if not recorded:
         return  # round 1: no prior artifacts to check against
