@@ -929,11 +929,12 @@ def agg_cube_source_lang_oracle() -> str:
 
 EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
 # (1−α)^−t overflows double (→ inf, and 0·inf = NaN) near t ≈ 2000 at
-# α=0.3; cap well below with plenty of margin ((0.7)^−600 ≈ 1e93) so a
-# years-long series FAILS LOUDLY instead of silently emitting NaN — the
-# at-scale fix is restarting the scaled prefix sum every EWMA_MAX_T days
-# with a carried seed (one extra window pass per chunk boundary)
-EWMA_MAX_T = 600
+# α=0.3; the scaled prefix sum therefore RESTARTS every EWMA_CHUNK days
+# ((0.7)^−599 ≈ 1e93 — comfortably finite) and each chunk is seeded by a
+# carry from the previous chunk's scaled total. Unbounded series length at
+# bounded exponents: the chunked form computes a 2-year (or 20-year) daily
+# series that the single-window form could not.
+EWMA_CHUNK = 600
 
 
 def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,14 +943,24 @@ def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined recursively (s_t = α·x_t + (1−α)·s_{t−1}) but needs NO
     sequential fold: with day index t, s_t = α·(1−α)^t · Σ_{i≤t} x_i/(1−α)^i
     — one cumulative sum over a window ordered by day, all closed-form
-    arithmetic. The scaling stays finite for bounded windows (30 days at
-    α=0.3 → (1−α)^{−30} ≈ 4·10⁴); series longer than ``EWMA_MAX_T`` days
-    raise in-plan (guard below) rather than silently emitting NaN — the
-    at-scale continuation is a chunked prefix sum with a carried seed.
+    arithmetic. The (1−α)^{−t} scaling overflows double for long series, so
+    the prefix sum is CHUNKED: with chunk c = t // S, local index u = t % S
+    (S = ``EWMA_CHUNK``), the unnormalized numerator decomposes as
 
-    Plan: one (type, day) aggregation, then the window runs over the
-    AGGREGATED frame (types × days rows). Round to 6dp; identical formula
-    in the oracle so the cross-engine check is exact.
+        N_t = α·(1−α)^u · ( P_local(t) + (1−α)^S · LS_{c−1} )
+
+    where P_local is the within-chunk scaled prefix sum and LS_{c−1} the
+    previous chunk's scaled TOTAL (the carry). Exponents never exceed S, so
+    any series length computes. Carries deeper than one chunk contribute
+    ≤ (1−α)^{2S} · LS ≈ 1e−93 relative — vanishing under the 6dp output
+    rounding on BOTH engines, so truncating to one chunk back keeps the
+    cross-engine check exact (the oracle uses the identical truncation).
+    For t < S the expression reduces bit-for-bit to the single-window form.
+
+    Plan: one (type, day) aggregation, then three windows over the
+    AGGREGATED frame (types × days rows), all sharing the (event_type, day)
+    sort — the per-chunk prefix sum, the per-chunk total, and a
+    RANGE(-1, -1) window over chunk for the carry (no self-join).
     """
     from pyspark.sql.window import Window
 
@@ -959,44 +970,49 @@ def agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     w0 = Window.partitionBy("event_type").orderBy("day")
     t = F.row_number().over(w0) - 1
-    with_t = daily.withColumn("t", t)
+    S = EWMA_CHUNK
+    with_t = (
+        daily.withColumn("t", t)
+        .withColumn("chunk", (F.col("t") / S).cast("long"))
+        .withColumn("u", F.col("t") % S)
+    )
     decay = F.lit(1.0 - EWMA_ALPHA)
-    scaled = F.col("n") / F.pow(decay, F.col("t"))
-    # order by day (not the derived t): rows already carry the w0 sort
-    # order, so the running-sum window reuses it instead of adding a
-    # second Sort over the aggregated frame; t is row_number-1 over day,
-    # so the two orders are identical
-    w = (
-        Window.partitionBy("event_type")
+    scaled = F.col("n") / F.pow(decay, F.col("u"))
+    # within-chunk running scaled sum: order by day (not the derived t) so
+    # the window reuses the w0 sort; t is row_number-1 over day, so the
+    # orders are identical
+    w_run = (
+        Window.partitionBy("event_type", "chunk")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ewma = F.lit(EWMA_ALPHA) * F.pow(decay, F.col("t")) * F.sum(scaled).over(w)
+    # previous chunk's scaled total, via a RANGE frame over the chunk
+    # NUMBER — rows whose chunk == current chunk - 1 — which keeps the
+    # carry a window (one pass) instead of a chunk-level self-join
+    w_prev = (
+        Window.partitionBy("event_type").orderBy("chunk").rangeBetween(-1, -1)
+    )
+    p_local = F.sum(scaled).over(w_run)
+    prev_ls = F.coalesce(F.sum(scaled).over(w_prev), F.lit(0.0))
+    numer = (F.lit(EWMA_ALPHA) * F.pow(decay, F.col("u"))) * (
+        p_local + F.pow(decay, F.lit(S)) * prev_ls
+    )
     # the standard convention seeds s_0 with the first observation, which
     # the pure-sum form underweights; rescale by the partial normalizer
     # 1 - (1-α)^(t+1) (the adjust=True/debiased EWMA every stats library
-    # defaults to)
+    # defaults to). (1-α)^(t+1) only ever shrinks with t — no overflow —
+    # and is exactly 1.0-absorbed for t ≳ 110 on both engines.
     adj = F.lit(1.0) - F.pow(decay, F.col("t") + 1)
-    # loud-failure guard inside the output expression (a dropped assert
-    # column would be pruned away by the optimizer and never execute)
-    guarded = F.when(F.col("t") <= EWMA_MAX_T, F.round(ewma / adj, 6)).otherwise(
-        F.raise_error(
-            F.lit(
-                f"agg_ewma_daily: series exceeds EWMA_MAX_T={EWMA_MAX_T} days; "
-                "the (1-a)^-t scaling would overflow — chunk the prefix sum"
-            )
-        ).cast("double")
-    )
     return with_t.select(
         "event_type",
         "day",
         "n",
-        guarded.alias("ewma"),
+        F.round(numer / adj, 6).alias("ewma"),
     )
 
 
 def agg_ewma_daily_oracle() -> str:
-    a, d = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    a, d, s = EWMA_ALPHA, 1.0 - EWMA_ALPHA, EWMA_CHUNK
     return f"""
         WITH daily AS (
             SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1004,14 +1020,20 @@ def agg_ewma_daily_oracle() -> str:
             FROM events GROUP BY 1, 2
         ),
         idx AS (
-            SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
+                   (row_number() OVER (PARTITION BY event_type ORDER BY day) - 1) // {s} AS chunk,
+                   (row_number() OVER (PARTITION BY event_type ORDER BY day) - 1) % {s} AS u
             FROM daily
         )
         SELECT event_type, day, n,
-               ROUND({a} * power({d}, t)
-                     * SUM(n / power({d}, t)) OVER (
-                           PARTITION BY event_type ORDER BY t
-                           ROWS UNBOUNDED PRECEDING)
+               ROUND(({a} * power({d}, u))
+                     * (SUM(n / power({d}, u)) OVER (
+                            PARTITION BY event_type, chunk ORDER BY t
+                            ROWS UNBOUNDED PRECEDING)
+                        + power({d}, {s}) * COALESCE(SUM(n / power({d}, u)) OVER (
+                            PARTITION BY event_type ORDER BY chunk
+                            RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0))
                      / (1.0 - power({d}, t + 1)), 6) AS ewma
         FROM idx
     """

@@ -465,17 +465,43 @@ def test_ewma_matches_pandas_convention(spark):
             assert abs(r.ewma - round(w, 6)) <= 1e-6, (et, r.day)
 
 
-def test_ewma_overflow_guard_fires(spark, monkeypatch):
-    """Series longer than EWMA_MAX_T must raise in-plan (not emit NaN):
-    shrink the cap below the fixture's ~30-day window and expect the
-    raise_error branch to fire on execution."""
-    import pytest
+def test_ewma_long_series_chunked_continuation(spark, tmp_path):
+    """A 1300-day daily series — far past the old EWMA_MAX_T=600 in-plan
+    raise, and crossing TWO chunk boundaries at EWMA_CHUNK=600 — must
+    compute the correct debiased EWMA via the chunked prefix sum with a
+    carried seed (round-3 verdict #3: the single-window (1−α)^{−t} scaling
+    overflows double near t≈2000; the chunked form never exceeds exponent
+    EWMA_CHUNK). Reference: pandas ewm(adjust=True), the same convention
+    the short-series test pins."""
+    import datetime
+
+    import pandas as pd
 
     from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
 
-    monkeypatch.setattr(A, "EWMA_MAX_T", 5)
-    with pytest.raises(Exception, match="EWMA_MAX_T"):
-        A.agg_ewma_daily(spark, SF_SMOKE).collect()
+    n_days = 1300
+    assert n_days > 2 * A.EWMA_CHUNK  # exercises carry AND carry truncation
+    base = datetime.datetime(2020, 1, 1, 12, 0, 0)
+    rows = [
+        ("page_view", base + datetime.timedelta(days=d))
+        for d in range(n_days)
+        for _ in range(d % 7 + 1)  # deterministic varying daily counts
+    ]
+    sf_dir = str(tmp_path / "sf_long")
+    spark.createDataFrame(rows, "event_type string, ts timestamp").coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = sorted(A.agg_ewma_daily(spark, sf_dir).collect(), key=lambda r: r.day)
+    assert len(got) == n_days
+    want = (
+        pd.Series([d % 7 + 1 for d in range(n_days)])
+        .ewm(alpha=A.EWMA_ALPHA, adjust=True)
+        .mean()
+    )
+    for r, w in zip(got, want):
+        assert r.ewma is not None and r.ewma == r.ewma, r.day  # no NULL/NaN
+        assert abs(r.ewma - w) <= 1e-6, (r.day, r.ewma, w)
 
 
 def test_latency_bands_approx_tracks_exact(spark):
