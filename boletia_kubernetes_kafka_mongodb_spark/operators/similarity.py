@@ -758,7 +758,10 @@ def _pq_codebooks_build(spark: SparkSession, sf_dir: str):
     books = np.empty((PQ_M, PQ_KS, sub))
     for m in range(PQ_M):
         Xm = X[:, m * sub : (m + 1) * sub]
-        init_idx = np.linspace(0, len(Xm) - 1, PQ_KS).astype(int)
+        # exact integer arithmetic — linspace's float stepping can land
+        # 1 ulp below an exact integer and truncate to index-1 for some n,
+        # silently desynchronizing the oracle, which shares this closed form
+        init_idx = [((len(Xm) - 1) * k) // (PQ_KS - 1) for k in range(PQ_KS)]
         C = Xm[init_idx].copy()
         # 6dp rounding of assignment distances and centroid means per
         # iteration: the same engine-determinism contract as _kmeans_fit —
@@ -787,13 +790,29 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment, like the IVF layout); ADC scoring is NATIVE — the lookup
     tables become literal arrays and the score is a codegen'd chain of
     element_at adds; shortlist by score (single bounded window), exact
-    cosine re-rank on PQ_RERANK survivors only. Approximate ⇒ rows-only
-    driver check; recall vs brute force asserted in tests.
+    cosine re-rank on PQ_RERANK survivors only. Oracle-backed (round 3);
+    recall vs brute force asserted in tests.
     """
+    emb = tables.load(spark, sf_dir, "embeddings", fan=True)
+    cand = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "label", "embedding")
+    )
+    return _pq_adc_topk(spark, sf_dir, cand, PQ_RERANK)
+
+
+def _pq_adc_topk(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, rerank: int
+) -> DataFrame:
+    """Shared PQ serve tail (used by ``ext_ann_pq_topk`` over the full
+    corpus and ``ext_ann_ivfpq_topk`` over the IVF-probed lists): encode
+    ``cand`` (vec_id, label, embedding) with the trained codebooks, ADC-score
+    natively against the query's lookup tables, shortlist ``rerank`` rows,
+    exact rounded-cosine re-rank."""
     import numpy as np
 
     books = _pq_codebooks(spark, sf_dir)
-    emb = tables.load(spark, sf_dir, "embeddings", fan=True)
     q_vec = query_vector(spark, sf_dir)
     q_unit = q_vec / np.linalg.norm(q_vec)
     dim = len(q_vec)
@@ -821,10 +840,8 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes[:, m] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    coded = (
-        emb.where(F.col("vec_id") != QUERY_VEC_ID)
-        .where(F.col("embedding").isNotNull())
-        .select("vec_id", "label", "embedding", encode("embedding").alias("codes"))
+    coded = cand.select(
+        "vec_id", "label", "embedding", encode("embedding").alias("codes")
     )
     # native ADC: per-subspace literal lookup arrays, element_at chain
     score = None
@@ -843,7 +860,7 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.orderBy(F.col("adc").desc(), F.col("vec_id").asc())
             ),
         )
-        .where(F.col("adc_rank") <= PQ_RERANK)
+        .where(F.col("adc_rank") <= rerank)
     )
     qdf = spark.createDataFrame(
         [(q_vec.tolist(), float(np.linalg.norm(q_vec)))],
@@ -867,23 +884,23 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ext_ann_pq_topk_oracle() -> str:
-    """DuckDB re-derivation of the full PQ pipeline: hash-ordered bounded
-    sample -> per-subspace Lloyd codebooks (recursive CTE, one lockstep
-    row per subspace, 6dp-rounded distances and means) -> corpus encode
-    (rounded argmin) -> ADC scores (rounded before ranking) -> exact
-    re-rank of the shortlist."""
+def _sql_pq_chain(corpus_pred: str, rerank: int) -> str:
+    """The PQ oracle CTE chain (hash-ordered bounded sample -> per-subspace
+    Lloyd codebooks via recursive CTE -> candidate encode -> ADC scores ->
+    ``shortlist``), shared by ``ext_ann_pq_topk_oracle`` (full corpus) and
+    ``ext_ann_ivfpq_topk_oracle`` (corpus restricted to the IVF probe set
+    via ``corpus_pred``). Caller prefixes ``WITH RECURSIVE`` and appends
+    the rerank tail."""
     # sub = 8 BAKED (dim 64 / PQ_M 8) — same fixture-dim contract as the
     # SRP oracle, pinned by tests/test_similarity.py
-    m_, ks, iters, sub, train, rerank, qid = (
-        PQ_M, PQ_KS, PQ_ITERS, 8, PQ_TRAIN, PQ_RERANK, QUERY_VEC_ID
+    m_, ks, iters, sub, train, qid = (
+        PQ_M, PQ_KS, PQ_ITERS, 8, PQ_TRAIN, QUERY_VEC_ID
     )
     dist = ("ROUND(list_reduce(list_transform(list_zip(xm, book_in[k]), "
             "p -> (p[1]-p[2])*(p[1]-p[2])), (acc,v) -> acc+v), 6)")
     norm = ("GREATEST(sqrt(list_reduce(list_transform(embedding::DOUBLE[], "
             "w -> w*w), (a,b) -> a+b)), 1e-12)")
-    return f"""
-        WITH RECURSIVE sample AS (
+    return f"""sample AS (
             SELECT row_number() OVER (ORDER BY hkey, vec_id) AS rid, xn
             FROM (
                 SELECT vec_id,
@@ -904,7 +921,7 @@ def ext_ann_pq_topk_oracle() -> str:
                 SELECT ss.m, g.k, ss.xm
                 FROM generate_series(0, {ks - 1}) g(k), n_s
                 JOIN subsamp ss
-                  ON ss.rid = CAST(FLOOR((n_s.n - 1) * g.k / {ks - 1}.0) AS BIGINT) + 1
+                  ON ss.rid = ((n_s.n - 1) * g.k) // {ks - 1} + 1
             ) GROUP BY m
         ),
         train AS (
@@ -945,7 +962,7 @@ def ext_ann_pq_topk_oracle() -> str:
             SELECT vec_id, label, embedding,
                    list_transform(embedding::DOUBLE[], v -> v / {norm}) AS xn
             FROM embeddings
-            WHERE vec_id != {qid} AND embedding IS NOT NULL
+            WHERE vec_id != {qid} AND embedding IS NOT NULL {corpus_pred}
         ),
         corpus_sub AS (
             SELECT c.vec_id, b.m, c.xn[b.m * {sub} + 1 : b.m * {sub} + {sub}] AS xm,
@@ -969,7 +986,93 @@ def ext_ann_pq_topk_oracle() -> str:
                 SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rk
                 FROM adc
             ) WHERE rk <= {rerank}
+        )"""
+
+
+def ext_ann_pq_topk_oracle() -> str:
+    """DuckDB re-derivation of the full PQ pipeline: hash-ordered bounded
+    sample -> per-subspace Lloyd codebooks (recursive CTE, one lockstep
+    row per subspace, 6dp-rounded distances and means) -> corpus encode
+    (rounded argmin) -> ADC scores (rounded before ranking) -> exact
+    re-rank of the shortlist."""
+    return f"""
+        WITH RECURSIVE {_sql_pq_chain("", PQ_RERANK)},
+        {_sql_rerank_topk("shortlist")}
+    """
+
+
+IVFPQ_RERANK = 50  # ADC shortlist within the probed lists (≤ PQ_RERANK:
+                   # the coarse quantizer already pruned ~3/4 of the corpus)
+
+
+def ext_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the real 100 TB ANN serve shape (the FAISS
+    IVFPQ index, as storage + plan properties): the coarse quantizer prunes
+    the scan to the query's IVF_NPROBE list PARTITIONS (directory-level
+    pruning via the write-time layout, `sources/layouts.write_ivf_layout`),
+    PQ ADC scores only the survivors (M table lookups per vector — the
+    memory-bound fast scan), and the exact re-rank touches IVFPQ_RERANK
+    rows. Per-query cost at scale: (nprobe/nlist)·corpus code reads + a
+    constant re-rank — no full-corpus stage anywhere.
+
+    Both stages are engine-deterministic (6dp-rounded IVF assignment;
+    6dp-rounded PQ training/encode/ADC), so the full oracle is the
+    composition of the two existing CTE programs
+    (`ext_ann_ivfpq_topk_oracle`). Partition pruning plan-gated and recall
+    vs brute force asserted in tests/test_similarity.py.
+    """
+    from ..sources import layouts
+
+    path = ensure_ivf_layout(spark, sf_dir)
+    probe = layouts.ivf_probe_lists(spark, sf_dir)
+    cand = (
+        layouts.read_ivf_probe(spark, path, probe)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "label", "embedding")
+    )
+    return _pq_adc_topk(spark, sf_dir, cand, IVFPQ_RERANK)
+
+
+def ext_ann_ivfpq_topk_oracle() -> str:
+    """Composition of the IVF candidate CTEs (deterministic centroids,
+    6dp-rounded assignment, nprobe nearest lists) with the PQ chain
+    (codebooks -> encode -> ADC -> shortlist) restricted to the probed
+    lists, then the shared exact re-rank tail."""
+    nl, npb, qid = IVF_NLIST, IVF_NPROBE, QUERY_VEC_ID
+    cos = """ROUND(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"""
+    ivf_head = f"""cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {nl}
         ),
+        csims AS (
+            SELECT e.vec_id, c.cid, {cos} AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        cassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rk
+                FROM csims
+            ) WHERE rk = 1
+        ),
+        qprobe AS (
+            SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY sim DESC, cid ASC) AS rk
+                FROM csims WHERE vec_id = {qid}
+            ) WHERE rk <= {npb}
+        ),
+        ivfcand AS (
+            SELECT a.vec_id FROM cassign a JOIN qprobe USING (cid)
+            WHERE a.vec_id != {qid}
+        )"""
+    pred = "AND vec_id IN (SELECT vec_id FROM ivfcand)"
+    return f"""
+        WITH RECURSIVE {ivf_head},
+        {_sql_pq_chain(pred, IVFPQ_RERANK)},
         {_sql_rerank_topk("shortlist")}
     """
 

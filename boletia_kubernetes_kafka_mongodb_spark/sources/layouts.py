@@ -211,6 +211,23 @@ def read_ivf_probe(
     )
 
 
+def ivf_probe_lists(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The query's IVF_NPROBE nearest coarse lists — the probe set every
+    IVF-family serve (plain IVF and IVFPQ) prunes its scan to. Ties break
+    to the lowest cent_id on the 6dp-ROUNDED similarity (stable argsort of
+    the vec_id-ordered centroid matrix), matching the oracle's
+    row_number(sim DESC, cid ASC) exactly."""
+    import numpy as np
+
+    from ..operators.similarity import IVF_NPROBE, query_vector
+
+    _, C, c_norm = ivf_assignment_udf(spark, sf_dir)
+    q_vec = query_vector(spark, sf_dir)
+    q_norm = float(np.sqrt(q_vec @ q_vec))
+    c_sims = np.round((C @ q_vec) / (c_norm * q_norm), 6)
+    return sorted(np.argsort(-c_sims, kind="stable")[:IVF_NPROBE].tolist())
+
+
 def ann_topk_over_layout(
     spark: SparkSession, sf_dir: str, layout_path: str
 ) -> DataFrame:
@@ -220,21 +237,17 @@ def ann_topk_over_layout(
     import numpy as np
 
     from ..operators.similarity import (
-        IVF_NPROBE,
         QUERY_VEC_ID,
         TOPK,
         _cosine,
         _with_norm,
+        query_vector,
     )
     from pyspark.sql import Window
 
-    emb = tables.load(spark, sf_dir, "embeddings")
-    _, C, c_norm = ivf_assignment_udf(spark, sf_dir)
-    from ..operators.similarity import query_vector
+    probe = ivf_probe_lists(spark, sf_dir)
     q_vec = query_vector(spark, sf_dir)
     q_norm = float(np.sqrt(q_vec @ q_vec))
-    c_sims = np.round((C @ q_vec) / (c_norm * q_norm), 6)
-    probe = sorted(np.argsort(-c_sims, kind="stable")[:IVF_NPROBE].tolist())
 
     candidates = _with_norm(
         read_ivf_probe(spark, layout_path, probe)
@@ -317,10 +330,19 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
 
     # BOTH source tables in the signature (review fix): eventos_keyed
     # derives from part, reservas_keyed from lineitem — regenerating either
-    # must produce fresh buckets
+    # must produce fresh buckets. The application id is ALSO in the key:
+    # catalog state is session-scoped anyway (a fresh session always
+    # rewrites), and sharing a content-keyed location across sessions lets
+    # one session's pre-write rmtree delete files another session's catalog
+    # still references (flaky concurrent scans) — per-session locations
+    # make the rmtree only ever touch this session's own leftovers
+    app = "".join(
+        c for c in spark.sparkContext.applicationId if c.isalnum()
+    ).lower()[-12:]
     key = (
         dataset_cache_key(sf_dir, "part")[:6]
         + dataset_cache_key(sf_dir, "lineitem")[:6]
+        + "_" + app
     )
     db = f"boletia_bucketed_{key}"
     if (

@@ -303,3 +303,39 @@ def test_zorder_layout_selective_on_both_dimensions(spark, tmp_path):
     # the real z-order property: the WORST dimension is bounded — a linear
     # sort leaves one dimension unskippable, the curve leaves neither
     assert max(zu, zv) < max(lu, lv)
+
+
+def test_ext_ann_ivfpq_topk_pruned_plan_and_recall(spark):
+    """The composed IVFPQ serve (round-3 verdict #2): the plan must scan
+    ONLY the probed IVF partitions (directory-level pruning — no
+    full-corpus encode stage anywhere), recall vs brute force must hold,
+    and the ADC shortlist must be the IVFPQ_RERANK-bounded one."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    df = similarity.ext_ann_ivfpq_topk(spark, SF_SMOKE)
+    plan = plans.explain_str(df)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1)
+
+    got = df.collect()
+    assert len(got) == similarity.TOPK
+    truth = {
+        r.vec_id
+        for r in similarity.ext_topk_similarity(spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & {r.vec_id for r in got}) / len(truth)
+    assert recall >= 0.7, f"IVFPQ recall {recall:.2f}"
+    # every returned neighbor must come from the probed lists (the coarse
+    # quantizer's contract) — re-derive the probe set and assignments
+    probe = set(layouts.ivf_probe_lists(spark, SF_SMOKE))
+    assign_udf, _, _ = layouts.ivf_assignment_udf(spark, SF_SMOKE)
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    lists = {
+        r.vec_id: r.lst
+        for r in emb.select(
+            "vec_id", assign_udf("embedding").alias("lst")
+        ).collect()
+    }
+    for r in got:
+        assert lists[r.vec_id] in probe, (r.vec_id, lists[r.vec_id])
