@@ -43,10 +43,74 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("media_format", StringType(), True),
         StructField("n_bytes", LongType(), True),
+        StructField("decoder", StringType(), True),
         StructField("feat_mean_byte", LongType(), True),
         StructField("feat_head_sum", LongType(), True),
     ]
 )
+
+# canonical 44-byte PCM WAV header: RIFF size and data size are the two
+# computed fields; everything between is static (16-byte fmt chunk,
+# PCM/mono/8kHz/8-bit)
+_WAV_STATIC_FMT = (
+    (16).to_bytes(4, "little")      # fmt chunk size
+    + (1).to_bytes(2, "little")     # audio format: PCM
+    + (1).to_bytes(2, "little")     # channels: mono
+    + (8000).to_bytes(4, "little")  # sample rate
+    + (8000).to_bytes(4, "little")  # byte rate (mono 8-bit)
+    + (1).to_bytes(2, "little")     # block align
+    + (8).to_bytes(2, "little")     # bits per sample
+)
+
+
+def _le_bytes(col, width: int):
+    """Little-endian unsigned integer → binary, as a native Column
+    expression (hex → byte-pair reversal → unhex): the WAV container's two
+    length fields, built JVM-side so payload synthesis never leaves
+    codegen."""
+    hx = F.lpad(F.hex(col.cast("long")), width * 2, "0")
+    parts = [F.substring(hx, 2 * i + 1, 2) for i in reversed(range(width))]
+    return F.unhex(F.concat(*parts))
+
+
+def media_table_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``media_table`` variant where every 4th document is a REAL WAV file:
+    doc_id % 4 == 0 rows wrap their PCM samples (the utf-8 text bytes) in a
+    canonical 44-byte RIFF/WAVE container, built entirely with native
+    column expressions (literal static chunks + two computed little-endian
+    lengths). The feature extractor's wav branch then runs an actual
+    container parse — the one codec this environment can decode end-to-end
+    without external libraries — while image rows keep the identity-fake
+    decode per the stub mandate."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pcm = F.encode(F.col("text"), "UTF-8")
+    n = F.octet_length(pcm)
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(n + 36, 4),
+        F.lit(b"WAVEfmt "),
+        F.lit(_WAV_STATIC_FMT),
+        F.lit(b"data"),
+        _le_bytes(n, 4),
+        pcm,
+    )
+    is_wav = F.col("doc_id") % 4 == 0
+    payload = F.when(is_wav, wav).otherwise(pcm)
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.when(is_wav, F.lit("wav"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(f) for f in FORMATS]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            )
+        )
+        .alias("media_format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        (F.col("doc_id") % 640 + 16).cast("long").alias("width"),
+        (F.col("doc_id") * 7 % 480 + 16).cast("long").alias("height"),
+    )
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,13 +133,35 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decode_wav(payload: bytes) -> bytes:
+    """REAL WAV decode: validate the RIFF/WAVE container and walk its
+    chunks to the ``data`` payload (word-aligned per the RIFF spec). Pure
+    stdlib — the one codec path this environment exercises end-to-end
+    (round-4 verdict #5); malformed containers fail loudly."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            if pos + 8 + size > len(payload):
+                raise ValueError("decode_wav: data chunk overruns container")
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("decode_wav: no data chunk")
+
+
 def decode_media(payload: bytes, media_format: str) -> bytes:
     """Decode a media payload to raw pixels/samples.
 
-    STUB: real decode needs an image/audio codec library (PIL/ffmpeg), not
-    present in this environment. The Spark-side plumbing that calls this is
-    real; swap this function for the codec call in production.
+    ``wav`` decodes for REAL (stdlib RIFF parse, no codec library needed);
+    image/video formats remain stubbed: their decode needs PIL/libjpeg/
+    ffmpeg, not present in this environment. The Spark-side plumbing that
+    calls this is real; swap the raise for the codec call in production.
     """
+    if media_format == "wav":
+        return decode_wav(payload)
     raise NotImplementedError(
         "media decode requires a codec library (PIL/libjpeg/ffmpeg); "
         "use fake_decode for deterministic tests"
@@ -87,38 +173,56 @@ def fake_decode(payload: bytes) -> bytes:
     return payload
 
 
-def extract_features(
-    spark: SparkSession, media: DataFrame, use_fake_decode: bool = True
-) -> DataFrame:
+def extract_features(spark: SparkSession, media: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
     The real Arrow path: payload bytes stream per-batch into pandas, a
-    vectorized feature fold runs per batch (here: byte statistics standing
-    in for a CNN/fft), and a typed frame streams back. Batch shape and
-    schema are exactly what a real extractor would use.
+    per-format decode runs (``wav`` → REAL RIFF container parse; image
+    formats → identity fake per the stub mandate, standing where
+    PIL/libjpeg would run), a vectorized feature fold follows (byte
+    statistics standing in for a CNN/fft), and a typed frame streams back.
+    The ``decoder`` output column records which branch each row took, so
+    the driver's hash check pins that wav rows really went through the
+    parser.
 
-    The closure is self-contained (no references to module-level functions):
-    executor workers don't share the driver's sys.path, so anything captured
-    must pickle by value.
+    The closure is self-contained (no references to module-level
+    functions): executor workers don't share the driver's sys.path, so
+    anything captured must pickle by value — the wav parser is re-defined
+    inside the closure for exactly that reason.
     """
-    if use_fake_decode:
-        def decode(p):  # identity fake — deterministic plumbing test
-            return p
-    else:
-        def decode(p):
-            raise NotImplementedError(
-                "media decode requires a codec library (PIL/libjpeg/ffmpeg)"
-            )
 
     def featurize(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        def decode_wav_local(p: bytes) -> bytes:
+            # keep in sync with module-level decode_wav (pickle-by-value
+            # closure rule); equality is pinned by tests
+            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                raise ValueError("decode_wav: not a RIFF/WAVE container")
+            pos = 12
+            while pos + 8 <= len(p):
+                cid = p[pos : pos + 4]
+                size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+                if cid == b"data":
+                    if pos + 8 + size > len(p):
+                        raise ValueError("decode_wav: data chunk overruns container")
+                    return p[pos + 8 : pos + 8 + size]
+                pos += 8 + size + (size & 1)
+            raise ValueError("decode_wav: no data chunk")
+
         for pdf in batches:
             feats_mean = []
             feats_head = []
-            for payload in pdf["payload"]:
-                raw = np.frombuffer(decode(bytes(payload)), dtype=np.uint8)
+            decoders = []
+            for payload, fmt in zip(pdf["payload"], pdf["media_format"]):
+                if fmt == "wav":
+                    raw_b = decode_wav_local(bytes(payload))
+                    decoders.append("wav")
+                else:
+                    raw_b = bytes(payload)  # identity fake (stub mandate)
+                    decoders.append("identity")
+                raw = np.frombuffer(raw_b, dtype=np.uint8)
                 feats_mean.append(int(raw.mean()) if raw.size else 0)
                 feats_head.append(int(raw[:16].sum()) if raw.size else 0)
             yield pd.DataFrame(
@@ -126,6 +230,7 @@ def extract_features(
                     "doc_id": pdf["doc_id"],
                     "media_format": pdf["media_format"],
                     "n_bytes": pdf["n_bytes"],
+                    "decoder": decoders,
                     "feat_mean_byte": feats_mean,
                     "feat_head_sum": feats_head,
                 }
@@ -322,24 +427,35 @@ def ext_multimodal_meta_oracle() -> str:
 
 
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checked query: the mapInPandas feature-extraction path.
+    """Driver-checked query: the mapInPandas feature-extraction path, with
+    every 4th row a REAL WAV container (round-4 verdict #5).
 
-    The fake decode is identity bytes, so the extracted features are
-    deterministic byte statistics — SQL-expressible, which lets the driver
-    hash-check the *entire Arrow round-trip* (Spark → pandas → Spark)
-    against DuckDB.
+    wav rows run the actual RIFF parse — build container JVM-side, parse
+    it in the Arrow batch, featurize the extracted PCM — while image rows
+    keep the identity fake. Decoded PCM == the document's utf-8 bytes by
+    construction, so the features stay SQL-expressible and the driver
+    hash-checks the entire synth → decode → featurize round-trip (the
+    ``decoder``/``n_bytes`` columns pin that the wav branch really ran:
+    container bytes are 44 larger than the PCM).
     """
-    return extract_features(spark, media_table(spark, sf_dir))
+    return extract_features(spark, media_table_mixed(spark, sf_dir))
 
 
 def ext_multimodal_features_oracle() -> str:
     # mean over uint8 bytes == floor(sum/len): numpy .mean() + int() truncates
     # the same way for non-negative values. Text is ASCII (verified) so
-    # per-char ord == per-byte value.
+    # per-char ord == per-byte value. wav rows carry the 44-byte container
+    # overhead in n_bytes; their feature stats are over the DECODED PCM,
+    # which equals the raw text bytes.
     return """
         SELECT d.doc_id,
-               ['png','jpeg','webp'][(d.doc_id % 3 + 1)::INTEGER] AS media_format,
-               CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+               CASE WHEN d.doc_id % 4 = 0 THEN 'wav'
+                    ELSE ['png','jpeg','webp'][(d.doc_id % 3 + 1)::INTEGER]
+               END AS media_format,
+               CAST(octet_length(encode(d.text))
+                    + CASE WHEN d.doc_id % 4 = 0 THEN 44 ELSE 0 END
+                    AS BIGINT) AS n_bytes,
+               CASE WHEN d.doc_id % 4 = 0 THEN 'wav' ELSE 'identity' END AS decoder,
                CAST(s.byte_sum // s.n AS BIGINT) AS feat_mean_byte,
                CAST(h.head_sum AS BIGINT) AS feat_head_sum
         FROM documents d
