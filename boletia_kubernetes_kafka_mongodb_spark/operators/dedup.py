@@ -762,7 +762,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ 3 < 4 ⇒ ≥1 of 4 16-bit bands equal
+# 4 × 16-bit bands. Pigeonhole guarantees a band match only for hamming ≤ 3;
+# SIMHASH_MAX_HAMMING is 8, so banding here is a LOSSY candidate filter for
+# hamming 4-8 (pairs differing in all 4 bands are never considered). The
+# oracle replays the identical banding, so parity is unaffected; full recall
+# would need 9 bands (hamming ≤ 8 < 9), a deliberate recall/cost trade.
+SIMHASH_BANDS = 4
 
 
 _SIMHASH_SIG_CACHE: dict = {}
@@ -788,9 +793,11 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ SIMHASH_MAX_HAMMING.
 
     Pairs blocked by ``lang``, pruned by pigeonhole banding: the 64-bit
-    signature splits into 4 disjoint 16-bit bands, and hamming ≤ 3 forces at
-    least one band to match exactly — so bucketing on (lang, band, bits) is
-    LOSSLESS candidate pruning, not an approximation. Candidates expand
+    signature splits into 4 disjoint 16-bit bands; hamming ≤ 3 forces at
+    least one band to match exactly, while hamming 4-8 pairs are found only
+    if they happen to agree on some band — a LOSSY candidate filter at the
+    max-hamming-8 operating point (the oracle replays the same banding, so
+    the cross-engine check stays exact). Candidates expand
     in-bucket (groupBy + array lambdas — a self-join would re-execute the
     signature UDF per branch AND materialize the lang-blocked n² pair
     space); the Hamming verify is ``bit_count(a XOR b)``, a JVM intrinsic.
@@ -1520,7 +1527,15 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize only on the |identities|-sized aggregated frame. In-bucket
     cost is |block|², the knob the declared blocking keys control.
     """
-    emails = _er_identities(spark, sf_dir).select(
+    return er_resolve(_er_identities(spark, sf_dir))
+
+
+def er_resolve(identities: DataFrame) -> DataFrame:
+    """The ER banding + chunk-pair tiling + levenshtein verify over an
+    (email, n_reservas) identities frame — the seam the adversarial-skew
+    tests drive with crafted hot-band fixtures (see ext_entity_resolution
+    for the full contract)."""
+    emails = identities.select(
         "email",
         "n_reservas",
         F.substring_index("email", "@", 1).alias("local"),
