@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     IntegerType,
     LongType,
@@ -234,6 +235,141 @@ def admission_ledger_stream(requests: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EVENT_TIME_STATE_SCHEMA = StructType(
+    [
+        StructField("available", LongType(), False),
+        StructField("initialized", BooleanType(), False),
+        StructField("buf_seq", ArrayType(LongType()), True),
+        StructField("buf_id", ArrayType(StringType()), True),
+        StructField("buf_email", ArrayType(StringType()), True),
+        StructField("buf_op", ArrayType(StringType()), True),
+        StructField("buf_qty", ArrayType(IntegerType()), True),
+        StructField("buf_ts_us", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _make_event_time_fold():
+    """Factory for the out-of-order (event-time) admission fold — the
+    ``<locals>``-qualname/by-value pickling rule, same as
+    ``_make_fold_with_state``. Self-contained: stdlib + pandas only."""
+
+    def fold_event_time(key, pdf_iter, state):
+        import pandas as pd
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            (available, initialized, bseq, bid, bem, bop, bqty, bts) = state.get
+            bseq, bid, bem = list(bseq or []), list(bid or []), list(bem or [])
+            bop, bqty, bts = list(bop or []), list(bqty or []), list(bts or [])
+            available = int(available)
+            initialized = bool(initialized)
+        else:
+            available, initialized = 0, False
+            bseq, bid, bem, bop, bqty, bts = [], [], [], [], [], []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if not initialized:
+                available = int(pdf["capacidad"].iloc[0])
+                initialized = True
+            bseq.extend(int(v) for v in pdf["seq"])
+            bid.extend(str(v) for v in pdf["_id"])
+            bem.extend(str(v) for v in pdf["email"])
+            bop.extend(str(v) for v in pdf["op"])
+            bqty.extend(int(v) for v in pdf["cantidad"])
+            bts.extend(int(v) for v in pdf["ts"].astype("int64") // 1000)
+        # emit everything safely behind the horizon, folded in seq order:
+        # STRICT ts < watermark — a not-yet-arrived row is guaranteed
+        # ts ≥ watermark (bounded-reorder contract), so equality stays
+        # buffered one more trigger rather than risking an order inversion
+        order = sorted(range(len(bseq)), key=lambda i: bseq[i])
+        emit_idx = [i for i in order if bts[i] < wm_us]
+        keep_idx = [i for i in order if bts[i] >= wm_us]
+        out = {
+            "evento": [], "seq": [], "_id": [], "email": [],
+            "op": [], "cantidad": [], "admitted": [], "disponible_despues": [],
+        }
+        evento = key[0]
+        for i in emit_idx:
+            qty = bqty[i]
+            if bop[i] == "reserve":
+                ok = available >= qty
+                if ok:
+                    available -= qty
+            else:
+                ok = True
+                available += qty
+            out["evento"].append(evento)
+            out["seq"].append(bseq[i])
+            out["_id"].append(bid[i])
+            out["email"].append(bem[i])
+            out["op"].append(bop[i])
+            out["cantidad"].append(qty)
+            out["admitted"].append(ok)
+            out["disponible_despues"].append(available)
+        state.update(
+            (
+                available,
+                initialized,
+                [bseq[i] for i in keep_idx],
+                [bid[i] for i in keep_idx],
+                [bem[i] for i in keep_idx],
+                [bop[i] for i in keep_idx],
+                [bqty[i] for i in keep_idx],
+                [bts[i] for i in keep_idx],
+            )
+        )
+        if keep_idx:
+            # wake this key when the watermark next advances, even if no
+            # new rows arrive for it (the flush path)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if out["seq"]:
+            yield pd.DataFrame(out)
+
+    return fold_event_time
+
+
+fold_event_time = _make_event_time_fold()
+
+
+def admission_ledger_stream_event_time(
+    requests: DataFrame, delay: str = "10 seconds"
+) -> DataFrame:
+    """Out-of-order admission: the event-time variant a real MULTI-partition
+    Kafka deployment needs (round-3 verdict #6; the reference sidesteps
+    reordering by pinning topics to 1 partition, ``clientes.yaml:151-152``
+    — the exact scaling limit ``README.md:540`` complains about).
+
+    ``requests`` must carry (evento, seq, _id, email, op, cantidad,
+    capacidad, ts) where ``ts`` is the event-time column the watermark runs
+    on. Rows buffer in per-key state inside the watermark horizon; once the
+    watermark passes a row's event time, it is folded and emitted in seq
+    order — so any arrival order with bounded disorder (≤ the watermark
+    delay) yields the IDENTICAL ledger as the in-order batch fold
+    (property-tested under random bounded reorder). Keys with a non-empty
+    buffer arm an event-time timeout so the flush happens even when no new
+    rows arrive for them.
+
+    State per key is O(rows inside the horizon) — bounded by delay × rate,
+    the same bound any stream-stream interval join carries; the shuffle
+    stays on the natural key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        requests.withWatermark("ts", delay)
+        .groupBy("evento")
+        .applyInPandasWithState(
+            fold_event_time,
+            outputStructType=LEDGER_SCHEMA,
+            stateStructType=EVENT_TIME_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -320,3 +320,180 @@ def test_admission_stream_hot_key_skew(spark, tmp_path):
 def test_query_smoke_sf0001(spark, qid):
     df = entrymod.queries()[qid](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# out-of-order arrival: event-time variant (round-3 verdict #6)
+# ---------------------------------------------------------------------------
+
+
+class _FakeEventTimeState(_FakeGroupState):
+    """_FakeGroupState + the event-time surface the out-of-order fold uses:
+    a settable watermark and the timeout registration hook."""
+
+    def __init__(self):
+        super().__init__()
+        self.wm_ms = 0
+        self.timeout_ms = None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ts_ms):
+        assert ts_ms > self.wm_ms  # Spark rejects timeouts at/behind the wm
+        self.timeout_ms = ts_ms
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    capacity=st.integers(min_value=0, max_value=50),
+    ops=st.lists(
+        st.tuples(st.sampled_from(["reserve", "cancel"]), st.integers(1, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    disorder=st.integers(0, 10),
+    cuts=st.lists(st.integers(0, 39), max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_event_time_fold_bounded_reorder_matches_in_order_model(
+    capacity, ops, disorder, cuts, seed
+):
+    """The event-time fold under RANDOM BOUNDED REORDER (displacement ≤ K
+    positions, 1 op/sec event time, watermark delay K+2 s), split across
+    micro-batches at arbitrary boundaries with the watermark advancing
+    exactly as Spark does (from data seen in PRIOR batches), must produce
+    the identical ledger as the in-order python model — the multi-partition
+    Kafka semantics the seq-ordered fold cannot give."""
+    import random
+
+    rng = random.Random(seed)
+    n = len(ops)
+    arrival = sorted(range(n), key=lambda i: i + rng.uniform(0, disorder))
+    max_disp = max((abs(p - i) for p, i in enumerate(arrival)), default=0)
+    delay_sec = max_disp + 2
+    ts_us = [s * 1_000_000 for s in range(n)]  # 1 op per second
+
+    bounds = sorted({min(c, n) for c in cuts})
+    slices, prev = [], 0
+    for b in bounds + [n]:
+        slices.append((prev, b))
+        prev = b
+
+    state = _FakeEventTimeState()
+    fold = admission.fold_event_time  # the PRODUCTION closure
+    outs = []
+    seen_max_us = None
+    for lo, hi in slices:
+        batch = arrival[lo:hi]
+        # Spark updates the watermark from data seen in PRIOR batches
+        state.wm_ms = (
+            0 if seen_max_us is None else max(0, seen_max_us // 1000 - delay_sec * 1000)
+        )
+        if not batch:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "evento": ["E"] * len(batch),
+                "seq": [i for i in batch],
+                "_id": [f"id{i}" for i in batch],
+                "email": ["u@x"] * len(batch),
+                "op": [ops[i][0] for i in batch],
+                "cantidad": [ops[i][1] for i in batch],
+                "capacidad": [capacity] * len(batch),
+                "ts": pd.to_datetime([ts_us[i] * 1000 for i in batch]),
+            }
+        )
+        outs.extend(list(fold(("E",), iter([pdf]), state)))
+        batch_max = max(ts_us[i] for i in batch)
+        seen_max_us = batch_max if seen_max_us is None else max(seen_max_us, batch_max)
+    # final flush: watermark passes everything, timed-out invocation
+    state.wm_ms = (seen_max_us // 1000) + 10_000_000
+    outs.extend(list(fold(("E",), iter([]), state)))
+
+    got = pd.concat(outs).sort_values("seq") if outs else pd.DataFrame()
+    assert list(got["seq"]) == list(range(n)), "every op emitted exactly once"
+    expect = _python_model(capacity, ops)
+    assert [
+        (bool(a), int(d)) for a, d in zip(got["admitted"], got["disponible_despues"])
+    ] == expect
+    # the state must be fully drained after the flush
+    assert list(state.get[2]) == []
+
+
+def test_admission_event_time_stream_out_of_order(spark, tmp_path):
+    """End-to-end streaming form: multi-key op stream delivered in a
+    bounded-reorder arrival order, one file per micro-batch; the
+    event-time ledger must equal the batch fold of the SEQ-ORDERED input —
+    i.e. the watermark buffer restores per-key order that the transport
+    scrambled (the multi-partition Kafka deployment shape)."""
+    import datetime
+    import random
+
+    rng = random.Random(11)
+    eventos = {"EVA": 30, "EVB": 10, "EVC": 50}
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for seq in range(150):
+        e = rng.choice(sorted(eventos))
+        op = "reserve" if rng.random() < 0.75 else "cancel"
+        rows.append(
+            (e, seq, f"id{seq}", "u@x", op, rng.randint(1, 6), eventos[e],
+             base + datetime.timedelta(seconds=seq))
+        )
+    arrival = sorted(range(len(rows)), key=lambda i: i + rng.uniform(0, 8))
+    max_disp = max(abs(p - i) for p, i in enumerate(arrival))
+    delay = f"{max_disp + 2} seconds"
+
+    schema = (
+        "evento string, seq long, _id string, email string, op string, "
+        "cantidad int, capacidad int, ts timestamp"
+    )
+    in_order = spark.createDataFrame(rows, schema)
+    batch = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in admission.fold_requests_batch(in_order.drop("ts")).collect()
+    }
+
+    arr = spark.createDataFrame(
+        [rows[i] + (p,) for p, i in enumerate(arrival)], schema + ", arrival long"
+    )
+    path = str(tmp_path / "ooo_ops")
+    cdc_stream.write_ordered_files(arr, path, n_files=6, order_col="arrival")
+    # two sentinel files push the watermark past all real rows so the last
+    # buffered ops flush before availableNow terminates (cancel qty=0 is a
+    # ledger no-op on availability)
+    far = base + datetime.timedelta(days=30)
+    for k in range(2):
+        spark.createDataFrame(
+            [
+                (e, 10_000 + 10 * k + j, f"sentinel{k}{j}", "u@x", "cancel", 0,
+                 eventos[e], far + datetime.timedelta(seconds=k), 9_999)
+                for j, e in enumerate(sorted(eventos))
+            ],
+            schema + ", arrival long",
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(arr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .drop("arrival")
+    )
+    q = (
+        admission.admission_ledger_stream_event_time(stream, delay=delay)
+        .writeStream.format("memory")
+        .queryName("ooo_ledger_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in spark.sql(
+            "select * from ooo_ledger_out where seq < 10000"
+        ).collect()
+    }
+    assert got == batch
