@@ -42,65 +42,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-3 window = the 17 ids with no driver row in
-    CORRECTNESS_r01/r02, the round-2 red row (`ext_text_winnowing`, output
-    contract fixed), ids whose implementation or oracle changed this round,
-    and the round's new ids. Everything after position 50 already has a
-    green driver row from r01 or r02. Any new query MUST be added inside
-    the first 50 (and an already-recorded id bumped past it) — the window
-    cannot absorb more than 50 re-records per round.
+    order per round. Round-4 window (round-3 verdict #1: re-attest the
+    stale core) = the 47 ids whose most recent driver row was round 1 —
+    the entire SURVEY §2 relational core plus the round-1 extension ids —
+    whose shared infrastructure (tables.py fragments, dataset_cache_key,
+    md5_hash64) changed in rounds 2-3 without a driver re-record; plus the
+    three ids new or changed this round: `agg_ewma_daily` (chunked
+    continuation replaces the EWMA_MAX_T raise), `ext_multimodal_features`
+    (real WAV decode branch + decoder column), and `ext_ann_ivfpq_topk`
+    (new: IVF partition-pruned probe × PQ ADC). Everything after position
+    50 has a green r02/r03 driver row and an unchanged implementation;
+    the remaining r02-era ids rotate forward in r05.
     """
     return {
-        # --- 17 ids never recorded by the driver in r01/r02 ---
-        "ext_semdedup": similarity.ext_semdedup,  # oracle-backed r3
-        "join_attribution": joins.join_attribution,
-        "ext_entity_resolution": dedup.ext_entity_resolution,
-        # rows-only (serves the learned BPE merges; encode equality vs a
-        # python reference in tests)
-        "ext_tokenizer_apply": text.ext_tokenizer_apply,
-        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
-        "cdc_scd2_history": cdc.cdc_scd2_history,
-        "agg_latency_bands": aggregates.agg_latency_bands,
-        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
+        # --- re-attest: §2.2 scans / filters / projections (r01-stale) ---
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "lookup_pk": scans.lookup_pk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        "sql_availability": scans.sql_availability,
+        # --- re-attest: §2.3 mutations M1-M6 + exact admission ---
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
+        "cancel_increment": mutations.cancel_increment,
+        "event_cancel_update": mutations.event_cancel_update,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
+        "reserve_admission_exact": admission.admission_ledger_batch,
+        # --- re-attest: §2.4 joins J1-J6 ---
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_exists_anti": joins.join_exists_anti,
+        "join_cascade": joins.join_cascade,
+        "join_availability": joins.join_availability,
+        "ext_asof_join": joins.ext_asof_join,
+        "ext_range_join": joins.ext_range_join,
+        # --- re-attest: §2.5 aggregations A1-A9 ---
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        "agg_time_window": windows.agg_time_window,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        # --- re-attest: §2.6 ordering / set ops ---
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_latest_per_email": ordering.order_latest_per_email,
+        "setop_churn_emails": ordering.setop_churn_emails,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
+        # --- re-attest: §2.1 sources/sinks + §2.7 functions ---
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "notify_render": notifications.notify_render,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
+        # --- re-attest: round-1 extension ids ---
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_topk_similarity": similarity.ext_topk_similarity,
+        "ext_topk_batch": similarity.ext_topk_batch,
+        # --- changed this round: chunked prefix sum with carried seed
+        # replaces the EWMA_MAX_T=600 in-plan raise (same output ≤600 days)
         "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "ext_percolate_match": search.ext_percolate_match,
-        "order_page_keyset": ordering.order_page_keyset,
-        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
-        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
-        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        "ext_vocab_topk": text.ext_vocab_topk,
-        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
-        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
-        # --- round-2 red row: array output → scalar csv contract fix ---
-        "ext_text_winnowing": text.ext_text_winnowing,
-        # --- changed this round: re-record ---
-        # now serves from the write-time SRP band-bucket layout (partition-
-        # pruned probe) AND gained a full oracle — the md5-parity hyperplanes
-        # are engine-independent, unlike the xxhash64-seeded MinHash bands
+        # --- changed this round: every 4th row is a REAL RIFF/WAVE
+        # container parsed by the executor-side decoder (decoder column)
+        "ext_multimodal_features": multimodal.ext_multimodal_features,
+        # --- new this round: the composed 100 TB ANN serve shape —
+        # IVF partition-pruned probe feeding PQ ADC, exact re-rank
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
+        # --- position > 50 from here: all have green r02/r03 rows and
+        # unchanged implementations this round ---
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
-        # merge loop unchanged, but now oracle-backed (recursive-CTE oracle)
-        "ext_bpe_merges": text.ext_bpe_merges,
-        # --- new this round ---
-        # J4 flagship over write-time bucketed tables (no-Exchange plan)
-        "join_availability_bucketed": joins.join_availability_bucketed,
-        # hash-checked assign step of the k-means family (fixed init
-        # centroids; the fit stays rows-only below)
-        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
-        # --- green driver rows exist (r01/r02); re-recorded as space allows ---
-        "ext_mmr_diversify": similarity.ext_mmr_diversify,
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,  # oracle-backed r3
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,  # oracle-backed r3
-        "ext_multimodal_phash": multimodal.ext_multimodal_phash,  # oracle-backed r3
         "ext_text_tokens": text.ext_text_tokens,
         "ext_text_langid": text.ext_text_langid,
         "ext_text_quality": text.ext_text_quality,
         "ext_text_fingerprint": text.ext_text_fingerprint,
+        "ext_text_winnowing": text.ext_text_winnowing,
         "ext_text_repetition": text.ext_text_repetition,
         "ext_text_pii_mask": text.ext_text_pii_mask,
         "ext_corpus_stats": text.ext_corpus_stats,
         "ext_text_sentiment": text.ext_text_sentiment,
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
-        "ext_multimodal_features": multimodal.ext_multimodal_features,
         "ext_multimodal_resize": multimodal.ext_multimodal_resize,
         "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
         "ext_sample_split": sampling.ext_sample_split,
@@ -109,14 +141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,  # oracle-backed r3
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,  # oracle-backed r3
-        "ext_dedup_simhash": dedup.ext_dedup_simhash,  # oracle-backed r3
-        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,  # oracle-backed r3
-        "ext_embed_quantize": similarity.ext_embed_quantize,
-        # --- position > 50 from here: all have green r01/r02 rows ---
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
         "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_split_drift": sampling.ext_split_drift,
+        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
         "ext_dedup_incremental": dedup.ext_dedup_incremental,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         "ext_quality_buckets": text.ext_quality_buckets,
@@ -136,76 +167,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
         "cdc_broker_metrics": cdc.cdc_broker_metrics,
         "ext_shard_manifest": sampling.ext_shard_manifest,
-        # §2.2 scans / filters / projections
-        "scan_full_eventos": scans.scan_full_eventos,
-        "scan_full_inventario": scans.scan_full_inventario,
-        "lookup_point_unique": scans.lookup_point_unique,
-        "lookup_pk": scans.lookup_pk,
-        "filter_compound_eq": scans.filter_compound_eq,
-        "filter_range_guard": scans.filter_range_guard,
-        "filter_state_machine": cdc.filter_state_machine,
-        "project_rename_detreserva": scans.project_rename_detreserva,
-        "sql_availability": scans.sql_availability,
-        # §2.3 mutations (batch oracle form)
-        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "cancel_increment": mutations.cancel_increment,
-        "event_cancel_update": mutations.event_cancel_update,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "reserva_cancel_flag": mutations.reserva_cancel_flag,
-        "insert_dedup_unique": mutations.insert_dedup_unique,
-        # §7 Phase 4: TRUE sequential-admission semantics (rejected requests
-        # consume nothing) — applyInPandas fold; oracle = recursive CTE
-        "reserve_admission_exact": admission.admission_ledger_batch,
-        # §2.4 joins
-        "join_cancel_inventory": joins.join_cancel_inventory,
-        "join_exists_anti": joins.join_exists_anti,
-        "join_cascade": joins.join_cascade,
-        "join_availability": joins.join_availability,
-        "ext_asof_join": joins.ext_asof_join,
-        "ext_range_join": joins.ext_range_join,
-        # §2.5 aggregations
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        # §2.6 sorts / limits / greatest-per-group / set ops
-        "order_topn_disponible": ordering.order_topn_disponible,
-        "order_latest_per_email": ordering.order_latest_per_email,
-        "setop_churn_emails": ordering.setop_churn_emails,
-        "order_user_event_ranks": ordering.order_user_event_ranks,
-        # §2.1 sources/sinks (batch oracle form)
-        "sink_upsert_clone": cdc.sink_upsert_clone,
-        "notify_render": notifications.notify_render,
-        # §2.1 S1 + §2.7 F1/F2 + §2.2 P7: full CDC ingest path
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "fn_json_props_extract": cdc.fn_json_props_extract,
-        # event-time windowed aggregation (streaming twin in streaming/windows)
-        "agg_time_window": windows.agg_time_window,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_bpe_merges": text.ext_bpe_merges,
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
+        "ext_semdedup": similarity.ext_semdedup,
+        "join_attribution": joins.join_attribution,
+        "ext_entity_resolution": dedup.ext_entity_resolution,
+        "ext_tokenizer_apply": text.ext_tokenizer_apply,
+        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
+        "cdc_scd2_history": cdc.cdc_scd2_history,
+        "agg_latency_bands": aggregates.agg_latency_bands,
+        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
+        "ext_percolate_match": search.ext_percolate_match,
+        "order_page_keyset": ordering.order_page_keyset,
         "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
-        # §2.9 extensions: dedup
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        "ext_sample_weighted": sampling.ext_sample_weighted,
-        "ext_split_drift": sampling.ext_split_drift,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
         "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
-        # §2.9 extensions: similarity search
-        "ext_topk_similarity": similarity.ext_topk_similarity,
-        "ext_topk_batch": similarity.ext_topk_batch,
-        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
         "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        # §2.9 tokenizer-training vocab counts + LM quality proxy
         "ext_vocab_topk": text.ext_vocab_topk,
         "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
-        # §2.9 pipeline decision layer
         "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
     }
 
 
@@ -337,6 +321,9 @@ def oracle_sql() -> dict[str, str]:
         "ext_semdedup": similarity.ext_semdedup_oracle(),
         # round 3: PQ training/encode/ADC all round at 6dp on both engines
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk_oracle(),
+        # round 4: IVF probe × PQ ADC composed — both stages deterministic,
+        # so the oracle is the composition of the two existing CTE programs
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk_oracle(),
         # round 3: md5-derived token hashes make the whole SimHash pipeline
         # engine-deterministic (integer votes, banding, chunk-wise hamming)
         "ext_dedup_simhash": dedup.ext_dedup_simhash_oracle(),
