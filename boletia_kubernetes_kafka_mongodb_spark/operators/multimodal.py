@@ -67,7 +67,9 @@ def _le_bytes(col, width: int):
     """Little-endian unsigned integer → binary, as a native Column
     expression (hex → byte-pair reversal → unhex): the WAV container's two
     length fields, built JVM-side so payload synthesis never leaves
-    codegen."""
+    codegen. Values must fit ``width`` bytes (lpad would TRUNCATE longer
+    hex) — inherently satisfied here: RIFF's size fields are 32-bit by
+    spec, capping any legal WAV at 4 GiB."""
     hx = F.lpad(F.hex(col.cast("long")), width * 2, "0")
     parts = [F.substring(hx, 2 * i + 1, 2) for i in reversed(range(width))]
     return F.unhex(F.concat(*parts))
