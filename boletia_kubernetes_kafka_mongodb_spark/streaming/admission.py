@@ -248,6 +248,10 @@ EVENT_TIME_STATE_SCHEMA = StructType(
         StructField("buf_op", ArrayType(StringType()), True),
         StructField("buf_qty", ArrayType(IntegerType()), True),
         StructField("buf_ts_us", ArrayType(LongType()), True),
+        # highest seq folded so far — the loud-failure guard against order
+        # inversion (non-monotone ts-vs-seq input, or data later than the
+        # watermark contract allows)
+        StructField("max_emitted_seq", LongType(), False),
     ]
 )
 
@@ -262,13 +266,15 @@ def _make_event_time_fold():
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         if state.exists:
-            (available, initialized, bseq, bid, bem, bop, bqty, bts) = state.get
+            (available, initialized, bseq, bid, bem, bop, bqty, bts,
+             max_emitted) = state.get
             bseq, bid, bem = list(bseq or []), list(bid or []), list(bem or [])
             bop, bqty, bts = list(bop or []), list(bqty or []), list(bts or [])
             available = int(available)
             initialized = bool(initialized)
+            max_emitted = int(max_emitted)
         else:
-            available, initialized = 0, False
+            available, initialized, max_emitted = 0, False, -1
             bseq, bid, bem, bop, bqty, bts = [], [], [], [], [], []
         for pdf in pdf_iter:
             if len(pdf) == 0:
@@ -281,7 +287,12 @@ def _make_event_time_fold():
             bem.extend(str(v) for v in pdf["email"])
             bop.extend(str(v) for v in pdf["op"])
             bqty.extend(int(v) for v in pdf["cantidad"])
-            bts.extend(int(v) for v in pdf["ts"].astype("int64") // 1000)
+            # ts_us is computed JVM-side (unix_micros) BEFORE the shuffle:
+            # Arrow hands pandas the ts column localized to the session
+            # timezone as tz-naive values, while getCurrentWatermarkMs is
+            # epoch UTC — converting here would skew the horizon by the
+            # session's UTC offset on any non-UTC driver session
+            bts.extend(int(v) for v in pdf["ts_us"])
         # emit everything safely behind the horizon, folded in seq order:
         # STRICT ts < watermark — a not-yet-arrived row is guaranteed
         # ts ≥ watermark (bounded-reorder contract), so equality stays
@@ -289,6 +300,22 @@ def _make_event_time_fold():
         order = sorted(range(len(bseq)), key=lambda i: bseq[i])
         emit_idx = [i for i in order if bts[i] < wm_us]
         keep_idx = [i for i in order if bts[i] >= wm_us]
+        # order-inversion guard (loud failure, never a silent wrong ledger):
+        # the safety argument requires event time monotone in seq per key
+        # and disorder bounded by the watermark delay — a violated
+        # precondition would fold a lower seq AFTER a higher one
+        if emit_idx:
+            lo = min(bseq[i] for i in emit_idx)
+            hi = max(bseq[i] for i in emit_idx)
+            if lo <= max_emitted or (keep_idx and hi > min(bseq[i] for i in keep_idx)):
+                raise ValueError(
+                    "admission event-time fold: seq order inversion — input "
+                    "violates the monotone-ts-per-seq / bounded-disorder "
+                    "contract (or data arrived later than the watermark "
+                    f"delay): emitting seqs [{lo},{hi}] after max_emitted="
+                    f"{max_emitted}"
+                )
+            max_emitted = hi
         out = {
             "evento": [], "seq": [], "_id": [], "email": [],
             "op": [], "cantidad": [], "admitted": [], "disponible_despues": [],
@@ -321,6 +348,7 @@ def _make_event_time_fold():
                 [bop[i] for i in keep_idx],
                 [bqty[i] for i in keep_idx],
                 [bts[i] for i in keep_idx],
+                max_emitted,
             )
         )
         if keep_idx:
@@ -346,13 +374,22 @@ def admission_ledger_stream_event_time(
 
     ``requests`` must carry (evento, seq, _id, email, op, cantidad,
     capacidad, ts) where ``ts`` is the event-time column the watermark runs
-    on. Rows buffer in per-key state inside the watermark horizon; once the
-    watermark passes a row's event time, it is folded and emitted in seq
-    order — so any arrival order with bounded disorder (≤ the watermark
-    delay) yields the IDENTICAL ledger as the in-order batch fold
-    (property-tested under random bounded reorder). Keys with a non-empty
-    buffer arm an event-time timeout so the flush happens even when no new
-    rows arrive for them.
+    on. CONTRACT: per key, event time must be monotone in ``seq`` (ties
+    allowed) and disorder bounded by the watermark delay — violations fail
+    LOUDLY via the in-fold order-inversion guard rather than silently
+    folding out of order. Rows buffer in per-key state inside the watermark
+    horizon; once the watermark passes a row's event time, it is folded and
+    emitted in seq order — so any arrival order with bounded disorder (≤
+    the watermark delay) yields the IDENTICAL ledger as the in-order batch
+    fold (property-tested under random bounded reorder). Keys with a
+    non-empty buffer arm an event-time timeout so the flush happens even
+    when no new rows arrive for them.
+
+    Event time is converted to epoch micros JVM-side (``unix_micros``)
+    BEFORE the shuffle: Arrow localizes timestamp columns to the session
+    timezone as tz-naive values, while the state API's watermark is epoch
+    UTC — a pandas-side conversion would skew the emit horizon by the UTC
+    offset on any non-UTC driver session.
 
     State per key is O(rows inside the horizon) — bounded by delay × rate,
     the same bound any stream-stream interval join carries; the shuffle
@@ -362,6 +399,7 @@ def admission_ledger_stream_event_time(
 
     return (
         requests.withWatermark("ts", delay)
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .groupBy("evento")
         .applyInPandasWithState(
             fold_event_time,

@@ -401,7 +401,9 @@ def test_event_time_fold_bounded_reorder_matches_in_order_model(
                 "op": [ops[i][0] for i in batch],
                 "cantidad": [ops[i][1] for i in batch],
                 "capacidad": [capacity] * len(batch),
-                "ts": pd.to_datetime([ts_us[i] * 1000 for i in batch]),
+                # ts_us arrives pre-computed JVM-side (unix_micros) — the
+                # fold never touches pandas-localized timestamps
+                "ts_us": [ts_us[i] for i in batch],
             }
         )
         outs.extend(list(fold(("E",), iter([pdf]), state)))
@@ -419,6 +421,41 @@ def test_event_time_fold_bounded_reorder_matches_in_order_model(
     ] == expect
     # the state must be fully drained after the flush
     assert list(state.get[2]) == []
+
+
+def test_event_time_fold_inversion_guard_fires():
+    """A row whose event time says 'safe to emit' but whose seq is LOWER
+    than an already-folded one (non-monotone ts-vs-seq, or later-than-delay
+    data) must raise loudly, never fold out of order silently."""
+    import pytest
+
+    state = _FakeEventTimeState()
+    fold = admission.fold_event_time
+
+    def mk(seqs, ts_list):
+        return pd.DataFrame(
+            {
+                "evento": ["E"] * len(seqs),
+                "seq": seqs,
+                "_id": [f"id{s}" for s in seqs],
+                "email": ["u@x"] * len(seqs),
+                "op": ["reserve"] * len(seqs),
+                "cantidad": [1] * len(seqs),
+                "capacidad": [10] * len(seqs),
+                "ts_us": ts_list,
+            }
+        )
+
+    # batch 1: seq 5 at t=100s arrives; watermark later passes it
+    state.wm_ms = 0
+    list(fold(("E",), iter([mk([5], [100_000_000])]), state))
+    state.wm_ms = 200_000  # wm = 200s > 100s → seq 5 emitted
+    out = list(fold(("E",), iter([]), state))
+    assert out and list(out[0]["seq"]) == [5]
+    # batch 2: seq 3 arrives with ts already behind the watermark →
+    # emitting it would fold 3 after 5
+    with pytest.raises(ValueError, match="order inversion"):
+        list(fold(("E",), iter([mk([3], [150_000_000])]), state))
 
 
 def test_admission_event_time_stream_out_of_order(spark, tmp_path):
