@@ -97,18 +97,31 @@ def media_table_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcm,
     )
     is_wav = F.col("doc_id") % 4 == 0
-    payload = F.when(is_wav, wav).otherwise(pcm)
+    return _media_projection(
+        docs,
+        F.when(is_wav, wav).otherwise(pcm),
+        F.when(is_wav, F.lit("wav")).otherwise(_image_format_expr()),
+    )
+
+
+def _image_format_expr():
+    """Deterministic image-format assignment shared by both media tables
+    (and hardcoded in their oracles as
+    ``['png','jpeg','webp'][(doc_id % 3 + 1)::INTEGER]``)."""
+    return F.element_at(
+        F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+
+
+def _media_projection(docs: DataFrame, payload, media_format) -> DataFrame:
+    """The ONE media-table projection (metadata exprs exist nowhere else):
+    n_bytes always measures the actual payload, width/height derive from
+    doc_id. Both ``media_table`` variants are this with different payload /
+    format expressions."""
     return docs.select(
         "doc_id",
         payload.alias("payload"),
-        F.when(is_wav, F.lit("wav"))
-        .otherwise(
-            F.element_at(
-                F.array(*[F.lit(f) for f in FORMATS]),
-                (F.col("doc_id") % 3 + 1).cast("int"),
-            )
-        )
-        .alias("media_format"),
+        media_format.alias("media_format"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
         (F.col("doc_id") % 640 + 16).cast("long").alias("width"),
         (F.col("doc_id") * 7 % 480 + 16).cast("long").alias("height"),
@@ -123,15 +136,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plumbing end-to-end.
     """
     docs = tables.load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.element_at(
-            F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
-        ).alias("media_format"),
-        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
-        (F.col("doc_id") % 640 + 16).cast("long").alias("width"),
-        (F.col("doc_id") * 7 % 480 + 16).cast("long").alias("height"),
+    return _media_projection(
+        docs, F.encode(F.col("text"), "UTF-8"), _image_format_expr()
     )
 
 

@@ -350,15 +350,17 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
         or not spark.catalog.tableExists(f"{db}.eventos_keyed")
         or not spark.catalog.tableExists(f"{db}.reservas_keyed")
     ):  # BOTH tables: a crash between the two writes must trigger rebuild
+        import atexit
         import shutil
 
         location = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")
-        # a PREVIOUS session's files may survive at the keyed location while
-        # this session's in-memory catalog has no table for them —
-        # saveAsTable refuses to adopt an existing managed location, so
-        # clear it; the key is a content signature, the rewrite reproduces
-        # identical buckets
+        # the appId-keyed location can only hold THIS session's leftovers
+        # (a crashed same-appId run) — clear before write, and sweep at
+        # process exit so per-session warehouses don't accumulate in the
+        # temp dir (the in-memory catalog dies with the process, so nothing
+        # can reference the files afterwards)
         shutil.rmtree(location, ignore_errors=True)
+        atexit.register(shutil.rmtree, location, ignore_errors=True)
         write_bucketed_tables(spark, sf_dir, db=db, location=location)
     return db
 

@@ -203,3 +203,26 @@ def test_embedding_dim_contract_for_baked_oracles(spark):
             f"{sf}: embedding dim changed — update ext_ann_lsh_topk_oracle "
             f"and ext_ann_pq_topk_oracle's baked dimensions"
         )
+
+
+def test_pq_init_integer_form_equals_linspace_for_all_reachable_n():
+    """The round-4 codebook-init change (np.linspace → exact integer
+    ((n-1)k)//(Ks-1)) must be output-identical for EVERY reachable sample
+    size, not just current fixtures: n = min(|corpus|, PQ_TRAIN) ≤ PQ_TRAIN,
+    so exhaustively checking 1..PQ_TRAIN proves ext_ann_pq_topk's and
+    ext_ann_ivfpq_topk's codebooks (and their green driver rows) are
+    unaffected by the change for any fixture the driver could generate."""
+    import numpy as np
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators.similarity import (
+        PQ_KS,
+        PQ_TRAIN,
+    )
+
+    for n in range(1, PQ_TRAIN + 1):
+        lin = np.linspace(0, n - 1, PQ_KS).astype(int)
+        exact = [((n - 1) * k) // (PQ_KS - 1) for k in range(PQ_KS)]
+        assert list(lin) == exact, n
+        # and the DuckDB oracle's former FLOOR-division float form
+        floorf = [int(np.floor((n - 1) * k / (PQ_KS - 1.0))) for k in range(PQ_KS)]
+        assert floorf == exact, n

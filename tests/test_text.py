@@ -439,11 +439,15 @@ def test_wav_features_run_real_decode_branch(spark):
     assert w.getnframes() == sample.n_bytes - 44
 
 
-def test_wav_parser_closure_matches_module_fn():
-    """The executor-side wav parser is re-defined inside the mapInPandas
-    closure (pickle-by-value rule: workers can't import the package); this
-    pins the two definitions to identical behavior on good, padded-chunk,
-    and malformed inputs so they cannot drift apart silently."""
+def test_wav_executor_parser_padded_chunk_and_malformed(spark):
+    """The executor-side wav parser is a re-defined twin inside the
+    mapInPandas closure (pickle-by-value rule: workers can't import the
+    package), so pinning the MODULE function alone would not catch drift —
+    this drives the closure itself through ``extract_features`` on crafted
+    frames: a container with an extra odd-sized chunk before ``data``
+    (exercises the word-alignment walk, which ``media_table_mixed`` never
+    produces) must featurize the exact PCM, and a malformed container must
+    fail the job loudly."""
     import pytest
 
     from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal as M
@@ -456,4 +460,23 @@ def test_wav_parser_closure_matches_module_fn():
         + b"WAVEfmt " + M._WAV_STATIC_FMT + extra
         + b"data" + len(pcm).to_bytes(4, "little") + pcm
     )
-    assert M.decode_wav(good) == pcm
+    assert M.decode_wav(good) == pcm  # module fn agrees
+
+    def media_frame(payload):
+        return spark.createDataFrame(
+            [(1, bytearray(payload), "wav", len(payload))],
+            "doc_id long, payload binary, media_format string, n_bytes long",
+        )
+
+    rows = M.extract_features(spark, media_frame(good)).collect()
+    assert len(rows) == 1 and rows[0].decoder == "wav"
+    import numpy as np
+
+    raw = np.frombuffer(pcm, dtype=np.uint8)
+    assert rows[0].feat_mean_byte == int(raw.mean())
+    assert rows[0].feat_head_sum == int(raw[:16].sum())
+
+    with pytest.raises(Exception, match="RIFF|data chunk"):
+        M.extract_features(spark, media_frame(b"JUNK" + good[4:])).collect()
+    with pytest.raises(Exception, match="overruns|data chunk"):
+        M.extract_features(spark, media_frame(good[:-4])).collect()
