@@ -116,14 +116,20 @@ def to_kafka_frame(log: DataFrame) -> DataFrame:
     )
 
 
-def from_kafka_frame(frame: DataFrame) -> DataFrame:
+def from_kafka_frame(frame: DataFrame, keep_timestamp: bool = False) -> DataFrame:
     """Parse a Kafka-shaped frame back to the engine's message-log shape —
     the first select after ``.load()`` in production. Per-key order is
     recovered from (partition, offset): Kafka only orders within a
     partition, and the partitioner pinned each key to one, so
     partition*2⁴⁰+offset is a valid per-key ``seq``. The emulated frame
     carries the original ``seq`` for exact replay; a real broker frame
-    doesn't, and the derived form kicks in."""
+    doesn't, and the derived form kicks in.
+
+    ``keep_timestamp`` additionally carries the broker timestamp through —
+    the event-time column watermarked operators run on (a multi-partition
+    consumer interleaves partitions arbitrarily, so downstream per-key
+    order restoration needs event time: see
+    ``streaming/admission.admission_ledger_stream_event_time``)."""
     from pyspark.sql import functions as F
 
     seq = (
@@ -131,9 +137,12 @@ def from_kafka_frame(frame: DataFrame) -> DataFrame:
         if "seq" in frame.columns
         else (F.col("partition").cast("long") * (1 << 40) + F.col("offset"))
     )
-    return frame.select(
+    cols = [
         "topic",
         F.decode("key", "UTF-8").alias("key"),
         F.decode("value", "UTF-8").alias("value"),
         seq.alias("seq"),
-    )
+    ]
+    if keep_timestamp:
+        cols.append("timestamp")
+    return frame.select(*cols)

@@ -391,6 +391,14 @@ def admission_ledger_stream_event_time(
     UTC — a pandas-side conversion would skew the emit horizon by the UTC
     offset on any non-UTC driver session.
 
+    Spark itself drops input rows at-or-before the current watermark
+    before they reach the fold (standard late-data semantics for
+    EventTimeTimeout stateful ops). Two consequences: data later than the
+    watermark delay is DROPPED, not folded out of order (the in-fold
+    inversion guard covers the remaining non-monotone-ts case), and event
+    times at exactly epoch 0 are dead on arrival against the INITIAL
+    watermark — only synthetic fixtures can produce those.
+
     State per key is O(rows inside the horizon) — bounded by delay × rate,
     the same bound any stream-stream interval join carries; the shuffle
     stays on the natural key.

@@ -421,3 +421,148 @@ def test_scd2_intervals_contiguous_one_current_per_key(spark):
         assert versions[-1].is_current and versions[-1].valid_to_us is None
         for a, b in zip(versions, versions[1:]):
             assert a.valid_to_us == b.valid_from_us
+
+
+def test_kafka_multipartition_delivery_event_time_admission(spark, tmpdir):
+    """The real-broker deployment shape, end to end: admission ops publish
+    through the Kafka wire-frame (key=evento → one partition per key,
+    per-partition monotone offsets, broker timestamps), the consumer sees
+    partitions interleaved with bounded scrambling (what a multi-partition
+    subscription actually delivers), per-key order is recovered from
+    (partition, offset) and the broker timestamp drives the event-time
+    admission fold — whose ledger must equal the in-order batch fold.
+    This composes S5's order-recovery contract with the out-of-order
+    admission operator: the scaling story the reference's 1-partition
+    topics cannot offer."""
+    import json as jsonlib
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources import kafka as kafka_mod
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import admission
+
+    rng = random.Random(23)
+    eventos = {f"EV{i}": rng.randint(10, 60) for i in range(10)}
+    names = sorted(eventos)
+    payload_schema = StructType(
+        [
+            StructField("_id", StringType()),
+            StructField("email", StringType()),
+            StructField("op", StringType()),
+            StructField("cantidad", IntegerType()),
+            StructField("capacidad", IntegerType()),
+        ]
+    )
+    log_rows = []
+    for pub in range(240):
+        e = rng.choice(names)
+        op = "reserve" if rng.random() < 0.8 else "cancel"
+        val = jsonlib.dumps(
+            {"_id": f"id{pub}", "email": "u@x", "op": op,
+             "cantidad": rng.randint(1, 6), "capacidad": eventos[e]}
+        )
+        # publish time = seq (to_kafka_frame stamps timestamp_millis(seq)),
+        # spread 1 s apart, based at a realistic wall-clock epoch: Spark's
+        # late-event filter drops rows at-or-before the watermark, and the
+        # INITIAL watermark is epoch 0 — a pub-0 row stamped exactly 1970
+        # would be "late" before the first batch (real brokers stamp wall
+        # time, so only a synthetic fixture can hit this)
+        log_rows.append(("reservas", e, val, 1_700_000_000_000 + pub * 1000))
+    log = spark.createDataFrame(
+        log_rows, "topic string, key string, value string, seq long"
+    )
+    # real-broker shape: seq stripped, order only via (partition, offset)
+    wire = kafka_mod.to_kafka_frame(log).drop("seq")
+
+    # consumer delivery: bounded cross-partition scrambling of publish order
+    delivered = sorted(
+        wire.collect(), key=lambda r: r.timestamp
+    )
+    arrival = sorted(
+        range(len(delivered)), key=lambda i: i + rng.uniform(0, 7)
+    )
+    max_disp = max(abs(p - i) for p, i in enumerate(arrival))
+    delay = f"{max_disp + 2} seconds"
+    arr_rows = [
+        tuple(delivered[i]) + (p,) for p, i in enumerate(arrival)
+    ]
+    # StructType.add mutates in place — build the arrival schema ONCE
+    arr_schema = StructType(wire.schema.fields[:]).add("arrival", "long")
+    arr = spark.createDataFrame(arr_rows, arr_schema)
+    path = str(tmpdir.join("kafka_ooo"))
+    from boletia_kubernetes_kafka_mongodb_spark.sources import cdc_stream as cs
+
+    cs.write_ordered_files(arr, path, n_files=6, order_col="arrival")
+    # sentinel batches: far-future broker timestamps flush the watermark
+    far_ms = 1_700_000_000_000 + 10_000_000_000
+    for k in range(2):
+        spark.createDataFrame(
+            [
+                (
+                    bytearray(e.encode()), bytearray(jsonlib.dumps(
+                        {"_id": f"s{k}{j}", "email": "u@x", "op": "cancel",
+                         "cantidad": 0, "capacidad": eventos[e]}
+                    ).encode()),
+                    "reservas", kafka_mod.N_PARTITIONS + 1 + k, 1_000_000 + j,
+                    __import__("datetime").datetime.utcfromtimestamp(
+                        (far_ms + k * 1000) / 1000
+                    ),
+                    0, 9_999_999,
+                )
+                for j, e in enumerate(names)
+            ],
+            arr_schema,
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def to_requests(frame):
+        parsed = kafka_mod.from_kafka_frame(frame, keep_timestamp=True).select(
+            F.col("key").alias("evento"),
+            "seq",
+            F.from_json("value", payload_schema).alias("p"),
+            F.col("timestamp").alias("ts"),
+        )
+        return parsed.select(
+            "evento", "seq", "p._id", "p.email", "p.op", "p.cantidad",
+            "p.capacidad", "ts",
+        )
+
+    stream = (
+        spark.readStream.schema(arr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .drop("arrival")
+    )
+    q = (
+        admission.admission_ledger_stream_event_time(to_requests(stream), delay=delay)
+        .writeStream.format("memory")
+        .queryName("kafka_ooo_ledger")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdir.join("kafka_ooo_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # expected: batch fold over the SAME derived (partition,offset) seq —
+    # the sentinel partitions are excluded on both sides
+    requests_static = to_requests(
+        spark.read.parquet(path).where(
+            F.col("partition") < kafka_mod.N_PARTITIONS
+        )
+    ).drop("ts")
+    batch = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in admission.fold_requests_batch(requests_static).collect()
+    }
+    got = {
+        (r.evento, r.seq): (r.admitted, r.disponible_despues)
+        for r in spark.sql(
+            f"select * from kafka_ooo_ledger where seq < {(kafka_mod.N_PARTITIONS + 1) << 40}"
+        ).collect()
+    }
+    assert len(got) == 240
+    assert got == batch
