@@ -7,6 +7,7 @@ Phase-4 contract: streaming admission ≡ batch admission fold on one input.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -493,7 +494,9 @@ def test_kafka_multipartition_delivery_event_time_admission(spark, tmpdir):
     # StructType.add mutates in place — build the arrival schema ONCE
     arr_schema = StructType(wire.schema.fields[:]).add("arrival", "long")
     arr = spark.createDataFrame(arr_rows, arr_schema)
-    path = str(tmpdir.join("kafka_ooo"))
+    # NOTE: this file's tmpdir fixture yields a plain string — str.join
+    # would interleave, not concatenate
+    path = os.path.join(tmpdir, "kafka_ooo")
     from boletia_kubernetes_kafka_mongodb_spark.sources import cdc_stream as cs
 
     cs.write_ordered_files(arr, path, n_files=6, order_col="arrival")
@@ -541,7 +544,7 @@ def test_kafka_multipartition_delivery_event_time_admission(spark, tmpdir):
         .writeStream.format("memory")
         .queryName("kafka_ooo_ledger")
         .outputMode("append")
-        .option("checkpointLocation", str(tmpdir.join("kafka_ooo_ckpt")))
+        .option("checkpointLocation", os.path.join(tmpdir, "kafka_ooo_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
