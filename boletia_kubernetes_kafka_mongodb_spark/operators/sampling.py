@@ -145,7 +145,7 @@ def ext_sample_quota_oracle() -> str:
     return f"""
         SELECT lang, rank, doc_id, priority FROM (
             SELECT lang,
-                   row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rank,
+                   CAST(row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS INTEGER) AS rank,
                    doc_id,
                    {h} AS priority
             FROM documents
@@ -299,6 +299,12 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assignment("doc_id").alias("split"),
         F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias("shingle"),
     )
+    # DELIBERATELY not checkpointed (A/B-measured): both join branches do
+    # re-run the tokenize->shingle narrow stage, but materializing the
+    # exploded (shingle, doc) frame costs MORE than the repeated map work
+    # (1.31 s -> 1.67 s at sf0.1) — unlike ext_decontaminate_bloom, whose
+    # checkpoint feeds a driver-collected filter build that would otherwise
+    # re-run per branch AND per collect
     train_sh = (
         sh.where(F.col("split") == "train")
         .select("shingle")
@@ -377,9 +383,11 @@ def ext_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes over nothing, this parallelizes over sources and is
     deterministic everywhere.
     """
-    from pyspark.sql.window import Window
     from .text import tokens_col
 
+    # no fan: the packing window shuffles on source immediately after the
+    # tokenize — a fan exchange before it just adds a shuffle (A/B-measured
+    # 0.34 s -> 0.69 s at sf0.1 with fan)
     docs = tables.load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.size(tokens_col("text")).alias("n_tok")
@@ -953,7 +961,7 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle_key"
         ),
         F.size(tokens_col("text")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_bytes"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
     )
     return (
         assigned.groupBy("shard")
@@ -984,7 +992,7 @@ def ext_shard_manifest_oracle() -> str:
                    CAST({h_doc} % {N_SHARDS} AS INTEGER) AS shard,
                    {h_shuf} AS shuffle_key,
                    CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
-                   CAST(length(text) AS BIGINT) AS n_bytes
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         ),
         firsts AS (
