@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Empirical scale study: how does each operator's wall time grow with data?
+
+The repo's design claims are about 100 TB behavior — partition-pruned
+probes, banded candidate generation, bounded driver state, linear corpus
+scans. This harness MEASURES the growth curve instead of asserting it:
+it replicates `/root/testdata/sf0.1` by key-shifted union (3x and 10x, so
+~0.3 and ~1.0 TPC-H-scale-factor equivalents) and times a representative
+operator per family at each size, reporting the empirical scaling exponent
+    p = log(t_10x / t_1x) / log(10)
+(p ≈ 0 constant, ≈ 1 linear, ≈ 2 quadratic). Fixed per-query overhead
+(session, planning, Arrow spin-up) deflates p at these absolute sizes, so
+exponents here are UPPER-bounded by the asymptotic ones for sub-linear ops
+and slightly UNDER for super-linear ones; the interesting signal is
+linear-vs-quadratic separation, not the third decimal.
+
+Replication grows FACTS and keeps DIMENSIONS fixed — the realistic scale
+model (a venue catalog doesn't grow 10x because ticket volume does), and
+the one the fixture's key contracts require:
+- region/nation/customer/supplier/part stay single-copy: `reserva_seq`
+  (tables.py) packs (orderkey, linenumber, partkey, suppkey, qty) into
+  decimal bigint slots sized to the synthetic domains — shifting partkey
+  past 1e5 overflows/collides the packing (found by this harness's first
+  run: ANSI long-overflow, loudly, exactly as designed). At production
+  scale `seq` comes from Kafka (partition, offset) (`from_kafka_frame`:
+  partition * 2^40 + offset — unbounded), not from packing business
+  columns; the packed form is the batch-fixture stand-in.
+- orders/lineitem shift o_orderkey/l_orderkey by replica * 150_000 (dense
+  keys; 10 replicas top out at 1.5M, far inside the documented < 9.2e6
+  envelope). The 5-column lineitem key stays unique via the orderkey.
+- events shift event_id by 100_000 and user_id by 1_500 per replica:
+  event AND user cardinality scale, per-user activity stays constant (so
+  sessionize/attribution measure key-cardinality growth, not fan-out
+  blow-up).
+- documents/embeddings shift doc_id/vec_id by 1M (1M % 4 == 0 preserves
+  the wav-row assignment); document text gets a per-replica suffix so
+  dedup output scales linearly instead of quadratically in replicas.
+- embeddings replica 0 is untouched (the query vector `vec_id=0` and the
+  IVF coarse centroids `vec_id < IVF_NLIST` must stay unique); later
+  replicas are perturbed so they are near- but not exact duplicates.
+- consequence of fixed dims: ext_entity_resolution's identity frame stays
+  ~|suppliers| rows at every factor — its measured growth is the linear
+  aggregation over reservations, not in-block pair blow-up (the quadratic
+  knob is exercised by tests/test_skew.py's hot-band fixtures instead).
+
+Usage:
+    python scaling.py gen               # build /tmp/sfscale/x{3,10}
+    python scaling.py run               # time QUERIES at x1/x3/x10
+    python scaling.py report            # exponent table from results.jsonl
+
+Methodology mirrors bench.py: queries consumed with a noop-format write
+(plan executes fully, nothing serialized to the driver), multiple passes
+with per-(query, scale) minimum — pass 1 additionally absorbs write-time
+layout builds (IVF/SRP/bucketed), so the minimum reports the warm SERVE
+cost, consistent with how bench.py's min-of-3 treats layout-backed ids.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/sfscale"
+OSHIFT = 150_000   # orders/lineitem orderkey stride (dense keys end 149_999)
+ESHIFT = 100_000   # event_id stride
+USHIFT = 1_500     # user_id stride
+DSHIFT = 1_000_000  # doc_id / vec_id stride (multiple of 4: wav rows)
+FACTORS = (3, 10)
+PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
+
+# one representative per family, annotated with the DESIGNED growth class
+# (what the operator's plan shape promises; `run` measures the actual one)
+QUERIES = {
+    # core relational: linear scans / shuffles on natural keys
+    "scan_full_eventos": "linear",
+    "filter_range_guard": "linear (pushdown)",
+    "join_availability": "linear (broadcast dim)",
+    "join_availability_bucketed": "linear (zero-exchange)",
+    "agg_count_reservations": "linear (partial agg)",
+    "order_topn_disponible": "linear (bounded heap)",
+    "insert_dedup_unique": "linear (key shuffle)",
+    "reserve_admission_exact": "linear (per-key fold, keys scale)",
+    # analytics over events
+    "agg_sessionize": "linear (session window)",
+    "agg_ewma_daily": "linear (agg + windows on types x days)",
+    "join_attribution": "linear x bounded fan-out",
+    # text / corpus: single-scan + vocab-sized state
+    "ext_dedup_exact": "linear (hash groupBy)",
+    "ext_dedup_minhash_lsh": "linear + banded candidates",
+    "ext_dedup_simhash": "linear + banded candidates",
+    "ext_dedup_substring": "linear (window-hash shuffle)",
+    "ext_text_quality": "linear (narrow map)",
+    "ext_text_bigram_logprob": "linear (one bigram shuffle)",
+    "ext_tfidf_terms": "linear (one doc-token shuffle)",
+    "ext_heavy_hitters": "linear (two-pass MG sketch)",
+    "ext_bpe_merges": "sub-linear after first pass (vocab-sized loop)",
+    "ext_sample_pack": "linear (per-source window)",
+    "ext_shard_manifest": "linear (narrow map + small agg)",
+    "ext_corpus_keep_list": "linear (stage composition)",
+    # similarity / ANN: pruned serves vs explicitly-exact kernels
+    # IVF/LSH probes prune to a FIXED FRACTION of the corpus at fixed
+    # nlist/band count (nprobe/nlist of the data): linear with a smaller
+    # constant; sub-linearity at 100 TB comes from scaling nlist ~ sqrt(n),
+    # a layout knob, not a plan change
+    "ext_ann_lsh_topk": "linear/fraction (8-band-bucket probe)",
+    "ext_ann_ivf_topk": "linear/4 (nprobe/nlist partition probe)",
+    "ext_ann_ivfpq_topk": "linear/4 probe + ADC on survivors",
+    "ext_ann_pq_topk": "linear (ADC full scan)",
+    "ext_kmeans_embeddings": "linear (assign) x fixed iters",
+    "ext_topk_similarity": "linear (brute force, the verification path)",
+    "ext_dedup_embedding": "QUADRATIC by contract (exact all-pairs)",
+    "ext_entity_resolution": "linear agg (identities fixed by dims; "
+    "in-block quadratic knob covered by test_skew)",
+    # multimodal
+    "ext_multimodal_features": "linear (Arrow decode pass)",
+    "ext_multimodal_phash": "linear + banded pairs",
+}
+
+
+def gen() -> None:
+    import duckdb
+
+    con = duckdb.connect()
+
+    def rep_sql(table: str, f: int) -> str:
+        parts = []
+        for r in range(f):
+            if table == "orders":
+                sel = (f"SELECT o_orderkey + {r * OSHIFT} AS o_orderkey, o_custkey,"
+                       " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
+            elif table == "lineitem":
+                sel = (f"SELECT l_orderkey + {r * OSHIFT} AS l_orderkey, l_partkey,"
+                       " l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
+                       " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate")
+            elif table == "events":
+                sel = (f"SELECT event_id + {r * ESHIFT} AS event_id, ts,"
+                       f" user_id + {r * USHIFT} AS user_id, event_type, value, props")
+            elif table == "documents":
+                tsuf = f" || ' r{r}'" if r > 0 else ""
+                sel = (f"SELECT doc_id + {r * DSHIFT} AS doc_id, text{tsuf} AS text,"
+                       " lang, source, n_chars")
+            elif table == "embeddings":
+                if r == 0:
+                    sel = "SELECT vec_id, embedding, label"
+                else:
+                    sel = (f"SELECT vec_id + {r * DSHIFT} AS vec_id,"
+                           f" list_transform(embedding, x -> CAST(x + {0.0001 * r} AS FLOAT))"
+                           " AS embedding, label")
+            else:  # region/nation/customer/supplier/part: dims stay single-copy
+                if r > 0:
+                    continue
+                sel = "SELECT *"
+            parts.append(f"{sel} FROM '{BASE}/{table}.parquet'")
+        return " UNION ALL ".join(parts)
+
+    for f in FACTORS:
+        out = f"{OUT}/x{f}"
+        os.makedirs(out, exist_ok=True)
+        for t in ("region nation customer supplier part orders lineitem events"
+                  " documents embeddings").split():
+            con.execute(f"COPY ({rep_sql(t, f)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"x{f} written", flush=True)
+
+
+def run() -> None:
+    from boletia_kubernetes_kafka_mongodb_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("boletia-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    dirs = [("x1", BASE)] + [(f"x{f}", f"{OUT}/x{f}") for f in FACTORS]
+    only = os.environ.get("SPARK_GRAFT_SCALES")  # e.g. "x10" to resume a leg
+    if only:
+        keep = set(only.split(","))
+        dirs = [d for d in dirs if d[0] in keep]
+    os.makedirs(OUT, exist_ok=True)
+    with open(f"{OUT}/results.jsonl", "a") as sink:
+        for tag, sf_dir in dirs:
+            spark.read.parquet(f"{sf_dir}/part.parquet").count()  # warm footers
+            best: dict[str, float] = {}
+            for p in range(PASSES):
+                for qid in sorted(QUERIES):
+                    t0 = time.perf_counter()
+                    queries[qid](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    best[qid] = min(best.get(qid, dt), dt)
+                    print(f"{tag} pass{p} {qid} {dt:.2f}s", flush=True)
+            for qid, t in best.items():
+                sink.write(json.dumps({"scale": tag, "qid": qid, "sec": round(t, 3)}) + "\n")
+            sink.flush()
+    spark.stop()
+
+
+def report() -> None:
+    rows: dict[str, dict[str, float]] = {}
+    with open(f"{OUT}/results.jsonl") as f:
+        for line in f:
+            r = json.loads(line)
+            rows.setdefault(r["qid"], {})[r["scale"]] = r["sec"]
+    print(f"{'query':34s} {'x1':>7s} {'x3':>7s} {'x10':>7s} {'p':>6s}  designed")
+    for qid in sorted(rows):
+        t = rows[qid]
+        p = math.log(t["x10"] / t["x1"]) / math.log(10) if "x10" in t else float("nan")
+        print(f"{qid:34s} {t.get('x1', 0):7.2f} {t.get('x3', 0):7.2f} "
+              f"{t.get('x10', 0):7.2f} {p:6.2f}  {QUERIES.get(qid, '')}")
+
+
+if __name__ == "__main__":
+    {"gen": gen, "run": run, "report": report}[sys.argv[1]]()
