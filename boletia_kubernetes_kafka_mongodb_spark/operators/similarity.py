@@ -1174,6 +1174,15 @@ def _kmeans_partials():
                 s = X[m].sum(axis=0)
                 sums[k] = s if prev is None else prev + s
         ks = sorted(counts)
+        if not ks:
+            # EMPTY partition: yield nothing. Yielding a zero-row frame
+            # here crashes Arrow — pandas types the empty "s" column
+            # float64, which has no list<double> conversion
+            # (ArrowNotImplementedError). Never hit at the fixture sizes
+            # (one parquet split, all partitions non-empty); found by
+            # scaling.py's 10x run, where the bigger scan produces empty
+            # splits.
+            return
         yield pd.DataFrame(
             {
                 "cluster": pd.array(ks, dtype="int32"),

@@ -226,3 +226,37 @@ def test_pq_init_integer_form_equals_linspace_for_all_reachable_n():
         # and the DuckDB oracle's former FLOOR-division float form
         floorf = [int(np.floor((n - 1) * k / (PQ_KS - 1.0))) for k in range(PQ_KS)]
         assert floorf == exact, n
+
+
+def test_kmeans_partials_tolerates_empty_partitions(spark):
+    """Empty input partitions must yield NOTHING from the partial-sums
+    kernel: a zero-row pandas frame types the empty "s" column float64,
+    which Arrow cannot convert to list<double> (ArrowNotImplementedError —
+    found by scaling.py's 10x run, where the larger scan produces empty
+    splits; never hit at fixture sizes where the single parquet split
+    leaves every partition non-empty)."""
+    import numpy as np
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators.similarity import (
+        _centroid_col,
+        _kmeans_partials,
+        KMEANS_K,
+    )
+
+    dim = 4
+    rows = [(i, [float(i)] * dim) for i in range(3)]  # 3 rows << 16 slices
+    base = spark.createDataFrame(rows, "vec_id long, x array<double>").repartition(16)
+    C = np.zeros((KMEANS_K, dim))
+    C[1] = 1.0  # two distinct centroids so assignment exercises argmin
+    partials = (
+        base.withColumn("c", _centroid_col(C))
+        .mapInPandas(_kmeans_partials(), "cluster int, n long, s array<double>")
+        .collect()
+    )
+    assert sum(r["n"] for r in partials) == 3
+    sums = np.zeros((KMEANS_K, dim))
+    for r in partials:
+        sums[r["cluster"]] += np.asarray(r["s"])
+    # rows 0.. assign to centroid 0 (all-zeros) or 1 (all-ones) by distance;
+    # elementwise totals must equal the full input sum either way
+    assert np.allclose(sums.sum(axis=0), np.array([0.0 + 1.0 + 2.0] * dim))
