@@ -36,6 +36,59 @@ LSH_BANDS = 8               # 8 bands × 4 rows — high recall at 0.5 threshold
 SHINGLE_N = 3               # word-shingle width
 EMBED_DUP_THRESHOLD = 0.45  # cosine near-dup threshold (data max ≈ 0.51)
 SIMHASH_MAX_HAMMING = 8
+PAIR_TILE = 256  # in-bucket expansion tile width: per-row candidate
+                 # materialization is bounded by PAIR_TILE² structs
+
+
+def tiled_bucket_pairs(buckets: DataFrame, key, pair) -> DataFrame:
+    """Bounded in-bucket pair expansion over a ``members`` array column.
+
+    The naive expansion (``transform × transform`` over the full members
+    array) materializes |members|² structs in ONE row before the
+    upper-triangle filter. LSH-family buckets are usually tiny, but a hot
+    bucket — template-heavy text sharing SimHash band bits, media
+    near-dup clusters — grows with the corpus: scaling.py's 10× factor
+    measured a 3,843-member SimHash bucket (a ~600 MB single row), and a
+    ~50k-member bucket would overflow Spark's 2³¹ array-element limit
+    outright. Instead: explode each bucket into ceil(m/PAIR_TILE) slice
+    indices, pair the tiles (ci ≤ cj), and expand tile×tile — per-row
+    work and memory bounded by PAIR_TILE² while the pair SET stays
+    identical: every unordered pair meets in exactly one tile pair,
+    ``pair`` is emitted in canonical ``key`` order (self-pairs become
+    NULL and are filtered here), and the caller's ``.distinct()`` —
+    already required because a pair can collide in several bands —
+    absorbs the diagonal tiles' double emission. Same chunk-pair
+    discipline as ``er_resolve``'s tiled blocking.
+
+    ``key(member)`` orders members (the doc id); ``pair(lo, hi)`` builds
+    the caller's candidate struct. Returns the exploded pairs as column
+    ``p``.
+    """
+    m = F.col("members")
+    t = F.ceil(F.size(m) / F.lit(PAIR_TILE)).cast("int")
+    tiles = (
+        buckets.withColumn("ci", F.explode(F.sequence(F.lit(0), t - 1)))
+        .withColumn("cj", F.explode(F.sequence(F.col("ci"), t - 1)))
+        .select(
+            F.slice(m, F.col("ci") * PAIR_TILE + 1, PAIR_TILE).alias("ma"),
+            F.slice(m, F.col("cj") * PAIR_TILE + 1, PAIR_TILE).alias("mb"),
+        )
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ma",
+                lambda x: F.transform(
+                    "mb",
+                    lambda y: F.when(key(x) < key(y), pair(x, y)).otherwise(
+                        F.when(key(y) < key(x), pair(y, x))
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    return tiles.select(F.explode(pairs).alias("p"))
 
 
 # ---------------------------------------------------------------------------
@@ -593,26 +646,20 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree (no CSE across join children — measured 2× the work), where
     # the groupBy shuffles the banded keys ONCE and expands the k² pairs
     # per bucket with array lambdas. LSH buckets are tiny by construction
-    # (that's the point of banding); a pathological hot bucket at scale is
-    # handled the standard way — cap/salt the bucket — before expansion.
+    # (that's the point of banding), but a near-dup-dense corpus grows
+    # them with the data — the tiled expansion bounds per-row work at
+    # PAIR_TILE² whatever the bucket size (see tiled_bucket_pairs).
     buckets = (
         bands.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pair_struct = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x: F.transform(
-                    "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
+        .agg(F.collect_list("doc_id").alias("members"))
+        .where(F.size("members") > 1)
     )
     candidates = (
-        buckets.select(F.explode(pair_struct).alias("p"))
+        tiled_bucket_pairs(
+            buckets,
+            key=lambda d: d,
+            pair=lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+        )
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -829,25 +876,20 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("members"))
         .where(F.size("members") > 1)
     )
-    pair_struct = F.filter(
-        F.flatten(
-            F.transform(
-                "members",
-                lambda x: F.transform(
-                    "members",
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["simhash"].alias("sig_a"),
-                        y["simhash"].alias("sig_b"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
+    # tiled expansion: SimHash band bits are only 16 bits over skewed
+    # template-driven text, so hot buckets are the NORM here, not the
+    # pathology (scaling.py measured 611 members at sf0.1, 3,843 at 10×)
     candidates = (
-        buckets.select(F.explode(pair_struct).alias("p"))
+        tiled_bucket_pairs(
+            buckets,
+            key=lambda s: s["doc_id"],
+            pair=lambda a, b: F.struct(
+                a["doc_id"].alias("doc_a"),
+                b["doc_id"].alias("doc_b"),
+                a["simhash"].alias("sig_a"),
+                b["simhash"].alias("sig_b"),
+            ),
+        )
         .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )

@@ -696,25 +696,22 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "phash")).alias("members"))
         .where(F.size("members") > 1)
     )
-    pair_struct = F.filter(
-        F.flatten(
-            F.transform(
-                "members",
-                lambda x: F.transform(
-                    "members",
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["phash"].alias("sig_a"),
-                        y["phash"].alias("sig_b"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
+    # tiled expansion (shared with the SimHash/MinHash buckets): media
+    # near-dup clusters make hot 16-bit-band buckets grow with the
+    # corpus; per-row work stays bounded at PAIR_TILE² whatever the size
+    from .dedup import tiled_bucket_pairs
+
     candidates = (
-        buckets.select(F.explode(pair_struct).alias("p"))
+        tiled_bucket_pairs(
+            buckets,
+            key=lambda s: s["doc_id"],
+            pair=lambda a, b: F.struct(
+                a["doc_id"].alias("doc_a"),
+                b["doc_id"].alias("doc_b"),
+                a["phash"].alias("sig_a"),
+                b["phash"].alias("sig_b"),
+            ),
+        )
         .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )

@@ -557,3 +557,58 @@ def test_md5_hash_helpers_match_python_and_duckdb(spark, duck):
             [t],
         ).fetchone()
         assert d31 == hi & 0x7FFFFFFF, ("duckdb md5 31", t)
+
+
+def test_tiled_bucket_pairs_equals_naive_on_hot_bucket(spark):
+    """The tiled in-bucket expansion must produce EXACTLY the all-pairs set
+    on a bucket larger than PAIR_TILE (multi-tile path: diagonal tiles,
+    off-diagonal tiles, canonical ordering, the ragged last slice) — the
+    hot-bucket shape scaling.py measured (3,843-member SimHash buckets at
+    10x) that the naive single-row |m|2 expansion cannot survive at scale."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators.dedup import (
+        PAIR_TILE,
+        tiled_bucket_pairs,
+    )
+
+    n = 2 * PAIR_TILE + 89  # 3 ragged tiles
+    ids = [int(i * 7 + 3) for i in range(n)]  # non-contiguous, unsorted mod
+    buckets = spark.createDataFrame(
+        [(0, ids)], "bucket int, members array<long>"
+    )
+    got = {
+        (r["p"]["doc_a"], r["p"]["doc_b"])
+        for r in tiled_bucket_pairs(
+            buckets,
+            key=lambda d: d,
+            pair=lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+        ).collect()
+    }
+    want = {(min(a, b), max(a, b)) for a, b in combinations(ids, 2)}
+    assert got == want  # set equality: no pair lost, none invented
+    # struct payloads must follow the canonical order too (sig_a with doc_a)
+    two = spark.createDataFrame(
+        [(0, [(9, 90), (4, 40), (700, 7000)])],
+        "bucket int, members array<struct<doc_id:long, sig:long>>",
+    )
+    # diagonal tiles emit each unordered pair twice (helper contract: the
+    # caller's .distinct() absorbs it) — set-dedupe here like the callers
+    rows = sorted(
+        {
+            (r["p"]["doc_a"], r["p"]["sig_a"], r["p"]["doc_b"], r["p"]["sig_b"])
+            for r in tiled_bucket_pairs(
+            two,
+            key=lambda s: s["doc_id"],
+            pair=lambda a, b: F.struct(
+                a["doc_id"].alias("doc_a"),
+                b["doc_id"].alias("doc_b"),
+                a["sig"].alias("sig_a"),
+                b["sig"].alias("sig_b"),
+            ),
+            ).collect()
+        }
+    )
+    assert rows == [(4, 40, 9, 90), (4, 40, 700, 7000), (9, 90, 700, 7000)]
