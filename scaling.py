@@ -176,6 +176,10 @@ def run() -> None:
     spark = get_spark("boletia-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
+    subset = dict(QUERIES)
+    only_q = os.environ.get("SPARK_GRAFT_ONLY")  # re-measure a few ids
+    if only_q:
+        subset = {k: v for k, v in subset.items() if k in only_q.split(",")}
     dirs = [("x1", BASE)] + [(f"x{f}", f"{OUT}/x{f}") for f in FACTORS]
     only = os.environ.get("SPARK_GRAFT_SCALES")  # e.g. "x10" to resume a leg
     if only:
@@ -187,7 +191,7 @@ def run() -> None:
             spark.read.parquet(f"{sf_dir}/part.parquet").count()  # warm footers
             best: dict[str, float] = {}
             for p in range(PASSES):
-                for qid in sorted(QUERIES):
+                for qid in sorted(subset):
                     t0 = time.perf_counter()
                     queries[qid](spark, sf_dir).write.format("noop").mode(
                         "overwrite"
