@@ -377,6 +377,73 @@ def ann_lsh_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_topk_over_candidates(spark: SparkSession, candidates: DataFrame, q_vec) -> DataFrame:
+    """Exact rounded-cosine top-k of ``candidates`` (vec_id, label,
+    embedding) against ``q_vec`` — the shared scoring tail of the IVF-family
+    serves (round-5: replaces the crossJoin + per-element ``aggregate`` fold
+    + global window over EVERY probed row).
+
+    Kernel shape = FAISS IVFFlat's scan: each Arrow batch is scored with ONE
+    numpy matmul and emits only its top-k rows (a bounded heap per batch),
+    so the global sort sees ≤ k rows per batch instead of the whole probed
+    list — the x1/x3/x10 scaling study measured the old per-row fold +
+    full-probe sort as the one serve-path term that grew linearly (p=0.73).
+    The OUTPUT is unchanged: global top-k of per-batch top-k is exactly the
+    top-k over all probed rows (k candidates survive from any batch that
+    could contain a winner), same 6dp rounding, same (cosine DESC, vec_id
+    ASC) tie-break — so `_sql_rerank_topk` oracles hold as-is. numpy-matmul
+    vs DuckDB ``list_dot_product`` parity at 6dp is the same contract the
+    k-means / IVF-assignment kernels already rely on.
+
+    Closure rule: captures only numpy arrays / ints (never package symbols —
+    the driver imports this module from an arbitrary cwd; workers cannot
+    import the package).
+    """
+    import numpy as np
+
+    q = np.asarray(q_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    k = TOPK
+
+    def make_score_kernel():
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(
+                    [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+                )
+                cos = np.round(
+                    (X @ q) / (np.sqrt((X * X).sum(axis=1)) * qn), 6
+                )
+                ids = pdf["vec_id"].to_numpy()
+                # lexsort: last key is primary — (-cos) asc == cosine desc,
+                # vec_id asc breaks ties (the oracle's row_number order)
+                order = np.lexsort((ids, -cos))[:k]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[order],
+                        "label": pdf["label"].to_numpy()[order],
+                        "cosine": cos[order],
+                    }
+                )
+
+        return score
+
+    partial = candidates.select("vec_id", "label", "embedding").mapInPandas(
+        make_score_kernel(), "vec_id long, label int, cosine double"
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "label", "cosine")
+    )
+
+
 def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via an IVF coarse quantizer, served from the write-time
     partitioned layout.
@@ -513,25 +580,10 @@ def ann_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # matching the window tie-break
         return pd.Series(np.argmax(np.round(sims, 6), axis=1).astype("int64"))
 
-    candidates = _with_norm(
-        emb.where(F.col("vec_id") != QUERY_VEC_ID).where(
-            assign("embedding").isin(probe)
-        )
+    candidates = emb.where(F.col("vec_id") != QUERY_VEC_ID).where(
+        assign("embedding").isin(probe)
     )
-    q = spark.createDataFrame(
-        [(q_vec.tolist(), q_norm)], "q_emb: array<double>, q_norm: double"
-    )
-    scored = candidates.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        "label",
-        F.round(_cosine("embedding", F.col("q_emb"), F.col("norm"), F.col("q_norm")), 6).alias("cosine"),
-    )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOPK)
-        .select("rank", "vec_id", "label", "cosine")
-    )
+    return exact_topk_over_candidates(spark, candidates, q_vec)
 
 
 KNN_BLOCKS = 8  # tile degree for the exact 1-NN join

@@ -233,43 +233,27 @@ def ann_topk_over_layout(
 ) -> DataFrame:
     """``ext_ann_ivf_topk`` semantics served from the partitioned layout:
     same quantizer, same nprobe, but candidate pruning happens at the
-    directory level instead of per row."""
-    import numpy as np
-
+    directory level instead of per row. Scoring = the shared bounded-top-k
+    matmul kernel (``exact_topk_over_candidates``): per-batch numpy scoring
+    emitting ≤ k rows, so serve cost stays matmul-bound as probed lists
+    grow (round-5 fix for the scaling study's p=0.73 finding); the output
+    contract — exact rounded cosine over EVERY probed row — is unchanged.
+    """
     from ..operators.similarity import (
         QUERY_VEC_ID,
-        TOPK,
-        _cosine,
-        _with_norm,
+        exact_topk_over_candidates,
         query_vector,
     )
-    from pyspark.sql import Window
 
     probe = ivf_probe_lists(spark, sf_dir)
     q_vec = query_vector(spark, sf_dir)
-    q_norm = float(np.sqrt(q_vec @ q_vec))
 
-    candidates = _with_norm(
+    candidates = (
         read_ivf_probe(spark, layout_path, probe)
         .where(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", "embedding")
     )
-    q = spark.createDataFrame(
-        [(q_vec.tolist(), q_norm)], "q_emb: array<double>, q_norm: double"
-    )
-    scored = candidates.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        "label",
-        F.round(_cosine("embedding", F.col("q_emb"), F.col("norm"), F.col("q_norm")), 6).alias(
-            "cosine"
-        ),
-    )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOPK)
-        .select("rank", "vec_id", "label", "cosine")
-    )
+    return exact_topk_over_candidates(spark, candidates, q_vec)
 
 
 # ---------------------------------------------------------------------------
@@ -352,8 +336,34 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     ):  # BOTH tables: a crash between the two writes must trigger rebuild
         import atexit
         import shutil
+        import time
 
+        # KNOWN TRADE (round-5 ADVICE, kept deliberately): per-session
+        # keying forfeits cross-session layout reuse — every new session
+        # pays one bucketed rewrite even on identical data. A content-keyed
+        # shared location would need a cross-process lock protocol whose
+        # failure modes (stale lock after a crash, reader racing the
+        # rmtree) are worse than the rebuild cost this fixture pays
+        # (~seconds; a production deployment would keep bucketed tables in
+        # a REAL persistent metastore instead of a temp-dir warehouse, at
+        # which point this function is a no-op after first build).
         location = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")
+        # crashed sessions never ran their atexit sweep: age-sweep sibling
+        # warehouses (> 6 h stale cannot belong to a live local session)
+        cutoff = time.time() - 6 * 3600
+        root = tempfile.gettempdir()
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if (
+                d.startswith("boletia_bucketed_wh_")
+                and p != location
+                and os.path.isdir(p)
+            ):
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass  # raced another session's sweep — theirs won
         # the appId-keyed location can only hold THIS session's leftovers
         # (a crashed same-appId run) — clear before write, and sweep at
         # process exit so per-session warehouses don't accumulate in the
