@@ -3,10 +3,13 @@
 Media items are opaque ``binary`` columns with a typed metadata struct —
 the layout a 100 TB media corpus uses (payload bytes or object-store
 pointers + schema-checked metadata). The Spark-side plumbing (schemas,
-``mapInPandas`` batch shape, partition sizing) is real and tested; the
-actual codec decode is stubbed behind ``NotImplementedError`` with a
-deterministic fake, because no image/audio libraries exist in this
-container (mandate: stub the decode, make the plumbing real).
+``mapInPandas`` batch shape, partition sizing) is real and tested. Two
+codec paths decode END-TO-END with stdlib only: RIFF/WAVE (round 4:
+chunk-walk parse) and PNG (round 5: CRC-validated chunk walk + zlib
+inflate + scanline unfilter); jpeg/webp/video decode needs libjpeg/ffmpeg,
+absent in this container, so those formats keep the deterministic
+identity fake behind ``NotImplementedError`` in ``decode_media`` (mandate:
+stub what can't run, make the plumbing real).
 """
 
 from __future__ import annotations
@@ -75,15 +78,159 @@ def _le_bytes(col, width: int):
     return F.unhex(F.concat(*parts))
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_GRID_W = 16  # grayscale image width: pixels = text bytes row-majored
+
+
+def _zlib_store(data: bytes) -> bytes:
+    """A conformant zlib stream of STORED (uncompressed) deflate blocks.
+
+    Hand-built instead of ``zlib.compress(data, 0)`` because the container
+    size must follow an exact closed-form law the SQL oracle can state:
+    zlib's own level-0 encoder splits blocks at an internal buffer bound
+    (65531/65535 mix — measured: len 65535 emits two blocks), while this
+    writer always emits ``ceil(len/65535)`` maximal blocks, giving
+    ``len(stream) == 6 + 5*ceil(len/65535) + len`` at ANY input size.
+    ``zlib.decompress`` accepts it verbatim (stored blocks + adler32 are
+    core spec), so the DECODE side still exercises the real inflater.
+    """
+    import zlib
+
+    out = [b"\x78\x01"]  # CMF/FLG: deflate, 32K window, check bits
+    n = len(data)
+    blocks = max((n + 65534) // 65535, 1)
+    for i in range(blocks):
+        chunk = data[i * 65535 : (i + 1) * 65535]
+        final = 1 if i == blocks - 1 else 0
+        ln = len(chunk)
+        out.append(
+            bytes([final])
+            + ln.to_bytes(2, "little")
+            + (ln ^ 0xFFFF).to_bytes(2, "little")
+            + chunk
+        )
+    out.append(zlib.adler32(data).to_bytes(4, "big"))
+    return b"".join(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def encode_png(data: bytes) -> bytes:
+    """A minimal REAL grayscale PNG whose pixels are ``data`` row-majored
+    into a ``PNG_GRID_W``-wide image (last row zero-padded): Sub-filtered
+    scanlines (filter type 1 — the decoder must genuinely unfilter, not
+    just strip a byte), stored-block zlib IDAT (`_zlib_store` — exact size
+    law for the oracle), CRC32 on every chunk. Any spec-conformant PNG
+    reader decodes it; this environment's reader is ``decode_png``.
+
+    Container size is closed-form: with n = len(data), H = max(ceil(n/16),
+    1), slen = H*(16+1): 8 sig + 25 IHDR + 12 IDAT framing + (6 +
+    5*ceil(slen/65535) + slen) zlib + 12 IEND.
+    """
+    w = PNG_GRID_W
+    h = max((len(data) + w - 1) // w, 1)
+    padded = data + b"\x00" * (w * h - len(data))
+    scanlines = bytearray()
+    for r in range(h):
+        row = padded[r * w : (r + 1) * w]
+        # Sub filter: delta[i] = pixel[i] - pixel[i-1] (mod 256)
+        scanlines.append(1)
+        prev = 0
+        for px in row:
+            scanlines.append((px - prev) & 0xFF)
+            prev = px
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # 8-bit, grayscale, deflate, adaptive, no interlace
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_store(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> bytes:
+    """REAL PNG decode, pure stdlib: signature + chunk walk with CRC32
+    validation, zlib inflate of the IDAT stream, per-scanline unfilter
+    (None/Sub — the filters this engine's encoder emits; anything else
+    fails loudly). Returns the raw grayscale pixel bytes (width*height,
+    including any encoder padding). Malformed containers raise."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("decode_png: not a PNG signature")
+    pos, w, h, idat, ended = 8, None, None, [], False
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("decode_png: chunk overruns container")
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            if data[8] != 8 or data[9] != 0:
+                raise ValueError("decode_png: only 8-bit grayscale supported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if w is None or not idat or not ended:
+        raise ValueError("decode_png: missing IHDR/IDAT/IEND")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("decode_png: scanline stream length mismatch")
+    out = bytearray()
+    for r in range(h):
+        line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+        ftype, row = line[0], line[1:]
+        if ftype == 0:
+            out.extend(row)
+        elif ftype == 1:  # Sub: pixel[i] = delta[i] + pixel[i-1]
+            prev = 0
+            for d in row:
+                prev = (d + prev) & 0xFF
+                out.append(prev)
+        else:
+            raise ValueError(f"decode_png: unsupported filter type {ftype}")
+    return bytes(out)
+
+
 def media_table_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``media_table`` variant where every 4th document is a REAL WAV file:
-    doc_id % 4 == 0 rows wrap their PCM samples (the utf-8 text bytes) in a
-    canonical 44-byte RIFF/WAVE container, built entirely with native
-    column expressions (literal static chunks + two computed little-endian
-    lengths). The feature extractor's wav branch then runs an actual
-    container parse — the one codec this environment can decode end-to-end
-    without external libraries — while image rows keep the identity-fake
-    decode per the stub mandate."""
+    """``media_table`` variant with two REAL container formats: doc_id % 4
+    == 0 rows wrap their PCM samples (the utf-8 text bytes) in a canonical
+    44-byte RIFF/WAVE container built entirely with native column
+    expressions, and doc_id % 4 == 2 rows carry their text bytes as the
+    pixels of a REAL grayscale PNG (round-5: Sub-filtered scanlines,
+    stored-block zlib, per-chunk CRC32 — see ``encode_png``). The feature
+    extractor's wav/png branches then run actual container parses — the
+    two codec paths this environment can decode end-to-end with stdlib
+    only — while remaining image rows keep the identity-fake decode per
+    the stub mandate.
+
+    The PNG synthesis needs zlib/crc32, so it runs as an Arrow batch stage
+    over the JVM projection (the wav container stays pure column exprs).
+    Synthesis-at-read exists only because the fixture has no real media
+    files; a production corpus reads stored bytes, so this extra Arrow hop
+    is fixture plumbing, not the serve path.
+    """
     docs = tables.load(spark, sf_dir, "documents")
     pcm = F.encode(F.col("text"), "UTF-8")
     n = F.octet_length(pcm)
@@ -97,11 +244,74 @@ def media_table_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcm,
     )
     is_wav = F.col("doc_id") % 4 == 0
-    return _media_projection(
+    is_png = F.col("doc_id") % 4 == 2
+    base = _media_projection(
         docs,
         F.when(is_wav, wav).otherwise(pcm),
-        F.when(is_wav, F.lit("wav")).otherwise(_image_format_expr()),
+        F.when(is_wav, F.lit("wav"))
+        .when(is_png, F.lit("png"))
+        .otherwise(_image_format_expr()),
     )
+
+    def synth(batches: Iterator) -> Iterator:
+        # self-contained closure (pickle-by-value rule): the encoder twin
+        # is re-defined inside; equality with module-level encode_png is
+        # pinned by tests
+        import zlib
+
+        def zstore(data):
+            out = [b"\x78\x01"]
+            blocks = max((len(data) + 65534) // 65535, 1)
+            for i in range(blocks):
+                chunk = data[i * 65535 : (i + 1) * 65535]
+                ln = len(chunk)
+                out.append(
+                    bytes([1 if i == blocks - 1 else 0])
+                    + ln.to_bytes(2, "little")
+                    + (ln ^ 0xFFFF).to_bytes(2, "little")
+                    + chunk
+                )
+            out.append(zlib.adler32(data).to_bytes(4, "big"))
+            return b"".join(out)
+
+        def chunk(ctype, data):
+            return (
+                len(data).to_bytes(4, "big") + ctype + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big")
+            )
+
+        def to_png(data, w=16):
+            h = max((len(data) + w - 1) // w, 1)
+            padded = data + b"\x00" * (w * h - len(data))
+            sl = bytearray()
+            for r in range(h):
+                row = padded[r * w : (r + 1) * w]
+                sl.append(1)
+                prev = 0
+                for px in row:
+                    sl.append((px - prev) & 0xFF)
+                    prev = px
+            ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zstore(bytes(sl)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            png_rows = pdf["doc_id"] % 4 == 2
+            if png_rows.any():
+                payloads = pdf["payload"].copy()
+                nbytes = pdf["n_bytes"].copy()
+                for i in pdf.index[png_rows]:
+                    built = to_png(bytes(payloads[i]))
+                    payloads[i] = bytearray(built)
+                    nbytes[i] = len(built)
+                pdf = pdf.assign(payload=payloads, n_bytes=nbytes)
+            yield pdf
+
+    return base.mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def _image_format_expr():
@@ -163,15 +373,19 @@ def decode_wav(payload: bytes) -> bytes:
 def decode_media(payload: bytes, media_format: str) -> bytes:
     """Decode a media payload to raw pixels/samples.
 
-    ``wav`` decodes for REAL (stdlib RIFF parse, no codec library needed);
-    image/video formats remain stubbed: their decode needs PIL/libjpeg/
-    ffmpeg, not present in this environment. The Spark-side plumbing that
-    calls this is real; swap the raise for the codec call in production.
+    ``wav`` decodes for REAL (stdlib RIFF parse) and so does ``png`` when
+    the payload carries a genuine PNG container (stdlib zlib inflate +
+    unfilter — round 5); jpeg/webp/video formats remain stubbed: their
+    decode needs libjpeg/ffmpeg, not present in this environment. The
+    Spark-side plumbing that calls this is real; swap the raise for the
+    codec call in production.
     """
     if media_format == "wav":
         return decode_wav(payload)
+    if media_format == "png" and payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "media decode requires a codec library (PIL/libjpeg/ffmpeg); "
+        "media decode requires a codec library (libjpeg/ffmpeg); "
         "use fake_decode for deterministic tests"
     )
 
@@ -185,13 +399,14 @@ def extract_features(spark: SparkSession, media: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
     The real Arrow path: payload bytes stream per-batch into pandas, a
-    per-format decode runs (``wav`` → REAL RIFF container parse; image
-    formats → identity fake per the stub mandate, standing where
-    PIL/libjpeg would run), a vectorized feature fold follows (byte
-    statistics standing in for a CNN/fft), and a typed frame streams back.
-    The ``decoder`` output column records which branch each row took, so
-    the driver's hash check pins that wav rows really went through the
-    parser.
+    per-format decode runs (``wav`` → REAL RIFF container parse; ``png``
+    with a genuine PNG signature → REAL zlib inflate + scanline unfilter
+    (round 5); remaining image formats → identity fake per the stub
+    mandate, standing where libjpeg would run), a vectorized feature fold
+    follows (byte statistics standing in for a CNN/fft), and a typed frame
+    streams back. The ``decoder`` output column records which branch each
+    row took, so the driver's hash check pins that wav/png rows really
+    went through the parsers.
 
     The closure is self-contained (no references to module-level
     functions): executor workers don't share the driver's sys.path, so
@@ -200,6 +415,8 @@ def extract_features(spark: SparkSession, media: DataFrame) -> DataFrame:
     """
 
     def featurize(batches: Iterator) -> Iterator:
+        import zlib
+
         import numpy as np
         import pandas as pd
 
@@ -219,16 +436,68 @@ def extract_features(spark: SparkSession, media: DataFrame) -> DataFrame:
                 pos += 8 + size + (size & 1)
             raise ValueError("decode_wav: no data chunk")
 
+        png_sig = b"\x89PNG\r\n\x1a\n"
+
+        def decode_png_local(p: bytes) -> bytes:
+            # keep in sync with module-level decode_png (pickle-by-value
+            # closure rule); equality is pinned by tests
+            if len(p) < 8 or p[:8] != png_sig:
+                raise ValueError("decode_png: not a PNG signature")
+            pos, w, h, idat, ended = 8, None, None, [], False
+            while pos + 12 <= len(p):
+                ln = int.from_bytes(p[pos : pos + 4], "big")
+                ctype = p[pos + 4 : pos + 8]
+                data = p[pos + 8 : pos + 8 + ln]
+                if len(data) != ln:
+                    raise ValueError("decode_png: chunk overruns container")
+                crc = int.from_bytes(p[pos + 8 + ln : pos + 12 + ln], "big")
+                if zlib.crc32(ctype + data) != crc:
+                    raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
+                if ctype == b"IHDR":
+                    w = int.from_bytes(data[0:4], "big")
+                    h = int.from_bytes(data[4:8], "big")
+                    if data[8] != 8 or data[9] != 0:
+                        raise ValueError("decode_png: only 8-bit grayscale supported")
+                elif ctype == b"IDAT":
+                    idat.append(data)
+                elif ctype == b"IEND":
+                    ended = True
+                    break
+                pos += 12 + ln
+            if w is None or not idat or not ended:
+                raise ValueError("decode_png: missing IHDR/IDAT/IEND")
+            raw = zlib.decompress(b"".join(idat))
+            if len(raw) != h * (w + 1):
+                raise ValueError("decode_png: scanline stream length mismatch")
+            out = bytearray()
+            for r in range(h):
+                line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+                ftype, row = line[0], line[1:]
+                if ftype == 0:
+                    out.extend(row)
+                elif ftype == 1:
+                    prev = 0
+                    for d in row:
+                        prev = (d + prev) & 0xFF
+                        out.append(prev)
+                else:
+                    raise ValueError(f"decode_png: unsupported filter type {ftype}")
+            return bytes(out)
+
         for pdf in batches:
             feats_mean = []
             feats_head = []
             decoders = []
             for payload, fmt in zip(pdf["payload"], pdf["media_format"]):
+                pb = bytes(payload)
                 if fmt == "wav":
-                    raw_b = decode_wav_local(bytes(payload))
+                    raw_b = decode_wav_local(pb)
                     decoders.append("wav")
+                elif fmt == "png" and pb[:8] == png_sig:
+                    raw_b = decode_png_local(pb)
+                    decoders.append("png")
                 else:
-                    raw_b = bytes(payload)  # identity fake (stub mandate)
+                    raw_b = pb  # identity fake (stub mandate)
                     decoders.append("identity")
                 raw = np.frombuffer(raw_b, dtype=np.uint8)
                 feats_mean.append(int(raw.mean()) if raw.size else 0)
@@ -255,6 +524,7 @@ MAX_FRAMES = 8            # cap per video
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
+        StructField("dims_source", StringType(), True),
         StructField("width", LongType(), True),
         StructField("height", LongType(), True),
         StructField("out_width", LongType(), True),
@@ -276,23 +546,53 @@ FRAME_SCHEMA = StructType(
 def resize_media(media: DataFrame) -> DataFrame:
     """Aspect-preserving downscale-to-fit via ``mapInPandas``.
 
-    The dimension math is all-integer (``d·BOX // max(w,h)``, no float
-    rounding ambiguity across engines) and stands where the pixel kernel
-    (cv2.resize / PIL thumbnail) would run — that kernel needs a codec
-    library this container lacks (stub mandate), but the batch shape,
-    vectorized numpy arithmetic, and schema are exactly the real op's.
-    Upscaling is never performed (images already inside the box pass
-    through).
+    Input dimensions come from the payload itself when it is a REAL PNG —
+    the IHDR width/height fields, CRC-validated (round 5: a resize stage
+    cannot trust catalog metadata for stored images; it reads the header) —
+    and from the metadata columns otherwise; the ``dims_source`` output
+    column records which (so the driver hash pins that png rows really
+    parsed their header). The dimension math is all-integer (``d·BOX //
+    max(w,h)``, no float rounding ambiguity across engines) and stands
+    where the pixel kernel (cv2.resize / PIL thumbnail) would run — that
+    kernel needs a codec library this container lacks (stub mandate), but
+    the batch shape, header parse, vectorized numpy arithmetic, and schema
+    are exactly the real op's. Upscaling is never performed (images
+    already inside the box pass through).
     """
 
     def fold(batches: Iterator) -> Iterator:
+        import zlib
+
         import numpy as np
         import pandas as pd
 
         box = RESIZE_BOX
+        png_sig = b"\x89PNG\r\n\x1a\n"
+
+        def ihdr_dims(p: bytes):
+            # signature + first chunk must be IHDR per the PNG spec; CRC
+            # validated so a corrupt header fails loudly, not as garbage dims
+            if len(p) < 33 or p[12:16] != b"IHDR":
+                raise ValueError("resize: PNG without leading IHDR")
+            ln = int.from_bytes(p[8:12], "big")
+            data = p[16 : 16 + ln]
+            crc = int.from_bytes(p[16 + ln : 20 + ln], "big")
+            if ln != 13 or zlib.crc32(b"IHDR" + data) != crc:
+                raise ValueError("resize: corrupt IHDR chunk")
+            return (
+                int.from_bytes(data[0:4], "big"),
+                int.from_bytes(data[4:8], "big"),
+            )
+
         for pdf in batches:
-            w = pdf["width"].to_numpy(dtype=np.int64)
-            h = pdf["height"].to_numpy(dtype=np.int64)
+            w = pdf["width"].to_numpy(dtype=np.int64).copy()
+            h = pdf["height"].to_numpy(dtype=np.int64).copy()
+            src = np.full(len(pdf), "meta", dtype=object)
+            for i, payload in enumerate(pdf["payload"]):
+                pb = bytes(payload) if payload is not None else b""
+                if pb[:8] == png_sig:
+                    w[i], h[i] = ihdr_dims(pb)
+                    src[i] = "png-ihdr"
             m = np.maximum(w, h)
             need = m > box
             ow = np.where(need, np.maximum(w * box // np.maximum(m, 1), 1), w)
@@ -300,6 +600,7 @@ def resize_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "dims_source": src,
                     "width": w,
                     "height": h,
                     "out_width": ow,
@@ -308,7 +609,7 @@ def resize_media(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "width", "height").mapInPandas(
+    return media.select("doc_id", "payload", "width", "height").mapInPandas(
         fold, schema=RESIZE_SCHEMA
     )
 
@@ -357,14 +658,22 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
 
 def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checked query: the resize plumbing over the media table."""
-    return resize_media(media_table(spark, sf_dir))
+    """Driver-checked query: the resize plumbing over the mixed media table
+    (round 5): doc_id % 4 == 2 rows are REAL PNGs whose input dimensions
+    come from their CRC-validated IHDR header (``dims_source='png-ihdr'``
+    pins the parse in the driver hash); all other rows use catalog
+    metadata dims."""
+    return resize_media(media_table_mixed(spark, sf_dir))
 
 
 def ext_multimodal_resize_oracle() -> str:
-    b = RESIZE_BOX
+    # png rows re-derive the encoder's geometry: width = the fixed 16-px
+    # grid, height = ceil(n/16) scanlines (encode_png's documented law) —
+    # the oracle states what the IHDR must CONTAIN, so a resize stage that
+    # didn't really parse the header could not hash-match
+    b, w = RESIZE_BOX, PNG_GRID_W
     return f"""
-        SELECT doc_id, width, height,
+        SELECT doc_id, dims_source, width, height,
                CAST(CASE WHEN m > {b} THEN GREATEST(width * {b} // m, 1) ELSE width END AS BIGINT) AS out_width,
                CAST(CASE WHEN m > {b} THEN GREATEST(height * {b} // m, 1) ELSE height END AS BIGINT) AS out_height,
                CAST((CASE WHEN m > {b} THEN GREATEST(width * {b} // m, 1) ELSE width END)
@@ -372,9 +681,15 @@ def ext_multimodal_resize_oracle() -> str:
                     * 3 AS BIGINT) AS out_bytes
         FROM (
             SELECT doc_id,
-                   CAST(doc_id % 640 + 16 AS BIGINT) AS width,
-                   CAST(doc_id * 7 % 480 + 16 AS BIGINT) AS height,
-                   GREATEST(doc_id % 640 + 16, doc_id * 7 % 480 + 16) AS m
+                   CASE WHEN doc_id % 4 = 2 THEN 'png-ihdr' ELSE 'meta' END AS dims_source,
+                   CAST(CASE WHEN doc_id % 4 = 2 THEN {w}
+                             ELSE doc_id % 640 + 16 END AS BIGINT) AS width,
+                   CAST(CASE WHEN doc_id % 4 = 2
+                             THEN GREATEST((octet_length(encode(text)) + {w - 1}) // {w}, 1)
+                             ELSE doc_id * 7 % 480 + 16 END AS BIGINT) AS height,
+                   CASE WHEN doc_id % 4 = 2
+                        THEN GREATEST({w}, GREATEST((octet_length(encode(text)) + {w - 1}) // {w}, 1))
+                        ELSE GREATEST(doc_id % 640 + 16, doc_id * 7 % 480 + 16) END AS m
             FROM documents
         )
     """
@@ -436,15 +751,19 @@ def ext_multimodal_meta_oracle() -> str:
 
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked query: the mapInPandas feature-extraction path, with
-    every 4th row a REAL WAV container (round-4 verdict #5).
+    every 4th row a REAL WAV container (round-4 verdict #5) and every
+    doc_id % 4 == 2 row a REAL PNG (round-5 verdict #2).
 
-    wav rows run the actual RIFF parse — build container JVM-side, parse
-    it in the Arrow batch, featurize the extracted PCM — while image rows
-    keep the identity fake. Decoded PCM == the document's utf-8 bytes by
-    construction, so the features stay SQL-expressible and the driver
-    hash-checks the entire synth → decode → featurize round-trip (the
-    ``decoder``/``n_bytes`` columns pin that the wav branch really ran:
-    container bytes are 44 larger than the PCM).
+    wav rows run the actual RIFF parse; png rows run an actual PNG decode
+    (chunk walk + CRC32 + zlib inflate + Sub-filter reconstruction);
+    remaining image rows keep the identity fake. Decoded bytes == the
+    document's utf-8 bytes by construction (png: zero-padded to the 16-wide
+    pixel grid), so the features stay SQL-expressible and the driver
+    hash-checks the entire synth → decode → featurize round-trip: the
+    ``decoder`` column pins which parser ran, ``n_bytes`` pins the
+    container overhead (wav: +44; png: the closed-form chunk+zlib size),
+    and png's ``feat_mean_byte`` divides by the PADDED pixel count — a
+    decoder that skipped the real unfilter/pad path could not match.
     """
     return extract_features(spark, media_table_mixed(spark, sf_dir))
 
@@ -453,20 +772,37 @@ def ext_multimodal_features_oracle() -> str:
     # mean over uint8 bytes == floor(sum/len): numpy .mean() + int() truncates
     # the same way for non-negative values. Text is ASCII (verified) so
     # per-char ord == per-byte value. wav rows carry the 44-byte container
-    # overhead in n_bytes; their feature stats are over the DECODED PCM,
-    # which equals the raw text bytes.
+    # overhead in n_bytes; png rows carry the closed-form PNG size
+    # (8 sig + 25 IHDR + 12 IDAT framing + 12 IEND = 57, plus the zlib
+    # stream 6 + 5*ceil(slen/65535) + slen where slen = 17*ceil(n/16)
+    # scanline bytes — encode_png's documented law) and their pixel stats
+    # divide by the padded grid size 16*ceil(n/16). Feature stats are over
+    # the DECODED bytes, which equal the raw text bytes (+ zero pad for
+    # png: head/sum unaffected, mean divisor grows to the grid).
     return """
+        WITH geom AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   GREATEST((octet_length(encode(text)) + 15) // 16, 1) AS gh
+            FROM documents
+        )
         SELECT d.doc_id,
                CASE WHEN d.doc_id % 4 = 0 THEN 'wav'
+                    WHEN d.doc_id % 4 = 2 THEN 'png'
                     ELSE ['png','jpeg','webp'][(d.doc_id % 3 + 1)::INTEGER]
                END AS media_format,
-               CAST(octet_length(encode(d.text))
-                    + CASE WHEN d.doc_id % 4 = 0 THEN 44 ELSE 0 END
-                    AS BIGINT) AS n_bytes,
-               CASE WHEN d.doc_id % 4 = 0 THEN 'wav' ELSE 'identity' END AS decoder,
-               CAST(s.byte_sum // s.n AS BIGINT) AS feat_mean_byte,
+               CAST(CASE WHEN d.doc_id % 4 = 0 THEN g.n + 44
+                         WHEN d.doc_id % 4 = 2
+                         THEN 63 + 5 * ((17 * g.gh + 65534) // 65535) + 17 * g.gh
+                         ELSE g.n END AS BIGINT) AS n_bytes,
+               CASE WHEN d.doc_id % 4 = 0 THEN 'wav'
+                    WHEN d.doc_id % 4 = 2 THEN 'png'
+                    ELSE 'identity' END AS decoder,
+               CAST(CASE WHEN d.doc_id % 4 = 2 THEN s.byte_sum // (16 * g.gh)
+                         ELSE s.byte_sum // s.n END AS BIGINT) AS feat_mean_byte,
                CAST(h.head_sum AS BIGINT) AS feat_head_sum
         FROM documents d
+        JOIN geom g ON d.doc_id = g.doc_id
         JOIN (SELECT doc_id, SUM(ord(ch)) AS byte_sum, COUNT(*) AS n
               FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
               GROUP BY doc_id) s ON d.doc_id = s.doc_id

@@ -412,19 +412,35 @@ def test_wav_features_run_real_decode_branch(spark):
 
     rows = {r.doc_id: r for r in M.ext_multimodal_features(spark, SF).collect()}
     assert any(r.decoder == "wav" for r in rows.values())
+    assert any(r.decoder == "png" for r in rows.values())
     plain = {
         r.doc_id: r
         for r in M.extract_features(spark, M.media_table(spark, SF)).collect()
+    }
+    byte_sums = {
+        r.doc_id: sum(bytes(r.payload))
+        for r in M.media_table(spark, SF).select("doc_id", "payload").collect()
     }
     for doc_id, r in rows.items():
         p = plain[doc_id]
         if doc_id % 4 == 0:
             assert r.decoder == "wav" and r.media_format == "wav"
             assert r.n_bytes == p.n_bytes + 44
+        elif doc_id % 4 == 2:
+            # real PNG: closed-form container size (encode_png's law) and
+            # pixel stats over the zero-PADDED 16-wide grid
+            assert r.decoder == "png" and r.media_format == "png"
+            n = p.n_bytes
+            gh = max((n + 15) // 16, 1)
+            slen = 17 * gh
+            assert r.n_bytes == 63 + 5 * ((slen + 65534) // 65535) + slen
+            assert r.feat_head_sum == p.feat_head_sum  # pad is tail-only
+            assert r.feat_mean_byte == byte_sums[doc_id] // (16 * gh)
+            continue
         else:
             assert r.decoder == "identity"
             assert (r.media_format, r.n_bytes) == (p.media_format, p.n_bytes)
-        # decoded PCM stats == raw text-byte stats, both branches
+        # decoded PCM stats == raw text-byte stats (wav/identity branches)
         assert (r.feat_mean_byte, r.feat_head_sum) == (
             p.feat_mean_byte, p.feat_head_sum
         )
@@ -480,3 +496,225 @@ def test_wav_executor_parser_padded_chunk_and_malformed(spark):
         M.extract_features(spark, media_frame(b"JUNK" + good[4:])).collect()
     with pytest.raises(Exception, match="overruns|data chunk"):
         M.extract_features(spark, media_frame(good[:-4])).collect()
+
+
+def _png_reference_decode(payload: bytes) -> bytes:
+    """INDEPENDENT PNG reader (round-5 cross-parse requirement): written
+    against the spec with a deliberately different structure from
+    ``multimodal.decode_png`` — struct.unpack field reads, a chunk list
+    built before interpretation, streaming ``zlib.decompressobj``, and
+    numpy-cumsum Sub unfiltering — so a shared bug in the production
+    parser cannot hide."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    chunks = []
+    off = 8
+    while off < len(payload):
+        (ln,) = struct.unpack(">I", payload[off : off + 4])
+        ctype = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[off + 8 + ln : off + 12 + ln])
+        assert zlib.crc32(ctype + body) == crc, f"crc {ctype!r}"
+        chunks.append((ctype, body))
+        off += 12 + ln
+        if ctype == b"IEND":
+            break
+    assert chunks[0][0] == b"IHDR" and chunks[-1][0] == b"IEND"
+    w, h, depth, ctype_ = struct.unpack(">IIBB", chunks[0][1][:10])
+    assert (depth, ctype_) == (8, 0)
+    d = zlib.decompressobj()
+    raw = b"".join(d.decompress(body) for t, body in chunks if t == b"IDAT")
+    raw += d.flush()
+    assert len(raw) == h * (w + 1)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    out = np.empty((h, w), dtype=np.int64)
+    for r in range(h):
+        f, row = int(mat[r, 0]), mat[r, 1:].astype(np.int64)
+        if f == 0:
+            out[r] = row
+        elif f == 1:
+            out[r] = np.cumsum(row) % 256
+        else:
+            raise AssertionError(f"filter {f}")
+    return out.astype(np.uint8).tobytes()
+
+
+def test_png_encode_decode_roundtrip_and_size_law():
+    """decode_png(encode_png(x)) recovers x + tail pad at every geometry
+    class (empty, sub-row, exact rows, >64K scanline stream → multi-block
+    zlib), and the container size follows the closed-form law the SQL
+    oracle states."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal as M
+
+    for n in (0, 1, 15, 16, 17, 31, 32, 255, 553, 70_000):
+        data = bytes((i * 37 + 11) % 256 for i in range(n))
+        png = M.encode_png(data)
+        gh = max((n + 15) // 16, 1)
+        slen = 17 * gh
+        assert len(png) == 63 + 5 * ((slen + 65534) // 65535) + slen, n
+        decoded = M.decode_png(png)
+        assert len(decoded) == 16 * gh
+        assert decoded[:n] == data
+        assert set(decoded[n:]) <= {0}
+        # independent reference reader agrees byte-for-byte
+        assert _png_reference_decode(png) == decoded
+
+
+def test_png_spark_payloads_cross_parse_with_independent_reader(spark):
+    """Every Spark-built PNG payload (media_table_mixed's Arrow synth
+    stage) parses identically under the production decoder and the
+    independent reference reader, and its pixels equal the document's
+    utf-8 bytes + pad."""
+    from tests.conftest import SF_SMOKE as SF
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal as M
+
+    rows = (
+        M.media_table_mixed(spark, SF)
+        .where("doc_id % 4 = 2")
+        .select("doc_id", "payload", "n_bytes")
+        .collect()
+    )
+    texts = {
+        r.doc_id: bytes(r.payload)
+        for r in M.media_table(spark, SF).where("doc_id % 4 = 2").collect()
+    }
+    assert rows
+    for r in rows:
+        png = bytes(r.payload)
+        assert r.n_bytes == len(png)  # metadata measures the REAL container
+        a = M.decode_png(png)
+        assert _png_reference_decode(png) == a
+        t = texts[r.doc_id]
+        assert a[: len(t)] == t and set(a[len(t) :]) <= {0}
+
+
+def test_png_malformed_inputs():
+    import zlib
+
+    import pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal as M
+
+    png = bytearray(M.encode_png(b"hello png world, enough bytes"))
+    assert M.decode_media(bytes(png), "png") == M.decode_png(bytes(png))
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_png(b"JUNK" + bytes(png[4:]))
+    with pytest.raises(ValueError, match="missing|overruns|CRC"):
+        M.decode_png(bytes(png[:-15]))  # IEND gone (cut lands in IDAT CRC)
+    with pytest.raises(ValueError, match="missing"):
+        M.decode_png(bytes(png[:-12]))  # IEND cleanly removed
+    bad = png.copy()
+    bad[40] ^= 0xFF  # inside IDAT body → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(bad))
+    # unsupported filter type: rebuild IDAT with filter 2 (Up) scanlines
+    sl = b"\x02" + bytes(16)
+    idat = M._zlib_store(sl)
+    evil = (
+        M.PNG_SIG
+        + M._png_chunk(b"IHDR", (16).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]))
+        + M._png_chunk(b"IDAT", idat)
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter"):
+        M.decode_png(evil)
+    # non-grayscale rejected loudly
+    rgb = (
+        M.PNG_SIG
+        + M._png_chunk(b"IHDR", (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0]))
+        + M._png_chunk(b"IDAT", M._zlib_store(b"\x00\x01\x02\x03"))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="grayscale"):
+        M.decode_png(rgb)
+    # identity formats still stubbed
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\xff\xd8\xff", "jpeg")
+
+
+def test_png_executor_decoder_twin_and_malformed(spark):
+    """The executor-side png parser is a re-defined twin inside the
+    extract_features closure — drive the CLOSURE itself on crafted frames:
+    a filter-0 PNG (a branch media_table_mixed never produces) must
+    featurize its exact pixels, and a CRC-corrupted container must fail
+    the job loudly."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal as M
+
+    pixels = bytes((7 * i + 3) % 256 for i in range(32))
+    sl = b"".join(b"\x00" + pixels[r * 16 : (r + 1) * 16] for r in range(2))
+    png = (
+        M.PNG_SIG
+        + M._png_chunk(b"IHDR", (16).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]))
+        + M._png_chunk(b"IDAT", M._zlib_store(sl))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.decode_png(png) == pixels  # module twin agrees on filter 0
+
+    def media_frame(payload):
+        return spark.createDataFrame(
+            [(2, bytearray(payload), "png", len(payload))],
+            "doc_id long, payload binary, media_format string, n_bytes long",
+        )
+
+    rows = M.extract_features(spark, media_frame(png)).collect()
+    raw = np.frombuffer(pixels, dtype=np.uint8)
+    assert rows[0].decoder == "png"
+    assert rows[0].feat_mean_byte == int(raw.mean())
+    assert rows[0].feat_head_sum == int(raw[:16].sum())
+
+    bad = bytearray(png)
+    bad[40] ^= 0xFF
+    with pytest.raises(Exception, match="CRC"):
+        M.extract_features(spark, media_frame(bytes(bad))).collect()
+    # a 'png'-labeled payload WITHOUT the signature takes the identity
+    # branch (the fixture's fake-image rows) — never a silent misparse
+    rows = M.extract_features(spark, media_frame(b"not a png at all")).collect()
+    assert rows[0].decoder == "identity"
+
+
+def test_resize_parses_real_ihdr_dims(spark):
+    """ext_multimodal_resize: png rows take (width, height) from their
+    CRC-validated IHDR — 16 × ceil(n/16) by the encoder's law — and are
+    marked dims_source='png-ihdr'; all other rows keep catalog metadata.
+    A corrupt IHDR fails the stage loudly."""
+    import pytest
+
+    from tests.conftest import SF_SMOKE as SF
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal as M
+
+    n_chars = {
+        r.doc_id: r.n_bytes
+        for r in M.media_table(spark, SF).select("doc_id", "n_bytes").collect()
+    }
+    rows = M.ext_multimodal_resize(spark, SF).collect()
+    assert any(r.dims_source == "png-ihdr" for r in rows)
+    for r in rows:
+        if r.doc_id % 4 == 2:
+            gh = max((n_chars[r.doc_id] + 15) // 16, 1)
+            assert (r.dims_source, r.width, r.height) == ("png-ihdr", 16, gh)
+        else:
+            assert r.dims_source == "meta"
+            assert (r.width, r.height) == (
+                r.doc_id % 640 + 16, r.doc_id * 7 % 480 + 16
+            )
+
+    png = bytearray(M.encode_png(b"x" * 40))
+    png[20] ^= 0xFF  # IHDR body byte → CRC mismatch
+    frame = spark.createDataFrame(
+        [(2, bytearray(png), "png", len(png), 99, 99)],
+        "doc_id long, payload binary, media_format string, n_bytes long,"
+        " width long, height long",
+    )
+    with pytest.raises(Exception, match="IHDR"):
+        M.resize_media(frame).collect()
