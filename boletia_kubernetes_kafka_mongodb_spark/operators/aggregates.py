@@ -411,6 +411,99 @@ def ext_distinct_users_exact_oracle() -> str:
     """
 
 
+KMV_K = 64  # bottom-k sketch size: rel. error ≈ 1/sqrt(K-2) ≈ 12.7%
+# (64 keeps the ESTIMATOR branch live from sf0.01 up — 150+ distinct
+# users per group — while sf0.001 exercises the exact small-set branch)
+
+
+def ext_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 deterministic companion (round-5 verdict #5): KMV / bottom-k
+    distinct-user estimate per event type — the oracle-checkable
+    approximate path next to the engine-native HLL of
+    ``ext_approx_distinct``.
+
+    KMV (Bar-Yossef et al. 2002): hash every value into (0,1]; keep the K
+    smallest DISTINCT hashes per group; if fewer than K exist the sketch
+    holds the whole distinct set (estimate = its size, exact), else the
+    K-th smallest hash u_K estimates density and distinct ≈ (K-1)/u_K.
+    Hashes are md5-derived signed-64 (`md5_hash64` pattern), so — unlike
+    HLL registers — every intermediate is engine-independent and DuckDB
+    replays the identical sketch, making this the one *hash-gated*
+    approximate-distinct id.
+
+    Plan shape: distinct on (event_type, h) with map-side partial
+    aggregation, then a per-group window keeping ranks ≤ K. The window
+    sorts each group's distinct hashes — same shuffle class as the exact
+    count, which is the honest price of SQL-expressible determinism; the
+    fixed-size-state serve path at 100 TB remains the engine-native HLL
+    (or a registered bottom-k typed aggregator, which Spark SQL lacks
+    built-in). What KMV buys over both: a mergeable sketch whose every bit
+    is auditable cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
+    hashes = ev.select(
+        "event_type", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bot = hashes.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KMV_K
+    )
+    # signed h → unsigned position in (0,1]: u = (h + 2^63 + 1) / 2^64,
+    # computed in double on BOTH engines (int64→double and each double op
+    # are IEEE-defined, so the estimate is bit-identical cross-engine)
+    u_k = (
+        F.col("h_k").cast("double") + F.lit(9223372036854775808.0) + F.lit(1.0)
+    ) / F.lit(18446744073709551616.0)
+    est = F.when(
+        F.col("sketch_k") < KMV_K, F.col("sketch_k").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / u_k)
+    return (
+        bot.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sketch_k"),
+            F.max("h").alias("h_k"),
+        )
+        .select("event_type", "sketch_k", F.round(est, 6).alias("kmv_users"))
+    )
+
+
+def ext_approx_distinct_kmv_oracle() -> str:
+    """DuckDB replay of the identical KMV sketch: same md5-derived signed-64
+    hash, same bottom-K window, same (h + 2^63 + 1)/2^64 normalization in
+    double — every intermediate engine-independent."""
+    k = KMV_K
+    h64 = (
+        "(CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) >= 2147483648 "
+        "THEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) - 4294967296 "
+        "ELSE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) END) * 4294967296 "
+        "+ CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT)"
+    )
+    return f"""
+        WITH hs AS (
+            SELECT DISTINCT event_type, {h64} AS h FROM events
+        ),
+        rk AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM hs
+        ),
+        bot AS (SELECT event_type, h FROM rk WHERE rk <= {k})
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS sketch_k,
+               ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE {k - 1}.0 / ((CAST(MAX(h) AS DOUBLE)
+                                             + 9223372036854775808.0 + 1.0)
+                                            / 18446744073709551616.0)
+                     END, 6) AS kmv_users
+        FROM bot GROUP BY event_type
+    """
+
+
 # ---------------------------------------------------------------------------
 # event analytics: ordered funnel and retention cohorts (§2.9 extensions)
 # ---------------------------------------------------------------------------

@@ -117,3 +117,32 @@ def test_approx_distinct_error_bound(spark):
     assert len(rows) > 0
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users)
+
+
+def test_approx_distinct_kmv_error_bound_and_branches(spark):
+    """KMV sketch (round-5): estimator branch within 4σ (σ = 1/sqrt(K-2))
+    of exact on every sf0.01 group (n=150 > K=64), and the small-set
+    branch (n < K) returns the EXACT distinct count at sf0.001."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    exact = {
+        r.event_type: r.exact_users
+        for r in A.ext_distinct_users_exact(spark, "/root/testdata/sf0.01").collect()
+    }
+    rows = A.ext_approx_distinct_kmv(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == len(exact)
+    sigma = (A.KMV_K - 2) ** -0.5
+    for r in rows:
+        e = exact[r.event_type]
+        assert e > A.KMV_K, "fixture must exercise the estimator branch"
+        assert r.sketch_k == A.KMV_K
+        assert abs(r.kmv_users - e) <= 4 * sigma * e, (r.event_type, r.kmv_users, e)
+
+    small = A.ext_approx_distinct_kmv(spark, "/root/testdata/sf0.001").collect()
+    exact_small = {
+        r.event_type: r.exact_users
+        for r in A.ext_distinct_users_exact(spark, "/root/testdata/sf0.001").collect()
+    }
+    for r in small:
+        assert r.sketch_k < A.KMV_K
+        assert r.kmv_users == float(exact_small[r.event_type])
