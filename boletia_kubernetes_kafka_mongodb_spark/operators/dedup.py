@@ -52,13 +52,15 @@ def tiled_bucket_pairs(buckets: DataFrame, key, pair) -> DataFrame:
     ~50k-member bucket would overflow Spark's 2³¹ array-element limit
     outright. Instead: explode each bucket into ceil(m/PAIR_TILE) slice
     indices, pair the tiles (ci ≤ cj), and expand tile×tile — per-row
-    work and memory bounded by PAIR_TILE² while the pair SET stays
-    identical: every unordered pair meets in exactly one tile pair,
-    ``pair`` is emitted in canonical ``key`` order (self-pairs become
-    NULL and are filtered here), and the caller's ``.distinct()`` —
-    already required because a pair can collide in several bands —
-    absorbs the diagonal tiles' double emission. Same chunk-pair
-    discipline as ``er_resolve``'s tiled blocking.
+    memory O(|members| + PAIR_TILE²) (the rows between the two Generate
+    nodes still carry the full members array until the slicing Project;
+    the PAIR_TILE² term is what replaced the old |members|² blow-up) —
+    while the pair SET stays exact: every unordered pair is emitted
+    EXACTLY ONCE, in canonical ``key`` order (off-diagonal tiles meet each
+    pair once by construction; diagonal tiles restrict the inner transform
+    to trailing indices, round-5 ADVICE — callers need ``.distinct()``
+    only for their own multi-band collisions, not for this helper). Same
+    chunk-pair discipline as ``er_resolve``'s tiled blocking.
 
     ``key(member)`` orders members (the doc id); ``pair(lo, hi)`` builds
     the caller's candidate struct. Returns the exploded pairs as column
@@ -70,18 +72,24 @@ def tiled_bucket_pairs(buckets: DataFrame, key, pair) -> DataFrame:
         buckets.withColumn("ci", F.explode(F.sequence(F.lit(0), t - 1)))
         .withColumn("cj", F.explode(F.sequence(F.col("ci"), t - 1)))
         .select(
+            (F.col("ci") == F.col("cj")).alias("diag"),
             F.slice(m, F.col("ci") * PAIR_TILE + 1, PAIR_TILE).alias("ma"),
             F.slice(m, F.col("cj") * PAIR_TILE + 1, PAIR_TILE).alias("mb"),
         )
     )
+    # on the diagonal (ma == mb) each unordered pair would surface twice,
+    # as (i,j) and (j,i): the j > i guard keeps exactly one occurrence
+    live = lambda i, j: ~F.col("diag") | (j > i)  # noqa: E731
     pairs = F.filter(
         F.flatten(
             F.transform(
                 "ma",
-                lambda x: F.transform(
+                lambda x, i: F.transform(
                     "mb",
-                    lambda y: F.when(key(x) < key(y), pair(x, y)).otherwise(
-                        F.when(key(y) < key(x), pair(y, x))
+                    lambda y, j: F.when(
+                        live(i, j) & (key(x) < key(y)), pair(x, y)
+                    ).otherwise(
+                        F.when(live(i, j) & (key(y) < key(x)), pair(y, x))
                     ),
                 ),
             )

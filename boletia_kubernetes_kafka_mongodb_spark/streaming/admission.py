@@ -402,6 +402,18 @@ def admission_ledger_stream_event_time(
     State per key is O(rows inside the horizon) — bounded by delay × rate,
     the same bound any stream-stream interval join carries; the shuffle
     stays on the natural key.
+
+    USAGE — end-of-stream drain (round-5 ADVICE): rows within ``delay`` of
+    the max seen event time stay buffered FOREVER once input stops — the
+    watermark only advances on new data (standard semantics, but
+    operationally surprising for ``availableNow``/batch-drain consumers).
+    To flush the tail, feed a watermark-advancing sentinel: TWO trailing
+    batches carrying an event time past ``max(ts) + delay`` for any key
+    (two, because a watermark update takes effect one trigger later); give
+    the sentinel an ``op`` outside the folded set so it never reaches the
+    ledger. ``tests/test_streaming.py`` shows the exact recipe. A
+    continuous production stream never needs this — fresh events advance
+    the watermark for every key.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -579,27 +579,28 @@ def test_tiled_bucket_pairs_equals_naive_on_hot_bucket(spark):
     buckets = spark.createDataFrame(
         [(0, ids)], "bucket int, members array<long>"
     )
-    got = {
+    got = [
         (r["p"]["doc_a"], r["p"]["doc_b"])
         for r in tiled_bucket_pairs(
             buckets,
             key=lambda d: d,
             pair=lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
         ).collect()
-    }
+    ]
     want = {(min(a, b), max(a, b)) for a, b in combinations(ids, 2)}
-    assert got == want  # set equality: no pair lost, none invented
+    # round-5 contract: EXACTLY-ONCE emission (the diagonal-tile double
+    # emission is deduped inside the helper; callers' .distinct() is for
+    # their own multi-band collisions only)
+    assert len(got) == len(want), "duplicate or missing pair emissions"
+    assert set(got) == want  # no pair lost, none invented
     # struct payloads must follow the canonical order too (sig_a with doc_a)
     two = spark.createDataFrame(
         [(0, [(9, 90), (4, 40), (700, 7000)])],
         "bucket int, members array<struct<doc_id:long, sig:long>>",
     )
-    # diagonal tiles emit each unordered pair twice (helper contract: the
-    # caller's .distinct() absorbs it) — set-dedupe here like the callers
     rows = sorted(
-        {
-            (r["p"]["doc_a"], r["p"]["sig_a"], r["p"]["doc_b"], r["p"]["sig_b"])
-            for r in tiled_bucket_pairs(
+        (r["p"]["doc_a"], r["p"]["sig_a"], r["p"]["doc_b"], r["p"]["sig_b"])
+        for r in tiled_bucket_pairs(
             two,
             key=lambda s: s["doc_id"],
             pair=lambda a, b: F.struct(
@@ -608,7 +609,6 @@ def test_tiled_bucket_pairs_equals_naive_on_hot_bucket(spark):
                 a["sig"].alias("sig_a"),
                 b["sig"].alias("sig_b"),
             ),
-            ).collect()
-        }
+        ).collect()
     )
     assert rows == [(4, 40, 9, 90), (4, 40, 700, 7000), (9, 90, 700, 7000)]
