@@ -47,6 +47,17 @@ Usage:
     python scaling.py gen               # build /tmp/sfscale/x{3,10}
     python scaling.py run               # time QUERIES at x1/x3/x10
     python scaling.py report            # exponent table from results.jsonl
+    python scaling.py check             # class gates on normalized exponents
+
+Round-5 addition (verdict #6): ``run`` also records ``rows_out`` per
+(qid, scale), and ``report`` shows the OUTPUT-NORMALIZED exponent
+p_norm = log((t₁₀/r₁₀)/(t₁/r₁)) / log 10 — time per output row — next to
+the raw p. This separates "the operator got slower" from "the fixture's
+true answer grew" (the MinHash x10 jump was ~15× more real near-dup
+pairs, not a slow kernel). ``check`` turns the scale classes into a gate:
+serve paths p_norm ≤ 0.4, scans/aggs ≤ 0.85, explicitly-exact verifiers
+exempt — run it after any serve-path change (documented regression gate;
+not a pytest because it needs the generated x3/x10 data).
 
 Methodology mirrors bench.py: queries consumed with a noop-format write
 (plan executes fully, nothing serialized to the driver), multiple passes
@@ -121,6 +132,18 @@ QUERIES = {
     "ext_multimodal_features": "linear (Arrow decode pass)",
     "ext_multimodal_phash": "linear + banded pairs",
 }
+
+# class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:
+# serve paths must stay near-constant per output row; scans/aggs linear
+# with overhead; explicitly-exact all-pairs verifiers are exempt (their
+# quadratic contract is the point — the sub-quadratic replacements are
+# first-class driver ids)
+SERVE_IDS = {
+    "ext_ann_lsh_topk", "ext_ann_ivf_topk", "ext_ann_ivfpq_topk",
+    "join_availability_bucketed", "ext_bpe_merges",
+}
+EXEMPT_IDS = {"ext_dedup_embedding"}
+GATE_SERVE, GATE_DEFAULT = 0.4, 0.85
 
 
 def gen() -> None:
@@ -199,25 +222,75 @@ def run() -> None:
                     dt = time.perf_counter() - t0
                     best[qid] = min(best.get(qid, dt), dt)
                     print(f"{tag} pass{p} {qid} {dt:.2f}s", flush=True)
+            # output cardinality, once per (qid, scale), outside the timed
+            # passes: normalizes exponents for fixtures whose TRUE answer
+            # grows super-linearly (near-dup pair fixtures)
+            rows_out = {qid: queries[qid](spark, sf_dir).count() for qid in subset}
             for qid, t in best.items():
-                sink.write(json.dumps({"scale": tag, "qid": qid, "sec": round(t, 3)}) + "\n")
+                sink.write(json.dumps({
+                    "scale": tag, "qid": qid, "sec": round(t, 3),
+                    "rows_out": rows_out[qid],
+                }) + "\n")
             sink.flush()
     spark.stop()
 
 
-def report() -> None:
-    rows: dict[str, dict[str, float]] = {}
+def _load_results():
+    """(qid → scale → sec, qid → scale → rows_out); later lines win, so
+    re-runs of single ids (SPARK_GRAFT_ONLY) supersede old rows."""
+    secs: dict[str, dict[str, float]] = {}
+    outs: dict[str, dict[str, int]] = {}
     with open(f"{OUT}/results.jsonl") as f:
         for line in f:
             r = json.loads(line)
-            rows.setdefault(r["qid"], {})[r["scale"]] = r["sec"]
-    print(f"{'query':34s} {'x1':>7s} {'x3':>7s} {'x10':>7s} {'p':>6s}  designed")
-    for qid in sorted(rows):
-        t = rows[qid]
-        p = math.log(t["x10"] / t["x1"]) / math.log(10) if "x10" in t else float("nan")
+            secs.setdefault(r["qid"], {})[r["scale"]] = r["sec"]
+            if "rows_out" in r:
+                outs.setdefault(r["qid"], {})[r["scale"]] = r["rows_out"]
+    return secs, outs
+
+
+def _exponents(qid, secs, outs):
+    t = secs[qid]
+    p = math.log(t["x10"] / t["x1"]) / math.log(10) if "x10" in t else float("nan")
+    o = outs.get(qid, {})
+    if "x10" in t and o.get("x1") and o.get("x10"):
+        p_norm = math.log((t["x10"] / o["x10"]) / (t["x1"] / o["x1"])) / math.log(10)
+    else:
+        p_norm = float("nan")  # pre-round-5 rows or zero-row outputs
+    return p, p_norm
+
+
+def report() -> None:
+    secs, outs = _load_results()
+    print(f"{'query':34s} {'x1':>7s} {'x3':>7s} {'x10':>7s} {'p':>6s} {'p/out':>6s}  designed")
+    for qid in sorted(secs):
+        t = secs[qid]
+        p, p_norm = _exponents(qid, secs, outs)
         print(f"{qid:34s} {t.get('x1', 0):7.2f} {t.get('x3', 0):7.2f} "
-              f"{t.get('x10', 0):7.2f} {p:6.2f}  {QUERIES.get(qid, '')}")
+              f"{t.get('x10', 0):7.2f} {p:6.2f} {p_norm:6.2f}  {QUERIES.get(qid, '')}")
+
+
+def check() -> None:
+    """Regression gate on the scale classes (round-5 verdict #6): normalized
+    exponents must stay inside their class bound. Falls back to the RAW p
+    when rows_out is unavailable (older results); exits 1 on violation."""
+    secs, outs = _load_results()
+    failures = []
+    for qid in sorted(secs):
+        if qid in EXEMPT_IDS or "x10" not in secs[qid]:
+            continue
+        p, p_norm = _exponents(qid, secs, outs)
+        eff = p_norm if p_norm == p_norm else p  # NaN-safe fallback
+        bound = GATE_SERVE if qid in SERVE_IDS else GATE_DEFAULT
+        status = "OK" if eff <= bound else "FAIL"
+        if status == "FAIL":
+            failures.append(qid)
+        print(f"{status:4s} {qid:34s} p={p:5.2f} p/out={p_norm:5.2f} bound={bound}")
+    if failures:
+        print(f"GATE FAILED: {failures}")
+        sys.exit(1)
+    print("GATE OK")
 
 
 if __name__ == "__main__":
-    {"gen": gen, "run": run, "report": report}[sys.argv[1]]()
+    {"gen": gen, "run": run, "report": report, "check": check}[sys.argv[1]]()
