@@ -42,86 +42,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-4 window (round-3 verdict #1: re-attest the
-    stale core) = the 47 ids whose most recent driver row was round 1 —
-    the entire SURVEY §2 relational core plus the round-1 extension ids —
-    whose shared infrastructure (tables.py fragments, dataset_cache_key,
-    md5_hash64) changed in rounds 2-3 without a driver re-record; plus the
-    three ids new or changed this round: `agg_ewma_daily` (chunked
-    continuation replaces the EWMA_MAX_T raise), `ext_multimodal_features`
-    (real WAV decode branch + decoder column), and `ext_ann_ivfpq_topk`
-    (new: IVF partition-pruned probe × PQ ADC). Everything after position
-    50 has a green r02/r03 driver row and an unchanged implementation;
-    the remaining r02-era ids rotate forward in r05.
+    order per round. Round-5 window (round-4 verdict #1: pay the rotation
+    on schedule) = positions 1-22 are exactly the 22 ids whose most recent
+    driver row was round 2 (the precomputed queue in ROUND4_NOTES §"r05
+    rotation queue"); positions 23-26 are this round's new/changed ids:
+    `ext_approx_distinct_kmv` (new: deterministic bottom-k distinct
+    sketch, the oracle-checkable companion to the HLL id),
+    `ext_multimodal_features` + `ext_multimodal_resize` (real PNG decode
+    branch: CRC-validated chunk walk, zlib inflate, Sub unfilter; resize
+    reads IHDR dims), and `ext_ann_ivf_topk` (serve kernel replaced by the
+    bounded per-batch top-k matmul — output contract unchanged); positions
+    27-49 are the oldest round-3-recorded ids, including
+    `ext_dedup_minhash_lsh` / `ext_dedup_simhash` / `ext_multimodal_phash`
+    whose shared `tiled_bucket_pairs` helper changed this round (in-helper
+    diagonal dedupe); position 50 is `join_availability_bucketed`, whose
+    `ensure_bucketed_tables` path gained the stale-warehouse age sweep.
+    Everything after position 50 has a green r03/r04 driver row and an
+    unchanged implementation; the remaining r03-era ids rotate forward in
+    r06.
     """
     return {
-        # --- re-attest: §2.2 scans / filters / projections (r01-stale) ---
-        "scan_full_eventos": scans.scan_full_eventos,
-        "scan_full_inventario": scans.scan_full_inventario,
-        "lookup_point_unique": scans.lookup_point_unique,
-        "lookup_pk": scans.lookup_pk,
-        "filter_compound_eq": scans.filter_compound_eq,
-        "filter_range_guard": scans.filter_range_guard,
-        "filter_state_machine": cdc.filter_state_machine,
-        "project_rename_detreserva": scans.project_rename_detreserva,
-        "sql_availability": scans.sql_availability,
-        # --- re-attest: §2.3 mutations M1-M6 + exact admission ---
-        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "cancel_increment": mutations.cancel_increment,
-        "event_cancel_update": mutations.event_cancel_update,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "reserva_cancel_flag": mutations.reserva_cancel_flag,
-        "insert_dedup_unique": mutations.insert_dedup_unique,
-        "reserve_admission_exact": admission.admission_ledger_batch,
-        # --- re-attest: §2.4 joins J1-J6 ---
-        "join_cancel_inventory": joins.join_cancel_inventory,
-        "join_exists_anti": joins.join_exists_anti,
-        "join_cascade": joins.join_cascade,
-        "join_availability": joins.join_availability,
-        "ext_asof_join": joins.ext_asof_join,
-        "ext_range_join": joins.ext_range_join,
-        # --- re-attest: §2.5 aggregations A1-A9 ---
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_time_window": windows.agg_time_window,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        # --- re-attest: §2.6 ordering / set ops ---
-        "order_topn_disponible": ordering.order_topn_disponible,
-        "order_latest_per_email": ordering.order_latest_per_email,
-        "setop_churn_emails": ordering.setop_churn_emails,
-        "order_user_event_ranks": ordering.order_user_event_ranks,
-        # --- re-attest: §2.1 sources/sinks + §2.7 functions ---
-        "sink_upsert_clone": cdc.sink_upsert_clone,
-        "notify_render": notifications.notify_render,
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "fn_json_props_extract": cdc.fn_json_props_extract,
-        # --- re-attest: round-1 extension ids ---
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
-        "ext_topk_similarity": similarity.ext_topk_similarity,
-        "ext_topk_batch": similarity.ext_topk_batch,
-        # --- changed this round: chunked prefix sum with carried seed
-        # replaces the EWMA_MAX_T=600 in-plan raise (same output ≤600 days)
-        "agg_ewma_daily": aggregates.agg_ewma_daily,
-        # --- changed this round: every 4th row is a REAL RIFF/WAVE
-        # container parsed by the executor-side decoder (decoder column)
+        # --- rotation: the 22 round-2-recorded ids (ROUND4_NOTES queue) ---
+        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
+        "agg_value_histogram": aggregates.agg_value_histogram,
+        "cdc_broker_metrics": cdc.cdc_broker_metrics,
+        "ext_bm25_search": search.ext_bm25_search,
+        "ext_cooccurrence": aggregates.ext_cooccurrence,
+        "ext_dedup_incremental": dedup.ext_dedup_incremental,
+        "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_heavy_hitters": text.ext_heavy_hitters,
+        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
+        "ext_quality_buckets": text.ext_quality_buckets,
+        "ext_sample_importance": sampling.ext_sample_importance,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_shard_manifest": sampling.ext_shard_manifest,
+        "ext_split_drift": sampling.ext_split_drift,
+        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
+        "ext_text_clean": dedup.ext_text_clean,
+        "ext_text_entropy": text.ext_text_entropy,
+        "ext_tfidf_terms": search.ext_tfidf_terms,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
+        # --- new this round: KMV bottom-k distinct — the hash-gated
+        # approximate-distinct path (round-4 verdict #5)
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
+        # --- changed this round: doc_id % 4 == 2 rows are REAL PNGs —
+        # synthesize (stored-block zlib, CRC32), decode (inflate +
+        # Sub-unfilter), featurize; resize parses IHDR dims (round-4 #2)
         "ext_multimodal_features": multimodal.ext_multimodal_features,
-        # --- new this round: the composed 100 TB ANN serve shape —
-        # IVF partition-pruned probe feeding PQ ADC, exact re-rank
-        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
-        # --- position > 50 from here: all have green r02/r03 rows and
-        # unchanged implementations this round ---
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        # --- changed this round: bounded per-batch top-k matmul kernel
+        # replaces the per-row fold + full-probe sort (round-4 verdict #3;
+        # measured p 0.73 → ~0 on the x1/x3/x10 study, output unchanged)
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        # --- rotation: oldest round-3-recorded ids (24) ---
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
         "ext_text_tokens": text.ext_text_tokens,
         "ext_text_langid": text.ext_text_langid,
@@ -133,7 +112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_corpus_stats": text.ext_corpus_stats,
         "ext_text_sentiment": text.ext_text_sentiment,
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
         "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
         "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_quota": sampling.ext_sample_quota,
@@ -141,34 +119,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
-        "ext_dedup_segments": dedup.ext_dedup_segments,
-        "ext_split_drift": sampling.ext_split_drift,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        "ext_sample_weighted": sampling.ext_sample_weighted,
         "ext_embed_quantize": similarity.ext_embed_quantize,
+        # --- changed this round: ensure_bucketed_tables gained the stale-
+        # warehouse age sweep (round-5 ADVICE) — re-attest the bucketed id
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        # --- position > 50 from here: all have green r03/r04 rows and
+        # unchanged implementations this round ---
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "ext_dedup_incremental": dedup.ext_dedup_incremental,
-        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
-        "ext_quality_buckets": text.ext_quality_buckets,
-        "ext_text_entropy": text.ext_text_entropy,
-        "ext_vocab_coverage": text.ext_vocab_coverage,
-        "agg_funnel_stages": aggregates.agg_funnel_stages,
-        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
-        "agg_value_histogram": aggregates.agg_value_histogram,
-        "ext_heavy_hitters": text.ext_heavy_hitters,
-        "ext_bm25_search": search.ext_bm25_search,
-        "ext_tfidf_terms": search.ext_tfidf_terms,
-        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
-        "ext_cooccurrence": aggregates.ext_cooccurrence,
-        "ext_dedup_substring": dedup.ext_dedup_substring,
-        "ext_text_clean": dedup.ext_text_clean,
-        "ext_sample_importance": sampling.ext_sample_importance,
-        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
-        "cdc_broker_metrics": cdc.cdc_broker_metrics,
-        "ext_shard_manifest": sampling.ext_shard_manifest,
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "lookup_pk": scans.lookup_pk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        "sql_availability": scans.sql_availability,
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
+        "cancel_increment": mutations.cancel_increment,
+        "event_cancel_update": mutations.event_cancel_update,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
+        "reserve_admission_exact": admission.admission_ledger_batch,
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_exists_anti": joins.join_exists_anti,
+        "join_cascade": joins.join_cascade,
+        "join_availability": joins.join_availability,
+        "ext_asof_join": joins.ext_asof_join,
+        "ext_range_join": joins.ext_range_join,
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        "agg_time_window": windows.agg_time_window,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_latest_per_email": ordering.order_latest_per_email,
+        "setop_churn_emails": ordering.setop_churn_emails,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "notify_render": notifications.notify_render,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_topk_similarity": similarity.ext_topk_similarity,
+        "ext_topk_batch": similarity.ext_topk_batch,
+        "agg_ewma_daily": aggregates.agg_ewma_daily,
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
         "ext_bpe_merges": text.ext_bpe_merges,
-        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
         "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
@@ -188,7 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_vocab_topk": text.ext_vocab_topk,
         "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
         "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
-        "join_availability_bucketed": joins.join_availability_bucketed,
         "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
     }
 
@@ -238,6 +245,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_pivot_estado": aggregates.agg_pivot_estado_oracle(),
         "agg_unpivot_estado": aggregates.agg_unpivot_estado_oracle(),
         "ext_distinct_users_exact": aggregates.ext_distinct_users_exact_oracle(),
+        # round 5: KMV bottom-k distinct — md5-derived hashes + IEEE double
+        # normalization make the whole sketch engine-deterministic
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),
