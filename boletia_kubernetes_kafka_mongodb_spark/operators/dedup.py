@@ -446,11 +446,14 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _connected_components(spark, star)
 
 
-def ext_dedup_clusters_oracle() -> str:
-    # reuse the pair query as the edge list, then min-reachable-root per node
+def _sql_clusters_ctes() -> str:
+    """The recursive component CTE chain (pairs → edges → verts → reach) —
+    ONE definition shared by ``ext_dedup_clusters_oracle`` and the
+    leakage-safe split oracle (`sampling.ext_split_leakage_safe_oracle`),
+    the round-4 composed-oracle pattern. Callers prepend ``WITH RECURSIVE``
+    and aggregate ``reach`` themselves."""
     pair_sql = ext_dedup_ngram_jaccard_oracle()
-    return f"""
-        WITH RECURSIVE pairs AS ({pair_sql}),
+    return f"""pairs AS ({pair_sql}),
         edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
@@ -462,7 +465,13 @@ def ext_dedup_clusters_oracle() -> str:
             UNION
             SELECT e.dst AS doc_id, r.root
             FROM reach r JOIN edges e ON e.src = r.doc_id
-        )
+        )"""
+
+
+def ext_dedup_clusters_oracle() -> str:
+    # reuse the pair query as the edge list, then min-reachable-root per node
+    return f"""
+        WITH RECURSIVE {_sql_clusters_ctes()}
         SELECT doc_id,
                CAST(MIN(root) AS BIGINT) AS component,
                (doc_id = MIN(root)) AS is_survivor

@@ -109,6 +109,82 @@ def ext_sample_split_oracle() -> str:
     """
 
 
+def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (round 5): assign splits by
+    NEAR-DUP COMPONENT, not by document.
+
+    The standard eval-inflation trap in LLM corpus construction: a
+    doc-keyed hash split puts near-duplicates of a training document into
+    the validation set, and the model is then "evaluated" on text it has
+    effectively seen. The fix is to hash the dedup component id — every
+    member of a near-dup cluster lands in the SAME split by construction.
+    Components come from the existing tiled-Jaccard cluster operator
+    (`dedup.ext_dedup_clusters`); docs outside any near-dup pair are their
+    own singleton component. Output is one row per document: its
+    component, its leakage-safe split, and ``moved`` — whether the
+    component hash relocated it relative to the naive doc-keyed split (the
+    observability column a pipeline logs to quantify how much leakage the
+    naive split would have had).
+
+    Scale shape: the component frame holds ONLY docs that appear in a
+    near-dup pair — a small fraction of any deduplicated corpus — so the
+    left join back to documents broadcasts in practice (AQE picks it by
+    size); the split itself stays a narrow map. The cluster derivation is
+    the dominant cost and is exactly the dedup pass the pipeline already
+    runs — a production pipeline computes clusters once and reuses them
+    for BOTH dedup and the split, which is the composition this operator
+    demonstrates.
+
+    Oracle: the clusters oracle's recursive CTE chain
+    (`dedup._sql_clusters_ctes`, shared builder — composed, not
+    duplicated) + the same md5-of-component split CASE.
+    """
+    from . import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    comp = dedup.ext_dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    joined = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    safe = split_assignment(F.col("component"))
+    naive = split_assignment(F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        "component",
+        safe.alias("split"),
+        (safe != naive).alias("moved"),
+    )
+
+
+def ext_split_leakage_safe_oracle() -> str:
+    from .dedup import _sql_clusters_ctes
+
+    hc = _oracle_key_hash("COALESCE(c.component, d.doc_id)")
+    hd = _oracle_key_hash("d.doc_id")
+    case = lambda h: (  # noqa: E731
+        f"CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    return f"""
+        WITH RECURSIVE {_sql_clusters_ctes()},
+        comp AS (
+            SELECT doc_id, CAST(MIN(root) AS BIGINT) AS component
+            FROM reach GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+               {case(hc)} AS split,
+               ({case(hc)} != {case(hd)}) AS moved
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
 def ext_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sample: the K docs of each lang with the smallest
     key hash (deterministic priority; ties broken by doc_id).

@@ -376,3 +376,40 @@ def test_importance_prefers_target_domain_tokens(spark, tmp_path):
     assert out[0].importance > 0
     assert out[4].importance < 0
     assert out[3].n_tokens == 2
+
+
+def test_split_leakage_safe_guarantee_and_moved_semantics(spark):
+    """Every near-dup component lands in exactly ONE split (the leakage
+    guarantee — the whole point of the operator), singleton docs never
+    move relative to the naive doc-keyed split, and the moved flag is
+    exactly 'component hash relocated this doc'."""
+    import hashlib as hl
+
+    from tests.conftest import SF_CORRECT as SF
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import sampling
+
+    rows = sampling.ext_split_leakage_safe(spark, SF).collect()
+    assert len(rows) > 0
+
+    def py_split(key: int) -> str:
+        b = int(hl.md5(str(key).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    assert any(len(v) > 1 for v in comps.values()), "fixture has no clusters"
+    for comp, members in comps.items():
+        assert len({m.split for m in members}) == 1, f"component {comp} straddles"
+        for m in members:
+            assert m.split == py_split(comp)
+            assert m.moved == (py_split(comp) != py_split(m.doc_id))
+            if len(members) == 1 and comp == m.doc_id:
+                assert not m.moved
+    # the fix must be observable on this fixture: the naive split WOULD
+    # have leaked (some multi-doc component straddles doc-keyed splits)
+    assert any(
+        len({py_split(m.doc_id) for m in v}) > 1
+        for v in comps.values() if len(v) > 1
+    )
