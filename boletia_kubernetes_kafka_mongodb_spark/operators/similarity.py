@@ -509,6 +509,168 @@ def ext_ann_ivf_topk_oracle() -> str:
     """
 
 
+def ext_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN over the IVF layout (round 5): the N_BATCH_QUERIES
+    query set served from ONE partition-pruned scan — the ANN counterpart
+    of ``ext_topk_batch``'s brute-force batch (same query set, same
+    output shape, same tie-breaks).
+
+    The batch-inference serve shape at 100 TB: resolve each query's
+    IVF_NPROBE lists driver-side (a NL×NQ numpy product over the cached
+    centroid matrix), scan the UNION of probe partitions once, and score
+    every batch with ONE (rows × queries) matmul — each row's (16×NQ)
+    probe-membership mask decides which queries it may serve. Per batch,
+    only the per-query top-k survives (the bounded-heap discipline of
+    ``exact_topk_over_candidates``), so the final per-query windows sort
+    ≤ k rows per batch, not the probed lists. Amortization is the point:
+    N queries cost one scan + one matmul column each, not N scans.
+
+    Oracle: the single-query IVF CTE program generalized — the same
+    ``sims`` frame ranks every query's probe lists (queries are corpus
+    rows), candidates join assignment × per-query probes, exact rounded
+    re-rank partitioned by query.
+    """
+    import numpy as np
+
+    from ..sources import layouts
+
+    path = ensure_ivf_layout(spark, sf_dir)
+    _, C, c_norm = layouts.ivf_assignment_udf(spark, sf_dir)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.where(F.col("vec_id") < N_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)  # (NQ, D)
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+    nq, k = Q.shape[0], BATCH_TOPK
+    # per-query probe lists: 6dp-rounded centroid sims, stable argsort —
+    # identical rule to ivf_probe_lists / the oracle's row_number
+    sims = np.round((C @ Q.T) / (c_norm[:, None] * q_norms[None, :]), 6)
+    probe_mask = np.zeros((C.shape[0], nq), dtype=bool)
+    for q in range(nq):
+        for lst in np.argsort(-sims[:, q], kind="stable")[:IVF_NPROBE]:
+            probe_mask[lst, q] = True
+    union = sorted(int(l) for l in np.nonzero(probe_mask.any(axis=1))[0])
+
+    cand = layouts.read_ivf_probe(spark, path, union).select(
+        "vec_id", "embedding", "ivf_list"
+    )
+
+    def make_batch_kernel():
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(
+                    [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+                )
+                ids = pdf["vec_id"].to_numpy()
+                lists = pdf["ivf_list"].to_numpy()
+                cos = np.round(
+                    (X @ Q.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * q_norms[None, :]),
+                    6,
+                )  # (rows, NQ)
+                mask = probe_mask[lists]  # row may serve query iff its list is probed
+                mask &= ids[:, None] != np.arange(nq)[None, :]  # self-exclusion
+                out_q, out_id, out_cos = [], [], []
+                for q in range(nq):
+                    rows = np.nonzero(mask[:, q])[0]
+                    if rows.size == 0:
+                        continue
+                    order = rows[np.lexsort((ids[rows], -cos[rows, q]))][:k]
+                    out_q.extend([q] * len(order))
+                    out_id.extend(ids[order].tolist())
+                    out_cos.extend(cos[order, q].tolist())
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.array(out_q, dtype=np.int64),
+                            "vec_id": np.array(out_id, dtype=np.int64),
+                            "cosine": np.array(out_cos),
+                        }
+                    )
+
+        return score
+
+    partial = cand.mapInPandas(
+        make_batch_kernel(), "query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def ext_ann_ivf_batch_oracle() -> str:
+    """DuckDB re-derivation: the single-query IVF probe program with the
+    query dimension kept — per-query probe ranks come from the same
+    ``sims`` frame (queries are corpus rows vec_id < NQ), candidates =
+    assignment × per-query probe lists, exact rounded-cosine re-rank
+    partitioned by query with the standard tie-break."""
+    nl, npb = IVF_NLIST, IVF_NPROBE
+    nq, k = N_BATCH_QUERIES, BATCH_TOPK
+    cos = """ROUND(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"""
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {nl}
+        ),
+        sims AS (
+            SELECT e.vec_id, c.cid, {cos} AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rk
+                FROM sims
+            ) WHERE rk = 1
+        ),
+        qprobe AS (
+            SELECT qid, cid FROM (
+                SELECT vec_id AS qid, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rk
+                FROM sims WHERE vec_id < {nq}
+            ) WHERE rk <= {npb}
+        ),
+        cand AS (
+            SELECT p.qid, a.vec_id
+            FROM assign a JOIN qprobe p USING (cid)
+            WHERE a.vec_id != p.qid
+        ),
+        scored AS (
+            SELECT c.qid AS query_id, e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings q ON q.vec_id = c.qid
+        )
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank,
+                   vec_id, cosine
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def _ivf_layout_path(sf_dir: str) -> str:
     import os
     import tempfile

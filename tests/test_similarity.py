@@ -260,3 +260,31 @@ def test_kmeans_partials_tolerates_empty_partitions(spark):
     # rows 0.. assign to centroid 0 (all-zeros) or 1 (all-ones) by distance;
     # elementwise totals must equal the full input sum either way
     assert np.allclose(sums.sum(axis=0), np.array([0.0 + 1.0 + 2.0] * dim))
+
+
+def test_ann_ivf_batch_pruned_recall_and_self_exclusion(spark):
+    """Batched IVF serve: ONE partition-pruned scan serves all 8 queries
+    (plan gate), per-query recall vs the brute-force batch stays high,
+    rows only answer queries whose probe set contains their list, and no
+    query matches itself."""
+    import re
+
+    from tests.conftest import SF_SMOKE as SF
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    df = similarity.ext_ann_ivf_batch(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1), "batch serve must prune partitions"
+
+    rows = df.collect()
+    assert all(r.vec_id != r.query_id for r in rows)
+    truth, got = {}, {}
+    for r in similarity.ext_topk_batch(spark, SF).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+        assert len(got[r.query_id]) <= similarity.BATCH_TOPK
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
