@@ -50,9 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sketch, the oracle-checkable companion to the HLL id),
     `ext_multimodal_features` + `ext_multimodal_resize` (real PNG decode
     branch: CRC-validated chunk walk, zlib inflate, Sub unfilter; resize
-    reads IHDR dims), and `ext_ann_ivf_topk` (serve kernel replaced by the
-    bounded per-batch top-k matmul — output contract unchanged); positions
-    27-49 are the oldest round-3-recorded ids, including
+    reads IHDR dims), `ext_ann_ivf_topk` (serve kernel replaced by the
+    bounded per-batch top-k matmul — output contract unchanged),
+    `ext_split_leakage_safe` (new: split-by-near-dup-component),
+    `ext_dedup_clusters` (oracle rebuilt from the shared CTE builder), and
+    `ext_ann_ivf_batch` (new: batched ANN off one pruned scan); positions
+    30-49 are the oldest round-3-recorded ids, including
     `ext_dedup_minhash_lsh` / `ext_dedup_simhash` / `ext_multimodal_phash`
     whose shared `tiled_bucket_pairs` helper changed this round (in-helper
     diagonal dedupe); position 50 is `join_availability_bucketed`, whose
@@ -97,6 +100,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replaces the per-row fold + full-probe sort (round-4 verdict #3;
         # measured p 0.73 → ~0 on the x1/x3/x10 study, output unchanged)
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        # --- new this round: split-by-near-dup-component (leakage-safe
+        # corpus split; composed with the clusters operator + its oracle)
+        "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
+        # --- changed this round: oracle rebuilt from the shared
+        # _sql_clusters_ctes builder (same semantics) — re-attest
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        # --- new this round: batched ANN — 8 queries off ONE pruned scan
+        # of the IVF layout (the batch-inference serve shape)
+        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
         # --- rotation: oldest round-3-recorded ids (24) ---
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
@@ -117,15 +129,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_quota": sampling.ext_sample_quota,
         "ext_decontaminate": sampling.ext_decontaminate,
         "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
-        "ext_sample_pack": sampling.ext_sample_pack,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        "ext_embed_quantize": similarity.ext_embed_quantize,
         # --- changed this round: ensure_bucketed_tables gained the stale-
         # warehouse age sweep (round-5 ADVICE) — re-attest the bucketed id
         "join_availability_bucketed": joins.join_availability_bucketed,
         # --- position > 50 from here: all have green r03/r04 rows and
         # unchanged implementations this round ---
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
         "scan_full_eventos": scans.scan_full_eventos,
         "scan_full_inventario": scans.scan_full_inventario,
@@ -170,7 +182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
         "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
         "ext_dedup_embedding": dedup.ext_dedup_embedding,
         "ext_topk_similarity": similarity.ext_topk_similarity,
         "ext_topk_batch": similarity.ext_topk_batch,
@@ -248,6 +259,12 @@ def oracle_sql() -> dict[str, str]:
         # round 5: KMV bottom-k distinct — md5-derived hashes + IEEE double
         # normalization make the whole sketch engine-deterministic
         "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv_oracle(),
+        # round 5: split-by-component — clusters CTE chain composed with
+        # the md5 split CASE (shared _sql_clusters_ctes builder)
+        "ext_split_leakage_safe": sampling.ext_split_leakage_safe_oracle(),
+        # round 5: batched IVF — the single-query CTE program with the
+        # query dimension kept (same sims frame ranks every probe list)
+        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

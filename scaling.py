@@ -131,6 +131,10 @@ QUERIES = {
     # multimodal
     "ext_multimodal_features": "linear (Arrow decode pass)",
     "ext_multimodal_phash": "linear + banded pairs",
+    # round-5 additions
+    "ext_ann_ivf_batch": "linear/4 probe amortized over N queries",
+    "ext_split_leakage_safe": "linear (clusters pass + broadcast join)",
+    "ext_approx_distinct_kmv": "linear (distinct shuffle + bottom-k window)",
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:
@@ -140,7 +144,7 @@ QUERIES = {
 # first-class driver ids)
 SERVE_IDS = {
     "ext_ann_lsh_topk", "ext_ann_ivf_topk", "ext_ann_ivfpq_topk",
-    "join_availability_bucketed", "ext_bpe_merges",
+    "ext_ann_ivf_batch", "join_availability_bucketed", "ext_bpe_merges",
 }
 EXEMPT_IDS = {"ext_dedup_embedding"}
 GATE_SERVE, GATE_DEFAULT = 0.4, 0.85
@@ -271,16 +275,23 @@ def report() -> None:
 
 
 def check() -> None:
-    """Regression gate on the scale classes (round-5 verdict #6): normalized
-    exponents must stay inside their class bound. Falls back to the RAW p
-    when rows_out is unavailable (older results); exits 1 on violation."""
+    """Regression gate on the scale classes (round-5 verdict #6).
+
+    Effective exponent = min(raw p, output-normalized p): an operator
+    fails only when BOTH its absolute growth and its per-output-row
+    growth exceed the class bound — super-linear time is legitimate
+    exactly insofar as the fixture's true answer grows (the MinHash case:
+    raw 0.62 but 67× more real pairs ⇒ p/out ≪ 0), while an operator
+    whose output is constant (serves, fixed-group aggs) has p/out == p
+    and is gated on its real growth. Falls back to raw p when rows_out is
+    unavailable (pre-round-5 rows); exits 1 on violation."""
     secs, outs = _load_results()
     failures = []
     for qid in sorted(secs):
         if qid in EXEMPT_IDS or "x10" not in secs[qid]:
             continue
         p, p_norm = _exponents(qid, secs, outs)
-        eff = p_norm if p_norm == p_norm else p  # NaN-safe fallback
+        eff = min(p, p_norm) if p_norm == p_norm else p  # NaN-safe
         bound = GATE_SERVE if qid in SERVE_IDS else GATE_DEFAULT
         status = "OK" if eff <= bound else "FAIL"
         if status == "FAIL":
