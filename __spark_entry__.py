@@ -53,9 +53,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reads IHDR dims), `ext_ann_ivf_topk` (serve kernel replaced by the
     bounded per-batch top-k matmul — output contract unchanged),
     `ext_split_leakage_safe` (new: split-by-near-dup-component),
-    `ext_dedup_clusters` (oracle rebuilt from the shared CTE builder), and
-    `ext_ann_ivf_batch` (new: batched ANN off one pruned scan); positions
-    30-49 are the oldest round-3-recorded ids, including
+    `ext_dedup_clusters` (oracle rebuilt from the shared CTE builder),
+    `ext_ann_ivf_batch` (new: batched ANN off one pruned scan), and
+    `ext_corpus_budget_select` (new: token-budget selection; its score
+    expression is shared with the in-window `ext_text_quality`); positions
+    31-49 are the oldest round-3-recorded ids, including
     `ext_dedup_minhash_lsh` / `ext_dedup_simhash` / `ext_multimodal_phash`
     whose shared `tiled_bucket_pairs` helper changed this round (in-helper
     diagonal dedupe); position 50 is `join_availability_bucketed`, whose
@@ -109,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: batched ANN — 8 queries off ONE pruned scan
         # of the IVF layout (the batch-inference serve shape)
         "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
+        # --- new this round: token-budget selection via the tier
+        # decomposition (whole tiers from a 5-row agg; no global sort)
+        "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
         # --- rotation: oldest round-3-recorded ids (24) ---
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
@@ -128,13 +133,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_quota": sampling.ext_sample_quota,
         "ext_decontaminate": sampling.ext_decontaminate,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
         # --- changed this round: ensure_bucketed_tables gained the stale-
         # warehouse age sweep (round-5 ADVICE) — re-attest the bucketed id
         "join_availability_bucketed": joins.join_availability_bucketed,
         # --- position > 50 from here: all have green r03/r04 rows and
         # unchanged implementations this round ---
+        "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
         "ext_embed_quantize": similarity.ext_embed_quantize,
@@ -265,6 +270,9 @@ def oracle_sql() -> dict[str, str]:
         # round 5: batched IVF — the single-query CTE program with the
         # query dimension kept (same sims frame ranks every probe list)
         "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch_oracle(),
+        # round 5: budget selection — oracle states the naive ordered-
+        # cumsum rule the tier decomposition must reproduce exactly
+        "ext_corpus_budget_select": sampling.ext_corpus_budget_select_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

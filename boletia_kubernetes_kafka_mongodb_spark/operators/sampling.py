@@ -185,6 +185,122 @@ def ext_split_leakage_safe_oracle() -> str:
     """
 
 
+TOKEN_BUDGET = 12_000  # training-token budget for the greedy selection
+
+
+def ext_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (round 5): admit the highest-quality
+    documents until a global training-token budget is exhausted — the
+    "we can afford N tokens, which docs?" step between quality scoring
+    and training.
+
+    Semantics: rank docs by (quality_score DESC, doc_id ASC), admit while
+    the running token total stays ≤ TOKEN_BUDGET.
+
+    Physical plan — NO global sort: the naive form is one ordered cumsum
+    over the whole corpus (a single-partition window — the thing that
+    dies first at 100 TB). Because the score is TIERED (the C4-style
+    heuristic emits 5 levels), the selection decomposes: a ≤5-row
+    per-tier aggregate decides which tiers are admitted WHOLE (their
+    cumulative token mass fits the budget) and which single tier
+    straddles the boundary; only within tiers does a window run, and it
+    is PARTITIONED BY score — parallel across tiers, never a global
+    sort. Global rank and running total are reconstructed exactly from
+    (docs/tokens before this tier) + (within-tier rank/cumsum), so the
+    output is bit-identical to the naive rule — which is what the oracle
+    states (the decomposition is a physical choice, not a semantic one).
+    With a continuous score the same plan applies after bucketing the
+    score into B bins (bin agg → boundary bin → in-bin exact pass).
+    """
+    from .text import quality_score_expr, tokens_col
+
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    q, _, _ = quality_score_expr("text")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        F.round(q, 6).alias("quality_score"),
+    )
+
+    from pyspark.sql.window import Window
+
+    tiers = (
+        scored.groupBy("quality_score")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("tier_tokens"),
+            F.count(F.lit(1)).cast("long").alias("tier_docs"),
+        )
+    )
+    wt = Window.orderBy(F.col("quality_score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # ≤ |tiers| rows: the ordered cumulation here is over a HANDFUL of
+    # rows, broadcast to the fact side afterwards
+    tiers = tiers.select(
+        "quality_score",
+        (F.sum("tier_tokens").over(wt) - F.col("tier_tokens")).alias("tok_before"),
+        (F.sum("tier_docs").over(wt) - F.col("tier_docs")).alias("docs_before"),
+    )
+    win = Window.partitionBy("quality_score").orderBy(F.col("doc_id").asc())
+    cum_in = F.sum("n_tokens").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        scored.join(F.broadcast(tiers), "quality_score")
+        .withColumn("cum_tokens", (F.col("tok_before") + cum_in).cast("long"))
+        .withColumn(
+            "sel_rank",
+            (F.col("docs_before") + F.row_number().over(win)).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+    return sel.select("sel_rank", "doc_id", "quality_score", "n_tokens", "cum_tokens")
+
+
+def _quality_stopwords():
+    from .text import LANG_STOPWORDS
+
+    return list(LANG_STOPWORDS["en"])
+
+
+def ext_corpus_budget_select_oracle() -> str:
+    """The NAIVE statement of the semantics: one ordered cumsum, admit
+    while ≤ budget — the tier decomposition on the Spark side must
+    reproduce it exactly."""
+    from .text import TOKEN_RE
+
+    words = _quality_stopwords()
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ROUND(
+                     (CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                           THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                   + (CASE WHEN len(list_intersect(list_distinct(toks), {words!r})) > 0
+                           THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+                   + (CASE WHEN length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                                / GREATEST(length(text), 1) < 0.1
+                           THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END), 6) AS quality_score
+            FROM (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+                FROM documents
+            )
+        ),
+        ranked AS (
+            SELECT CAST(row_number() OVER w AS BIGINT) AS sel_rank,
+                   doc_id, quality_score, n_tokens,
+                   CAST(SUM(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_tokens
+            FROM scored
+            WINDOW w AS (ORDER BY quality_score DESC, doc_id ASC)
+        )
+        SELECT sel_rank, doc_id, quality_score, n_tokens, cum_tokens
+        FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+    """
+
+
 def ext_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sample: the K docs of each lang with the smallest
     key hash (deterministic priority; ties broken by doc_id).

@@ -129,6 +129,27 @@ def ext_text_langid_oracle() -> str:
     """
 
 
+def quality_score_expr(text_col: str = "text"):
+    """The tiered C4/Gopher-style quality score as a native Column
+    expression — ONE definition (round 5) shared by ``ext_text_quality``
+    and the budget selector ``sampling.ext_corpus_budget_select`` so the
+    heuristic cannot drift between the scorer and its consumers. Returns
+    (quality ∈ {0, .25, .5, .75, 1.0}, n_punct, n_stopword_hits)."""
+    toks = tokens_col(text_col)
+    stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_en))
+    n_punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9 ]", ""))
+    len_ok = (F.length(text_col) >= 50) & (F.length(text_col) <= 100_000)
+    q = (
+        F.when(len_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(n_stop > 0, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(
+            n_punct / F.greatest(F.length(text_col), F.lit(1)) < 0.1, F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+    )
+    return q, n_punct, n_stop
+
+
 def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword-ratio heuristics.
 
@@ -138,16 +159,7 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tables.load(spark, sf_dir, "documents")
     toks = tokens_col("text")
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_en))
-    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
-    len_ok = (F.length("text") >= 50) & (F.length("text") <= 100_000)
-    q = (
-        F.when(len_ok, F.lit(0.5)).otherwise(F.lit(0.0))
-        + F.when(n_stop > 0, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
+    q, n_punct, n_stop = quality_score_expr("text")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_measured"),

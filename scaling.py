@@ -133,6 +133,7 @@ QUERIES = {
     "ext_multimodal_phash": "linear + banded pairs",
     # round-5 additions
     "ext_ann_ivf_batch": "linear/4 probe amortized over N queries",
+    "ext_corpus_budget_select": "linear (tier agg + within-tier windows)",
     "ext_split_leakage_safe": "linear (clusters pass + broadcast join)",
     "ext_approx_distinct_kmv": "linear (distinct shuffle + bottom-k window)",
 }

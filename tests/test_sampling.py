@@ -413,3 +413,66 @@ def test_split_leakage_safe_guarantee_and_moved_semantics(spark):
         len({py_split(m.doc_id) for m in v}) > 1
         for v in comps.values() if len(v) > 1
     )
+
+
+def test_budget_select_tier_decomposition_equals_naive(spark):
+    """The tier-decomposed plan (whole tiers admitted from a 5-row agg,
+    window only inside tiers) must reproduce the naive global rule
+    exactly — crafted fixture exercises a WHOLE admitted tier, a
+    straddling boundary tier, and fully-excluded tiers."""
+    import re as re_mod
+    from unittest import mock
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import sampling
+
+    mk = lambda n, stop: (  # noqa: E731
+        ("the " if stop else "zzz ") + " ".join(f"w{i}" for i in range(n))
+    )
+    rows = [
+        # tier 1.0: len >= 50, stopword, clean  (doc_ids deliberately
+        # interleaved across tiers so ordering is by tier THEN doc_id)
+        (10, mk(20, True)), (3, mk(30, True)),
+        # tier 0.75: clean + long but NO stopword
+        (7, mk(25, False)), (1, mk(25, False)), (12, mk(25, False)),
+        # tier 0.25: short, clean, no stopword
+        (5, "zz yy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def tokens(t):
+        return len(re_mod.findall(r"[a-z0-9]+", t.lower()))
+
+    def quality(t):
+        q = 0.0
+        if 50 <= len(t) <= 100_000:
+            q += 0.5
+        if "the" in re_mod.findall(r"[a-z0-9]+", t.lower()):
+            q += 0.25
+        punct = len(re_mod.sub(r"[a-zA-Z0-9 ]", "", t))
+        if punct / max(len(t), 1) < 0.1:
+            q += 0.25
+        return q
+
+    naive = sorted(
+        ((quality(t), d, tokens(t)) for d, t in rows),
+        key=lambda x: (-x[0], x[1]),
+    )
+    # budget: all of tier 1.0 + the first two boundary-tier docs
+    budget = sum(t for _, _, t in naive[:4])
+    expected, cum = [], 0
+    for rank, (q, d, t) in enumerate(naive, 1):
+        cum += t
+        if cum <= budget:
+            expected.append((rank, d, q, t, cum))
+
+    with mock.patch.object(sampling.tables, "load", return_value=docs), \
+         mock.patch.object(sampling, "TOKEN_BUDGET", budget):
+        got = sorted(
+            tuple(r) for r in sampling.ext_corpus_budget_select(spark, "x").collect()
+        )
+    assert got == sorted(expected)
+    # both decomposition branches really ran: an admitted doc from a tier
+    # that fits whole AND one from the straddling tier
+    qs = {q for _, _, q, _, _ in got}
+    assert 1.0 in qs and 0.75 in qs
+    assert len(got) == 4 and all(c <= budget for *_, c in got)
