@@ -146,3 +146,61 @@ def test_approx_distinct_kmv_error_bound_and_branches(spark):
     for r in small:
         assert r.sketch_k < A.KMV_K
         assert r.kmv_users == float(exact_small[r.event_type])
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """The property that makes KMV a real distributed sketch: the bottom-K
+    of a UNION equals the bottom-K of the per-shard bottom-Ks — so partial
+    sketches merge losslessly (map-side partials at 100 TB). Driven
+    through Spark: per-shard bottom-K via a salted local window, merged,
+    re-ranked — the estimate must equal the direct global computation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    direct = {
+        (r.event_type, r.sketch_k, r.kmv_users)
+        for r in A.ext_approx_distinct_kmv(spark, "/root/testdata/sf0.01").collect()
+    }
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    ev = tables.load(spark, "/root/testdata/sf0.01", "events")
+    u = F.col("user_id").cast("string")
+    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
+    hashes = ev.select(
+        "event_type", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h")
+    ).distinct()
+    # phase 1: bottom-K per (group, shard) — 7 artificial shards stand in
+    # for executor partials; state per task is bounded at K rows
+    sharded = hashes.withColumn("shard", F.pmod(F.col("h"), F.lit(7)))
+    w1 = Window.partitionBy("event_type", "shard").orderBy("h")
+    partial = sharded.withColumn("rk", F.row_number().over(w1)).where(
+        F.col("rk") <= A.KMV_K
+    )
+    # phase 2: merge = bottom-K of the union of partials
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        partial.select("event_type", "h")
+        .withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= A.KMV_K)
+    )
+    u_k = (
+        F.col("h_k").cast("double") + F.lit(9223372036854775808.0) + F.lit(1.0)
+    ) / F.lit(18446744073709551616.0)
+    est = F.when(
+        F.col("sketch_k") < A.KMV_K, F.col("sketch_k").cast("double")
+    ).otherwise(F.lit(float(A.KMV_K - 1)) / u_k)
+    two_phase = {
+        (r.event_type, r.sketch_k, r.kmv_users)
+        for r in merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sketch_k"),
+            F.max("h").alias("h_k"),
+        )
+        .select("event_type", "sketch_k", F.round(est, 6).alias("kmv_users"))
+        .collect()
+    }
+    assert two_phase == direct
