@@ -322,6 +322,11 @@ def _make_event_time_fold():
         }
         evento = key[0]
         for i in emit_idx:
+            # keep in sync with module-level DRAIN_OP (pickle-by-value
+            # closure rule): drain sentinels exist only to advance the
+            # watermark — no state effect, never emitted to the ledger
+            if bop[i] == "__drain__":
+                continue
             qty = bqty[i]
             if bop[i] == "reserve":
                 ok = available >= qty
@@ -407,13 +412,12 @@ def admission_ledger_stream_event_time(
     the max seen event time stay buffered FOREVER once input stops — the
     watermark only advances on new data (standard semantics, but
     operationally surprising for ``availableNow``/batch-drain consumers).
-    To flush the tail, feed a watermark-advancing sentinel: TWO trailing
-    batches carrying an event time past ``max(ts) + delay`` for any key
-    (two, because a watermark update takes effect one trigger later); give
-    the sentinel an ``op`` outside the folded set so it never reaches the
-    ledger. ``tests/test_streaming.py`` shows the exact recipe. A
-    continuous production stream never needs this — fresh events advance
-    the watermark for every key.
+    To flush the tail, feed the frames from :func:`admission_drain_frames`
+    as TWO trailing triggers (two, because a watermark update takes effect
+    one trigger later): their ``__drain__`` op advances the watermark for
+    every key and is swallowed by the fold — drain rows never reach the
+    ledger, so consumers need no filtering. A continuous production stream
+    never needs this — fresh events advance the watermark for every key.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -429,6 +433,57 @@ def admission_ledger_stream_event_time(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DRAIN_OP = "__drain__"  # twin of the literal inside the fold closure
+
+
+def admission_drain_frames(
+    spark: SparkSession,
+    capacities: dict,
+    beyond_ts,
+    n_batches: int = 2,
+    seq_base: int = 1 << 60,
+):
+    """Sentinel request batches that flush buffered admission state at
+    stream end (round-5 ADVICE: the drain helper).
+
+    ``capacities`` maps evento → capacidad (the fold initializes state
+    from the first row it sees per key, so sentinels carry the real
+    capacity); ``beyond_ts`` must be a datetime past ``max(event ts) +
+    watermark delay``. Returns ``n_batches`` request-shaped DataFrames —
+    feed EACH as its own trigger (default two: a watermark update takes
+    effect one trigger later). Drain rows use :data:`DRAIN_OP`, which the
+    fold swallows (watermark advances, nothing reaches the ledger), and
+    ``seq_base`` = 2⁶⁰ keeps them above any real seq — including the
+    Kafka-derived ``partition·2⁴⁰ + offset`` form — so the monotone
+    ts-per-seq contract holds by construction.
+    """
+    import datetime
+
+    schema = (
+        "evento string, seq long, _id string, email string, op string, "
+        "cantidad int, capacidad int, ts timestamp"
+    )
+    return [
+        spark.createDataFrame(
+            [
+                (
+                    e,
+                    seq_base + 10 * k + j,
+                    f"__drain__{k}_{j}",
+                    "",
+                    DRAIN_OP,
+                    0,
+                    int(cap),
+                    beyond_ts + datetime.timedelta(seconds=k),
+                )
+                for j, (e, cap) in enumerate(sorted(capacities.items()))
+            ],
+            schema,
+        )
+        for k in range(n_batches)
+    ]
 
 
 def admission_ledger_stream_tws(requests: DataFrame) -> DataFrame:

@@ -497,19 +497,14 @@ def test_admission_event_time_stream_out_of_order(spark, tmp_path):
     )
     path = str(tmp_path / "ooo_ops")
     cdc_stream.write_ordered_files(arr, path, n_files=6, order_col="arrival")
-    # two sentinel files push the watermark past all real rows so the last
-    # buffered ops flush before availableNow terminates (cancel qty=0 is a
-    # ledger no-op on availability)
+    # the drain helper flushes the buffered tail: two trailing triggers of
+    # __drain__ rows advance the watermark past all real rows and are
+    # SWALLOWED by the fold — the ledger needs no sentinel filtering
     far = base + datetime.timedelta(days=30)
-    for k in range(2):
-        spark.createDataFrame(
-            [
-                (e, 10_000 + 10 * k + j, f"sentinel{k}{j}", "u@x", "cancel", 0,
-                 eventos[e], far + datetime.timedelta(seconds=k), 9_999)
-                for j, e in enumerate(sorted(eventos))
-            ],
-            schema + ", arrival long",
-        ).coalesce(1).write.mode("append").parquet(path)
+    for frame in admission.admission_drain_frames(spark, eventos, far):
+        frame.withColumn("arrival", F.lit(9_999)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
 
     stream = (
         spark.readStream.schema(arr.schema)
@@ -527,10 +522,10 @@ def test_admission_event_time_stream_out_of_order(spark, tmp_path):
         .start()
     )
     q.awaitTermination(300)
+    ledger = spark.sql("select * from ooo_ledger_out").collect()
+    # the whole ledger IS the real rows: drains never surface
+    assert all(r.op != admission.DRAIN_OP and r.seq < 10_000 for r in ledger)
     got = {
-        (r.evento, r.seq): (r.admitted, r.disponible_despues)
-        for r in spark.sql(
-            "select * from ooo_ledger_out where seq < 10000"
-        ).collect()
+        (r.evento, r.seq): (r.admitted, r.disponible_despues) for r in ledger
     }
     assert got == batch
