@@ -131,18 +131,18 @@ def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join back to documents broadcasts in practice (AQE picks it by
     size); the split itself stays a narrow map. The cluster derivation is
     the dominant cost and is exactly the dedup pass the pipeline already
-    runs — a production pipeline computes clusters once and reuses them
-    for BOTH dedup and the split, which is the composition this operator
-    demonstrates.
+    runs — so components persist as a WRITE-TIME ARTIFACT
+    (`ensure_components_layout`, the same build-once/serve-many pattern
+    as the IVF/SRP vector layouts, content-keyed so a regenerated corpus
+    invalidates it): the dedup pass pays it once, every split/dedup
+    consumer reads a tiny parquet.
 
     Oracle: the clusters oracle's recursive CTE chain
     (`dedup._sql_clusters_ctes`, shared builder — composed, not
     duplicated) + the same md5-of-component split CASE.
     """
-    from . import dedup
-
     docs = tables.load(spark, sf_dir, "documents")
-    comp = dedup.ext_dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    comp = spark.read.parquet(ensure_components_layout(spark, sf_dir))
     joined = (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -159,6 +159,33 @@ def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         safe.alias("split"),
         (safe != naive).alias("moved"),
     )
+
+
+def ensure_components_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the near-dup component map (doc_id → component) once per
+    dataset content signature and return its path — the write-time
+    artifact every cluster consumer (dedup survivorship, leakage-safe
+    split) reads instead of re-running the pair/CC pass. Same
+    ensure-pattern as `similarity.ensure_ivf_layout`: `_SUCCESS` marks a
+    complete build; a regenerated `documents` table changes the content
+    key and invalidates the layout."""
+    import os
+    import tempfile
+
+    from ..sources.layouts import dataset_cache_key
+
+    from . import dedup
+
+    key = dataset_cache_key(sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"boletia_components_v1_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            dedup.ext_dedup_clusters(spark, sf_dir)
+            .select("doc_id", "component")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
 
 
 def ext_split_leakage_safe_oracle() -> str:
