@@ -89,8 +89,11 @@ def _zlib_store(data: bytes) -> bytes:
     size must follow an exact closed-form law the SQL oracle can state:
     zlib's own level-0 encoder splits blocks at an internal buffer bound
     (65531/65535 mix — measured: len 65535 emits two blocks), while this
-    writer always emits ``ceil(len/65535)`` maximal blocks, giving
-    ``len(stream) == 6 + 5*ceil(len/65535) + len`` at ANY input size.
+    writer always emits ``max(ceil(len/65535), 1)`` maximal blocks, giving
+    ``len(stream) == 6 + 5*max(ceil(len/65535), 1) + len`` at ANY input
+    size — the ``max(·, 1)`` term because ``len == 0`` still emits one
+    empty stored block (11 bytes total; unreachable via ``encode_png``,
+    whose streams are ≥ 17 bytes, but the law must hold for any caller).
     ``zlib.decompress`` accepts it verbatim (stored blocks + adler32 are
     core spec), so the DECODE side still exercises the real inflater.
     """
@@ -588,9 +591,15 @@ def resize_media(media: DataFrame) -> DataFrame:
             w = pdf["width"].to_numpy(dtype=np.int64).copy()
             h = pdf["height"].to_numpy(dtype=np.int64).copy()
             src = np.full(len(pdf), "meta", dtype=object)
-            for i, payload in enumerate(pdf["payload"]):
+            for i, (payload, fmt) in enumerate(
+                zip(pdf["payload"], pdf["media_format"])
+            ):
                 pb = bytes(payload) if payload is not None else b""
-                if pb[:8] == png_sig:
+                # BOTH gates (round-5 ADVICE): declared format AND the
+                # signature — an arbitrary non-png binary payload that
+                # happens to start with \x89PNG must not have its dims
+                # hijacked (or fail) on a header parse it never had
+                if fmt == "png" and pb[:8] == png_sig:
                     w[i], h[i] = ihdr_dims(pb)
                     src[i] = "png-ihdr"
             m = np.maximum(w, h)
@@ -609,9 +618,9 @@ def resize_media(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload", "width", "height").mapInPandas(
-        fold, schema=RESIZE_SCHEMA
-    )
+    return media.select(
+        "doc_id", "payload", "media_format", "width", "height"
+    ).mapInPandas(fold, schema=RESIZE_SCHEMA)
 
 
 def sample_frames(media: DataFrame) -> DataFrame:

@@ -15,7 +15,10 @@ Design decisions, each load-bearing at 100 TB:
   100 TB crawl is evidence (encoding bug upstream, truncated shard) — the
   reader returns (parsed, quarantine) so the pipeline can count/inspect
   rejects; silently losing them is how corpora rot. Blank lines are
-  skipped (the JSONL spec's only non-record line).
+  skipped (the JSONL spec's only non-record line). The gate covers both
+  malformed lines AND type-coerced fields (a present, non-null JSON value
+  that ``from_json`` nulls under the schema's type) — see
+  :func:`_line_is_clean`.
 - **Schema is REQUIRED, not inferred**: inference is a full extra pass
   over 100 TB and yields drifting types across shards. Missing fields are
   null (the JSONL evolution convention); extra fields are ignored.
@@ -28,7 +31,7 @@ Design decisions, each load-bearing at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # the documents-table schema as DDL — the corpus interchange contract
@@ -37,29 +40,57 @@ DOC_SCHEMA_DDL = (
 )
 
 
+def _line_is_clean(schema_ddl: str) -> Column:
+    """Validity gate over a raw ``value`` line: well-formed JSON OBJECT
+    with no type-coerced field.
+
+    Two layers (round-5 ADVICE — the object gate alone lets a
+    type-mismatched field through as a silently-nulled value):
+
+    1. ``json_object_keys`` is NULL for invalid JSON and non-object JSON
+       alike (``from_json`` alone is too lenient — it parses an array or a
+       truncated object to an all-null struct).
+    2. Per schema field: if the KEY IS PRESENT with a non-null JSON value
+       (``get_json_object`` not null — it returns NULL for both absent
+       keys and explicit JSON ``null``, which are legitimate gaps) yet
+       ``from_json`` parsed the field to NULL, the value was type-coerced
+       away (e.g. ``"doc_id": "abc"`` under ``doc_id long``) — the row is
+       corrupt evidence, not a document.
+
+    Field paths use ``$.name`` — schema fields are assumed to be plain
+    identifiers (the corpus contract's shape)."""
+    from pyspark.sql.types import StructType
+
+    parsed = F.from_json("value", schema_ddl)
+    clean = F.json_object_keys("value").isNotNull()
+    for name in StructType.fromDDL(schema_ddl).fieldNames():
+        coerced = (
+            F.get_json_object("value", f"$.{name}").isNotNull()
+            & parsed[name].isNull()
+        )
+        clean = clean & ~coerced
+    return clean
+
+
 def read_jsonl_corpus(
     spark: SparkSession, path: str, schema_ddl: str = DOC_SCHEMA_DDL
 ) -> tuple[DataFrame, DataFrame]:
     """Read a JSONL corpus → (parsed, quarantine).
 
     ``parsed`` carries the schema's columns for every well-formed line;
-    ``quarantine`` carries (line, file) for every malformed one — counted,
-    inspectable, never silently dropped. JSONL requires each record line
-    to be a JSON OBJECT, and the validity test is exactly that:
-    ``json_object_keys`` is NULL for invalid JSON and for non-object JSON
-    alike (``from_json`` alone is too lenient — it parses an array or a
-    truncated object to an all-null struct, which would smuggle corrupt
-    lines into the corpus as empty documents)."""
+    ``quarantine`` carries (line, file) for every malformed OR
+    type-coerced one (see :func:`_line_is_clean`) — counted, inspectable,
+    never silently dropped."""
     raw = (
         spark.read.text(path)
         .withColumn("_file", F.input_file_name())
         .where(F.trim(F.col("value")) != "")
     )
-    is_object = F.json_object_keys("value").isNotNull()
-    good = raw.where(is_object).select(
+    ok = _line_is_clean(schema_ddl)
+    good = raw.where(ok).select(
         F.from_json("value", schema_ddl).alias("_doc")
     ).select("_doc.*")
-    quarantine = raw.where(~is_object).select(
+    quarantine = raw.where(~ok).select(
         F.col("value").alias("line"), F.col("_file").alias("file")
     )
     return good, quarantine
@@ -89,11 +120,11 @@ def read_jsonl_corpus_stream(
         .withColumn("_file", F.input_file_name())
         .where(F.trim(F.col("value")) != "")
     )
-    is_object = F.json_object_keys("value").isNotNull()
-    good = raw.where(is_object).select(
+    ok = _line_is_clean(schema_ddl)
+    good = raw.where(ok).select(
         F.from_json("value", schema_ddl).alias("_doc")
     ).select("_doc.*")
-    quarantine = raw.where(~is_object).select(
+    quarantine = raw.where(~ok).select(
         F.col("value").alias("line"), F.col("_file").alias("file")
     )
     return good, quarantine

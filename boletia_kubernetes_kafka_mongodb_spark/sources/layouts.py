@@ -329,6 +329,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
         + "_" + app
     )
     db = f"boletia_bucketed_{key}"
+    location = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")
     if (
         not spark.catalog.databaseExists(db)
         or not spark.catalog.tableExists(f"{db}.eventos_keyed")
@@ -347,9 +348,14 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
         # (~seconds; a production deployment would keep bucketed tables in
         # a REAL persistent metastore instead of a temp-dir warehouse, at
         # which point this function is a no-op after first build).
-        location = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")
         # crashed sessions never ran their atexit sweep: age-sweep sibling
-        # warehouses (> 6 h stale cannot belong to a live local session)
+        # warehouses. Staleness is judged by the HEARTBEAT file each owning
+        # session touches on every ensure call (round-5 ADVICE: directory
+        # mtime does not advance on reads, so a long-lived session's in-use
+        # warehouse would look stale under a raw-mtime rule; the heartbeat
+        # advances exactly when the owner re-enters this function, i.e. on
+        # every bucketed-join invocation). Pre-heartbeat leftovers fall
+        # back to dir mtime — strictly no worse than the old rule.
         cutoff = time.time() - 6 * 3600
         root = tempfile.gettempdir()
         for d in os.listdir(root):
@@ -360,7 +366,9 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
                 and os.path.isdir(p)
             ):
                 try:
-                    if os.path.getmtime(p) < cutoff:
+                    hb = os.path.join(p, _HEARTBEAT_NAME)
+                    stamp = os.path.getmtime(hb if os.path.exists(hb) else p)
+                    if stamp < cutoff:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass  # raced another session's sweep — theirs won
@@ -372,7 +380,28 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(location, ignore_errors=True)
         atexit.register(shutil.rmtree, location, ignore_errors=True)
         write_bucketed_tables(spark, sf_dir, db=db, location=location)
+    _touch_heartbeat(location)
     return db
+
+
+_HEARTBEAT_NAME = "_liveness_heartbeat"
+
+
+def _touch_heartbeat(location: str) -> None:
+    """Mark ``location`` as owned by a live session RIGHT NOW.
+
+    Called on every ``ensure_bucketed_tables`` entry (hit or miss), so a
+    session that keeps running bucketed joins keeps its warehouse's
+    heartbeat fresh and sibling sessions' age sweeps leave it alone."""
+    import os
+
+    try:
+        hb = os.path.join(location, _HEARTBEAT_NAME)
+        with open(hb, "a"):
+            pass
+        os.utime(hb, None)
+    except OSError:
+        pass  # racing a concurrent sweep/rebuild; next ensure re-touches
 
 
 def availability_join_bucketed(

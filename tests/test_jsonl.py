@@ -97,3 +97,28 @@ def test_jsonl_streaming_ingest_parses_and_quarantines(spark, tmp_path):
     assert {r.doc_id for r in spark.sql("select * from jsonl_good").collect()} == {1, 2}
     quar = spark.sql("select * from jsonl_quar").collect()
     assert [r.line for r in quar] == ["garbage line"]
+
+
+def test_jsonl_type_coerced_fields_quarantined(spark, tmp_path):
+    """A well-formed object line whose field value cannot take the
+    schema's type (``"doc_id": "abc"`` under ``doc_id long``) is corrupt
+    evidence, not a partially-null document — it must land in quarantine
+    (round-5 ADVICE). Explicit JSON ``null`` and an absent key remain
+    legitimate gaps and still parse."""
+    p = tmp_path / "coerced"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "good", "lang": "en", "source": "s", "n_chars": 4}\n'
+        '{"doc_id": "abc", "text": "bad id", "lang": "en", "source": "s", "n_chars": 6}\n'
+        '{"doc_id": 2, "text": "null lang ok", "lang": null, "source": "s", "n_chars": 12}\n'
+        '{"doc_id": 3, "text": "missing lang ok", "source": "s", "n_chars": 15}\n'
+        '{"doc_id": 4, "text": "bad count", "lang": "en", "source": "s", "n_chars": "many"}\n'
+    )
+    good, quarantine = jsonl.read_jsonl_corpus(spark, str(p))
+    rows = {r.doc_id: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].lang is None and rows[3].lang is None
+    q = sorted(r.line for r in quarantine.collect())
+    assert len(q) == 2
+    assert '"doc_id": "abc"' in q[0] or '"doc_id": "abc"' in q[1]
+    assert any('"n_chars": "many"' in line for line in q)

@@ -339,3 +339,49 @@ def test_ext_ann_ivfpq_topk_pruned_plan_and_recall(spark):
     }
     for r in got:
         assert lists[r.vec_id] in probe, (r.vec_id, lists[r.vec_id])
+
+
+def test_bucketed_warehouse_heartbeat_protects_live_sessions(spark):
+    """The stale-sibling sweep keys on the HEARTBEAT file, not raw dir
+    mtime (round-6: dir mtime does not advance on reads, so a >6h-lived
+    session re-entering ensure must refresh its liveness mark or a newer
+    session's sweep would rmtree its in-use warehouse mid-run)."""
+    import os
+    import tempfile
+    import time
+
+    db = layouts.ensure_bucketed_tables(spark, SF_SMOKE)
+    # locate THIS session's warehouse via the db key suffix
+    key = db[len("boletia_bucketed_"):]
+    loc = os.path.join(tempfile.gettempdir(), f"boletia_bucketed_wh_{key}")
+    hb = os.path.join(loc, layouts._HEARTBEAT_NAME)
+    assert os.path.exists(hb)
+    before = os.path.getmtime(hb)
+
+    # simulate a long-lived session: age BOTH the dir and heartbeat,
+    # then re-enter ensure — the heartbeat must be refreshed
+    old = time.time() - 7 * 3600
+    os.utime(hb, (old, old))
+    os.utime(loc, (old, old))
+    layouts.ensure_bucketed_tables(spark, SF_SMOKE)
+    assert os.path.getmtime(hb) > old + 3600, "ensure must refresh the heartbeat"
+
+    # a sibling dir with an OLD dir mtime but FRESH heartbeat survives a
+    # sweep; one with an old (or absent) heartbeat is removed
+    live = os.path.join(tempfile.gettempdir(), "boletia_bucketed_wh_livefake")
+    dead = os.path.join(tempfile.gettempdir(), "boletia_bucketed_wh_deadfake")
+    for p in (live, dead):
+        os.makedirs(p, exist_ok=True)
+        os.utime(p, (old, old))
+    with open(os.path.join(live, layouts._HEARTBEAT_NAME), "w"):
+        pass  # fresh heartbeat, stale dir mtime → must survive
+    try:
+        # force the sweep branch: drop the catalog db so ensure rebuilds
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        layouts.ensure_bucketed_tables(spark, SF_SMOKE)
+        assert os.path.isdir(live), "fresh-heartbeat sibling swept (ADVICE bug)"
+        assert not os.path.isdir(dead), "stale sibling not swept"
+    finally:
+        import shutil
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(dead, ignore_errors=True)

@@ -718,3 +718,31 @@ def test_resize_parses_real_ihdr_dims(spark):
     )
     with pytest.raises(Exception, match="IHDR"):
         M.resize_media(frame).collect()
+
+
+def test_resize_format_gate_ignores_lookalike_payloads(spark):
+    """A payload that merely STARTS with the PNG signature but whose row
+    is not declared ``media_format='png'`` must keep its metadata dims —
+    the header parse is gated on BOTH the declared format and the
+    signature (round-5 ADVICE: arbitrary binary payloads can collide with
+    the 8-byte signature; dims must not be hijacked, and a signature
+    collision on garbage bytes must not raise a corrupt-IHDR error)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import multimodal as M
+
+    lookalike = M.PNG_SIG + b"\x00" * 40  # sig prefix, garbage after
+    real = M.encode_png(b"y" * 40)
+    frame = spark.createDataFrame(
+        [
+            (1, bytearray(lookalike), "webp", len(lookalike), 77, 55),
+            (2, bytearray(real), "png", len(real), 99, 99),
+        ],
+        "doc_id long, payload binary, media_format string, n_bytes long,"
+        " width long, height long",
+    )
+    rows = {r.doc_id: r for r in M.resize_media(frame).collect()}
+    assert (rows[1].dims_source, rows[1].width, rows[1].height) == (
+        "meta", 77, 55
+    )
+    assert (rows[2].dims_source, rows[2].width, rows[2].height) == (
+        "png-ihdr", 16, 3  # 40 bytes → ceil(40/16) = 3 grid rows
+    )
