@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: token-budget selection via the tier
         # decomposition (whole tiers from a 5-row agg; no global sort)
         "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
+        # --- new round 6: small-edit near-dup pairs via length-band
+        # blocking + prefix Levenshtein (the OCR/typo duplicate class)
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
         # --- rotation: oldest round-3-recorded ids (24) ---
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
@@ -273,6 +276,10 @@ def oracle_sql() -> dict[str, str]:
         # round 5: budget selection — oracle states the naive ordered-
         # cumsum rule the tier decomposition must reproduce exactly
         "ext_corpus_budget_select": sampling.ext_corpus_budget_select_oracle(),
+        # round 6: length-band blocked edit-distance pairs — banding is
+        # lossless (|Δlen| ≤ max-dist ⇒ band delta ≤ 1), so the oracle is
+        # the same blocked join; levenshtein is exact on both engines
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

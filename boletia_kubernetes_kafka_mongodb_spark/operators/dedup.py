@@ -1692,3 +1692,97 @@ def ext_entity_resolution_oracle() -> str:
         FROM pairs
         WHERE levenshtein(local_a, local_b) <= {ER_MAX_EDIT}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (round 6): length-band-blocked Levenshtein pairs
+# ---------------------------------------------------------------------------
+
+EDIT_DIST_MAX = 8    # max edits for a near-dup pair (and the length gate)
+EDIT_PREFIX = 160    # verify on the normalized prefix: bounds per-pair
+                     # cost at O(EDIT_PREFIX²) regardless of doc length
+EDIT_BAND = 8        # length-band width; = EDIT_DIST_MAX so a qualifying
+                     # pair's bands differ by at most 1 (|Δlen| ≤ max-dist)
+
+
+def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-edit near-dup pairs: |Δ normalized length| ≤ ``EDIT_DIST_MAX``
+    AND Levenshtein over the first ``EDIT_PREFIX`` normalized chars ≤
+    ``EDIT_DIST_MAX`` — the OCR-noise / re-crawl / template-patch duplicate
+    class that token-set Jaccard under-scores (a single in-word typo changes
+    the token, not the character stream).
+
+    Plan: one scan → (doc_id, prefix, len, band = len // EDIT_BAND); the
+    pair space is EXACTLY the length-banded candidates — |Δlen| ≤ max-dist
+    is a necessary condition for edit distance ≤ max-dist, and with band
+    width = max-dist the bands of a qualifying pair differ by ≤ 1, so a
+    band equi-join where the SHORTER doc probes {band, band+1} finds every
+    pair exactly once (the pair joins at the longer doc's unique band; the
+    (len, id)-lexicographic role order both de-duplicates and excludes
+    self-pairs without a DISTINCT). ``levenshtein`` runs JVM-side on the
+    surviving candidates only.
+
+    100 TB: the shuffle key is the length band, so candidate volume is the
+    length histogram's self-join — flat for natural corpora. A skewed
+    length spike (e.g. fixed-width snippets) makes a band quadratic; the
+    production composition is MinHash banding (``ext_dedup_minhash_lsh``)
+    as the candidate generator with THIS operator as the exact verifier —
+    both are first-class here. (Cf. reference repo's single-node dedup
+    pass, pcRes/pcRes.go:1 — no near-dup support at all.)
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("nt"),
+    ).select(
+        "doc_id",
+        F.substring("nt", 1, EDIT_PREFIX).alias("p"),
+        F.length("nt").alias("n"),
+        F.floor(F.length("nt") / EDIT_BAND).cast("long").alias("band"),
+    )
+    probe = norm.select(
+        "doc_id", "p", "n",
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("band"),
+    )
+    a, b = probe.alias("a"), norm.alias("b")
+    shorter_first = (F.col("a.n") < F.col("b.n")) | (
+        (F.col("a.n") == F.col("b.n")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        a.join(b, "band")
+        .where(shorter_first & (F.col("b.n") - F.col("a.n") <= EDIT_DIST_MAX))
+        .withColumn("dist", F.levenshtein(F.col("a.p"), F.col("b.p")))
+        .where(F.col("dist") <= EDIT_DIST_MAX)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.col("dist").cast("integer").alias("edit_distance"),
+            F.col("a.n").cast("long").alias("len_short"),
+            F.col("b.n").cast("long").alias("len_long"),
+        )
+    )
+
+
+def ext_dedup_edit_distance_oracle() -> str:
+    return f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, left(nt, {EDIT_PREFIX}) AS p, length(nt) AS n,
+                   length(nt) // {EDIT_BAND} AS band
+            FROM norm
+        )
+        SELECT LEAST(a.doc_id, c.doc_id) AS doc_a,
+               GREATEST(a.doc_id, c.doc_id) AS doc_b,
+               CAST(levenshtein(a.p, c.p) AS INTEGER) AS edit_distance,
+               CAST(a.n AS BIGINT) AS len_short,
+               CAST(c.n AS BIGINT) AS len_long
+        FROM b a JOIN b c
+          ON c.band - a.band IN (0, 1)
+         AND (a.n < c.n OR (a.n = c.n AND a.doc_id < c.doc_id))
+         AND c.n - a.n <= {EDIT_DIST_MAX}
+        WHERE levenshtein(a.p, c.p) <= {EDIT_DIST_MAX}
+    """

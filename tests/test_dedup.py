@@ -612,3 +612,100 @@ def test_tiled_bucket_pairs_equals_naive_on_hot_bucket(spark):
         ).collect()
     )
     assert rows == [(4, 40, 9, 90), (4, 40, 700, 7000), (9, 90, 700, 7000)]
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein — the python reference for the JVM builtin."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _norm_prefix(text: str) -> tuple[str, int]:
+    import re
+
+    nt = re.sub(r"\s+", " ", text.lower())
+    return nt[: dedup.EDIT_PREFIX], len(nt)
+
+
+def test_edit_distance_crafted_branches(spark, tmp_path):
+    """Every blocking branch live: an in-band typo pair is found with the
+    exact distance, a same-band equal-length pair emits exactly once in
+    (len, id) role order, a band-straddling pair is found via the +1 probe,
+    and a prefix-identical pair with |Δlen| > max-dist is length-gated out."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base, "en", "src", len(base)),
+        (2, base.replace("quick", "quack"), "en", "src", len(base)),  # 1 edit
+        (3, base + " and twenty extra trailing chars", "en", "src", 0),  # Δlen>8
+        # same length, same band, two substitutions
+        (4, base.replace("lazy", "cozy"), "en", "src", len(base)),
+        # band straddle: len(base)=64 → band 8; +7 chars → len 71 → band 8;
+        # craft a TRUE straddle instead: 63 chars (band 7) vs 65 (band 8)
+        (5, base[:63], "en", "src", 63),
+        (6, base[:63] + "xy", "en", "src", 65),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = dedup.ext_dedup_edit_distance(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r for r in out}
+    assert len(out) == len(got), "a pair emitted twice"
+
+    texts = {i: t for i, t, *_ in rows}
+    p1, n1 = _norm_prefix(texts[1])
+    p2, _ = _norm_prefix(texts[2])
+    assert (1, 2) in got and got[(1, 2)].edit_distance == _lev(p1, p2) == 1
+    assert got[(1, 2)].len_short == n1
+    assert (1, 4) in got and got[(1, 4)].edit_distance == 2
+    assert (2, 4) in got  # both 1-edit from base → ≤ 2 edits apart
+    # band straddle found via the +1 probe (bands 7 and 8)
+    p5, n5 = _norm_prefix(texts[5])
+    p6, n6 = _norm_prefix(texts[6])
+    assert (n5 // dedup.EDIT_BAND) + 1 == n6 // dedup.EDIT_BAND
+    assert (5, 6) in got and got[(5, 6)].edit_distance == _lev(p5, p6)
+    # the length gate excludes doc 3 from everything (Δlen > EDIT_DIST_MAX)
+    assert not any(3 in pair for pair in got)
+
+
+def test_edit_distance_matches_bruteforce(spark):
+    """Band blocking loses nothing: the operator's pair set equals the
+    python all-pairs reference (length gate + prefix Levenshtein) exactly,
+    distances included."""
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    norm = {i: _norm_prefix(t) for i, t in docs if t is not None}
+    want = {}
+    ids = sorted(norm)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            (pa, na), (pb, nb) = norm[a], norm[b]
+            if abs(na - nb) > dedup.EDIT_DIST_MAX:
+                continue
+            d = _lev(pa, pb)
+            if d <= dedup.EDIT_DIST_MAX:
+                lo, hi = (a, b) if (na, a) < (nb, b) else (b, a)
+                want[(min(a, b), max(a, b))] = d
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in dedup.ext_dedup_edit_distance(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert want, "fixture has no small-edit pairs; equivalence untestable"
