@@ -42,159 +42,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-5 window (round-4 verdict #1: pay the rotation
-    on schedule) = positions 1-22 are exactly the 22 ids whose most recent
-    driver row was round 2 (the precomputed queue in ROUND4_NOTES §"r05
-    rotation queue"); positions 23-26 are this round's new/changed ids:
-    `ext_approx_distinct_kmv` (new: deterministic bottom-k distinct
-    sketch, the oracle-checkable companion to the HLL id),
-    `ext_multimodal_features` + `ext_multimodal_resize` (real PNG decode
-    branch: CRC-validated chunk walk, zlib inflate, Sub unfilter; resize
-    reads IHDR dims), `ext_ann_ivf_topk` (serve kernel replaced by the
-    bounded per-batch top-k matmul — output contract unchanged),
-    `ext_split_leakage_safe` (new: split-by-near-dup-component),
-    `ext_dedup_clusters` (oracle rebuilt from the shared CTE builder),
-    `ext_ann_ivf_batch` (new: batched ANN off one pruned scan), and
-    `ext_corpus_budget_select` (new: token-budget selection; its score
-    expression is shared with the in-window `ext_text_quality`); positions
-    31-49 are the oldest round-3-recorded ids, including
-    `ext_dedup_minhash_lsh` / `ext_dedup_simhash` / `ext_multimodal_phash`
-    whose shared `tiled_bucket_pairs` helper changed this round (in-helper
-    diagonal dedupe); position 50 is `join_availability_bucketed`, whose
-    `ensure_bucketed_tables` path gained the stale-warehouse age sweep.
-    Everything after position 50 has a green r03/r04 driver row and an
-    unchanged implementation; the remaining r03-era ids rotate forward in
-    r06.
+    order per round. Round-6 window (round-4 verdict #1's standing rule:
+    pay the rotation on schedule) = positions 1-26 are exactly the 26 ids
+    whose most recent driver row is round 3 (the precomputed queue in
+    ROUND5_NOTES §"r06 rotation queue"); the next positions are this
+    round's new/changed ids: `ext_dedup_edit_distance` (new: length-band
+    blocked Levenshtein near-dup pairs), `ext_multimodal_resize` (changed:
+    the PNG header parse is now gated on media_format — round-5 ADVICE)
+    and `join_availability_bucketed` (changed: the stale-warehouse sweep
+    is now heartbeat-keyed — round-5 ADVICE), plus the operators built
+    this round (commented inline below); the remaining slots up to
+    position 50 are the oldest round-4-recorded ids (core §2 scans and
+    mutations). Everything after position 50 has a green r04/r05 driver
+    row and an unchanged implementation; the r04-era ids not re-attested
+    this round are the precomputed r07 queue in ROUND6_NOTES.
     """
     return {
-        # --- rotation: the 22 round-2-recorded ids (ROUND4_NOTES queue) ---
-        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
-        "agg_funnel_stages": aggregates.agg_funnel_stages,
-        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
-        "agg_value_histogram": aggregates.agg_value_histogram,
-        "cdc_broker_metrics": cdc.cdc_broker_metrics,
-        "ext_bm25_search": search.ext_bm25_search,
-        "ext_cooccurrence": aggregates.ext_cooccurrence,
-        "ext_dedup_incremental": dedup.ext_dedup_incremental,
-        "ext_dedup_segments": dedup.ext_dedup_segments,
-        "ext_dedup_substring": dedup.ext_dedup_substring,
-        "ext_heavy_hitters": text.ext_heavy_hitters,
-        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
-        "ext_quality_buckets": text.ext_quality_buckets,
-        "ext_sample_importance": sampling.ext_sample_importance,
-        "ext_sample_weighted": sampling.ext_sample_weighted,
-        "ext_shard_manifest": sampling.ext_shard_manifest,
-        "ext_split_drift": sampling.ext_split_drift,
-        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
-        "ext_text_clean": dedup.ext_text_clean,
-        "ext_text_entropy": text.ext_text_entropy,
-        "ext_tfidf_terms": search.ext_tfidf_terms,
-        "ext_vocab_coverage": text.ext_vocab_coverage,
-        # --- new this round: KMV bottom-k distinct — the hash-gated
-        # approximate-distinct path (round-4 verdict #5)
-        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
-        # --- changed this round: doc_id % 4 == 2 rows are REAL PNGs —
-        # synthesize (stored-block zlib, CRC32), decode (inflate +
-        # Sub-unfilter), featurize; resize parses IHDR dims (round-4 #2)
-        "ext_multimodal_features": multimodal.ext_multimodal_features,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        # --- changed this round: bounded per-batch top-k matmul kernel
-        # replaces the per-row fold + full-probe sort (round-4 verdict #3;
-        # measured p 0.73 → ~0 on the x1/x3/x10 study, output unchanged)
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
-        # --- new this round: split-by-near-dup-component (leakage-safe
-        # corpus split; composed with the clusters operator + its oracle)
-        "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
-        # --- changed this round: oracle rebuilt from the shared
-        # _sql_clusters_ctes builder (same semantics) — re-attest
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        # --- new this round: batched ANN — 8 queries off ONE pruned scan
-        # of the IVF layout (the batch-inference serve shape)
-        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
-        # --- new this round: token-budget selection via the tier
-        # decomposition (whole tiers from a 5-row agg; no global sort)
-        "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
-        # --- new round 6: small-edit near-dup pairs via length-band
-        # blocking + prefix Levenshtein (the OCR/typo duplicate class)
-        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
-        # --- rotation: oldest round-3-recorded ids (24) ---
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
-        "ext_dedup_simhash": dedup.ext_dedup_simhash,
-        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
-        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
-        "ext_text_tokens": text.ext_text_tokens,
-        "ext_text_langid": text.ext_text_langid,
-        "ext_text_quality": text.ext_text_quality,
-        "ext_text_fingerprint": text.ext_text_fingerprint,
-        "ext_text_winnowing": text.ext_text_winnowing,
-        "ext_text_repetition": text.ext_text_repetition,
-        "ext_text_pii_mask": text.ext_text_pii_mask,
-        "ext_corpus_stats": text.ext_corpus_stats,
-        "ext_text_sentiment": text.ext_text_sentiment,
-        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
-        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
-        "ext_sample_split": sampling.ext_sample_split,
-        "ext_sample_quota": sampling.ext_sample_quota,
-        "ext_decontaminate": sampling.ext_decontaminate,
-        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        # --- changed this round: ensure_bucketed_tables gained the stale-
-        # warehouse age sweep (round-5 ADVICE) — re-attest the bucketed id
-        "join_availability_bucketed": joins.join_availability_bucketed,
-        # --- position > 50 from here: all have green r03/r04 rows and
-        # unchanged implementations this round ---
+        # --- rotation: the 26 round-3-recorded ids (ROUND5_NOTES queue) ---
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
         "ext_embed_quantize": similarity.ext_embed_quantize,
         "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "scan_full_eventos": scans.scan_full_eventos,
-        "scan_full_inventario": scans.scan_full_inventario,
-        "lookup_point_unique": scans.lookup_point_unique,
-        "lookup_pk": scans.lookup_pk,
-        "filter_compound_eq": scans.filter_compound_eq,
-        "filter_range_guard": scans.filter_range_guard,
-        "filter_state_machine": cdc.filter_state_machine,
-        "project_rename_detreserva": scans.project_rename_detreserva,
-        "sql_availability": scans.sql_availability,
-        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "cancel_increment": mutations.cancel_increment,
-        "event_cancel_update": mutations.event_cancel_update,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "reserva_cancel_flag": mutations.reserva_cancel_flag,
-        "insert_dedup_unique": mutations.insert_dedup_unique,
-        "reserve_admission_exact": admission.admission_ledger_batch,
-        "join_cancel_inventory": joins.join_cancel_inventory,
-        "join_exists_anti": joins.join_exists_anti,
-        "join_cascade": joins.join_cascade,
-        "join_availability": joins.join_availability,
-        "ext_asof_join": joins.ext_asof_join,
-        "ext_range_join": joins.ext_range_join,
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_time_window": windows.agg_time_window,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "order_topn_disponible": ordering.order_topn_disponible,
-        "order_latest_per_email": ordering.order_latest_per_email,
-        "setop_churn_emails": ordering.setop_churn_emails,
-        "order_user_event_ranks": ordering.order_user_event_ranks,
-        "sink_upsert_clone": cdc.sink_upsert_clone,
-        "notify_render": notifications.notify_render,
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "fn_json_props_extract": cdc.fn_json_props_extract,
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
-        "ext_topk_similarity": similarity.ext_topk_similarity,
-        "ext_topk_batch": similarity.ext_topk_batch,
-        "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
         "ext_bpe_merges": text.ext_bpe_merges,
         "ext_mmr_diversify": similarity.ext_mmr_diversify,
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
@@ -216,6 +85,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
         "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
         "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
+        # --- new round 6: small-edit near-dup pairs via length-band
+        # blocking + prefix Levenshtein (the OCR/typo duplicate class)
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
+        # --- changed round 6 (round-5 ADVICE): PNG header parse gated on
+        # media_format — re-attest the resize id
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        # --- changed round 6 (round-5 ADVICE): heartbeat-keyed stale-
+        # warehouse sweep in ensure_bucketed_tables — re-attest
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
+        # mutations); the rest of the r04-era ids queue for r07 ---
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "lookup_pk": scans.lookup_pk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        "sql_availability": scans.sql_availability,
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
+        "cancel_increment": mutations.cancel_increment,
+        "event_cancel_update": mutations.event_cancel_update,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
+        "reserve_admission_exact": admission.admission_ledger_batch,
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_exists_anti": joins.join_exists_anti,
+        "join_cascade": joins.join_cascade,
+        "join_availability": joins.join_availability,
+        "ext_asof_join": joins.ext_asof_join,
+        # --- position > 50 from here: all have green r04/r05 rows and
+        # unchanged implementations this round ---
+        "ext_range_join": joins.ext_range_join,
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        "agg_time_window": windows.agg_time_window,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_latest_per_email": ordering.order_latest_per_email,
+        "setop_churn_emails": ordering.setop_churn_emails,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "notify_render": notifications.notify_render,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_topk_similarity": similarity.ext_topk_similarity,
+        "ext_topk_batch": similarity.ext_topk_batch,
+        "agg_ewma_daily": aggregates.agg_ewma_daily,
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
+        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
+        "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_simhash": dedup.ext_dedup_simhash,
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
+        "ext_multimodal_features": multimodal.ext_multimodal_features,
+        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
+        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
+        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
+        "ext_text_tokens": text.ext_text_tokens,
+        "ext_text_langid": text.ext_text_langid,
+        "ext_text_quality": text.ext_text_quality,
+        "ext_text_fingerprint": text.ext_text_fingerprint,
+        "ext_text_winnowing": text.ext_text_winnowing,
+        "ext_text_repetition": text.ext_text_repetition,
+        "ext_text_pii_mask": text.ext_text_pii_mask,
+        "ext_corpus_stats": text.ext_corpus_stats,
+        "ext_text_sentiment": text.ext_text_sentiment,
+        "ext_sample_split": sampling.ext_sample_split,
+        "ext_sample_quota": sampling.ext_sample_quota,
+        "ext_decontaminate": sampling.ext_decontaminate,
+        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
+        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
+        "agg_value_histogram": aggregates.agg_value_histogram,
+        "cdc_broker_metrics": cdc.cdc_broker_metrics,
+        "ext_bm25_search": search.ext_bm25_search,
+        "ext_cooccurrence": aggregates.ext_cooccurrence,
+        "ext_dedup_incremental": dedup.ext_dedup_incremental,
+        "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_heavy_hitters": text.ext_heavy_hitters,
+        "ext_quality_buckets": text.ext_quality_buckets,
+        "ext_sample_importance": sampling.ext_sample_importance,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_shard_manifest": sampling.ext_shard_manifest,
+        "ext_split_drift": sampling.ext_split_drift,
+        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
+        "ext_text_clean": dedup.ext_text_clean,
+        "ext_text_entropy": text.ext_text_entropy,
+        "ext_tfidf_terms": search.ext_tfidf_terms,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
     }
 
 
