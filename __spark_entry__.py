@@ -19,6 +19,7 @@ from boletia_kubernetes_kafka_mongodb_spark.operators import (
     aggregates,
     cdc,
     dedup,
+    graph,
     joins,
     multimodal,
     ordering,
@@ -94,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed round 6 (round-5 ADVICE): heartbeat-keyed stale-
         # warehouse sweep in ensure_bucketed_tables — re-attest
         "join_availability_bucketed": joins.join_availability_bucketed,
+        # --- new round 6: integer-arithmetic PageRank over the near-dup
+        # Jaccard graph (nano-unit BIGINT power iteration — the oracle
+        # replays all 8 steps exactly, no float rounding anywhere)
+        "ext_graph_pagerank": graph.ext_graph_pagerank,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -258,6 +263,9 @@ def oracle_sql() -> dict[str, str]:
         # lossless (|Δlen| ≤ max-dist ⇒ band delta ≤ 1), so the oracle is
         # the same blocked join; levenshtein is exact on both engines
         "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance_oracle(),
+        # round 6: integer nano-rank power iteration — all-BIGINT state
+        # makes the recursive-CTE replay exact at every iteration
+        "ext_graph_pagerank": graph.ext_graph_pagerank_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

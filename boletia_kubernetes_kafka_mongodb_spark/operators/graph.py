@@ -1,0 +1,139 @@
+"""Graph analytics over the near-dup document graph (§2.9 extensions).
+
+The near-dup pair graph (nodes = documents, edges = Jaccard ≥ threshold
+pairs from the tiled exact kernel in ``dedup.py``) supports more than
+cluster collapse: link-analysis centrality ranks the *canonical-ness* of
+documents inside large duplicate neighbourhoods — the web-graph quality
+prior a CommonCrawl-style curation pipeline uses to pick which near-dup
+copy to keep and to weight sampling (PageRank; Brin & Page 1998).
+
+Cross-engine determinism: the power iteration runs in **integer
+nano-units** (rank scaled by 1e9 as BIGINT). Each step is
+
+    share(u)   = R(u) DIV deg(u)                 (exact integer)
+    R'(v)      = BASE + (85 * Σ_{u→v} share(u)) DIV 100
+    BASE       = 150_000_000 DIV N               ((1-d)/N scaled, d=0.85)
+
+All-BIGINT arithmetic makes the per-node sum order-independent and every
+iteration bit-identical on any engine — the same trick the admission
+ledger uses for seq packing — so the DuckDB oracle replays the *entire*
+8-step iteration and the driver hash gates every rank value exactly.
+(A float formulation would hash-drift: Σ over in-neighbours is
+order-dependent in IEEE doubles, and 6dp rounding can't absorb a
+knife-edge half-ulp at the rounding boundary.)
+
+Scale design (100 TB): the rank frame is node-sized and the adjacency
+frame edge-sized — both shuffle on ``src`` once per iteration (join +
+map-side-combinable groupBy); nothing corpus-sized is collected. The
+adjacency is localCheckpointed once (it is reused 8×) and the rank
+lineage is truncated every 3 iterations so the plan never grows with the
+iteration count. The single driver-side scalar is ``N`` (one count), the
+same bounded-collect class as the IVF layout stats.
+
+Reference parity: the reference engine (Go, pcKafka/pcRestaurar) has no
+graph operator — this is part of the mandated training-data-pipeline
+extension surface (brief: dedup survivor selection / quality priors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup
+
+PR_ITERS = 8            # fixed power-iteration count (state: iter ∈ [0, 8])
+PR_DAMP_NUM = 85        # damping d = 85/100 in integer arithmetic
+PR_SCALE = 1_000_000_000  # rank unit: 1e-9 (BIGINT nano-ranks)
+
+
+def _pagerank_nano(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(doc_id, degree, rank_nano) from a symmetric (src, dst) edge list.
+
+    ``edges`` must already be symmetric (both directions present) and
+    self-loop-free; every vertex therefore has degree ≥ 1 and receives at
+    least one contribution per step, so no dangling-mass term is needed.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # adjacency with out-degree attached — reused every iteration
+    adj = edges.join(deg, "src").localCheckpoint(eager=True)
+    n = deg.count()
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, degree long, rank_nano long")
+    init = PR_SCALE // n
+    base = (PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100) // n  # 150e6 DIV N
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(init).cast("long").alias("r"))
+    for i in range(PR_ITERS):
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["doc_id"])
+            .select("dst", F.expr("r DIV d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("doc_id"),
+            (F.lit(base) + F.expr(f"({PR_DAMP_NUM} * s) DIV 100")).cast("long").alias("r"),
+        )
+        if i % 3 == 2:  # truncate lineage: plan depth stays O(1) in iters
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.join(deg, ranks["doc_id"] == deg["src"]).select(
+        "doc_id", F.col("d").alias("degree"), F.col("r").alias("rank_nano")
+    )
+
+
+def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup Jaccard graph (d=0.85, 8 iterations).
+
+    Edge source: the same tiled exact-Jaccard pairs that feed
+    ``ext_dedup_clusters`` — so rank is directly interpretable as
+    "centrality inside a duplicate neighbourhood" and the two operators
+    compose (rank the members of each component; keep the max-rank copy).
+
+    Output: one row per vertex (documents touched by ≥ 1 near-dup pair)
+    with its symmetric degree and the final integer nano-rank.
+    """
+    pairs = dedup.ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    return _pagerank_nano(spark, edges)
+
+
+def ext_graph_pagerank_oracle() -> str:
+    """DuckDB replay of the full integer power iteration: the recursive
+    CTE advances one iteration per step (grouped aggregation over the
+    working table — every intermediate BIGINT, so the replay is exact,
+    not 6dp-close)."""
+    pair_sql = dedup.ext_dedup_ngram_jaccard_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS ({pair_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        pr AS (
+            SELECT 0 AS iter, src AS doc_id,
+                   CAST((SELECT {PR_SCALE} // n FROM nv) AS BIGINT) AS r
+            FROM deg
+            UNION ALL
+            SELECT iter + 1, doc_id,
+                   CAST((SELECT {PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100} // n FROM nv)
+                        + ({PR_DAMP_NUM} * s) // 100 AS BIGINT) AS r
+            FROM (
+                SELECT p.iter AS iter, e.dst AS doc_id,
+                       SUM(p.r // dg.d) AS s
+                FROM pr p
+                JOIN deg dg ON dg.src = p.doc_id
+                JOIN edges e ON e.src = p.doc_id
+                WHERE p.iter < {PR_ITERS}
+                GROUP BY p.iter, e.dst
+            )
+        )
+        SELECT p.doc_id, dg.d AS degree, p.r AS rank_nano
+        FROM pr p JOIN deg dg ON dg.src = p.doc_id
+        WHERE p.iter = {PR_ITERS}
+    """
