@@ -99,6 +99,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard graph (nano-unit BIGINT power iteration — the oracle
         # replays all 8 steps exactly, no float rounding anywhere)
         "ext_graph_pagerank": graph.ext_graph_pagerank,
+        # --- new round 6: KMV sketch ALGEBRA — union/intersection distinct
+        # estimates per event-type pair from the mergeable bottom-K frames
+        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
+        # --- changed round 6: sketch builder factored into _kmv_sketches
+        # (shared with the set-ops id) — re-attest
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -143,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_route_messages": cdc.cdc_route_messages,
         "fn_json_props_extract": cdc.fn_json_props_extract,
         "ext_approx_distinct": aggregates.ext_approx_distinct,
-        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
         "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
         "ext_dedup_containment": dedup.ext_dedup_containment,
@@ -266,6 +271,9 @@ def oracle_sql() -> dict[str, str]:
         # round 6: integer nano-rank power iteration — all-BIGINT state
         # makes the recursive-CTE replay exact at every iteration
         "ext_graph_pagerank": graph.ext_graph_pagerank_oracle(),
+        # round 6: mergeable-sketch set algebra — same engine-independent
+        # sketch CTEs as the KMV id, pairwise merge + ρ-estimator
+        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

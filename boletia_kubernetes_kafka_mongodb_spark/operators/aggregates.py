@@ -416,6 +416,40 @@ KMV_K = 64  # bottom-k sketch size: rel. error ≈ 1/sqrt(K-2) ≈ 12.7%
 # users per group — while sf0.001 exercises the exact small-set branch)
 
 
+def _kmv_sketches_from(ev: DataFrame) -> DataFrame:
+    """(event_type, h) bottom-K sketch rows from any (event_type, user_id)
+    frame — the testable core of `_kmv_sketches`."""
+    from pyspark.sql.window import Window
+
+    u = F.col("user_id").cast("string")
+    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
+    hashes = ev.select(
+        "event_type", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    return hashes.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KMV_K
+    ).select("event_type", "h")
+
+
+def _kmv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, h): the bottom-K distinct md5-derived signed-64 user
+    hashes per event type — the shared KMV sketch frame behind both the
+    per-group estimate (`ext_approx_distinct_kmv`) and the set-algebra
+    operator (`ext_kmv_set_ops`). One corpus scan, map-side-combinable
+    distinct, then a per-group bottom-K window over ≤ |distinct| rows."""
+    return _kmv_sketches_from(tables.load(spark, sf_dir, "events"))
+
+
+def _kmv_u(col: str):
+    """Signed-64 hash → unsigned position in (0,1], IEEE-identical on both
+    engines (int64→double and each double op are IEEE-defined)."""
+    return (
+        F.col(col).cast("double") + F.lit(9223372036854775808.0) + F.lit(1.0)
+    ) / F.lit(18446744073709551616.0)
+
+
 def ext_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 deterministic companion (round-5 verdict #5): KMV / bottom-k
     distinct-user estimate per event type — the oracle-checkable
@@ -440,25 +474,10 @@ def ext_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in). What KMV buys over both: a mergeable sketch whose every bit
     is auditable cross-engine.
     """
-    from pyspark.sql.window import Window
-
-    ev = tables.load(spark, sf_dir, "events")
-    u = F.col("user_id").cast("string")
-    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
-    hashes = ev.select(
-        "event_type", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h")
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    bot = hashes.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= KMV_K
-    )
+    bot = _kmv_sketches(spark, sf_dir)
     # signed h → unsigned position in (0,1]: u = (h + 2^63 + 1) / 2^64,
-    # computed in double on BOTH engines (int64→double and each double op
-    # are IEEE-defined, so the estimate is bit-identical cross-engine)
-    u_k = (
-        F.col("h_k").cast("double") + F.lit(9223372036854775808.0) + F.lit(1.0)
-    ) / F.lit(18446744073709551616.0)
+    # computed in double on BOTH engines (`_kmv_u`)
+    u_k = _kmv_u("h_k")
     est = F.when(
         F.col("sketch_k") < KMV_K, F.col("sketch_k").cast("double")
     ).otherwise(F.lit(float(KMV_K - 1)) / u_k)
@@ -472,19 +491,16 @@ def ext_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ext_approx_distinct_kmv_oracle() -> str:
-    """DuckDB replay of the identical KMV sketch: same md5-derived signed-64
-    hash, same bottom-K window, same (h + 2^63 + 1)/2^64 normalization in
-    double — every intermediate engine-independent."""
-    k = KMV_K
+def _kmv_sketch_ctes() -> str:
+    """Shared DuckDB CTE chain re-deriving `_kmv_sketches` exactly: the
+    md5-derived signed-64 hash, the distinct, and the bottom-K window."""
     h64 = (
         "(CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) >= 2147483648 "
         "THEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) - 4294967296 "
         "ELSE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) END) * 4294967296 "
         "+ CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT)"
     )
-    return f"""
-        WITH hs AS (
+    return f"""hs AS (
             SELECT DISTINCT event_type, {h64} AS h FROM events
         ),
         rk AS (
@@ -492,7 +508,16 @@ def ext_approx_distinct_kmv_oracle() -> str:
                    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
             FROM hs
         ),
-        bot AS (SELECT event_type, h FROM rk WHERE rk <= {k})
+        bot AS (SELECT event_type, h FROM rk WHERE rk <= {KMV_K})"""
+
+
+def ext_approx_distinct_kmv_oracle() -> str:
+    """DuckDB replay of the identical KMV sketch: same md5-derived signed-64
+    hash, same bottom-K window, same (h + 2^63 + 1)/2^64 normalization in
+    double — every intermediate engine-independent."""
+    k = KMV_K
+    return f"""
+        WITH {_kmv_sketch_ctes()}
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS sketch_k,
                ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
@@ -501,6 +526,133 @@ def ext_approx_distinct_kmv_oracle() -> str:
                                             / 18446744073709551616.0)
                      END, 6) AS kmv_users
         FROM bot GROUP BY event_type
+    """
+
+
+def ext_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA: distinct-user estimates for the UNION and
+    INTERSECTION of every event-type pair, computed purely from the
+    per-type bottom-K sketches — the corpus is scanned exactly once.
+
+    This is the property that makes KMV the 100 TB shape for audience-
+    overlap questions: sketches are *mergeable* (bottom-K of A∪B = bottom-K
+    of S_A ∪ S_B, Bar-Yossef et al. 2002 / Beyer et al. 2007), so T types
+    over any corpus reduce to T×K rows before the pairwise stage — the
+    per-pair work is corpus-size-independent, and the same T×K frame would
+    serve (T choose 2) pairs at any T. Intersection uses the standard
+    ρ-estimator: ρ = |{h ∈ bottomK(A∪B) : h ∈ S_A ∧ h ∈ S_B}| / K and
+    |A∩B| ≈ ρ·|A∪B|. When |A∪B| < K both sketches are their full sets and
+    both estimates are EXACT (the small-set branch).
+
+    Every intermediate is engine-independent (md5 hashes, integer
+    windows, IEEE-double normalization — the `ext_approx_distinct_kmv`
+    recipe), so this approximate operator carries a full value-hash
+    oracle. Columns: per (type_a < type_b) pair, the union-sketch fill
+    k_union, the intersection evidence count inter_k, and the two rounded
+    estimates.
+    """
+    return kmv_set_ops_from_sketches(_kmv_sketches(spark, sf_dir))
+
+
+def kmv_set_ops_from_sketches(sk: DataFrame) -> DataFrame:
+    """The sketch-merge algebra over any (event_type, h) bottom-K frame —
+    factored so tests can drive crafted overlap structures through it."""
+    t = sk.select("event_type").distinct()
+    prs = (
+        t.select(F.col("event_type").alias("type_a"))
+        .join(
+            t.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # membership rows: each pair pulls both sketches via two equi-joins
+    # (no OR-join → no nested-loop); prs is T²-sized, always broadcast
+    ma = prs.join(
+        sk.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(True).alias("in_a"), F.lit(False).alias("in_b"))
+    mb = prs.join(
+        sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(False).alias("in_a"), F.lit(True).alias("in_b"))
+    g = (
+        ma.unionByName(mb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("ia"), F.max("in_b").alias("ib"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    u = g.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= KMV_K)
+    agg = u.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_union"),
+        F.max("h").alias("h_k"),
+        F.sum((F.col("ia") & F.col("ib")).cast("long")).cast("long").alias("inter_k"),
+    )
+    est_union = F.round(
+        F.when(F.col("k_union") < KMV_K, F.col("k_union").cast("double")).otherwise(
+            F.lit(float(KMV_K - 1)) / _kmv_u("h_k")
+        ),
+        6,
+    )
+    out = agg.withColumn("est_union", est_union)
+    est_inter = F.round(
+        (F.col("inter_k").cast("double") / F.col("k_union").cast("double"))
+        * F.col("est_union"),
+        6,
+    )
+    return out.select(
+        "type_a", "type_b", "k_union", "inter_k", "est_union",
+        est_inter.alias("est_intersection"),
+    )
+
+
+def ext_kmv_set_ops_oracle() -> str:
+    """DuckDB replay of the sketch-merge algebra on the identical per-type
+    bottom-K sketches; the ρ-estimator multiplies the PRE-ROUNDED union
+    estimate, mirroring the Spark expression tree exactly."""
+    k = KMV_K
+    return f"""
+        WITH {_kmv_sketch_ctes()},
+        tp AS (SELECT DISTINCT event_type FROM bot),
+        prs AS (
+            SELECT x.event_type AS type_a, y.event_type AS type_b
+            FROM tp x JOIN tp y ON x.event_type < y.event_type
+        ),
+        m AS (
+            SELECT p.type_a, p.type_b, s.h,
+                   s.event_type = p.type_a AS in_a,
+                   s.event_type = p.type_b AS in_b
+            FROM prs p
+            JOIN bot s ON s.event_type = p.type_a OR s.event_type = p.type_b
+        ),
+        g AS (
+            SELECT type_a, type_b, h, MAX(in_a) AS ia, MAX(in_b) AS ib
+            FROM m GROUP BY type_a, type_b, h
+        ),
+        u AS (
+            SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+            FROM g
+        ),
+        agg AS (
+            SELECT type_a, type_b,
+                   CAST(COUNT(*) AS BIGINT) AS k_union,
+                   MAX(h) AS h_k,
+                   CAST(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
+            FROM u WHERE rk <= {k}
+            GROUP BY type_a, type_b
+        ),
+        est AS (
+            SELECT type_a, type_b, k_union, inter_k,
+                   ROUND(CASE WHEN k_union < {k} THEN CAST(k_union AS DOUBLE)
+                              ELSE {k - 1}.0 / ((CAST(h_k AS DOUBLE)
+                                                 + 9223372036854775808.0 + 1.0)
+                                                / 18446744073709551616.0)
+                         END, 6) AS est_union
+            FROM agg
+        )
+        SELECT type_a, type_b, k_union, inter_k, est_union,
+               ROUND((CAST(inter_k AS DOUBLE) / CAST(k_union AS DOUBLE))
+                     * est_union, 6) AS est_intersection
+        FROM est
     """
 
 

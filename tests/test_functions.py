@@ -204,3 +204,58 @@ def test_kmv_sketch_is_mergeable(spark):
         .collect()
     }
     assert two_phase == direct
+
+
+def test_kmv_set_ops_exact_branch_and_overlap(spark):
+    """Crafted overlap structure through the sketch algebra:
+
+    - small sets (< K): union AND intersection estimates are EXACT
+    - large sets (> K): estimates within 4σ of truth, σ = 1/sqrt(K-2),
+      on a 50%-overlap pair (the fixture events table is degenerate —
+      every type shares all users — so the partial-overlap case must be
+      crafted here)
+    """
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    # exact branch: |A|=20, |B|=15, |A∩B|=5 → |A∪B|=30 < K=64
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(15, 30)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = A.kmv_set_ops_from_sketches(A._kmv_sketches_from(ev)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert r.k_union == 30 and r.inter_k == 5
+    assert r.est_union == 30.0 and r.est_intersection == 5.0
+
+    # estimator branch: |A|=|B|=600, overlap 300 → union 900, inter 300
+    big = (
+        [("a", i) for i in range(600)]
+        + [("b", i) for i in range(300, 900)]
+    )
+    ev2 = spark.createDataFrame(big, "event_type string, user_id long")
+    r2 = A.kmv_set_ops_from_sketches(A._kmv_sketches_from(ev2)).collect()[0]
+    sigma = (A.KMV_K - 2) ** -0.5
+    assert r2.k_union == A.KMV_K
+    assert abs(r2.est_union - 900) <= 4 * sigma * 900, r2.est_union
+    # intersection compounds union noise with binomial rho noise — allow 6σ
+    assert abs(r2.est_intersection - 300) <= 6 * sigma * 300, r2.est_intersection
+
+
+def test_kmv_set_ops_fixture_consistency(spark, duck):
+    """On the real fixture every pair's union estimate must equal the
+    single-type KMV estimate (all types share the same 150 users), and the
+    intersection can never exceed the union."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    out = A.ext_kmv_set_ops(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 10  # C(5,2) event-type pairs
+    singles = {
+        r.event_type: r.kmv_users
+        for r in A.ext_approx_distinct_kmv(spark, "/root/testdata/sf0.01").collect()
+    }
+    for r in out:
+        assert r.est_intersection <= r.est_union + 1e-9
+        # same 150-user population in every type → union == single estimate
+        assert abs(r.est_union - singles[r.type_a]) < 1e-6
