@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed round 6: sketch builder factored into _kmv_sketches
         # (shared with the set-ops id) — re-attest
         "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
+        # --- new round 6: Flesch / Flesch-Kincaid readability (regex-only
+        # surface heuristics; pure narrow map)
+        "ext_text_readability": text.ext_text_readability,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -274,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         # round 6: mergeable-sketch set algebra — same engine-independent
         # sketch CTEs as the KMV id, pairwise merge + ρ-estimator
         "ext_kmv_set_ops": aggregates.ext_kmv_set_ops_oracle(),
+        "ext_text_readability": text.ext_text_readability_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

@@ -70,6 +70,70 @@ def ext_text_tokens_oracle() -> str:
     """
 
 
+def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring: Flesch reading-ease + Flesch–Kincaid grade via
+    deterministic surface heuristics (Flesch 1948; Kincaid et al. 1975) —
+    the classic document-difficulty signal a corpus-quality pipeline
+    buckets on next to `ext_text_quality`'s C4-style score.
+
+    Heuristics are regex-only so both engines compute identical counts:
+    sentences = runs of [.!?] (clamped ≥ 1), words = the shared TOKEN_RE
+    tokenizer, syllables ≈ vowel-group runs ([aeiouy]+) over the lowered
+    text — the standard cheap approximation; its bias is uniform across
+    docs so ordering (what selection consumes) is preserved. Zero-word
+    docs yield NULL scores rather than a division blow-up.
+
+    Scale: pure narrow map over the scan (three regexes per row), no
+    shuffle; whole-stage codegen end to end.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    w = F.size(tokens_col("text")).cast("long")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    y = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)).cast("long")
+    base = docs.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+    )
+    wd = F.col("n_words").cast("double")
+    sd = F.col("n_sentences").cast("double")
+    yd = F.col("n_syllables").cast("double")
+    ease = F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    grade = F.lit(0.39) * (wd / sd) + F.lit(11.8) * (yd / wd) - F.lit(15.59)
+    guard = F.col("n_words") > 0
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.when(guard, F.round(ease, 6)).alias("flesch_ease"),
+        F.when(guard, F.round(grade, 6)).alias("fk_grade"),
+    )
+
+
+def ext_text_readability_oracle() -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_words,
+                   CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN ROUND(
+                   206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+               END AS flesch_ease,
+               CASE WHEN n_words > 0 THEN ROUND(
+                   0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   - 15.59, 6)
+               END AS fk_grade
+        FROM base
+    """
+
+
 def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit voting with deterministic tie-break.
 

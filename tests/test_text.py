@@ -746,3 +746,48 @@ def test_resize_format_gate_ignores_lookalike_payloads(spark):
     assert (rows[2].dims_source, rows[2].width, rows[2].height) == (
         "png-ihdr", 16, 3  # 40 bytes → ceil(40/16) = 3 grid rows
     )
+
+
+def test_readability_known_values(spark):
+    """Hand-computed Flesch/FK on a crafted doc + NULL guard on empty."""
+    from pyspark.sql import Row
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    import boletia_kubernetes_kafka_mongodb_spark.tables as tables
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The cat sat on the mat. It was happy!"),
+            Row(doc_id=2, text="!!! ... ???"),  # zero words, three sentences
+        ]
+    )
+    orig = tables.load
+    try:
+        tables.load = lambda s, d, n: docs
+        out = {r.doc_id: r for r in T.ext_text_readability(spark, "ignored").collect()}
+    finally:
+        tables.load = orig
+    r = out[1]
+    # tokens: the cat sat on the mat it was happy = 9 words, 2 sentences
+    # vowel groups: e,a,a,o,e,a,i,a,a,y -> the|cat|sat|on|the|mat -> count:
+    # "the cat sat on the mat. it was happy!" lower vowel-group runs:
+    # e,a,a,o,e,a,i,a,a,y = 10
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (9, 2, 10)
+    w_s, y_w = 9 / 2, 10 / 9
+    assert abs(r.flesch_ease - round(206.835 - 1.015 * w_s - 84.6 * y_w, 6)) < 1e-9
+    assert abs(r.fk_grade - round(0.39 * w_s + 11.8 * y_w - 15.59, 6)) < 1e-9
+    r2 = out[2]
+    assert r2.n_words == 0 and r2.flesch_ease is None and r2.fk_grade is None
+    assert r2.n_sentences == 3  # three punctuation runs
+
+
+def test_readability_oracle_parity(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark,
+        duck,
+        entrymod.queries()["ext_text_readability"],
+        entrymod.oracle_sql()["ext_text_readability"],
+    )
