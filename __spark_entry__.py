@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 6: Flesch / Flesch-Kincaid readability (regex-only
         # surface heuristics; pure narrow map)
         "ext_text_readability": text.ext_text_readability,
+        # --- new round 6: per-doc novelty — fraction of shingles unique to
+        # the doc (df via ONE count-window shuffle on 64-bit shingle keys)
+        "ext_ngram_novelty": dedup.ext_ngram_novelty,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -278,6 +281,9 @@ def oracle_sql() -> dict[str, str]:
         # sketch CTEs as the KMV id, pairwise merge + ρ-estimator
         "ext_kmv_set_ops": aggregates.ext_kmv_set_ops_oracle(),
         "ext_text_readability": text.ext_text_readability_oracle(),
+        # round 6: same shingle family + md5-64 keys on both engines —
+        # parity unconditional even under (astronomically rare) collisions
+        "ext_ngram_novelty": dedup.ext_ngram_novelty_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

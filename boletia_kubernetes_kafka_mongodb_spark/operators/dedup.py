@@ -718,6 +718,18 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_shingle_expr() -> str:
+    """DuckDB expression computing `_shingles` over a token list ``t`` —
+    exact semantics including the empty-doc guard and the sub-n clamp.
+    Shared by the MinHash oracles and `ext_ngram_novelty_oracle`."""
+    n = SHINGLE_N
+    return (
+        f"CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_distinct([array_to_string(t[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(t) - {n - 1}, 1))]) END"
+    )
+
+
 def _minhash_sql_parts() -> dict:
     """Shared SQL fragments for the MinHash oracles: shingle sets (exact
     `_shingles` semantics incl. the empty-doc guard), 31-bit base hashes,
@@ -725,14 +737,9 @@ def _minhash_sql_parts() -> dict:
     every value integer-identical to the Spark expressions."""
     from .text import TOKEN_RE
 
-    n = SHINGLE_N
     consts = minhash_perm_constants()
     rpb = MINHASH_PERMS // LSH_BANDS
-    shingles = (
-        f"CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) "
-        f"ELSE list_distinct([array_to_string(t[i:i+{n - 1}], ' ') "
-        f"for i in generate_series(1, greatest(len(t) - {n - 1}, 1))]) END"
-    )
+    shingles = _sql_shingle_expr()
     h31 = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) & 2147483647"
     sig_terms = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_MOD}))"
@@ -1785,4 +1792,96 @@ def ext_dedup_edit_distance_oracle() -> str:
          AND (a.n < c.n OR (a.n = c.n AND a.doc_id < c.doc_id))
          AND c.n - a.n <= {EDIT_DIST_MAX}
         WHERE levenshtein(a.p, c.p) <= {EDIT_DIST_MAX}
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus novelty: per-doc unique-shingle fraction
+# ---------------------------------------------------------------------------
+
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct word-shingles
+    (the same SHINGLE_N-gram family every near-dup operator uses) that
+    appear in NO other document. The inverse signal of dedup — memorization
+    / boilerplate analysis ranks docs by how much of their content is
+    corpus-unique (cf. Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": duplicated n-grams are what models memorize).
+
+    Plan: one scan → shingle explode → md5-derived 64-bit shingle keys
+    (longs shuffle, strings never leave the map side) → document frequency
+    via a count window over the shingle key (ONE shuffle, not agg+join-
+    back) → per-doc re-aggregation. Zero-shingle docs surface with
+    n_shingles = 0 and NULL novelty via the left join from ``documents``.
+
+    Hash note: df counts collide only when md5-64 collides; both engines
+    hash identically so parity is unconditional, and at 2⁶⁴ the expected
+    collision error is negligible at any corpus size — the shuffle-width
+    win is the 100 TB trade.
+    """
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ex = (
+        docs.select(
+            "doc_id", F.explode(_shingles(tokens_col("text"))).alias("s")
+        )
+        .select("doc_id", md5_hash64(F.col("s")).alias("h"))
+        .distinct()
+    )
+    wf = ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    per = wf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_shingles").cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )
+
+
+def ext_ngram_novelty_oracle() -> str:
+    from .text import TOKEN_RE
+
+    h64 = ("(CASE WHEN CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) >= 2147483648 "
+           "THEN CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) - 4294967296 "
+           "ELSE CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) END) * 4294967296 "
+           "+ CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        shingled AS (SELECT doc_id, {_sql_shingle_expr()} AS sh FROM toks),
+        ex AS (
+            SELECT DISTINCT doc_id, {h64} AS h
+            FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+        ),
+        wf AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM ex),
+        per AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM wf GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN p.n_shingles > 0
+                    THEN ROUND(CAST(p.n_novel AS DOUBLE)
+                               / CAST(p.n_shingles AS DOUBLE), 6)
+               END AS novelty
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """

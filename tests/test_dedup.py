@@ -709,3 +709,49 @@ def test_edit_distance_matches_bruteforce(spark):
     }
     assert got == want
     assert want, "fixture has no small-edit pairs; equivalence untestable"
+
+
+def test_ngram_novelty_crafted(spark):
+    """Novelty semantics on a crafted corpus: a fully-unique doc scores
+    1.0, an exact duplicate pair scores 0.0, a half-shared doc is
+    fractional, and an empty doc surfaces with NULL novelty."""
+    from pyspark.sql import Row
+
+    import boletia_kubernetes_kafka_mongodb_spark.tables as tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="one two three four five six seven"),
+            Row(doc_id=3, text="one two three four five six seven"),
+            # shares its first trigram window with nothing, second half
+            # overlaps doc 1's shingles? no — crafted: 2 shingles, 1 shared
+            Row(doc_id=4, text="alpha beta gamma PLUTO"),
+            Row(doc_id=5, text="   "),
+        ]
+    )
+    orig = tables.load
+    try:
+        tables.load = lambda s, d, n, fan=False: docs
+        out = {r.doc_id: r for r in D.ext_ngram_novelty(spark, "x").collect()}
+    finally:
+        tables.load = orig
+    assert out[1].novelty < 1.0  # "alpha beta gamma" shared with doc 4
+    assert out[2].novelty == 0.0 and out[3].novelty == 0.0  # exact dups
+    # doc 4: shingles {alpha beta gamma, beta gamma pluto}; first is shared
+    assert out[4].n_shingles == 2 and out[4].n_novel == 1
+    assert out[4].novelty == 0.5
+    assert out[5].n_shingles == 0 and out[5].novelty is None
+
+
+def test_ngram_novelty_oracle_parity(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark,
+        duck,
+        entrymod.queries()["ext_ngram_novelty"],
+        entrymod.oracle_sql()["ext_ngram_novelty"],
+    )
