@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 6: per-doc novelty — fraction of shingles unique to
         # the doc (df via ONE count-window shuffle on 64-bit shingle keys)
         "ext_ngram_novelty": dedup.ext_ngram_novelty,
+        # --- new round 6: JL random projection 64d→8d (deterministic
+        # Rademacher matrix; norm_ratio = per-vector distortion witness)
+        "ext_embed_project": similarity.ext_embed_project,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -284,6 +287,9 @@ def oracle_sql() -> dict[str, str]:
         # round 6: same shingle family + md5-64 keys on both engines —
         # parity unconditional even under (astronomically rare) collisions
         "ext_ngram_novelty": dedup.ext_ngram_novelty_oracle(),
+        # round 6: md5-derived ±1 matrix as plain literals on both engines;
+        # identical left-fold order makes every coordinate bit-equal
+        "ext_embed_project": similarity.ext_embed_project_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

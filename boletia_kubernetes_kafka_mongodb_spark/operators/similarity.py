@@ -915,6 +915,118 @@ def ext_embed_quantize_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (deterministic Rademacher matrix)
+# ---------------------------------------------------------------------------
+
+RP_IN_DIM = 64   # fixture embedding width (validated per-row; mismatches drop)
+RP_OUT_DIM = 8   # projected width: 8× storage/compute reduction
+
+
+def rp_sign_matrix() -> list[list[float]]:
+    """The ±1 Rademacher projection matrix, md5-derived so it is a plain
+    literal on BOTH engines (the `minhash_perm_constants` pattern) — no
+    RNG state anywhere. Achlioptas 2003: a dense ±1 matrix satisfies the
+    JL lemma with the same distortion bound as Gaussian entries."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"rp:{j}:{i}".encode()).digest()[0] & 1 else -1.0
+            for i in range(RP_IN_DIM)
+        ]
+        for j in range(RP_OUT_DIM)
+    ]
+
+
+def ext_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction: 64-d → 8-d via a
+    deterministic Rademacher matrix, y_j = Σ_i x_i·s_ji / √m.
+
+    The standard preprocessing step before sketch-heavy stages — SRP-LSH,
+    brute-force rerank on narrow vectors, or shipping embeddings at 1/8th
+    the bytes. The norm_ratio column is the per-vector JL distortion
+    witness (≈ 1 ± ε): the audit a pipeline runs to decide whether the
+    narrow representation is safe to serve, exactly like
+    `ext_embed_quantize`'s cos_fidelity for int8.
+
+    One narrow map over the scan — 8 fold expressions per row, no
+    shuffle, no UDF; the projected coordinates are rounded at 6dp and the
+    norm ratio is computed FROM the rounded coordinates so both engines
+    square identical inputs in an identical left-to-right sum.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings", fan=True)
+    base = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == RP_IN_DIM)
+    ).select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    signs = rp_sign_matrix()
+    sqrt_m = F.sqrt(F.lit(float(RP_OUT_DIM)))
+    proj_cols = []
+    for j in range(RP_OUT_DIM):
+        srow = F.array(*[F.lit(s) for s in signs[j]])
+        y = (
+            F.aggregate(
+                F.zip_with("x", srow, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / sqrt_m
+        )
+        proj_cols.append(F.round(y, 6).alias(f"p{j}"))
+    out = base.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("x", lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v
+            )
+        ).alias("norm_x"),
+        *proj_cols,
+    )
+    ysq = F.lit(0.0)
+    for j in range(RP_OUT_DIM):
+        ysq = ysq + F.col(f"p{j}") * F.col(f"p{j}")
+    return out.select(
+        "vec_id",
+        *[f"p{j}" for j in range(RP_OUT_DIM)],
+        F.when(F.col("norm_x") > 0, F.round(F.sqrt(ysq) / F.col("norm_x"), 6)).alias(
+            "norm_ratio"
+        ),
+    )
+
+
+def ext_embed_project_oracle() -> str:
+    signs = rp_sign_matrix()
+    proj = ", ".join(
+        "ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(x, "
+        f"[{', '.join(str(s) for s in signs[j])}]), p -> p[1] * p[2])), "
+        f"(acc, v) -> acc + v) / sqrt({float(RP_OUT_DIM)}), 6) AS p{j}"
+        for j in range(RP_OUT_DIM)
+    )
+    ysq = " + ".join(f"p{j} * p{j}" for j in range(RP_OUT_DIM))
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS x
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {RP_IN_DIM}
+        ),
+        pr AS (
+            SELECT vec_id,
+                   sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(x, v -> v * v)), (acc, v) -> acc + v))
+                       AS norm_x,
+                   {proj}
+            FROM base
+        )
+        SELECT vec_id, {', '.join(f'p{j}' for j in range(RP_OUT_DIM))},
+               CASE WHEN norm_x > 0
+                    THEN ROUND(sqrt({ysq}) / norm_x, 6)
+               END AS norm_ratio
+        FROM pr
+    """
+
+
+# ---------------------------------------------------------------------------
 # product-quantization ANN (ADC scoring + exact re-rank)
 # ---------------------------------------------------------------------------
 

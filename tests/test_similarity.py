@@ -288,3 +288,55 @@ def test_ann_ivf_batch_pruned_recall_and_self_exclusion(spark):
         assert len(got[r.query_id]) <= similarity.BATCH_TOPK
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_embed_project_jl_distortion(spark):
+    """JL property on the real fixture: the ±1/√m projection preserves
+    norms within the lemma's expected band for m=8 (loose: most mass in
+    [0.4, 1.8]), the matrix is deterministic, and a python replay of one
+    vector matches exactly."""
+    import hashlib
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+
+    out = S.ext_embed_project(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 500
+    ratios = [r.norm_ratio for r in out if r.norm_ratio is not None]
+    assert len(ratios) == 500
+    in_band = sum(1 for v in ratios if 0.4 <= v <= 1.8)
+    assert in_band / len(ratios) >= 0.95, f"only {in_band}/{len(ratios)} in band"
+    # mean of squared ratios concentrates near 1 (E[||y||²] = ||x||²)
+    msq = sum(v * v for v in ratios) / len(ratios)
+    assert 0.8 <= msq <= 1.2, msq
+
+    # python replay of vec 0
+    import duckdb
+
+    x = duckdb.sql(
+        "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "WHERE vec_id = 0"
+    ).fetchone()[0]
+    signs = S.rp_sign_matrix()
+    want = []
+    for j in range(S.RP_OUT_DIM):
+        acc = 0.0
+        for xi, s in zip(x, signs[j]):
+            acc += float(xi) * s
+        want.append(round(acc / (S.RP_OUT_DIM ** 0.5), 6))
+    got = next(r for r in out if r.vec_id == 0)
+    assert [getattr(got, f"p{j}") for j in range(S.RP_OUT_DIM)] == want
+
+    # matrix determinism: first entry pinned by md5 definition
+    assert signs[0][0] == (1.0 if hashlib.md5(b"rp:0:0").digest()[0] & 1 else -1.0)
+
+
+def test_embed_project_oracle_parity(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark,
+        duck,
+        entrymod.queries()["ext_embed_project"],
+        entrymod.oracle_sql()["ext_embed_project"],
+    )
