@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 6: JL random projection 64d→8d (deterministic
         # Rademacher matrix; norm_ratio = per-vector distortion witness)
         "ext_embed_project": similarity.ext_embed_project,
+        # --- new round 6: TRAINED linear quality/language filter — full-
+        # batch GD with integer-quantized gradients and a rational link,
+        # so the whole 8-step fit replays exactly in the oracle
+        "ext_quality_classifier": text.ext_quality_classifier,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -290,6 +294,9 @@ def oracle_sql() -> dict[str, str]:
         # round 6: md5-derived ±1 matrix as plain literals on both engines;
         # identical left-fold order makes every coordinate bit-equal
         "ext_embed_project": similarity.ext_embed_project_oracle(),
+        # round 6: recursive CTE carries the 5 weights; BIGINT-quantized
+        # per-row gradient terms make the batch sum order-independent
+        "ext_quality_classifier": text.ext_quality_classifier_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

@@ -1475,3 +1475,189 @@ def ext_tokenizer_apply_oracle() -> str:
                      / GREATEST(COALESCE(p.n_tokens_ws, 0), 1), 6) AS compression
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (deterministic full-batch gradient descent)
+# ---------------------------------------------------------------------------
+
+QC_ITERS = 8    # full-batch GD steps (state: 5 weights, driver-side scalars)
+QC_LR = 0.5     # step size — smooth descent with the O(1)-scaled features
+QC_SCALE = 1_000_000_000.0  # per-row gradient quantization: BIGINT nano-units
+
+QC_EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _qc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x1..x4): the surface-feature frame for the classifier —
+    en-stopword ratio (×10), mean token length (/10), type-token ratio,
+    and √tokens (/10), all deliberately scaled to O(1) so no single
+    feature dominates the unnormalized gradient (the raw mean-token-length
+    feature at ~4.5 made full-batch GD oscillate; measured).
+
+    Every feature is ROUNDED at 6dp at construction so both engines carry
+    identical doubles into training, and no transcendental appears
+    anywhere (sqrt is IEEE-exact; log/exp are NOT cross-libm-reproducible,
+    which is why the link function below is rational, not logistic).
+    """
+    toks = tokens_col("text")
+    nt = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*QC_EN_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.round(
+            F.lit(10.0) * hits.cast("double") / F.greatest(nt, F.lit(1)), 6
+        ).alias("x1"),
+        F.round(
+            F.length(F.array_join(toks, "")).cast("double")
+            / F.greatest(nt, F.lit(1))
+            / F.lit(10.0),
+            6,
+        ).alias("x2"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.greatest(nt, F.lit(1)),
+            6,
+        ).alias("x3"),
+        F.round(F.sqrt(nt.cast("double")) / F.lit(10.0), 6).alias("x4"),
+    )
+
+
+def _qc_sigma(z):
+    """Rational squashing link σ̃(z) = 0.5 + z / (2·(1+|z|)) — the 'fast
+    sigmoid'. Algebraic ops only (+, ·, /, abs), all IEEE-exact-rounded,
+    so σ̃ is bit-identical on every engine; a logistic exp() is not."""
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality/language filter: a linear classifier fit by
+    full-batch gradient descent on surface features, then applied to score
+    every document — the GPT-3/CCNet pattern (classify "curated-like" text,
+    here lang='en', from cheap features; keep/weight by score).
+
+    Determinism contract (the k-means/BPE lineage, hardened further):
+
+    - features rounded 6dp at construction;
+    - the link is RATIONAL (no exp — libm-dependent), see `_qc_sigma`;
+    - each per-row gradient term is quantized to a BIGINT nano-unit
+      before summation, so the full-batch gradient is an ORDER-INDEPENDENT
+      integer sum — no float-accumulation drift at any partitioning;
+    - weights update in double from exact integers (< 2^53) and round 6dp
+      per step, so the whole 8-step fit replays bit-identically in the
+      DuckDB recursive CTE.
+
+    Scale: the feature pass is one narrow map; each GD step is one
+    map-side-combinable 5-column integer SUM (a treeAggregate shape);
+    driver state is 5 scalars per step. Serving is another narrow map.
+    The nano-quantization bounds |Σ| ≤ rows·~1e10, fine to ~10⁸ rows per
+    sum; beyond that the production move is per-partition partial sums
+    re-quantized hierarchically (same contract, one more level).
+
+    Fixture honesty note: the synthetic corpus's ``lang`` column is
+    near-independent of its text (non-en stopwords never occur; measured
+    en-ratio 0.0600 vs 0.0636 across labels), so fixture accuracy sits at
+    the majority rate — the driver id gates the deterministic FIT, while
+    learnability is pinned by the crafted separable corpus in
+    tests/test_text.py (accuracy ≥ 0.9 there).
+    """
+    return quality_classifier_fit_apply(
+        spark, tables.load(spark, sf_dir, "documents")
+    )
+
+
+def quality_classifier_fit_apply(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Fit + apply over any (doc_id, lang, text) frame — the testable core
+    of `ext_quality_classifier` (the crafted-corpus learnability test
+    drives a separable corpus through this)."""
+    feats = _qc_features(docs).localCheckpoint(eager=True)
+    n = feats.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, label long, score double, pred boolean"
+        )
+    w = [0.0] * 5
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    for _ in range(QC_ITERS):
+        z = F.lit(w[0]) + F.lit(w[1]) * xs[1] + F.lit(w[2]) * xs[2] \
+            + F.lit(w[3]) * xs[3] + F.lit(w[4]) * xs[4]
+        r = _qc_sigma(z) - F.col("y")
+        sums = feats.agg(
+            *[
+                F.sum(F.round(r * xs[k] * F.lit(QC_SCALE), 0).cast("long")).alias(
+                    f"s{k}"
+                )
+                for k in range(5)
+            ]
+        ).collect()[0]
+        w = [
+            round(w[k] - QC_LR * (float(sums[f"s{k}"]) / QC_SCALE / float(n)), 6)
+            for k in range(5)
+        ]
+    z = F.lit(w[0]) + F.lit(w[1]) * xs[1] + F.lit(w[2]) * xs[2] \
+        + F.lit(w[3]) * xs[3] + F.lit(w[4]) * xs[4]
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("long").alias("label"),
+        F.round(_qc_sigma(z), 6).alias("score"),
+    ).select("doc_id", "label", "score", (F.col("score") >= 0.5).alias("pred"))
+
+
+def _qc_sql_feats() -> str:
+    sw = ", ".join(f"'{s}'" for s in QC_EN_STOPWORDS)
+    return f"""feats AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   ROUND(10.0 * CAST(len(list_filter(t, x -> x IN ({sw}))) AS DOUBLE)
+                         / GREATEST(len(t), 1), 6) AS x1,
+                   ROUND(CAST(length(list_aggregate(
+                             CASE WHEN len(t) = 0 THEN ['']::VARCHAR[] ELSE t END,
+                             'string_agg', '')) AS DOUBLE)
+                         / GREATEST(len(t), 1) / 10.0, 6) AS x2,
+                   ROUND(CAST(len(list_distinct(t)) AS DOUBLE)
+                         / GREATEST(len(t), 1), 6) AS x3,
+                   ROUND(sqrt(CAST(len(t) AS DOUBLE)) / 10.0, 6) AS x4
+            FROM (SELECT doc_id, lang, text,
+                         regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+                  FROM documents)
+        )"""
+
+
+def ext_quality_classifier_oracle() -> str:
+    sig = "(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
+    zw = "f.w[1] + f.w[2] * x1 + f.w[3] * x2 + f.w[4] * x3 + f.w[5] * x4"
+    xs = ["1.0", "x1", "x2", "x3", "x4"]
+    sum_terms = ", ".join(
+        f"SUM(CAST(ROUND(({sig.format(z='z')} - y) * {xs[k]} * {QC_SCALE}, 0) AS BIGINT)) AS s{k}"
+        for k in range(5)
+    )
+    upd = ", ".join(
+        f"ROUND(f.w[{k + 1}] - {QC_LR} * (CAST(s{k} AS DOUBLE) / {QC_SCALE}"
+        f" / (SELECT n FROM nn)), 6)"
+        for k in range(5)
+    )
+    zf = "fw[1] + fw[2] * x1 + fw[3] * x2 + fw[4] * x3 + fw[5] * x4"
+    return f"""
+        WITH RECURSIVE {_qc_sql_feats()},
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+        fit AS (
+            SELECT 0 AS iter, [0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS w
+            UNION ALL
+            SELECT f.iter + 1, nxt.w
+            FROM fit f, LATERAL (
+                SELECT [{upd}] AS w
+                FROM (
+                    SELECT {sum_terms}
+                    FROM (SELECT y, x1, x2, x3, x4, {zw} AS z FROM feats)
+                )
+            ) nxt
+            WHERE f.iter < {QC_ITERS}
+        ),
+        final AS (SELECT w AS fw FROM fit WHERE iter = {QC_ITERS}),
+        scored AS (
+            SELECT doc_id, CAST(y AS BIGINT) AS label,
+                   ROUND({sig.format(z=f'({zf})')}, 6) AS score
+            FROM feats, final
+        )
+        SELECT doc_id, label, score, score >= 0.5 AS pred FROM scored
+    """

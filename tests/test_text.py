@@ -791,3 +791,50 @@ def test_readability_oracle_parity(spark, duck):
         entrymod.queries()["ext_text_readability"],
         entrymod.oracle_sql()["ext_text_readability"],
     )
+
+
+def test_quality_classifier_learns_separable_corpus(spark):
+    """Learnability gate: on a corpus where the label IS expressed in the
+    text (en docs carry en stopwords, others carry none), 8 GD steps must
+    reach ≥ 0.9 accuracy — the fixture's lang column is text-independent
+    (see the operator docstring), so this is where learning is proven."""
+    from pyspark.sql import Row
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    rows = []
+    filler = "zork blarg quux fnord glorp wibble"
+    for i in range(120):
+        if i % 2 == 0:
+            rows.append(Row(doc_id=i, lang="en",
+                            text=f"the cat of the house and {filler} is in for a to"))
+        else:
+            rows.append(Row(doc_id=i, lang="de",
+                            text=f"{filler} {filler} kratzen haus besen"))
+    docs = spark.createDataFrame(rows)
+    out = T.quality_classifier_fit_apply(spark, docs).collect()
+    acc = sum(1 for r in out if r.pred == (r.label == 1)) / len(out)
+    assert acc >= 0.9, acc
+    # scores must actually separate, not just threshold-luck
+    mean_pos = sum(r.score for r in out if r.label == 1) / 60
+    mean_neg = sum(r.score for r in out if r.label == 0) / 60
+    assert mean_pos - mean_neg > 0.1, (mean_pos, mean_neg)
+
+
+def test_quality_classifier_deterministic_and_parity(spark, duck):
+    """Two fits are bit-identical (no RNG, no float accumulation), and the
+    DuckDB recursive-CTE replay of the full 8-step fit hash-matches."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    a = sorted(tuple(r) for r in T.ext_quality_classifier(spark, "/root/testdata/sf0.01").collect())
+    b = sorted(tuple(r) for r in T.ext_quality_classifier(spark, "/root/testdata/sf0.01").collect())
+    assert a == b
+    compare_with_oracle(
+        spark,
+        duck,
+        entrymod.queries()["ext_quality_classifier"],
+        entrymod.oracle_sql()["ext_quality_classifier"],
+    )
