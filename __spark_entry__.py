@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch GD with integer-quantized gradients and a rational link,
         # so the whole 8-step fit replays exactly in the oracle
         "ext_quality_classifier": text.ext_quality_classifier,
+        # --- new round 6: clamped-seed label propagation over the near-
+        # dup graph (integer votes, total-order tie-break, 4 rounds)
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -297,6 +300,9 @@ def oracle_sql() -> dict[str, str]:
         # round 6: recursive CTE carries the 5 weights; BIGINT-quantized
         # per-row gradient terms make the batch sum order-independent
         "ext_quality_classifier": text.ext_quality_classifier_oracle(),
+        # round 6: the recursive CTE reads the working table twice
+        # (previous labels + votes) — legal in DuckDB, replays every round
+        "ext_graph_label_prop": graph.ext_graph_label_prop_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

@@ -137,3 +137,151 @@ def ext_graph_pagerank_oracle() -> str:
         FROM pr p JOIN deg dg ON dg.src = p.doc_id
         WHERE p.iter = {PR_ITERS}
     """
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised label propagation (clamped seeds, majority vote)
+# ---------------------------------------------------------------------------
+
+LP_ITERS = 4        # propagation rounds (graph diameter bound for near-dup
+                    # neighbourhoods — components are shallow by construction)
+LP_SEED_MOD = 3     # doc_id % 3 == 0 rows keep their true label as seeds
+
+
+def lp_seed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_seed, label): near-dup-graph vertices seeded with the
+    documents table's ``lang`` on every LP_SEED_MOD-th doc — the 'sparse
+    human labels' stand-in."""
+    from .. import tables
+
+    pairs = dedup.ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    verts = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .unionByName(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return verts.join(docs, "doc_id").select(
+        "doc_id",
+        (F.pmod("doc_id", F.lit(LP_SEED_MOD)) == 0).alias("is_seed"),
+        F.when(F.pmod("doc_id", F.lit(LP_SEED_MOD)) == 0, F.col("lang")).alias(
+            "label"
+        ),
+    )
+
+
+def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the near-dup graph (Zhu &
+    Ghahramani 2002, hard-clamp variant): seeds keep their label; each
+    round every unlabeled vertex takes the MAJORITY label among its
+    labeled neighbours (tie → lexicographically smallest), and newly
+    labeled vertices vote in later rounds. The standard cheap way to
+    extend sparse human labels (quality ratings, topic tags) across a
+    duplicate/similarity structure before training a filter on them.
+
+    Fully deterministic: integer vote counts, total-order tie-break, a
+    fixed round count — the oracle replays every round (the recursive CTE
+    references the working table twice: previous labels + votes).
+
+    Scale: per round, one join of the edge list against the labeled
+    frontier (shuffle on src) and one (dst, label) count — both map-side
+    combinable; nothing driver-sized. `labeled_at` records the round each
+    vertex acquired its label (0 = seed), making convergence auditable.
+    """
+    pairs = dedup.ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    return label_propagate(edges, lp_seed_frame(spark, sf_dir))
+
+
+def label_propagate(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """The propagation loop over any symmetric (src, dst) edge list and
+    (doc_id, is_seed, label) seed frame — the testable core (the crafted
+    tie-break/flooding fixtures drive exactly this)."""
+    from pyspark.sql.window import Window
+
+    labels = seeds.select(
+        "doc_id",
+        "is_seed",
+        "label",
+        F.when(F.col("is_seed"), F.lit(0)).cast("int").alias("labeled_at"),
+    )
+    for i in range(LP_ITERS):
+        lab = labels.where(F.col("label").isNotNull()).select(
+            F.col("doc_id").alias("src_id"), F.col("label").alias("nl")
+        )
+        votes = (
+            edges.join(lab, edges["src"] == lab["src_id"])
+            .groupBy("dst", "nl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("nl"))
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("dst", F.col("nl").alias("win"))
+        )
+        labels = (
+            labels.join(winner, labels["doc_id"] == winner["dst"], "left")
+            .select(
+                "doc_id",
+                "is_seed",
+                F.coalesce("label", "win").alias("label"),
+                F.coalesce(
+                    "labeled_at",
+                    F.when(F.col("win").isNotNull(), F.lit(i + 1)),
+                ).cast("int").alias("labeled_at"),
+            )
+        )
+        if i % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def ext_graph_label_prop_oracle() -> str:
+    pair_sql = dedup.ext_dedup_ngram_jaccard_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS ({pair_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        seeds AS (
+            SELECT v.doc_id,
+                   v.doc_id % {LP_SEED_MOD} = 0 AS is_seed,
+                   CASE WHEN v.doc_id % {LP_SEED_MOD} = 0 THEN d.lang END AS label
+            FROM verts v JOIN documents d USING (doc_id)
+        ),
+        lp AS (
+            SELECT 0 AS iter, doc_id, is_seed, label,
+                   CASE WHEN is_seed THEN 0 END::INTEGER AS labeled_at
+            FROM seeds
+            UNION ALL
+            SELECT p.iter + 1, p.doc_id, p.is_seed,
+                   COALESCE(p.label, w.win) AS label,
+                   COALESCE(p.labeled_at,
+                            CASE WHEN w.win IS NOT NULL
+                                 THEN p.iter + 1 END)::INTEGER AS labeled_at
+            FROM lp p
+            LEFT JOIN (
+                SELECT dst, win FROM (
+                    SELECT e.dst, q.label AS win,
+                           row_number() OVER (
+                               PARTITION BY e.dst
+                               ORDER BY COUNT(*) DESC, q.label
+                           ) AS rn
+                    FROM lp q JOIN edges e ON e.src = q.doc_id
+                    WHERE q.label IS NOT NULL
+                    GROUP BY e.dst, q.label
+                ) WHERE rn = 1
+            ) w ON w.dst = p.doc_id
+            WHERE p.iter < {LP_ITERS}
+        )
+        SELECT doc_id, is_seed, label, labeled_at
+        FROM lp WHERE iter = {LP_ITERS}
+    """

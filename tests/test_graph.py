@@ -69,3 +69,60 @@ def test_pagerank_mass_nearly_conserved(spark):
     # every DIV floors: per step each node leaks up to deg-1 nano-units of
     # share remainder, so drift scales with edge count — bound at 1%
     assert graph.PR_SCALE * 0.99 <= agg.m <= graph.PR_SCALE
+
+
+def test_label_prop_crafted(spark):
+    """Propagation semantics on a crafted graph: a seed's label floods its
+    chain one hop per round, majority beats minority, ties break to the
+    lexicographically smallest label, and disconnected unlabeled nodes
+    stay NULL. Drives the operator's own loop via `label_propagate`."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import graph as G
+
+    # chain 1-2-3-4 seeded 'en' at 1; triangle 10-11-12 with seeds 'de'(10)
+    # and 'aa'(11) -> node 12 sees tie {de, aa} -> 'aa'; isolated pair 20-21
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 12), (11, 12), (20, 21)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, True, "en"), (2, False, None), (3, False, None), (4, False, None),
+         (10, True, "de"), (11, True, "aa"), (12, False, None),
+         (20, False, None), (21, False, None)],
+        "doc_id long, is_seed boolean, label string",
+    )
+    labels = G.label_propagate(edges, seeds)
+    out = {r.doc_id: r for r in labels.collect()}
+    assert (out[2].label, out[2].labeled_at) == ("en", 1)
+    assert (out[3].label, out[3].labeled_at) == ("en", 2)
+    assert (out[4].label, out[4].labeled_at) == ("en", 3)
+    assert (out[12].label, out[12].labeled_at) == ("aa", 1)  # tie -> min
+    # seeds clamped; back-propagation onto 10/11 never overwrites them
+    assert out[10].label == "de" and out[11].label == "aa"
+    assert out[20].label is None and out[21].label is None
+
+
+def test_label_prop_fixture_and_parity(spark, duck):
+    """Fixture: every seed keeps its label and labeled_at=0; non-seeds are
+    labeled only if reachable from a seed; plus the driver-style oracle
+    comparison."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import graph as G
+
+    out = G.ext_graph_label_prop(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) > 0
+    for r in out:
+        if r.is_seed:
+            assert r.label is not None and r.labeled_at == 0
+        if r.label is not None and not r.is_seed:
+            assert 1 <= r.labeled_at <= G.LP_ITERS
+    labeled = sum(1 for r in out if r.label is not None)
+    seeds = sum(1 for r in out if r.is_seed)
+    assert labeled >= seeds  # propagation never loses labels
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_graph_label_prop"],
+        entrymod.oracle_sql()["ext_graph_label_prop"],
+    )
