@@ -136,6 +136,18 @@ QUERIES = {
     "ext_corpus_budget_select": "linear (tier agg + within-tier windows)",
     "ext_split_leakage_safe": "linear (clusters pass + broadcast join)",
     "ext_approx_distinct_kmv": "linear (distinct shuffle + bottom-k window)",
+    # round-6 additions
+    "ext_graph_pagerank": "pairs kernel + 8 edge-join iterations "
+    "(edges scale with true near-dups; p/out is the signal)",
+    "ext_graph_label_prop": "pairs kernel + 4 frontier joins",
+    "ext_ngram_novelty": "linear (one shingle-key window shuffle)",
+    "ext_kmv_set_ops": "linear scan -> TxK sketch algebra (pairs fixed)",
+    "ext_text_readability": "linear (narrow map)",
+    "ext_embed_project": "linear (narrow map)",
+    "ext_quality_classifier": "linear scan x fixed GD steps",
+    "ext_dedup_edit_distance": "banded candidates; replica copies are TRUE "
+    "small-edit dups (identical prefixes) so output grows ~k² — p/out is "
+    "the honest exponent",
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:
