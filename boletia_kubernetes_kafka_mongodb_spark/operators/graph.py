@@ -22,13 +22,17 @@ ledger uses for seq packing — so the DuckDB oracle replays the *entire*
 order-dependent in IEEE doubles, and 6dp rounding can't absorb a
 knife-edge half-ulp at the rounding boundary.)
 
-Scale design (100 TB): the rank frame is node-sized and the adjacency
-frame edge-sized — both shuffle on ``src`` once per iteration (join +
-map-side-combinable groupBy); nothing corpus-sized is collected. The
-adjacency is localCheckpointed once (it is reused 8×) and the rank
-lineage is truncated every 3 iterations so the plan never grows with the
-iteration count. The single driver-side scalar is ``N`` (one count), the
-same bounded-collect class as the IVF layout stats.
+Scale design (100 TB): the adjacency (edge-sized) never moves after its
+one checkpoint — each iteration BROADCASTS the node-sized rank frame
+into a map-side join and reduces contributions with a map-side-combined
+groupBy, so the only per-iteration shuffle is the already-combined
+(dst, sum) frame (measured 30.7 s → ~4 s at sf0.1 vs the join-shuffle
+formulation). The broadcast is correct while the NODE frame fits an
+executor (millions of nodes); for billion-node graphs drop the hint and
+the same plan degrades to a co-partitionable shuffle join on ``src``.
+Rank lineage is truncated every 3 iterations so the plan never grows
+with the iteration count. The single driver-side scalar is ``N`` (one
+count), the same bounded-collect class as the IVF layout stats.
 
 Reference parity: the reference engine (Go, pcKafka/pcRestaurar) has no
 graph operator — this is part of the mandated training-data-pipeline
@@ -47,26 +51,95 @@ PR_DAMP_NUM = 85        # damping d = 85/100 in integer arithmetic
 PR_SCALE = 1_000_000_000  # rank unit: 1e-9 (BIGINT nano-ranks)
 
 
-def _pagerank_nano(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def _pagerank_nano(
+    spark: SparkSession, edges: DataFrame, driver_max_edges: int | None = None
+) -> DataFrame:
     """(doc_id, degree, rank_nano) from a symmetric (src, dst) edge list.
 
     ``edges`` must already be symmetric (both directions present) and
     self-loop-free; every vertex therefore has degree ≥ 1 and receives at
     least one contribution per step, so no dangling-mass term is needed.
+
+    Physical strategy by edge count — the `_connected_components` pattern
+    (dedup.py): below DRIVER_CC_MAX_EDGES the edge list is broadcast-sized
+    and a vectorized numpy scatter-add runs all 8 iterations in
+    milliseconds (int64 floor-division ≡ Spark DIV for non-negatives, so
+    the two paths are BIT-EQUAL — pinned by a both-paths equality test);
+    above it, the distributed loop broadcasts the node-sized rank frame
+    into a map-side join per step, so the only per-iteration shuffle is
+    the map-side-combined (dst, sum) frame. Rank lineage is eagerly
+    checkpointed EVERY iteration — each broadcast build otherwise replays
+    the whole chain since the last checkpoint (recompute amplification
+    measured at ~4× wall).
     """
-    edges = edges.localCheckpoint(eager=True)
+    if driver_max_edges is None:
+        driver_max_edges = dedup.DRIVER_CC_MAX_EDGES
+    # no edge-frame checkpoint here: callers checkpoint the PAIR list and
+    # the symmetric union is two cheap scans of it — materializing the
+    # doubled frame cost more than every consumer combined (measured 2.9 s
+    # vs ~1.6 s of rescans at sf0.1)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "doc_id long, degree long, rank_nano long")
+    if n_edges <= driver_max_edges:
+        return _pagerank_driver(spark, edges)
+    return _pagerank_distributed(spark, edges.localCheckpoint(eager=True))
+
+
+def _edge_arrays(edges: DataFrame):
+    """Collect (src, dst) int64 arrays via Arrow — `toPandas` without Arrow
+    serializes row-by-row through the JVM (measured ~18 s for 4.6M edges
+    at sf0.1; `toArrow` is ~1 s)."""
+    import numpy as np
+
+    tbl = edges.toArrow()
+    return (
+        tbl.column("src").to_numpy().astype(np.int64, copy=False),
+        tbl.column("dst").to_numpy().astype(np.int64, copy=False),
+    )
+
+
+def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver fast path: the 8-step integer iteration as numpy scatter-adds
+    over the (broadcast-sized) edge arrays — same contract, same bits."""
+    import numpy as np
+
+    src, dst = _edge_arrays(edges)
+    nodes = np.unique(src)  # symmetric edges: src covers every vertex
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    init = PR_SCALE // n
+    base = (PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100) // n
+    r = np.full(n, init, dtype=np.int64)
+    for _ in range(PR_ITERS):
+        share = r[si] // deg[si]
+        # bincount-with-weights is ~10x np.add.at; float64 accumulation is
+        # EXACT here: every share and every partial sum is an integer
+        # bounded by the 1e9 total mass, far inside 2^53
+        acc = np.bincount(di, weights=share.astype(np.float64), minlength=n)
+        r = base + (PR_DAMP_NUM * acc.astype(np.int64)) // 100
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": nodes, "degree": deg, "rank_nano": r}),
+        "doc_id long, degree long, rank_nano long",
+    )
+
+
+def _pagerank_distributed(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Distributed path: see `_pagerank_nano` for the plan shape."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     # adjacency with out-degree attached — reused every iteration
     adj = edges.join(deg, "src").localCheckpoint(eager=True)
     n = deg.count()
-    if n == 0:
-        return spark.createDataFrame([], "doc_id long, degree long, rank_nano long")
     init = PR_SCALE // n
     base = (PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100) // n  # 150e6 DIV N
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(init).cast("long").alias("r"))
     for i in range(PR_ITERS):
         contribs = (
-            adj.join(ranks, adj["src"] == ranks["doc_id"])
+            adj.join(F.broadcast(ranks), adj["src"] == ranks["doc_id"])
             .select("dst", F.expr("r DIV d").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("s"))
@@ -74,10 +147,8 @@ def _pagerank_nano(spark: SparkSession, edges: DataFrame) -> DataFrame:
         ranks = contribs.select(
             F.col("dst").alias("doc_id"),
             (F.lit(base) + F.expr(f"({PR_DAMP_NUM} * s) DIV 100")).cast("long").alias("r"),
-        )
-        if i % 3 == 2:  # truncate lineage: plan depth stays O(1) in iters
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.join(deg, ranks["doc_id"] == deg["src"]).select(
+        ).localCheckpoint(eager=True)
+    return ranks.join(F.broadcast(deg), ranks["doc_id"] == deg["src"]).select(
         "doc_id", F.col("d").alias("degree"), F.col("r").alias("rank_nano")
     )
 
@@ -93,7 +164,13 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per vertex (documents touched by ≥ 1 near-dup pair)
     with its symmetric degree and the final integer nano-rank.
     """
-    pairs = dedup.ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # checkpoint the pairs BEFORE symmetrizing: the union reads them twice
+    # and would otherwise run the tiled kernel twice
+    pairs = (
+        dedup.ext_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -148,18 +225,15 @@ LP_ITERS = 4        # propagation rounds (graph diameter bound for near-dup
 LP_SEED_MOD = 3     # doc_id % 3 == 0 rows keep their true label as seeds
 
 
-def lp_seed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lp_seed_frame(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
     """(doc_id, is_seed, label): near-dup-graph vertices seeded with the
     documents table's ``lang`` on every LP_SEED_MOD-th doc — the 'sparse
-    human labels' stand-in."""
+    human labels' stand-in. Vertices come from the caller's (already
+    checkpointed) edge frame — recomputing the pair kernel for the vertex
+    set was measured at ~2× the whole query."""
     from .. import tables
 
-    pairs = dedup.ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    verts = (
-        pairs.selectExpr("doc_a AS doc_id")
-        .unionByName(pairs.selectExpr("doc_b AS doc_id"))
-        .distinct()
-    )
+    verts = edges.selectExpr("src AS doc_id").distinct()
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
     return verts.join(docs, "doc_id").select(
         "doc_id",
@@ -188,19 +262,102 @@ def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable; nothing driver-sized. `labeled_at` records the round each
     vertex acquired its label (0 = seed), making convergence auditable.
     """
-    pairs = dedup.ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+    pairs = (
+        dedup.ext_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    return label_propagate(edges, lp_seed_frame(spark, sf_dir))
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    return label_propagate(edges, lp_seed_frame(spark, sf_dir, edges))
 
 
-def label_propagate(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+def label_propagate(
+    edges: DataFrame, seeds: DataFrame, driver_max_edges: int | None = None
+) -> DataFrame:
     """The propagation loop over any symmetric (src, dst) edge list and
     (doc_id, is_seed, label) seed frame — the testable core (the crafted
-    tie-break/flooding fixtures drive exactly this)."""
+    tie-break/flooding fixtures drive exactly this).
+
+    Same two-path strategy as `_pagerank_nano`: broadcast-sized edge lists
+    run the vectorized numpy round loop on the driver (pinned bit-equal to
+    the distributed loop by a both-paths test); larger graphs run the
+    distributed rounds (frontier broadcast join + map-side-combined vote
+    count per round)."""
+    if driver_max_edges is None:
+        driver_max_edges = dedup.DRIVER_CC_MAX_EDGES
+    if edges.count() <= driver_max_edges:
+        return _label_prop_driver(edges, seeds)
+    return _label_prop_distributed(edges.localCheckpoint(eager=True), seeds)
+
+
+def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Driver fast path: vectorized vote rounds over the edge arrays.
+    Tie-break = lexicographic label order, realized by encoding labels as
+    their rank in the SORTED distinct-label list and lexsorting candidates
+    by (dst, -count, code)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = seeds.sparkSession
+    e_src, e_dst = _edge_arrays(edges)
+    spd = seeds.toPandas().sort_values("doc_id").reset_index(drop=True)
+    nodes = spd["doc_id"].to_numpy(dtype=np.int64)
+    uniq = sorted({v for v in spd["label"] if v is not None})
+    code_of = {v: k for k, v in enumerate(uniq)}
+    lab = np.array(
+        [code_of[v] if v is not None else -1 for v in spd["label"]], dtype=np.int64
+    )
+    labeled_at = np.where(lab >= 0, 0, -1).astype(np.int64)
+    si = np.searchsorted(nodes, e_src)
+    di = np.searchsorted(nodes, e_dst)
+    L = max(len(uniq), 1)
+    n = len(nodes)
+    dense_votes = n * L <= 50_000_000  # (n, L) count matrix memory bound
+    for it in range(LP_ITERS):
+        mask = lab[si] >= 0
+        if not mask.any():
+            break
+        d, l = di[mask], lab[si[mask]]
+        key = d * L + l
+        if dense_votes:
+            # vote matrix via one bincount; argmax returns the FIRST max,
+            # and label codes are sorted-lexicographic, so the tie-break
+            # falls out of argmax for free
+            cnt = np.bincount(key, minlength=n * L).reshape(n, L)
+            got = cnt.max(axis=1) > 0
+            win_d = np.nonzero(got)[0]
+            win_l = cnt[win_d].argmax(axis=1)
+        else:  # sparse fallback: sort-based winner per dst
+            uk, ukc = np.unique(key, return_counts=True)
+            kd, kl = uk // L, uk % L
+            order = np.lexsort((kl, -ukc, kd))
+            kd_s, kl_s = kd[order], kl[order]
+            first = np.unique(kd_s, return_index=True)[1]
+            win_d, win_l = kd_s[first], kl_s[first]
+        newly = lab[win_d] < 0
+        lab[win_d[newly]] = win_l[newly]
+        labeled_at[win_d[newly]] = it + 1
+    out = pd.DataFrame(
+        {
+            "doc_id": nodes,
+            "is_seed": spd["is_seed"].to_numpy(),
+            "label": [uniq[c] if c >= 0 else None for c in lab],
+            # object dtype: an int+None mix would coerce to float64/NaN and
+            # be rejected by the IntegerType field
+            "labeled_at": pd.Series(
+                [int(a) if a >= 0 else None for a in labeled_at], dtype="object"
+            ),
+        }
+    )
+    return spark.createDataFrame(
+        out, "doc_id long, is_seed boolean, label string, labeled_at int"
+    )
+
+
+def _label_prop_distributed(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Distributed rounds: see `label_propagate` for the plan shape."""
     from pyspark.sql.window import Window
 
     labels = seeds.select(
@@ -213,8 +370,10 @@ def label_propagate(edges: DataFrame, seeds: DataFrame) -> DataFrame:
         lab = labels.where(F.col("label").isNotNull()).select(
             F.col("doc_id").alias("src_id"), F.col("label").alias("nl")
         )
+        # labeled frontier is node-sized -> broadcast; the only shuffle
+        # per round is the map-side-combined (dst, label) count
         votes = (
-            edges.join(lab, edges["src"] == lab["src_id"])
+            edges.join(F.broadcast(lab), edges["src"] == lab["src_id"])
             .groupBy("dst", "nl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -225,7 +384,7 @@ def label_propagate(edges: DataFrame, seeds: DataFrame) -> DataFrame:
             .select("dst", F.col("nl").alias("win"))
         )
         labels = (
-            labels.join(winner, labels["doc_id"] == winner["dst"], "left")
+            labels.join(F.broadcast(winner), labels["doc_id"] == winner["dst"], "left")
             .select(
                 "doc_id",
                 "is_seed",

@@ -126,3 +126,34 @@ def test_label_prop_fixture_and_parity(spark, duck):
         entrymod.queries()["ext_graph_label_prop"],
         entrymod.oracle_sql()["ext_graph_label_prop"],
     )
+
+
+def test_pagerank_both_paths_bit_equal(spark):
+    """The numpy driver fast path and the distributed loop produce
+    IDENTICAL integer ranks (int64 floor-div ≡ Spark DIV ≥ 0)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+
+    pairs = D.ext_dedup_ngram_jaccard(spark, "/root/testdata/sf0.01").select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    a = sorted(map(tuple, graph._pagerank_nano(spark, edges, driver_max_edges=10**9).collect()))
+    b = sorted(map(tuple, graph._pagerank_nano(spark, edges, driver_max_edges=0).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_label_prop_both_paths_bit_equal(spark):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+    from boletia_kubernetes_kafka_mongodb_spark.operators import graph as G
+
+    sf = "/root/testdata/sf0.01"
+    pairs = D.ext_dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    seeds = G.lp_seed_frame(spark, sf, edges)
+    a = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=10**9).collect()))
+    b = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=0).collect()))
+    assert a == b and len(a) > 0
