@@ -1758,8 +1758,13 @@ def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "band")
         .where(shorter_first & (F.col("b.n") - F.col("a.n") <= EDIT_DIST_MAX))
-        .withColumn("dist", F.levenshtein(F.col("a.p"), F.col("b.p")))
-        .where(F.col("dist") <= EDIT_DIST_MAX)
+        # thresholded levenshtein: banded DP, O(d·n) per candidate instead
+        # of O(n²), returns -1 past the bound — measured ~4× on the whole
+        # query at sf0.1 (candidates are band-quadratic on dup-dense data)
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p"), F.col("b.p"), EDIT_DIST_MAX)
+        )
+        .where(F.col("dist") >= 0)
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
