@@ -1826,13 +1826,14 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = tables.load(spark, sf_dir, "documents")
-    ex = (
-        docs.select(
-            "doc_id", F.explode(_shingles(tokens_col("text"))).alias("s")
-        )
-        .select("doc_id", md5_hash64(F.col("s")).alias("h"))
-        .distinct()
-    )
+    # no DISTINCT on (doc_id, h): `_shingles` is already array_distinct per
+    # doc, so duplicates arise only from md5-64 collisions — which both
+    # engines share bit-for-bit, so parity holds without paying a third
+    # full exchange of the exploded frame (plan audited; the two remaining
+    # shuffles are the count window on h and the per-doc re-agg)
+    ex = docs.select(
+        "doc_id", F.explode(_shingles(tokens_col("text"))).alias("s")
+    ).select("doc_id", md5_hash64(F.col("s")).alias("h"))
     wf = ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
     per = wf.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -1871,7 +1872,7 @@ def ext_ngram_novelty_oracle() -> str:
         ),
         shingled AS (SELECT doc_id, {_sql_shingle_expr()} AS sh FROM toks),
         ex AS (
-            SELECT DISTINCT doc_id, {h64} AS h
+            SELECT doc_id, {h64} AS h
             FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
         ),
         wf AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM ex),

@@ -137,9 +137,13 @@ QUERIES = {
     "ext_split_leakage_safe": "linear (clusters pass + broadcast join)",
     "ext_approx_distinct_kmv": "linear (distinct shuffle + bottom-k window)",
     # round-6 additions
-    "ext_graph_pagerank": "pairs kernel + 8 edge-join iterations "
-    "(edges scale with true near-dups; p/out is the signal)",
-    "ext_graph_label_prop": "pairs kernel + 4 frontier joins",
+    "ext_dedup_ngram_jaccard": "exact tiled kernel; TRUE pair count grows "
+    "~k² on the replica fixture (copies are near-dups) — measured here "
+    "because it is the graph ids' INPUT normalizer",
+    "ext_graph_pagerank": "linear in EDGES (8 scans); the edge set itself "
+    "grows ~k² on the replica fixture — gated edge-normalized",
+    "ext_graph_label_prop": "linear in EDGES (4 rounds) — gated "
+    "edge-normalized",
     "ext_ngram_novelty": "linear (one shingle-key window shuffle)",
     "ext_kmv_set_ops": "linear scan -> TxK sketch algebra (pairs fixed)",
     "ext_text_readability": "linear (narrow map)",
@@ -160,6 +164,15 @@ SERVE_IDS = {
     "ext_ann_ivf_batch", "join_availability_bucketed", "ext_bpe_merges",
 }
 EXEMPT_IDS = {"ext_dedup_embedding"}
+# ids whose INPUT (not output) grows super-linearly on the replica fixture:
+# the graph operators consume the near-dup EDGE set, which grows ~k²
+# because replica copies are true near-dups. Their contract is linear in
+# edges, so `check` normalizes their time by the edge-source id's
+# rows_out growth (time per edge) instead of their own output (vertices).
+INPUT_NORM_BY = {
+    "ext_graph_pagerank": "ext_dedup_ngram_jaccard",
+    "ext_graph_label_prop": "ext_dedup_ngram_jaccard",
+}
 GATE_SERVE, GATE_DEFAULT = 0.4, 0.85
 
 
@@ -220,6 +233,9 @@ def run() -> None:
     only_q = os.environ.get("SPARK_GRAFT_ONLY")  # re-measure a few ids
     if only_q:
         subset = {k: v for k, v in subset.items() if k in only_q.split(",")}
+    skip_q = os.environ.get("SPARK_GRAFT_SKIP")  # exclude ids from a leg
+    if skip_q:
+        subset = {k: v for k, v in subset.items() if k not in skip_q.split(",")}
     dirs = [("x1", BASE)] + [(f"x{f}", f"{OUT}/x{f}") for f in FACTORS]
     only = os.environ.get("SPARK_GRAFT_SCALES")  # e.g. "x10" to resume a leg
     if only:
@@ -267,11 +283,16 @@ def _load_results():
 
 
 def _exponents(qid, secs, outs):
+    """Exponents from the largest measured leg: x10 when present, else x3
+    (round 6: the graph ids stop at x3 — their ~k²-grown edge set makes an
+    x10 distributed run a 10-minute leg for no extra signal; the x1→x3
+    ratio over a 41M-edge graph is already the asymptote-relevant regime)."""
     t = secs[qid]
-    p = math.log(t["x10"] / t["x1"]) / math.log(10) if "x10" in t else float("nan")
+    top, logf = ("x10", math.log(10)) if "x10" in t else ("x3", math.log(3))
+    p = math.log(t[top] / t["x1"]) / logf if top in t else float("nan")
     o = outs.get(qid, {})
-    if "x10" in t and o.get("x1") and o.get("x10"):
-        p_norm = math.log((t["x10"] / o["x10"]) / (t["x1"] / o["x1"])) / math.log(10)
+    if top in t and o.get("x1") and o.get(top):
+        p_norm = math.log((t[top] / o[top]) / (t["x1"] / o["x1"])) / logf
     else:
         p_norm = float("nan")  # pre-round-5 rows or zero-row outputs
     return p, p_norm
@@ -301,15 +322,26 @@ def check() -> None:
     secs, outs = _load_results()
     failures = []
     for qid in sorted(secs):
-        if qid in EXEMPT_IDS or "x10" not in secs[qid]:
+        if qid in EXEMPT_IDS or ("x10" not in secs[qid] and "x3" not in secs[qid]):
             continue
         p, p_norm = _exponents(qid, secs, outs)
+        norm_src = INPUT_NORM_BY.get(qid)
+        top = "x10" if "x10" in secs[qid] else "x3"
+        logf = math.log(10) if top == "x10" else math.log(3)
+        if norm_src and outs.get(norm_src, {}).get("x1") and outs.get(
+            norm_src, {}
+        ).get(top):
+            t, o = secs[qid], outs[norm_src]
+            p_norm = math.log(
+                (t[top] / o[top]) / (t["x1"] / o["x1"])
+            ) / logf  # time per INPUT edge
         eff = min(p, p_norm) if p_norm == p_norm else p  # NaN-safe
         bound = GATE_SERVE if qid in SERVE_IDS else GATE_DEFAULT
         status = "OK" if eff <= bound else "FAIL"
         if status == "FAIL":
             failures.append(qid)
-        print(f"{status:4s} {qid:34s} p={p:5.2f} p/out={p_norm:5.2f} bound={bound}")
+        tag = f" (per-{norm_src} row)" if norm_src else ""
+        print(f"{status:4s} {qid:34s} p={p:5.2f} p/out={p_norm:5.2f} bound={bound}{tag}")
     if failures:
         print(f"GATE FAILED: {failures}")
         sys.exit(1)
