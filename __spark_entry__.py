@@ -121,6 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 6: clamped-seed label propagation over the near-
         # dup graph (integer votes, total-order tie-break, 4 rounds)
         "ext_graph_label_prop": graph.ext_graph_label_prop,
+        # --- new round 6: clusters × pagerank composition — keep the
+        # max-centrality copy per near-dup component
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
+        # --- new round 6: reliability bins over the trained filter's
+        # scores (integer-exact bin means; composes with the fit CTEs)
+        "ext_quality_calibration": text.ext_quality_calibration,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -303,6 +309,12 @@ def oracle_sql() -> dict[str, str]:
         # round 6: the recursive CTE reads the working table twice
         # (previous labels + votes) — legal in DuckDB, replays every round
         "ext_graph_label_prop": graph.ext_graph_label_prop_oracle(),
+        # round 6: TWO recursive CTE chains (components + pagerank) under
+        # one WITH RECURSIVE, sharing one edge list
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank_oracle(),
+        # round 6: calibration bins composed onto the shared fit CTEs —
+        # score·1e6 recovers integers, so bin means are exact BIGINT sums
+        "ext_quality_calibration": text.ext_quality_calibration_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

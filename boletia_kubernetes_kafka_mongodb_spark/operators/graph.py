@@ -177,20 +177,12 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pagerank_nano(spark, edges)
 
 
-def ext_graph_pagerank_oracle() -> str:
-    """DuckDB replay of the full integer power iteration: the recursive
-    CTE advances one iteration per step (grouped aggregation over the
-    working table — every intermediate BIGINT, so the replay is exact,
-    not 6dp-close)."""
-    pair_sql = dedup.ext_dedup_ngram_jaccard_oracle()
-    return f"""
-        WITH RECURSIVE pairs AS ({pair_sql}),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ),
-        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+def _sql_pagerank_ctes() -> str:
+    """The deg → nv → pr CTE chain replaying the integer power iteration —
+    expects ``edges (src, dst)`` already defined by the caller (the
+    `_sql_clusters_ctes` composition pattern). Shared by the PageRank
+    oracle and the survivor-rank composed oracle."""
+    return f"""deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
         nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
         pr AS (
             SELECT 0 AS iter, src AS doc_id,
@@ -209,10 +201,89 @@ def ext_graph_pagerank_oracle() -> str:
                 WHERE p.iter < {PR_ITERS}
                 GROUP BY p.iter, e.dst
             )
-        )
+        )"""
+
+
+def ext_graph_pagerank_oracle() -> str:
+    """DuckDB replay of the full integer power iteration: the recursive
+    CTE advances one iteration per step (grouped aggregation over the
+    working table — every intermediate BIGINT, so the replay is exact,
+    not 6dp-close)."""
+    pair_sql = dedup.ext_dedup_ngram_jaccard_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS ({pair_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        {_sql_pagerank_ctes()}
         SELECT p.doc_id, dg.d AS degree, p.r AS rank_nano
         FROM pr p JOIN deg dg ON dg.src = p.doc_id
         WHERE p.iter = {PR_ITERS}
+    """
+
+
+def ext_graph_survivor_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the graph family exists for: resolve near-dup
+    components AND rank their members, then keep the MAX-PAGERANK copy per
+    component (tie → min doc_id) — centrality-based survivor selection
+    instead of `ext_dedup_clusters`' min-id convention. The curation
+    rationale: inside a duplicate neighbourhood the most-connected copy is
+    the best-linked canonical version (the web-graph prior), not whichever
+    happened to get the smallest id.
+
+    One pair-kernel pass feeds BOTH stages: components via the gated
+    connected-components machinery (`dedup._connected_components` — numpy
+    pointer-jumping under the edge gate, star contraction above), ranks
+    via `_pagerank_nano` (same gate). The final per-component argmax is a
+    window over component — component-count-sized, tiny at any scale.
+
+    Oracle: `_sql_clusters_ctes` (pairs/edges/verts/reach) composed with
+    `_sql_pagerank_ctes` (deg/nv/pr) under ONE `WITH RECURSIVE` — two
+    independent recursive CTEs sharing the same edge list, exactly the
+    cross-operator-consistency guarantee a user of both operators needs.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (
+        dedup.ext_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    ranks = _pagerank_nano(spark, edges).select("doc_id", "rank_nano")
+    comp = dedup._connected_components(spark, pairs).select("doc_id", "component")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("rank_nano"), F.asc("doc_id")
+    )
+    return (
+        comp.join(ranks, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "component", "rank_nano", (F.col("rn") == 1).alias("is_canonical")
+        )
+    )
+
+
+def ext_graph_survivor_rank_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {dedup._sql_clusters_ctes()},
+        {_sql_pagerank_ctes()},
+        comp AS (
+            SELECT doc_id, CAST(MIN(root) AS BIGINT) AS component
+            FROM reach GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT c.doc_id, c.component, p.r AS rank_nano,
+                   row_number() OVER (PARTITION BY c.component
+                                      ORDER BY p.r DESC, c.doc_id) AS rn
+            FROM comp c JOIN pr p ON p.doc_id = c.doc_id
+            WHERE p.iter = {PR_ITERS}
+        )
+        SELECT doc_id, component, rank_nano, rn = 1 AS is_canonical FROM ranked
     """
 
 

@@ -1623,7 +1623,11 @@ def _qc_sql_feats() -> str:
         )"""
 
 
-def ext_quality_classifier_oracle() -> str:
+def _qc_sql_fit_ctes() -> str:
+    """The full feats → fit → final → scored CTE chain replaying the GD
+    fit — shared by the classifier oracle and the calibration oracle (the
+    composed-oracle pattern: consumers of the model can never drift from
+    the fit)."""
     sig = "(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
     zw = "f.w[1] + f.w[2] * x1 + f.w[3] * x2 + f.w[4] * x3 + f.w[5] * x4"
     xs = ["1.0", "x1", "x2", "x3", "x4"]
@@ -1637,8 +1641,7 @@ def ext_quality_classifier_oracle() -> str:
         for k in range(5)
     )
     zf = "fw[1] + fw[2] * x1 + fw[3] * x2 + fw[4] * x3 + fw[5] * x4"
-    return f"""
-        WITH RECURSIVE {_qc_sql_feats()},
+    return f"""{_qc_sql_feats()},
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
         fit AS (
             SELECT 0 AS iter, [0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS w
@@ -1658,6 +1661,84 @@ def ext_quality_classifier_oracle() -> str:
             SELECT doc_id, CAST(y AS BIGINT) AS label,
                    ROUND({sig.format(z=f'({zf})')}, 6) AS score
             FROM feats, final
-        )
+        )"""
+
+
+def ext_quality_classifier_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_qc_sql_fit_ctes()}
         SELECT doc_id, label, score, score >= 0.5 AS pred FROM scored
+    """
+
+
+QC_CAL_BINS = 10
+
+
+def ext_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained filter: bucket the classifier's
+    scores into QC_CAL_BINS equal-width bins and compare each bin's mean
+    predicted score against its observed positive rate — the calibration
+    audit (Guo et al. 2017) a pipeline runs before using filter scores as
+    sampling WEIGHTS rather than a hard threshold (miscalibrated scores
+    silently skew the corpus mixture).
+
+    Exactness: scores are 6dp-rounded, so `score·1e6` recovers an integer
+    and the per-bin mean is an ORDER-INDEPENDENT BIGINT sum divided once —
+    no float accumulation; `cal_gap` is computed from the two ROUNDED
+    aggregates. One extra tiny agg after the serving pass.
+    """
+    scored = quality_classifier_fit_apply(
+        spark, tables.load(spark, sf_dir, "documents")
+    )
+    bin_col = F.least(
+        F.floor(F.col("score") * QC_CAL_BINS).cast("int"),
+        F.lit(QC_CAL_BINS - 1),
+    )
+    s_units = F.round(F.col("score") * F.lit(1_000_000.0), 0).cast("long")
+    agg = (
+        scored.select(bin_col.alias("bin"), s_units.alias("su"), "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("su").alias("ssum"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    mean_score = F.round(
+        F.col("ssum").cast("double") / F.lit(1_000_000.0) / F.col("n").cast("double"),
+        6,
+    )
+    frac_pos = F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6)
+    out = agg.select("bin", "n", mean_score.alias("mean_score"), frac_pos.alias("frac_positive"))
+    return out.select(
+        "bin", "n", "mean_score", "frac_positive",
+        F.round(F.col("mean_score") - F.col("frac_positive"), 6).alias("cal_gap"),
+    )
+
+
+def ext_quality_calibration_oracle() -> str:
+    b = QC_CAL_BINS
+    return f"""
+        WITH RECURSIVE {_qc_sql_fit_ctes()},
+        binned AS (
+            SELECT LEAST(CAST(FLOOR(score * {b}) AS INTEGER), {b - 1}) AS bin,
+                   CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS su,
+                   label
+            FROM scored
+        ),
+        agg AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(su) AS BIGINT) AS ssum,
+                   CAST(SUM(label) AS BIGINT) AS pos
+            FROM binned GROUP BY bin
+        ),
+        stats AS (
+            SELECT bin, n,
+                   ROUND(CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean_score,
+                   ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_positive
+            FROM agg
+        )
+        SELECT bin, n, mean_score, frac_positive,
+               ROUND(mean_score - frac_positive, 6) AS cal_gap
+        FROM stats
     """

@@ -157,3 +157,36 @@ def test_label_prop_both_paths_bit_equal(spark):
     a = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=10**9).collect()))
     b = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=0).collect()))
     assert a == b and len(a) > 0
+
+
+def test_survivor_rank_invariants_and_parity(spark, duck):
+    """Each component has exactly one canonical member; the canonical is
+    the component's max-rank (tie min-id); components agree with the
+    clusters operator; plus the driver-style composed-oracle comparison."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+    from boletia_kubernetes_kafka_mongodb_spark.operators import graph as G
+
+    sf = "/root/testdata/sf0.01"
+    out = G.ext_graph_survivor_rank(spark, sf).collect()
+    assert len(out) > 0
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1, comp
+        best = max(members, key=lambda m: (m.rank_nano, -m.doc_id))
+        assert canon[0].doc_id == best.doc_id
+    clusters = {
+        r.doc_id: r.component for r in D.ext_dedup_clusters(spark, sf).collect()
+    }
+    for r in out:
+        assert clusters[r.doc_id] == r.component
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_graph_survivor_rank"],
+        entrymod.oracle_sql()["ext_graph_survivor_rank"],
+    )

@@ -838,3 +838,27 @@ def test_quality_classifier_deterministic_and_parity(spark, duck):
         entrymod.queries()["ext_quality_classifier"],
         entrymod.oracle_sql()["ext_quality_classifier"],
     )
+
+
+def test_quality_calibration_invariants_and_parity(spark, duck):
+    """Bin means live inside their bin's bounds, counts sum to the corpus,
+    frac_positive ∈ [0,1], gap algebra holds; plus the composed-oracle
+    driver comparison (fit CTEs shared with the classifier oracle)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    rows = T.ext_quality_calibration(spark, "/root/testdata/sf0.01").collect()
+    assert sum(r.n for r in rows) == 500
+    for r in rows:
+        lo, hi = r.bin / T.QC_CAL_BINS, (r.bin + 1) / T.QC_CAL_BINS
+        # rounded means can graze the bin edge by <= 5e-7
+        assert lo - 1e-6 <= r.mean_score <= hi + 1e-6, (r.bin, r.mean_score)
+        assert 0.0 <= r.frac_positive <= 1.0
+        assert abs(r.cal_gap - round(r.mean_score - r.frac_positive, 6)) < 1e-9
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_quality_calibration"],
+        entrymod.oracle_sql()["ext_quality_calibration"],
+    )
