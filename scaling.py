@@ -152,6 +152,9 @@ QUERIES = {
     "ext_dedup_edit_distance": "banded candidates; replica copies are TRUE "
     "small-edit dups (identical prefixes) so output grows ~k² — p/out is "
     "the honest exponent",
+    "ext_graph_survivor_rank": "components x pagerank off one pair pass — "
+    "gated edge-normalized like the other graph ids",
+    "ext_quality_calibration": "linear scan x fixed GD steps + 10-row bin agg",
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:
@@ -172,6 +175,7 @@ EXEMPT_IDS = {"ext_dedup_embedding"}
 INPUT_NORM_BY = {
     "ext_graph_pagerank": "ext_dedup_ngram_jaccard",
     "ext_graph_label_prop": "ext_dedup_ngram_jaccard",
+    "ext_graph_survivor_rank": "ext_dedup_ngram_jaccard",
 }
 GATE_SERVE, GATE_DEFAULT = 0.4, 0.85
 

@@ -378,3 +378,58 @@ def test_keyset_pagination_pushes_cursor_and_bounds_heap(spark):
     plans.assert_pushed_filter(df, "event_id")
     s = plans.explain_str(df)
     assert "TakeOrderedAndProject" in s
+
+
+def test_readability_and_project_zero_exchange(spark):
+    """The round-6 narrow maps really are narrow: Flesch/FK readability and
+    the JL projection compile to zero Exchange nodes — pure pipelined
+    scans that whole-stage-codegen."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity, text
+    from boletia_kubernetes_kafka_mongodb_spark.plans import assert_no_exchange
+
+    assert_no_exchange(text.ext_text_readability(spark, SF_CORRECT))
+    assert_no_exchange(similarity.ext_embed_project(spark, SF_CORRECT))
+
+
+def test_novelty_two_shuffles_only(spark):
+    """ext_ngram_novelty moves corpus-sized data exactly once (the 8-byte
+    shingle-key exchange feeding the count window); the second exchange is
+    the doc-sized re-agg, and the join back onto documents broadcasts. A
+    third hashpartitioning exchange means the collision-only DISTINCT
+    crept back in."""
+    import re
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup
+
+    plan = (
+        dedup.ext_ngram_novelty(spark, SF_CORRECT)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_classifier_gradient_is_single_partial_agg(spark):
+    """One GD step = one map-side-combinable 5-column integer SUM: the
+    serving frame aggregates with partial_sum before any exchange, and the
+    whole step plan carries no join (weights enter as literals)."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    feats = T._qc_features(tables.load(spark, SF_CORRECT, "documents"))
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    z = F.lit(0.1) + F.lit(0.2) * xs[1] + F.lit(0.3) * xs[2] \
+        + F.lit(0.1) * xs[3] + F.lit(0.2) * xs[4]
+    r = T._qc_sigma(z) - F.col("y")
+    step = feats.agg(
+        *[
+            F.sum(F.round(r * xs[k] * F.lit(T.QC_SCALE), 0).cast("long")).alias(f"s{k}")
+            for k in range(5)
+        ]
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan
