@@ -190,3 +190,36 @@ def test_survivor_rank_invariants_and_parity(spark, duck):
         entrymod.queries()["ext_graph_survivor_rank"],
         entrymod.oracle_sql()["ext_graph_survivor_rank"],
     )
+
+
+def test_pagerank_random_graphs_match_reference(spark):
+    """Property: on random undirected graphs the numpy driver path equals
+    the plain-python integer reference bit-for-bit (hypothesis over edge
+    sets; bounded examples — each builds one small Spark frame)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pair_st = st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda t: t[0] != t[1])
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.sets(pair_st, min_size=1, max_size=25))
+    def run(raw_pairs):
+        pairs = sorted({(min(a, b), max(a, b)) for a, b in raw_pairs})
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src long, dst long",
+        )
+        got = {
+            r.doc_id: r.rank_nano
+            for r in graph._pagerank_nano(spark, edges, driver_max_edges=10**9).collect()
+        }
+        assert got == _pagerank_reference(pairs)
+
+    run()
