@@ -127,6 +127,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 6: reliability bins over the trained filter's
         # scores (integer-exact bin means; composes with the fit CTEs)
         "ext_quality_calibration": text.ext_quality_calibration,
+        # --- new round 6: MinHash estimator-accuracy audit (est vs exact
+        # jaccard on the banded candidates)
+        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
+        # --- changed round 6: candidate stage factored into
+        # _minhash_candidates (shared with the audit) — re-attest
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        # --- new round 6: weekly DAU/WAU stickiness over events
+        "agg_user_stickiness": aggregates.agg_user_stickiness,
         # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
         # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
@@ -185,7 +193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
         "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_multimodal_phash": multimodal.ext_multimodal_phash,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
@@ -315,6 +322,10 @@ def oracle_sql() -> dict[str, str]:
         # round 6: calibration bins composed onto the shared fit CTEs —
         # score·1e6 recovers integers, so bin means are exact BIGINT sums
         "ext_quality_calibration": text.ext_quality_calibration_oracle(),
+        # round 6: est (signature agreement) and exact (shingle jaccard)
+        # are both engine-independent — the audit carries a full oracle
+        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy_oracle(),
+        "agg_user_stickiness": aggregates.agg_user_stickiness_oracle(),
         # extensions with exact SQL oracles
         "ext_dedup_exact": dedup.ext_dedup_exact_oracle(),
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard_oracle(),

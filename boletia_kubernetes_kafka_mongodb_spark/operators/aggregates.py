@@ -1282,3 +1282,68 @@ def agg_ewma_daily_oracle() -> str:
                      / (1.0 - power({d}, t + 1)), 6) AS ewma
         FROM idx
     """
+
+
+def agg_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly engagement stickiness: mean daily-active users / weekly-active
+    users per ISO week (the DAU/MAU product-analytics staple at the
+    fixture's one-month span). avg_dau is an exact BIGINT sum of per-day
+    distinct counts divided once, so no float accumulation; stickiness is
+    computed from the ROUNDED mean. Plan: two count-distinct aggregations
+    on (week[, day]) composite keys joined on the ≤5-row week frame.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("week", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    per_week = dau.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    wau = d.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    joined = per_week.join(wau, "week").withColumn(
+        "avg_dau",
+        F.round(F.col("dau_sum").cast("double") / F.col("n_days").cast("double"), 6),
+    )
+    return joined.select(
+        "week", "n_days", "wau", "avg_dau",
+        F.round(F.col("avg_dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+    )
+
+
+def agg_user_stickiness_oracle() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(ts AS DATE) AS day, user_id
+            FROM events
+        ),
+        dau AS (
+            SELECT week, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM d GROUP BY week, day
+        ),
+        per_week AS (
+            SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(dau) AS BIGINT) AS dau_sum
+            FROM dau GROUP BY week
+        ),
+        wau AS (
+            SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM d GROUP BY week
+        ),
+        j AS (
+            SELECT p.week, p.n_days, w.wau,
+                   ROUND(CAST(p.dau_sum AS DOUBLE) / CAST(p.n_days AS DOUBLE), 6) AS avg_dau
+            FROM per_week p JOIN wau w USING (week)
+        )
+        SELECT week, n_days, wau, avg_dau,
+               ROUND(avg_dau / CAST(wau AS DOUBLE), 6) AS stickiness
+        FROM j
+    """

@@ -637,6 +637,35 @@ def _minhash_band_keys_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct banded candidate pairs (doc_a < doc_b) — the shared LSH
+    candidate stage of the dedup operator and the accuracy audit.
+
+    In-bucket pair expansion via groupBy + HOF instead of a self-join:
+    a self-join's two branches each re-execute the whole shingle→minhash
+    subtree (no CSE across join children — measured 2× the work), where
+    the groupBy shuffles the banded keys ONCE and expands the k² pairs
+    per bucket with array lambdas. LSH buckets are tiny by construction
+    (that's the point of banding), but a near-dup-dense corpus grows
+    them with the data — the tiled expansion bounds per-row work at
+    PAIR_TILE² whatever the bucket size (see tiled_bucket_pairs)."""
+    bands = _minhash_band_keys_cache(spark, sf_dir)
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .where(F.size("members") > 1)
+    )
+    return (
+        tiled_bucket_pairs(
+            buckets,
+            key=lambda d: d,
+            pair=lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
 
@@ -657,29 +686,7 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same `_token_hash_sets` / SimHash-signature discipline).
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    bands = _minhash_band_keys_cache(spark, sf_dir)
-    # in-bucket pair expansion via groupBy + HOF instead of a self-join:
-    # a self-join's two branches each re-execute the whole shingle→minhash
-    # subtree (no CSE across join children — measured 2× the work), where
-    # the groupBy shuffles the banded keys ONCE and expands the k² pairs
-    # per bucket with array lambdas. LSH buckets are tiny by construction
-    # (that's the point of banding), but a near-dup-dense corpus grows
-    # them with the data — the tiled expansion bounds per-row work at
-    # PAIR_TILE² whatever the bucket size (see tiled_bucket_pairs).
-    buckets = (
-        bands.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("members"))
-        .where(F.size("members") > 1)
-    )
-    candidates = (
-        tiled_bucket_pairs(
-            buckets,
-            key=lambda d: d,
-            pair=lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    candidates = _minhash_candidates(spark, sf_dir)
     # exact-Jaccard verification priced by the CANDIDATE set, not the
     # corpus. The pair list is materialized ONCE via localCheckpoint —
     # referencing the lazy `candidates` frame from two join inputs would
@@ -1890,4 +1897,98 @@ def ext_ngram_novelty_oracle() -> str:
                                / CAST(p.n_shingles AS DOUBLE), 6)
                END AS novelty
         FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy audit
+# ---------------------------------------------------------------------------
+
+def ext_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-accuracy AUDIT for MinHash: for every banded candidate
+    pair, the signature-agreement estimate (matching permutations / 32)
+    next to the exact shingle Jaccard and their absolute error — the
+    calibration check a pipeline runs before trusting the estimate as a
+    pre-verify pruning score or raising the band threshold (the same
+    audit-family move as `ext_quality_calibration`: measure the sketch
+    against ground truth on exactly the pairs it will be used for).
+
+    Cost shape: identical to the dedup operator's verify stage — priced by
+    the CANDIDATE set (shared `_minhash_candidates`), one signature join
+    (broadcast-sized: |candidates| ≤ banded collisions) and one
+    members-only shingle pass. Every value 6dp-rounded; est and exact are
+    both engine-independent, so the audit carries a full oracle.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    cand = _minhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs).select("doc_id", "sig")
+    est = F.round(
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(MINHASH_PERMS)),
+        6,
+    )
+    with_est = (
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+    sides = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    members = sides.select("doc_id").distinct()
+    shingles_df = docs.join(F.broadcast(members), "doc_id", "inner").select(
+        "doc_id", _shingles(tokens_col("text")).alias("sh")
+    )
+    joined = shingles_df.join(F.broadcast(sides), "doc_id", "inner")
+    paired = joined.groupBy("doc_a", "doc_b").agg(
+        F.first(F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+        F.first(F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
+    )
+    exact = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    with_exact = paired.select("doc_a", "doc_b", exact.alias("exact_jaccard"))
+    return (
+        with_est.join(with_exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a", "doc_b", "est_jaccard", "exact_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+def ext_dedup_minhash_accuracy_oracle() -> str:
+    parts = _minhash_sql_parts()
+    est = (
+        "ROUND(CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig), "
+        "p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)"
+        f" / {float(MINHASH_PERMS)}, 6)"
+    )
+    return f"""
+        WITH {parts["base"]},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   {est} AS est_jaccard,
+                   {parts["jac"]} AS exact_jaccard
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b
+            JOIN shingled a ON a.doc_id = c.doc_a
+            JOIN shingled b ON b.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+               ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err
+        FROM scored
     """

@@ -755,3 +755,33 @@ def test_ngram_novelty_oracle_parity(spark, duck):
         entrymod.queries()["ext_ngram_novelty"],
         entrymod.oracle_sql()["ext_ngram_novelty"],
     )
+
+
+def test_minhash_accuracy_audit(spark, duck):
+    """Estimator theory holds on the real candidates: every |err| within
+    5σ of the binomial bound σ = sqrt(j(1−j)/32) (+ the rounding grain),
+    exact duplicates estimate exactly 1.0, and the composed oracle
+    hash-matches."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+
+    rows = D.ext_dedup_minhash_accuracy(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        j = r.exact_jaccard
+        sigma = (j * (1 - j) / D.MINHASH_PERMS) ** 0.5
+        assert r.abs_err <= 5 * sigma + 1 / D.MINHASH_PERMS + 1e-6, (
+            r.doc_a, r.doc_b, j, r.est_jaccard
+        )
+        if j == 1.0:
+            assert r.est_jaccard == 1.0
+    # audit covers at least every verified near-dup pair (cand ⊇ output)
+    dups = D.ext_dedup_minhash_lsh(spark, "/root/testdata/sf0.01").count()
+    assert len(rows) >= dups
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_dedup_minhash_accuracy"],
+        entrymod.oracle_sql()["ext_dedup_minhash_accuracy"],
+    )

@@ -259,3 +259,47 @@ def test_kmv_set_ops_fixture_consistency(spark, duck):
         assert r.est_intersection <= r.est_union + 1e-9
         # same 150-user population in every type → union == single estimate
         assert abs(r.est_union - singles[r.type_a]) < 1e-6
+
+
+def test_user_stickiness_semantics_and_parity(spark, duck):
+    """stickiness = avg_dau / wau with avg_dau ≤ wau always (a day's
+    actives are a subset of the week's); crafted two-week frame pins the
+    algebra; oracle parity on the fixture."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from pyspark.sql import functions as F
+
+    import boletia_kubernetes_kafka_mongodb_spark.tables as tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    rows = A.agg_user_stickiness(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 4  # one month of events spans ≥4 ISO weeks
+    for r in rows:
+        assert 0 < r.stickiness <= 1.0 + 1e-9
+        assert r.avg_dau <= r.wau
+
+    # crafted: week 1 = same user every day (stickiness 1.0);
+    # week 2 = 7 distinct users, one per day (stickiness 1/7)
+    import datetime
+
+    evs = []
+    for i in range(7):
+        evs.append((datetime.datetime(2024, 1, 1 + i, 12), 1))
+        evs.append((datetime.datetime(2024, 1, 8 + i, 12), 100 + i))
+    df = spark.createDataFrame(evs, "ts timestamp, user_id long")
+    orig = tables.load
+    try:
+        tables.load = lambda s, d, n: df
+        out = {r.week.isoformat(): r for r in A.agg_user_stickiness(spark, "x").collect()}
+    finally:
+        tables.load = orig
+    assert out["2024-01-01"].stickiness == 1.0 and out["2024-01-01"].wau == 1
+    assert out["2024-01-08"].wau == 7
+    assert abs(out["2024-01-08"].stickiness - round(1 / 7, 6)) < 1e-6
+
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["agg_user_stickiness"],
+        entrymod.oracle_sql()["agg_user_stickiness"],
+    )
