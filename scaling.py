@@ -155,6 +155,9 @@ QUERIES = {
     "ext_graph_survivor_rank": "components x pagerank off one pair pass — "
     "gated edge-normalized like the other graph ids",
     "ext_quality_calibration": "linear scan x fixed GD steps + 10-row bin agg",
+    "ext_dedup_minhash_accuracy": "priced by banded candidates (grow ~k² on "
+    "the replica fixture, like the minhash id) — p/out is the signal",
+    "agg_user_stickiness": "linear (two count-distinct aggs on week keys)",
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:
