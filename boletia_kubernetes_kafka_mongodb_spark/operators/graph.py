@@ -50,6 +50,29 @@ PR_ITERS = 8            # fixed power-iteration count (state: iter ∈ [0, 8])
 PR_DAMP_NUM = 85        # damping d = 85/100 in integer arithmetic
 PR_SCALE = 1_000_000_000  # rank unit: 1e-9 (BIGINT nano-ranks)
 
+_JACCARD_PAIRS_CACHE: dict = {}
+
+
+def _jaccard_pairs_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_a, doc_b) exact-Jaccard pair list, kernel-run + checkpointed
+    ONCE per (application, dataset signature) — three graph operators
+    consume the same edge source, and without the cache each re-runs the
+    tiled kernel (~1.5 s at sf0.1) and re-materializes its own checkpoint
+    (the `_minhash_band_keys_cache` discipline; content-signature-keyed
+    via `dataset_cache_get`)."""
+    from ..sources.layouts import dataset_cache_get
+
+    return dataset_cache_get(
+        _JACCARD_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        "documents",
+        lambda: dedup.ext_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
+        tag="graph-pairs",
+    )
+
 
 def _pagerank_nano(
     spark: SparkSession, edges: DataFrame, driver_max_edges: int | None = None
@@ -164,13 +187,9 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per vertex (documents touched by ≥ 1 near-dup pair)
     with its symmetric degree and the final integer nano-rank.
     """
-    # checkpoint the pairs BEFORE symmetrizing: the union reads them twice
-    # and would otherwise run the tiled kernel twice
-    pairs = (
-        dedup.ext_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # cached checkpoint BEFORE symmetrizing: the union reads the pairs
+    # twice, and the sibling graph ids share the same edge source
+    pairs = _jaccard_pairs_cache(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -246,11 +265,7 @@ def ext_graph_survivor_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    pairs = (
-        dedup.ext_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    pairs = _jaccard_pairs_cache(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -333,11 +348,7 @@ def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable; nothing driver-sized. `labeled_at` records the round each
     vertex acquired its label (0 = seed), making convergence auditable.
     """
-    pairs = (
-        dedup.ext_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    pairs = _jaccard_pairs_cache(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
