@@ -303,3 +303,37 @@ def test_user_stickiness_semantics_and_parity(spark, duck):
         entrymod.queries()["agg_user_stickiness"],
         entrymod.oracle_sql()["agg_user_stickiness"],
     )
+
+
+def test_kmv_set_ops_random_small_sets_exact(spark):
+    """Property: whenever |A∪B| < K the sketch algebra returns EXACT union
+    and intersection counts (hypothesis over random user-id sets; the
+    small-set branch is the correctness anchor the estimator is judged
+    against)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    ids = st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=30)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ids, ids)
+    def run(sa, sb):
+        rows = [("a", u) for u in sa] + [("b", u) for u in sb]
+        ev = spark.createDataFrame(rows, "event_type string, user_id long")
+        out = A.kmv_set_ops_from_sketches(A._kmv_sketches_from(ev)).collect()
+        assert len(out) == 1
+        r = out[0]
+        union, inter = len(sa | sb), len(sa & sb)
+        assert union < A.KMV_K  # strategy keeps us in the exact branch
+        assert r.k_union == union
+        assert r.inter_k == inter
+        assert r.est_union == float(union)
+        assert r.est_intersection == float(inter)
+
+    run()
