@@ -1576,6 +1576,15 @@ def quality_classifier_fit_apply(spark: SparkSession, docs: DataFrame) -> DataFr
         return spark.createDataFrame(
             [], "doc_id long, label long, score double, pred boolean"
         )
+    w = quality_classifier_fit(feats, n)
+    return quality_classifier_score(feats, w)
+
+
+def quality_classifier_fit(feats: DataFrame, n: int) -> list[float]:
+    """The GD loop alone: 8 integer-gradient steps over a (materialized)
+    feature frame → the 5 learned weights. Factored so the weights can be
+    served elsewhere — notably onto a STREAM (train offline, score
+    online: `streaming.corpus.quality_score_stream`)."""
     w = [0.0] * 5
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
     for _ in range(QC_ITERS):
@@ -1594,6 +1603,13 @@ def quality_classifier_fit_apply(spark: SparkSession, docs: DataFrame) -> DataFr
             round(w[k] - QC_LR * (float(sums[f"s{k}"]) / QC_SCALE / float(n)), 6)
             for k in range(5)
         ]
+    return w
+
+
+def quality_classifier_score(feats: DataFrame, w: list[float]) -> DataFrame:
+    """Serve frozen weights over any feature frame — a pure narrow map, so
+    it applies unchanged to BATCH and STREAMING frames."""
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
     z = F.lit(w[0]) + F.lit(w[1]) * xs[1] + F.lit(w[2]) * xs[2] \
         + F.lit(w[3]) * xs[3] + F.lit(w[4]) * xs[4]
     return feats.select(

@@ -76,3 +76,18 @@ def percolate_stream(docs_stream: DataFrame, registry: DataFrame) -> DataFrame:
     from ..operators.search import percolate
 
     return percolate(docs_stream, registry)
+
+
+def quality_score_stream(docs_stream: DataFrame, weights: list[float]) -> DataFrame:
+    """Streaming serve of the trained quality filter (train OFFLINE with
+    `text.quality_classifier_fit`, score the arriving corpus ONLINE): the
+    frozen 5-weight model applies as a stateless narrow map per
+    micro-batch — no state store, no watermark, unbounded throughput.
+    This is the deployment shape of every learned filter in a crawl
+    pipeline: fit on yesterday's snapshot, score today's shards as they
+    land, route by `pred` (or weight sampling by `score`) downstream.
+    Stream ≡ batch on the same documents is pinned in
+    tests/test_corpus_stream.py."""
+    from ..operators.text import _qc_features, quality_classifier_score
+
+    return quality_classifier_score(_qc_features(docs_stream), weights)

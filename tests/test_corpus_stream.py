@@ -209,3 +209,33 @@ def test_percolate_stream_equals_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_quality_score_stream_equals_batch(spark, tmp_path):
+    """Train on the batch snapshot, serve the SAME documents as a file
+    stream: per-doc scores and predictions are identical to the batch
+    operator's output."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    sf = "/root/testdata/sf0.001"
+    docs = tables.load(spark, sf, "documents")
+    batch = {r.doc_id: (r.score, r.pred) for r in T.ext_quality_classifier(spark, sf).collect()}
+
+    feats = T._qc_features(docs).localCheckpoint(eager=True)
+    w = T.quality_classifier_fit(feats, feats.count())
+
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    (
+        C.quality_score_stream(stream, w)
+        .writeStream.format("memory").queryName("qscores")
+        .trigger(availableNow=True).start().awaitTermination(120)
+    )
+    got = {
+        r.doc_id: (r.score, r.pred)
+        for r in spark.sql("SELECT * FROM qscores").collect()
+    }
+    assert got == batch
