@@ -223,3 +223,19 @@ def test_pagerank_random_graphs_match_reference(spark):
         assert got == _pagerank_reference(pairs)
 
     run()
+
+
+def test_graph_ops_empty_graph_safe(spark):
+    """Empty edge/seed frames flow through both graph operators' gated
+    paths without error and with stable schemas (the zero-near-dup corpus
+    case a clean dataset hits on day one)."""
+    edges = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([], "doc_id long, is_seed boolean, label string")
+    lp = graph.label_propagate(edges, seeds)
+    assert lp.count() == 0
+    assert [f.name for f in lp.schema.fields] == [
+        "doc_id", "is_seed", "label", "labeled_at",
+    ]
+    pr = graph._pagerank_nano(spark, edges)
+    assert pr.count() == 0
+    assert [f.name for f in pr.schema.fields] == ["doc_id", "degree", "rank_nano"]
