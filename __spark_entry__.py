@@ -46,17 +46,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order per round. Round-6 window (round-4 verdict #1's standing rule:
     pay the rotation on schedule) = positions 1-26 are exactly the 26 ids
     whose most recent driver row is round 3 (the precomputed queue in
-    ROUND5_NOTES §"r06 rotation queue"); the next positions are this
-    round's new/changed ids: `ext_dedup_edit_distance` (new: length-band
-    blocked Levenshtein near-dup pairs), `ext_multimodal_resize` (changed:
-    the PNG header parse is now gated on media_format — round-5 ADVICE)
-    and `join_availability_bucketed` (changed: the stale-warehouse sweep
-    is now heartbeat-keyed — round-5 ADVICE), plus the operators built
-    this round (commented inline below); the remaining slots up to
-    position 50 are the oldest round-4-recorded ids (core §2 scans and
-    mutations). Everything after position 50 has a green r04/r05 driver
-    row and an unchanged implementation; the r04-era ids not re-attested
-    this round are the precomputed r07 queue in ROUND6_NOTES.
+    ROUND5_NOTES §"r06 rotation queue"); positions 27-42 are this round's
+    new/changed ids — new: `ext_dedup_edit_distance`,
+    `ext_graph_pagerank`, `ext_kmv_set_ops`, `ext_text_readability`,
+    `ext_ngram_novelty`, `ext_embed_project`, `ext_quality_classifier`,
+    `ext_graph_label_prop`, `ext_graph_survivor_rank`,
+    `ext_quality_calibration`, `ext_dedup_minhash_accuracy`,
+    `agg_user_stickiness`; changed (re-attest): `ext_multimodal_resize`
+    (format-gated PNG header parse — round-5 ADVICE),
+    `join_availability_bucketed` (heartbeat-keyed warehouse sweep —
+    round-5 ADVICE), `ext_approx_distinct_kmv` (sketch builder factored
+    into the shared `_kmv_sketches`), `ext_dedup_minhash_lsh` (candidate
+    stage factored into the shared `_minhash_candidates`) — positions
+    43-50 re-attest the oldest round-4-recorded core scan/filter ids
+    through `project_rename_detreserva`. Everything after position 50
+    has a green r04/r05 driver row and an unchanged implementation; the
+    40 r04-era ids not re-attested this round are the precomputed r07
+    queue in ROUND6_NOTES.
     """
     return {
         # --- rotation: the 26 round-3-recorded ids (ROUND5_NOTES queue) ---
