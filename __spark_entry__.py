@@ -43,29 +43,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-6 window (round-4 verdict #1's standing rule:
-    pay the rotation on schedule) = positions 1-26 are exactly the 26 ids
-    whose most recent driver row is round 3 (the precomputed queue in
-    ROUND5_NOTES §"r06 rotation queue"); positions 27-42 are this round's
-    new/changed ids — new: `ext_dedup_edit_distance`,
-    `ext_graph_pagerank`, `ext_kmv_set_ops`, `ext_text_readability`,
-    `ext_ngram_novelty`, `ext_embed_project`, `ext_quality_classifier`,
-    `ext_graph_label_prop`, `ext_graph_survivor_rank`,
-    `ext_quality_calibration`, `ext_dedup_minhash_accuracy`,
-    `agg_user_stickiness`; changed (re-attest): `ext_multimodal_resize`
-    (format-gated PNG header parse — round-5 ADVICE),
-    `join_availability_bucketed` (heartbeat-keyed warehouse sweep —
-    round-5 ADVICE), `ext_approx_distinct_kmv` (sketch builder factored
-    into the shared `_kmv_sketches`), `ext_dedup_minhash_lsh` (candidate
-    stage factored into the shared `_minhash_candidates`) — positions
-    43-50 re-attest the oldest round-4-recorded core scan/filter ids
-    through `project_rename_detreserva`. Everything after position 50
-    has a green r04/r05 driver row and an unchanged implementation; the
-    40 r04-era ids not re-attested this round are the precomputed r07
-    queue in ROUND6_NOTES.
+    order per round. Round-7 window (round-4 verdict #1's standing rule:
+    pay the rotation on schedule) = positions 1-40 are exactly the 40
+    r04-era ids from ROUND6_NOTES' precomputed queue (after this round no
+    id's latest attestation is older than round 5); positions 41-46 are
+    this round's changed ids — `ext_graph_pagerank` /
+    `ext_graph_label_prop` / `ext_graph_survivor_rank` (third strategy
+    tier for beyond-broadcast node counts + the label-prop driver-path
+    seed-coverage ADVICE fix), `ext_dedup_edit_distance` (full-text
+    thresholded verify replaces the 160-char-prefix contract),
+    `ext_approx_distinct_kmv` / `ext_kmv_set_ops` (bounded-heap map-side
+    KMV partials + the set-ops sketch-reuse checkpoint ADVICE fix);
+    positions 47-50 carry this round's new ids and next-oldest
+    (r05-recorded) re-attests. Everything after position 50 has a green
+    r04/r05/r06 driver row and an unchanged implementation; the ids not
+    re-attested this round queue for r08 in ROUND7_NOTES.
     """
     return {
-        # --- rotation: the 26 round-3-recorded ids (ROUND5_NOTES queue) ---
+        # --- r07 window positions 1-40: the 40 r04-era ids from
+        # ROUND6_NOTES' precomputed rotation queue ---
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        "agg_ewma_daily": aggregates.agg_ewma_daily,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_time_window": windows.agg_time_window,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "cancel_increment": mutations.cancel_increment,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "event_cancel_update": mutations.event_cancel_update,
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_asof_join": joins.ext_asof_join,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_range_join": joins.ext_range_join,
+        "ext_topk_batch": similarity.ext_topk_batch,
+        "ext_topk_similarity": similarity.ext_topk_similarity,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
+        "join_availability": joins.join_availability,
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_cascade": joins.join_cascade,
+        "join_exists_anti": joins.join_exists_anti,
+        "notify_render": notifications.notify_render,
+        "order_latest_per_email": ordering.order_latest_per_email,
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "reserve_admission_exact": admission.admission_ledger_batch,
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
+        "setop_churn_emails": ordering.setop_churn_emails,
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "sql_availability": scans.sql_availability,
+        # --- positions 41-46: changed this round (re-attest) —
+        # graph third strategy tier + label-prop seed-coverage fix,
+        # full-text edit-distance verify, bounded-heap KMV partials +
+        # set-ops sketch checkpoint ---
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
+        "ext_graph_pagerank": graph.ext_graph_pagerank,
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
+        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
+        # --- positions 47-50: next-oldest (r05-recorded) ids;
+        # ext_dedup_clusters guards the shared pair-kernel edits ---
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "ext_text_langid": text.ext_text_langid,
+        "ext_sample_split": sampling.ext_sample_split,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        # --- position > 50 from here: all have green r04/r05/r06
+        # rows and unchanged implementations this round ---
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
@@ -92,57 +146,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
         "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
         "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
-        # --- new round 6: small-edit near-dup pairs via length-band
-        # blocking + prefix Levenshtein (the OCR/typo duplicate class)
-        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
-        # --- changed round 6 (round-5 ADVICE): PNG header parse gated on
-        # media_format — re-attest the resize id
         "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        # --- changed round 6 (round-5 ADVICE): heartbeat-keyed stale-
-        # warehouse sweep in ensure_bucketed_tables — re-attest
         "join_availability_bucketed": joins.join_availability_bucketed,
-        # --- new round 6: integer-arithmetic PageRank over the near-dup
-        # Jaccard graph (nano-unit BIGINT power iteration — the oracle
-        # replays all 8 steps exactly, no float rounding anywhere)
-        "ext_graph_pagerank": graph.ext_graph_pagerank,
-        # --- new round 6: KMV sketch ALGEBRA — union/intersection distinct
-        # estimates per event-type pair from the mergeable bottom-K frames
-        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        # --- changed round 6: sketch builder factored into _kmv_sketches
-        # (shared with the set-ops id) — re-attest
-        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
-        # --- new round 6: Flesch / Flesch-Kincaid readability (regex-only
-        # surface heuristics; pure narrow map)
         "ext_text_readability": text.ext_text_readability,
-        # --- new round 6: per-doc novelty — fraction of shingles unique to
-        # the doc (df via ONE count-window shuffle on 64-bit shingle keys)
         "ext_ngram_novelty": dedup.ext_ngram_novelty,
-        # --- new round 6: JL random projection 64d→8d (deterministic
-        # Rademacher matrix; norm_ratio = per-vector distortion witness)
         "ext_embed_project": similarity.ext_embed_project,
-        # --- new round 6: TRAINED linear quality/language filter — full-
-        # batch GD with integer-quantized gradients and a rational link,
-        # so the whole 8-step fit replays exactly in the oracle
         "ext_quality_classifier": text.ext_quality_classifier,
-        # --- new round 6: clamped-seed label propagation over the near-
-        # dup graph (integer votes, total-order tie-break, 4 rounds)
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
-        # --- new round 6: clusters × pagerank composition — keep the
-        # max-centrality copy per near-dup component
-        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
-        # --- new round 6: reliability bins over the trained filter's
-        # scores (integer-exact bin means; composes with the fit CTEs)
         "ext_quality_calibration": text.ext_quality_calibration,
-        # --- new round 6: MinHash estimator-accuracy audit (est vs exact
-        # jaccard on the banded candidates)
         "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
-        # --- changed round 6: candidate stage factored into
-        # _minhash_candidates (shared with the audit) — re-attest
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
-        # --- new round 6: weekly DAU/WAU stickiness over events
         "agg_user_stickiness": aggregates.agg_user_stickiness,
-        # --- fill to 50: oldest round-4-recorded ids (core §2 scans +
-        # mutations); the rest of the r04-era ids queue for r07 ---
         "scan_full_eventos": scans.scan_full_eventos,
         "scan_full_inventario": scans.scan_full_inventario,
         "lookup_point_unique": scans.lookup_point_unique,
@@ -151,54 +164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range_guard": scans.filter_range_guard,
         "filter_state_machine": cdc.filter_state_machine,
         "project_rename_detreserva": scans.project_rename_detreserva,
-        "sql_availability": scans.sql_availability,
-        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "cancel_increment": mutations.cancel_increment,
-        "event_cancel_update": mutations.event_cancel_update,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "reserva_cancel_flag": mutations.reserva_cancel_flag,
-        "insert_dedup_unique": mutations.insert_dedup_unique,
-        "reserve_admission_exact": admission.admission_ledger_batch,
-        "join_cancel_inventory": joins.join_cancel_inventory,
-        "join_exists_anti": joins.join_exists_anti,
-        "join_cascade": joins.join_cascade,
-        "join_availability": joins.join_availability,
-        "ext_asof_join": joins.ext_asof_join,
-        # --- position > 50 from here: all have green r04/r05 rows and
-        # unchanged implementations this round ---
-        "ext_range_join": joins.ext_range_join,
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_time_window": windows.agg_time_window,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "order_topn_disponible": ordering.order_topn_disponible,
-        "order_latest_per_email": ordering.order_latest_per_email,
-        "setop_churn_emails": ordering.setop_churn_emails,
-        "order_user_event_ranks": ordering.order_user_event_ranks,
-        "sink_upsert_clone": cdc.sink_upsert_clone,
-        "notify_render": notifications.notify_render,
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "fn_json_props_extract": cdc.fn_json_props_extract,
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
-        "ext_topk_similarity": similarity.ext_topk_similarity,
-        "ext_topk_batch": similarity.ext_topk_batch,
-        "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
         "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
         "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
         "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_multimodal_phash": multimodal.ext_multimodal_phash,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
@@ -206,7 +176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         "ext_text_tokens": text.ext_text_tokens,
-        "ext_text_langid": text.ext_text_langid,
         "ext_text_quality": text.ext_text_quality,
         "ext_text_fingerprint": text.ext_text_fingerprint,
         "ext_text_winnowing": text.ext_text_winnowing,
@@ -214,12 +183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_pii_mask": text.ext_text_pii_mask,
         "ext_corpus_stats": text.ext_corpus_stats,
         "ext_text_sentiment": text.ext_text_sentiment,
-        "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_quota": sampling.ext_sample_quota,
         "ext_decontaminate": sampling.ext_decontaminate,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
-        "agg_funnel_stages": aggregates.agg_funnel_stages,
         "agg_retention_cohorts": aggregates.agg_retention_cohorts,
         "agg_value_histogram": aggregates.agg_value_histogram,
         "cdc_broker_metrics": cdc.cdc_broker_metrics,
