@@ -551,7 +551,14 @@ def ext_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_union, the intersection evidence count inter_k, and the two rounded
     estimates.
     """
-    return kmv_set_ops_from_sketches(_kmv_sketches(spark, sf_dir))
+    # the pair algebra fans the sketch frame into THREE plan subtrees
+    # (distinct types + both membership joins); without a checkpoint the
+    # scan→distinct→bottom-K subtree executes once per reference — the
+    # `_minhash_candidates` re-execution trap (round-6 ADVICE). The frame
+    # is T×K rows, so materializing it is free.
+    return kmv_set_ops_from_sketches(
+        _kmv_sketches(spark, sf_dir).localCheckpoint(eager=True)
+    )
 
 
 def kmv_set_ops_from_sketches(sk: DataFrame) -> DataFrame:

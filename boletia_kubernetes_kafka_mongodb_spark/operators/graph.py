@@ -386,14 +386,25 @@ def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     e_src, e_dst = _edge_arrays(edges)
     spd = seeds.toPandas().sort_values("doc_id").reset_index(drop=True)
     nodes = spd["doc_id"].to_numpy(dtype=np.int64)
+    if len(nodes) == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, is_seed boolean, label string, labeled_at int"
+        )
     uniq = sorted({v for v in spd["label"] if v is not None})
     code_of = {v: k for k, v in enumerate(uniq)}
     lab = np.array(
         [code_of[v] if v is not None else -1 for v in spd["label"]], dtype=np.int64
     )
     labeled_at = np.where(lab >= 0, 0, -1).astype(np.int64)
-    si = np.searchsorted(nodes, e_src)
-    di = np.searchsorted(nodes, e_dst)
+    # edge vertices ABSENT from the seed frame are dropped, matching the
+    # distributed path exactly (there, only seed-frame ids exist in the
+    # labels frame: absent sources never vote, absent dsts left-join away).
+    # Without this mask searchsorted returns an out-of-range or wrong
+    # index for such vertices (round-6 ADVICE).
+    si = np.searchsorted(nodes, e_src).clip(max=len(nodes) - 1)
+    di = np.searchsorted(nodes, e_dst).clip(max=len(nodes) - 1)
+    covered = (nodes[si] == e_src) & (nodes[di] == e_dst)
+    si, di = si[covered], di[covered]
     L = max(len(uniq), 1)
     n = len(nodes)
     dense_votes = n * L <= 50_000_000  # (n, L) count matrix memory bound

@@ -9,8 +9,9 @@ Same contract as the JSONL source (`jsonl.py`), same two-frame return:
   same ``_corrupt_record``-pruning trap as JSON, and the text form shares
   one parser between batch and streaming.
 - **Quarantine, never drop**: a line is quarantined when (a) it carries
-  MORE fields than the schema (arity overflow — detected by a sentinel
-  extra column), or (b) a field that string-parses non-empty was nulled
+  MORE fields than the schema (arity overflow — detected by counting raw
+  delimiters outside quoted regions, which witnesses even an EMPTY extra
+  trailing field), or (b) a field that string-parses non-empty was nulled
   by the typed parse (type coercion, e.g. ``abc`` under ``doc_id long``).
 - **Honest coverage note** (CSV's format limits vs JSONL): a line with
   FEWER fields than the schema is indistinguishable from trailing empty
@@ -41,11 +42,18 @@ def _csv_is_clean(schema_ddl: str) -> Column:
     from pyspark.sql.types import StructType
 
     fields = StructType.fromDDL(schema_ddl).fieldNames()
-    sentinel = schema_ddl + ", _extra string"
     as_string = ", ".join(f"{name} string" for name in fields)
     typed = F.from_csv("value", F.lit(schema_ddl))
     raw = F.from_csv("value", F.lit(as_string))
-    clean = F.from_csv("value", F.lit(sentinel))["_extra"].isNull()
+    # arity overflow gates on the RAW delimiter count (commas outside
+    # RFC-4180 quoted regions), not a sentinel extra column: the parser
+    # reads an EMPTY trailing extra field ("1,x,y,") as NULL under every
+    # nullValue/emptyValue option combination, so a sentinel cannot
+    # witness it (round-6 ADVICE). Quoted fields — including escaped ""
+    # quotes — are erased before counting, so embedded commas don't count.
+    stripped = F.regexp_replace("value", '"(?:[^"]|"")*"', "")
+    n_seps = F.length(stripped) - F.length(F.regexp_replace(stripped, ",", ""))
+    clean = n_seps <= F.lit(len(fields) - 1)
     for name in fields:
         coerced = raw[name].isNotNull() & typed[name].isNull()
         clean = clean & ~coerced

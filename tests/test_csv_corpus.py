@@ -36,10 +36,11 @@ def test_csv_quarantine_arity_and_coercion(spark, tmp_path):
         "2,also good,en,s,9\n"
         "3,too,many,fields,5,EXTRA\n"  # arity overflow -> quarantine
         "4,short line\n"               # under-arity -> NULLs, parsed
+        "5,sneaky,en,s,7,\n"           # EMPTY extra field -> quarantine
     )
     good, quarantine = csv_corpus.read_csv_corpus(spark, str(p))
     q = sorted(r.line for r in quarantine.collect())
-    assert q == ["3,too,many,fields,5,EXTRA", "abc,bad id,en,s,6"]
+    assert q == ["3,too,many,fields,5,EXTRA", "5,sneaky,en,s,7,", "abc,bad id,en,s,6"]
     rows = {r.doc_id: r for r in good.collect()}
     assert set(rows) == {1, 2, 4}
     assert rows[4].text == "short line" and rows[4].lang is None

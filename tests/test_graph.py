@@ -159,6 +159,35 @@ def test_label_prop_both_paths_bit_equal(spark):
     assert a == b and len(a) > 0
 
 
+def test_label_prop_incomplete_seed_frame_paths_agree(spark):
+    """A vertex present in edges but ABSENT from the seed frame (round-6
+    ADVICE): the distributed path silently drops such vertices (they never
+    exist in the labels frame), so the driver path must do exactly the
+    same — not crash in searchsorted or misattribute votes. The crafted
+    graph routes a label THROUGH the missing vertex 99 (2-99, 99-3): with
+    99 dropped, 3 must stay unlabeled on both paths."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import graph as G
+
+    pairs = [(1, 2), (2, 99), (99, 3), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    # 99 (mid-chain) and 5 (max id — the out-of-range searchsorted case)
+    # are missing from the seed frame
+    seeds = spark.createDataFrame(
+        [(1, True, "en"), (2, False, None), (3, False, None), (4, True, "fr")],
+        "doc_id long, is_seed boolean, label string",
+    )
+    a = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=10**9).collect()))
+    b = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=0).collect()))
+    assert a == b
+    out = {r[0]: r for r in a}
+    assert set(out) == {1, 2, 3, 4}          # 99 and 5 dropped, both paths
+    assert out[2][2] == "en" and out[3][2] is None
+    assert out[4][2] == "fr"
+
+
 def test_survivor_rank_invariants_and_parity(spark, duck):
     """Each component has exactly one canonical member; the canonical is
     the component's max-rank (tie min-id); components agree with the
