@@ -22,16 +22,33 @@ ledger uses for seq packing — so the DuckDB oracle replays the *entire*
 order-dependent in IEEE doubles, and 6dp rounding can't absorb a
 knife-edge half-ulp at the rounding boundary.)
 
-Scale design (100 TB): the adjacency (edge-sized) never moves after its
-one checkpoint — each iteration BROADCASTS the node-sized rank frame
-into a map-side join and reduces contributions with a map-side-combined
-groupBy, so the only per-iteration shuffle is the already-combined
-(dst, sum) frame (measured 30.7 s → ~4 s at sf0.1 vs the join-shuffle
-formulation). The broadcast is correct while the NODE frame fits an
-executor (millions of nodes); for billion-node graphs drop the hint and
-the same plan degrades to a co-partitionable shuffle join on ``src``.
-Rank lineage is truncated every 3 iterations so the plan never grows
-with the iteration count. The single driver-side scalar is ``N`` (one
+Scale design (100 TB) — THREE gated physical strategies, all bit-equal:
+
+1. **Driver** (≤ ``dedup.DRIVER_CC_MAX_EDGES`` edges): vectorized numpy
+   iteration over Arrow-collected edge arrays — milliseconds where the
+   whole graph is broadcast-sized anyway.
+2. **Broadcast loop** (edges above the gate, nodes ≤
+   ``BROADCAST_NODES_MAX``): the adjacency (edge-sized) never moves
+   after its one checkpoint — each iteration BROADCASTS the node-sized
+   rank frame into a map-side join and reduces contributions with a
+   map-side-combined groupBy, so the only per-iteration shuffle is the
+   already-combined (dst, sum) frame (measured 30.7 s → ~4 s at sf0.1
+   vs the join-shuffle formulation).
+3. **Co-partitioned shuffle loop** (nodes above ``BROADCAST_NODES_MAX``
+   — the node frame no longer fits one executor): the adjacency is
+   hash-repartitioned on ``src`` ONCE and persisted; each iteration
+   shuffle-hash-joins the node-sized rank frame against it (the cached
+   `InMemoryRelation` keeps its outputPartitioning, so the edge side
+   never re-exchanges — verified in the plan gate; PySpark
+   `localCheckpoint` would lose it, hence persist for the adjacency).
+   Per-iteration cost: two node-sized exchanges (ranks in, combined
+   (dst, sum) out), zero broadcasts, build side ≈ nodes/partitions.
+   Known residual: a single pathological-degree source key lands whole
+   in one partition (hash-partitioned by src) — the map-side combine
+   absorbs dst-side skew, src-side super-hubs would need salting.
+
+Rank lineage is truncated every iteration so the plan never grows with
+the iteration count. The single driver-side scalar is ``N`` (one
 count), the same bounded-collect class as the IVF layout stats.
 
 Reference parity: the reference engine (Go, pcKafka/pcRestaurar) has no
@@ -49,6 +66,10 @@ from . import dedup
 PR_ITERS = 8            # fixed power-iteration count (state: iter ∈ [0, 8])
 PR_DAMP_NUM = 85        # damping d = 85/100 in integer arithmetic
 PR_SCALE = 1_000_000_000  # rank unit: 1e-9 (BIGINT nano-ranks)
+# node count above which the per-iteration rank/frontier frame stops being
+# broadcast and the loops switch to the co-partitioned shuffle-hash tier
+# (~100M nodes ≈ a few GB of (id, rank) rows — the executor-memory wall)
+BROADCAST_NODES_MAX = 100_000_000
 
 _JACCARD_PAIRS_CACHE: dict = {}
 
@@ -75,7 +96,10 @@ def _jaccard_pairs_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_nano(
-    spark: SparkSession, edges: DataFrame, driver_max_edges: int | None = None
+    spark: SparkSession,
+    edges: DataFrame,
+    driver_max_edges: int | None = None,
+    broadcast_nodes_max: int | None = None,
 ) -> DataFrame:
     """(doc_id, degree, rank_nano) from a symmetric (src, dst) edge list.
 
@@ -106,7 +130,9 @@ def _pagerank_nano(
         return spark.createDataFrame([], "doc_id long, degree long, rank_nano long")
     if n_edges <= driver_max_edges:
         return _pagerank_driver(spark, edges)
-    return _pagerank_distributed(spark, edges.localCheckpoint(eager=True))
+    return _pagerank_distributed(
+        spark, edges.localCheckpoint(eager=True), broadcast_nodes_max
+    )
 
 
 def _edge_arrays(edges: DataFrame):
@@ -151,29 +177,64 @@ def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
 
 
-def _pagerank_distributed(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """Distributed path: see `_pagerank_nano` for the plan shape."""
+def _pr_contribs(adj: DataFrame, ranks: DataFrame, broadcast_ranks: bool) -> DataFrame:
+    """One power-iteration reduce: join ranks onto the (src, dst, d)
+    adjacency and emit the map-side-combined (dst, Σ share) frame. The
+    rank side enters either as a broadcast (tier 2) or as a shuffle-hash
+    build side against the pre-partitioned cached adjacency (tier 3) —
+    the arithmetic is identical, so the tiers stay bit-equal."""
+    r = F.broadcast(ranks) if broadcast_ranks else ranks.hint("shuffle_hash")
+    return (
+        adj.join(r, adj["src"] == ranks["doc_id"])
+        .select("dst", F.expr("r DIV d").alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("s"))
+    )
+
+
+def _pagerank_distributed(
+    spark: SparkSession, edges: DataFrame, broadcast_nodes_max: int | None = None
+) -> DataFrame:
+    """Distributed tiers 2 and 3: see the module docstring for the plan
+    shapes. The tier split is on NODE count — the broadcast loop's rank
+    frame must fit an executor; past `BROADCAST_NODES_MAX` the loop
+    switches to shuffle-hash joins against a once-partitioned cached
+    adjacency (persist, not localCheckpoint: the PySpark checkpoint scan
+    reports UnknownPartitioning and would re-exchange the edge frame
+    every iteration — verified, see the tier-3 plan gate)."""
+    if broadcast_nodes_max is None:
+        broadcast_nodes_max = BROADCAST_NODES_MAX
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    # adjacency with out-degree attached — reused every iteration
-    adj = edges.join(deg, "src").localCheckpoint(eager=True)
     n = deg.count()
     init = PR_SCALE // n
     base = (PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100) // n  # 150e6 DIV N
+    broadcast_tier = n <= broadcast_nodes_max
+    if broadcast_tier:
+        # adjacency with out-degree attached — reused every iteration
+        adj = edges.join(deg, "src").localCheckpoint(eager=True)
+    else:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        adj = edges.join(deg, "src").repartition(nparts, "src").persist()
+        adj.count()
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(init).cast("long").alias("r"))
     for i in range(PR_ITERS):
-        contribs = (
-            adj.join(F.broadcast(ranks), adj["src"] == ranks["doc_id"])
-            .select("dst", F.expr("r DIV d").alias("share"))
-            .groupBy("dst")
-            .agg(F.sum("share").alias("s"))
-        )
+        contribs = _pr_contribs(adj, ranks, broadcast_ranks=broadcast_tier)
         ranks = contribs.select(
             F.col("dst").alias("doc_id"),
             (F.lit(base) + F.expr(f"({PR_DAMP_NUM} * s) DIV 100")).cast("long").alias("r"),
         ).localCheckpoint(eager=True)
-    return ranks.join(F.broadcast(deg), ranks["doc_id"] == deg["src"]).select(
+    dg = F.broadcast(deg) if broadcast_tier else deg.hint("shuffle_hash")
+    out = ranks.join(dg, ranks["doc_id"] == deg["src"]).select(
         "doc_id", F.col("d").alias("degree"), F.col("r").alias("rank_nano")
     )
+    if not broadcast_tier:
+        # every iteration's ranks frame is already checkpointed and the
+        # final join re-derives deg from the checkpointed edge frame, so
+        # the cached adjacency is no longer needed — but the final join
+        # is still lazy, so materialize it before dropping the cache
+        out = out.localCheckpoint(eager=True)
+        adj.unpersist()
+    return out
 
 
 def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,22 +417,29 @@ def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def label_propagate(
-    edges: DataFrame, seeds: DataFrame, driver_max_edges: int | None = None
+    edges: DataFrame,
+    seeds: DataFrame,
+    driver_max_edges: int | None = None,
+    broadcast_nodes_max: int | None = None,
 ) -> DataFrame:
     """The propagation loop over any symmetric (src, dst) edge list and
     (doc_id, is_seed, label) seed frame — the testable core (the crafted
     tie-break/flooding fixtures drive exactly this).
 
-    Same two-path strategy as `_pagerank_nano`: broadcast-sized edge lists
-    run the vectorized numpy round loop on the driver (pinned bit-equal to
-    the distributed loop by a both-paths test); larger graphs run the
-    distributed rounds (frontier broadcast join + map-side-combined vote
-    count per round)."""
+    Same three-tier strategy as `_pagerank_nano`: broadcast-sized edge
+    lists run the vectorized numpy round loop on the driver (pinned
+    bit-equal to the distributed loops by a three-paths test); larger
+    graphs run the distributed rounds (frontier broadcast join +
+    map-side-combined vote count per round), and past
+    `BROADCAST_NODES_MAX` nodes the frontier/winner joins switch to
+    shuffle-hash against a once-partitioned cached edge frame."""
     if driver_max_edges is None:
         driver_max_edges = dedup.DRIVER_CC_MAX_EDGES
     if edges.count() <= driver_max_edges:
         return _label_prop_driver(edges, seeds)
-    return _label_prop_distributed(edges.localCheckpoint(eager=True), seeds)
+    return _label_prop_distributed(
+        edges.localCheckpoint(eager=True), seeds, broadcast_nodes_max
+    )
 
 
 def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
@@ -449,10 +517,23 @@ def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     )
 
 
-def _label_prop_distributed(edges: DataFrame, seeds: DataFrame) -> DataFrame:
-    """Distributed rounds: see `label_propagate` for the plan shape."""
+def _label_prop_distributed(
+    edges: DataFrame, seeds: DataFrame, broadcast_nodes_max: int | None = None
+) -> DataFrame:
+    """Distributed tiers 2 and 3: see `label_propagate` for the plan
+    shapes. Tier 3 (nodes past the broadcast wall) hash-partitions the
+    edge frame on ``src`` once and persists it; the per-round frontier
+    and winner joins become shuffle-hash builds of the node-sized side,
+    so no round ever broadcasts a node-sized frame."""
     from pyspark.sql.window import Window
 
+    if broadcast_nodes_max is None:
+        broadcast_nodes_max = BROADCAST_NODES_MAX
+    broadcast_tier = seeds.count() <= broadcast_nodes_max
+    if not broadcast_tier:
+        nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        edges = edges.repartition(nparts, "src").persist()
+        edges.count()
     labels = seeds.select(
         "doc_id",
         "is_seed",
@@ -463,10 +544,13 @@ def _label_prop_distributed(edges: DataFrame, seeds: DataFrame) -> DataFrame:
         lab = labels.where(F.col("label").isNotNull()).select(
             F.col("doc_id").alias("src_id"), F.col("label").alias("nl")
         )
-        # labeled frontier is node-sized -> broadcast; the only shuffle
-        # per round is the map-side-combined (dst, label) count
+        # tier 2: the labeled frontier is node-sized -> broadcast; the only
+        # shuffle per round is the map-side-combined (dst, label) count.
+        # tier 3: the frontier shuffle-hash-builds against the cached
+        # src-partitioned edge frame (no edge re-exchange).
+        frontier = F.broadcast(lab) if broadcast_tier else lab.hint("shuffle_hash")
         votes = (
-            edges.join(F.broadcast(lab), edges["src"] == lab["src_id"])
+            edges.join(frontier, edges["src"] == lab["src_id"])
             .groupBy("dst", "nl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -476,8 +560,9 @@ def _label_prop_distributed(edges: DataFrame, seeds: DataFrame) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("dst", F.col("nl").alias("win"))
         )
+        wj = F.broadcast(winner) if broadcast_tier else winner.hint("shuffle_hash")
         labels = (
-            labels.join(F.broadcast(winner), labels["doc_id"] == winner["dst"], "left")
+            labels.join(wj, labels["doc_id"] == winner["dst"], "left")
             .select(
                 "doc_id",
                 "is_seed",
@@ -488,8 +573,10 @@ def _label_prop_distributed(edges: DataFrame, seeds: DataFrame) -> DataFrame:
                 ).cast("int").alias("labeled_at"),
             )
         )
-        if i % 2 == 1:
+        if i % 2 == 1 or not broadcast_tier:
             labels = labels.localCheckpoint(eager=True)
+    if not broadcast_tier:
+        edges.unpersist()
     return labels
 
 

@@ -128,9 +128,11 @@ def test_label_prop_fixture_and_parity(spark, duck):
     )
 
 
-def test_pagerank_both_paths_bit_equal(spark):
-    """The numpy driver fast path and the distributed loop produce
-    IDENTICAL integer ranks (int64 floor-div ≡ Spark DIV ≥ 0)."""
+def test_pagerank_three_tiers_bit_equal(spark):
+    """The numpy driver fast path, the broadcast loop, and the
+    co-partitioned shuffle loop produce IDENTICAL integer ranks (int64
+    floor-div ≡ Spark DIV ≥ 0; the tier only changes the physical join
+    strategy, never the arithmetic)."""
     from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
 
     pairs = D.ext_dedup_ngram_jaccard(spark, "/root/testdata/sf0.01").select(
@@ -141,10 +143,13 @@ def test_pagerank_both_paths_bit_equal(spark):
     )
     a = sorted(map(tuple, graph._pagerank_nano(spark, edges, driver_max_edges=10**9).collect()))
     b = sorted(map(tuple, graph._pagerank_nano(spark, edges, driver_max_edges=0).collect()))
-    assert a == b and len(a) > 0
+    c = sorted(map(tuple, graph._pagerank_nano(
+        spark, edges, driver_max_edges=0, broadcast_nodes_max=0
+    ).collect()))
+    assert a == b == c and len(a) > 0
 
 
-def test_label_prop_both_paths_bit_equal(spark):
+def test_label_prop_three_tiers_bit_equal(spark):
     from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
     from boletia_kubernetes_kafka_mongodb_spark.operators import graph as G
 
@@ -156,7 +161,52 @@ def test_label_prop_both_paths_bit_equal(spark):
     seeds = G.lp_seed_frame(spark, sf, edges)
     a = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=10**9).collect()))
     b = sorted(map(tuple, G.label_propagate(edges, seeds, driver_max_edges=0).collect()))
-    assert a == b and len(a) > 0
+    c = sorted(map(tuple, G.label_propagate(
+        edges, seeds, driver_max_edges=0, broadcast_nodes_max=0
+    ).collect()))
+    assert a == b == c and len(a) > 0
+
+
+def test_pagerank_shuffle_tier_plan_gate(spark):
+    """Tier 3's contract, proven on the plan: with the node-broadcast gate
+    forced, (a) the per-iteration contribution step contains NO broadcast
+    exchange/join, and (b) the cached src-partitioned adjacency is NOT
+    re-exchanged — the only exchanges are the node-sized rank side and the
+    map-side-combined (dst, sum) aggregation."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 7) % 40) for i in range(600) if i % 40 != (i * 7) % 40],
+        "src long, dst long",
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    adj = edges.join(deg, "src").repartition(nparts, "src").persist()
+    adj.count()
+    try:
+        ranks = deg.select(
+            F.col("src").alias("doc_id"), F.lit(1000).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        step = graph._pr_contribs(adj, ranks, broadcast_ranks=False)
+        step.collect()  # resolve AQE to the final plan
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        # the ONE-TIME cache build (edges ⋈ deg, repartition) legitimately
+        # plans its own joins/exchanges and is printed as the
+        # InMemoryRelation subtree — the PER-ITERATION contract applies to
+        # the outer plan, everything above the first InMemoryRelation
+        outer = plan.split("InMemoryRelation")[0]
+        # the rank side enters through a shuffled hash join, never a
+        # broadcast (a broadcast plan would print BroadcastHashJoin here)
+        assert "ShuffledHashJoin" in outer, plan
+        assert "Broadcast" not in outer, plan
+        # and the cached adjacency is consumed in place: no src-keyed
+        # exchange may appear above the cache scan
+        import re
+
+        assert "InMemoryTableScan" in outer, plan
+        assert not re.search(r"Exchange hashpartitioning\(src", outer), plan
+    finally:
+        adj.unpersist()
 
 
 def test_label_prop_incomplete_seed_frame_paths_agree(spark):
