@@ -632,19 +632,26 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
-def _norm_prefix(text: str) -> tuple[str, int]:
+def _norm_full(text: str) -> tuple[str, int]:
     import re
 
     nt = re.sub(r"\s+", " ", text.lower())
-    return nt[: dedup.EDIT_PREFIX], len(nt)
+    return nt, len(nt)
 
 
 def test_edit_distance_crafted_branches(spark, tmp_path):
     """Every blocking branch live: an in-band typo pair is found with the
     exact distance, a same-band equal-length pair emits exactly once in
     (len, id) role order, a band-straddling pair is found via the +1 probe,
-    and a prefix-identical pair with |Δlen| > max-dist is length-gated out."""
+    a prefix-identical pair with |Δlen| > max-dist is length-gated out,
+    and — the round-7 contract change — a front-shifted long pair whose
+    PREFIX distance exceeds max-dist (but stays under the lossless 2d
+    prefilter) is found with its true FULL-text distance."""
     base = "the quick brown fox jumps over the lazy dog near the river bank"
+    # > EDIT_PREFIX chars, aperiodic under small shifts: a 5-char front
+    # insertion costs 10 on the 160-prefix (5 ins + 5 end misalign) but
+    # only 5 on the full string — the pair the prefix semantic missed
+    long_s = ("abcdefghijklmnopqrstuvwxyz0123456789" * 6)[:200]
     rows = [
         (1, base, "en", "src", len(base)),
         (2, base.replace("quick", "quack"), "en", "src", len(base)),  # 1 edit
@@ -655,6 +662,8 @@ def test_edit_distance_crafted_branches(spark, tmp_path):
         # craft a TRUE straddle instead: 63 chars (band 7) vs 65 (band 8)
         (5, base[:63], "en", "src", 63),
         (6, base[:63] + "xy", "en", "src", 65),
+        (7, long_s, "en", "src", 200),
+        (8, "zzzzz" + long_s, "en", "src", 205),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -666,42 +675,47 @@ def test_edit_distance_crafted_branches(spark, tmp_path):
     assert len(out) == len(got), "a pair emitted twice"
 
     texts = {i: t for i, t, *_ in rows}
-    p1, n1 = _norm_prefix(texts[1])
-    p2, _ = _norm_prefix(texts[2])
-    assert (1, 2) in got and got[(1, 2)].edit_distance == _lev(p1, p2) == 1
+    t1, n1 = _norm_full(texts[1])
+    t2, _ = _norm_full(texts[2])
+    assert (1, 2) in got and got[(1, 2)].edit_distance == _lev(t1, t2) == 1
     assert got[(1, 2)].len_short == n1
     assert (1, 4) in got and got[(1, 4)].edit_distance == 2
     assert (2, 4) in got  # both 1-edit from base → ≤ 2 edits apart
     # band straddle found via the +1 probe (bands 7 and 8)
-    p5, n5 = _norm_prefix(texts[5])
-    p6, n6 = _norm_prefix(texts[6])
+    t5, n5 = _norm_full(texts[5])
+    t6, n6 = _norm_full(texts[6])
     assert (n5 // dedup.EDIT_BAND) + 1 == n6 // dedup.EDIT_BAND
-    assert (5, 6) in got and got[(5, 6)].edit_distance == _lev(p5, p6)
+    assert (5, 6) in got and got[(5, 6)].edit_distance == _lev(t5, t6)
     # the length gate excludes doc 3 from everything (Δlen > EDIT_DIST_MAX)
     assert not any(3 in pair for pair in got)
+    # the front-shift pair: prefix distance 10 > EDIT_DIST_MAX, full
+    # distance 5 — found under the full-text contract
+    p7 = _norm_full(texts[7])[0][: dedup.EDIT_PREFIX]
+    p8 = _norm_full(texts[8])[0][: dedup.EDIT_PREFIX]
+    assert _lev(p7, p8) > dedup.EDIT_DIST_MAX
+    assert (7, 8) in got and got[(7, 8)].edit_distance == 5
 
 
 def test_edit_distance_matches_bruteforce(spark):
-    """Band blocking loses nothing: the operator's pair set equals the
-    python all-pairs reference (length gate + prefix Levenshtein) exactly,
-    distances included."""
+    """Band blocking AND the 2d prefix prefilter lose nothing: the
+    operator's pair set equals the python all-pairs reference (length
+    gate + FULL-text Levenshtein) exactly, distances included."""
     import duckdb
 
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
     ).fetchall()
-    norm = {i: _norm_prefix(t) for i, t in docs if t is not None}
+    norm = {i: _norm_full(t) for i, t in docs if t is not None}
     want = {}
     ids = sorted(norm)
     for x in range(len(ids)):
         for y in range(x + 1, len(ids)):
             a, b = ids[x], ids[y]
-            (pa, na), (pb, nb) = norm[a], norm[b]
+            (ta, na), (tb, nb) = norm[a], norm[b]
             if abs(na - nb) > dedup.EDIT_DIST_MAX:
                 continue
-            d = _lev(pa, pb)
+            d = _lev(ta, tb)
             if d <= dedup.EDIT_DIST_MAX:
-                lo, hi = (a, b) if (na, a) < (nb, b) else (b, a)
                 want[(min(a, b), max(a, b))] = d
     got = {
         (r.doc_a, r.doc_b): r.edit_distance
