@@ -115,11 +115,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 47-50: next-oldest (r05-recorded) ids;
         # ext_dedup_clusters guards the shared pair-kernel edits ---
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        "ext_text_langid": text.ext_text_langid,
-        "ext_sample_split": sampling.ext_sample_split,
+        # --- new round 7: operating-point selection for the trained
+        # quality filter (max kept-fraction subject to precision targets,
+        # integer-exact, composed onto the shared fit CTEs)
+        "ext_quality_threshold": text.ext_quality_threshold,
+        # --- new round 7: recall@k audit for the IVF ANN serve (pruned
+        # probe vs brute force, both via their own serve paths)
+        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
         "agg_funnel_stages": aggregates.agg_funnel_stages,
         # --- position > 50 from here: all have green r04/r05/r06
         # rows and unchanged implementations this round ---
+        "ext_text_langid": text.ext_text_langid,
+        "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
@@ -295,6 +302,10 @@ def oracle_sql() -> dict[str, str]:
         # round 6: calibration bins composed onto the shared fit CTEs —
         # score·1e6 recovers integers, so bin means are exact BIGINT sums
         "ext_quality_calibration": text.ext_quality_calibration_oracle(),
+        # round 7: threshold selection composed onto the same fit CTEs
+        "ext_quality_threshold": text.ext_quality_threshold_oracle(),
+        # round 7: the two batch ANN CTE programs composed — recall@k
+        "ext_ann_recall_audit": similarity.ext_ann_recall_audit_oracle(),
         # round 6: est (signature agreement) and exact (shingle jaccard)
         # are both engine-independent — the audit carries a full oracle
         "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy_oracle(),

@@ -418,7 +418,20 @@ KMV_K = 64  # bottom-k sketch size: rel. error ≈ 1/sqrt(K-2) ≈ 12.7%
 
 def _kmv_sketches_from(ev: DataFrame) -> DataFrame:
     """(event_type, h) bottom-K sketch rows from any (event_type, user_id)
-    frame — the testable core of `_kmv_sketches`."""
+    frame — the testable core of `_kmv_sketches`.
+
+    Plan (round-7, verdict #4): a MAP-SIDE BOUNDED bottom-K partial runs
+    per input partition (Arrow-batched ``mapInPandas``, carrying at most
+    T×K rows out of each partition), so the shuffle and the final
+    per-group rank window see ≤ partitions×T×K rows — sketch cost stops
+    tracking distinct cardinality (the previous formulation windowed ALL
+    distinct hashes per group, the same shuffle class as exact distinct).
+    Correctness of the partial is the KMV mergeability argument: a hash
+    in the global bottom-K of the distinct set is, in every partition
+    containing it, preceded by < K smaller distinct hashes — so it
+    survives that partition's bottom-K and reaches the final window.
+    The hash itself stays a native JVM expression; the pandas stage
+    touches only (event_type, h) longs."""
     from pyspark.sql.window import Window
 
     u = F.col("user_id").cast("string")
@@ -426,19 +439,44 @@ def _kmv_sketches_from(ev: DataFrame) -> DataFrame:
     lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
     hashes = ev.select(
         "event_type", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h")
-    ).distinct()
+    )
+    k = int(KMV_K)  # captured by value: workers must not resolve package
+    # globals when the driver's cwd isn't the repo (round-3 catch)
+
+    def _partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        best: dict = {}
+        for pdf in batches:
+            for t, grp in pdf.groupby("event_type", sort=False):
+                arr = np.unique(grp["h"].to_numpy())[:k]
+                prev = best.get(t)
+                if prev is not None:
+                    arr = np.unique(np.concatenate([prev, arr]))[:k]
+                best[t] = arr
+        for t, arr in best.items():
+            yield pd.DataFrame({"event_type": t, "h": arr})
+
+    part = hashes.mapInPandas(_partial, "event_type string, h long")
+    # ≤ partitions×T×K survivors: distinct (duplicates recur across
+    # partitions) then the exact per-group bottom-K
     w = Window.partitionBy("event_type").orderBy("h")
-    return hashes.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= KMV_K
-    ).select("event_type", "h")
+    return (
+        part.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .select("event_type", "h")
+    )
 
 
 def _kmv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, h): the bottom-K distinct md5-derived signed-64 user
     hashes per event type — the shared KMV sketch frame behind both the
     per-group estimate (`ext_approx_distinct_kmv`) and the set-algebra
-    operator (`ext_kmv_set_ops`). One corpus scan, map-side-combinable
-    distinct, then a per-group bottom-K window over ≤ |distinct| rows."""
+    operator (`ext_kmv_set_ops`). One corpus scan, a bounded
+    per-partition bottom-K partial, then the exact per-group bottom-K
+    window over ≤ partitions×T×K survivors."""
     return _kmv_sketches_from(tables.load(spark, sf_dir, "events"))
 
 
@@ -465,14 +503,13 @@ def ext_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical sketch, making this the one *hash-gated*
     approximate-distinct id.
 
-    Plan shape: distinct on (event_type, h) with map-side partial
-    aggregation, then a per-group window keeping ranks ≤ K. The window
-    sorts each group's distinct hashes — same shuffle class as the exact
-    count, which is the honest price of SQL-expressible determinism; the
-    fixed-size-state serve path at 100 TB remains the engine-native HLL
-    (or a registered bottom-k typed aggregator, which Spark SQL lacks
-    built-in). What KMV buys over both: a mergeable sketch whose every bit
-    is auditable cross-engine.
+    Plan shape (round-7): a bounded per-partition bottom-K partial
+    (`_kmv_sketches_from`) carries ≤ partitions×T×K rows into the
+    shuffle, then the exact per-group bottom-K window runs over that
+    constant-bounded frame — sketch cost no longer tracks distinct
+    cardinality, which is precisely the mergeability property the KMV
+    literature trades on. What KMV buys over the engine-native HLL: a
+    mergeable sketch whose every bit is auditable cross-engine.
     """
     bot = _kmv_sketches(spark, sf_dir)
     # signed h → unsigned position in (0,1]: u = (h + 2^63 + 1) / 2^64,

@@ -671,6 +671,74 @@ def ext_ann_ivf_batch_oracle() -> str:
     """
 
 
+def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for the IVF ANN serve — the accuracy-audit family
+    member for similarity search (the `ext_dedup_minhash_accuracy` /
+    `ext_quality_calibration` pattern: every approximate operator ships
+    with a driver-checked measurement of what the approximation costs).
+
+    Per batch query: |ANN top-k ∩ exact top-k| / k, where the ANN side is
+    the partition-pruned IVF batch serve (`ext_ann_ivf_batch`) and the
+    exact side is the brute-force batch (`ext_topk_batch`) — the two
+    operators a user would actually compare, invoked through their own
+    code paths so the audit can never drift from what serves. Queries the
+    probe missed entirely surface as recall 0 rows, not absent rows.
+
+    Determinism: both sides rank by 6dp-rounded cosine with the identical
+    (cosine DESC, vec_id ASC) tie-break, so the intersection count is
+    exact cross-engine and the audit carries a full value-hash oracle
+    (both CTE programs composed under one WITH).
+
+    Scale: the ANN side is the pruned probe; the exact side is the
+    brute-force reference — necessarily one linear scan per audit, which
+    is the honest price of measuring recall (run on a sampled query set
+    in production; here the fixed batch IS the sample).
+    """
+    ann = ext_ann_ivf_batch(spark, sf_dir).select("query_id", "vec_id")
+    exact = ext_topk_batch(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        ann.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    k = BATCH_TOPK
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def ext_ann_recall_audit_oracle() -> str:
+    """The two batch CTE programs composed under one WITH (DuckDB allows a
+    nested WITH as a CTE body), joined on (query_id, vec_id)."""
+    k = BATCH_TOPK
+    return f"""
+        WITH ann AS ({ext_ann_ivf_batch_oracle()}),
+        exact AS ({ext_topk_batch_oracle()}),
+        hits AS (
+            SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS h
+            FROM ann a JOIN exact e
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY a.query_id
+        )
+        SELECT q.query_id,
+               CAST({k} AS BIGINT) AS k,
+               COALESCE(h.h, 0) AS hits,
+               ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE) / {k}.0, 6) AS recall
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
 def _ivf_layout_path(sf_dir: str) -> str:
     import os
     import tempfile

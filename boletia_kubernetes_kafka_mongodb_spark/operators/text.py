@@ -1732,6 +1732,131 @@ def ext_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QC_THRESH_TARGETS = ((1, 2), (7, 10), (9, 10))  # precision targets as
+# exact rationals — the qualifying test cross-multiplies in BIGINT, so no
+# float compare ever decides an operating point
+
+
+def ext_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the trained filter — the decision a
+    curation pipeline actually ships (round-6 verdict #6): for each target
+    precision, choose the MOST PERMISSIVE score threshold whose kept set
+    {score ≥ t} still meets the target (i.e. maximize kept fraction
+    subject to precision ≥ target), and report the realized numbers.
+    Targets that no threshold attains surface as NULL rows rather than
+    disappearing — the audit must show what the filter cannot do.
+
+    Exactness: scores are 6dp-rounded, so candidate thresholds are the ≤
+    10⁶+1 distinct integer score units; cumulative kept/positive counts
+    are BIGINT window sums over that constant-bounded frame, and the
+    qualifying test ``pos_kept·den ≥ kept·num`` is an integer
+    cross-multiplication — the whole selection replays exactly in SQL
+    composed onto the shared fit CTEs (`_qc_sql_fit_ctes`), so the
+    operating point can never drift from the model it gates.
+
+    Scale: one (su) groupBy over the scored corpus, then every frame is
+    bounded by the 6dp score domain (≤ 1M rows) regardless of corpus
+    size; the descending cumulative runs on that bounded frame (single
+    partition by construction — documented constant, not a data-sized
+    sort).
+    """
+    scored = quality_classifier_fit_apply(
+        spark, tables.load(spark, sf_dir, "documents")
+    )
+    return quality_threshold_select(spark, scored)
+
+
+def quality_threshold_select(spark: SparkSession, scored: DataFrame) -> DataFrame:
+    """The selection alone, over any (label, score) frame with 6dp scores
+    — the testable core (crafted operating-curve fixtures drive this)."""
+    from pyspark.sql.window import Window
+
+    su = F.round(F.col("score") * F.lit(1_000_000.0), 0).cast("long")
+    g = (
+        scored.select(su.alias("su"), "label")
+        .groupBy("su")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy(F.desc("su")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "su",
+        F.sum("n").over(w).cast("long").alias("kept"),
+        F.sum("pos").over(w).cast("long").alias("pos_kept"),
+    ).localCheckpoint(eager=True)  # score-domain-bounded; referenced twice
+    total = scored.count()
+    targets = spark.createDataFrame(
+        list(QC_THRESH_TARGETS), "tnum long, tden long"
+    )
+    qual = cum.crossJoin(F.broadcast(targets)).where(
+        F.col("pos_kept") * F.col("tden") >= F.col("kept") * F.col("tnum")
+    )
+    chosen = qual.groupBy("tnum", "tden").agg(F.min("su").alias("su"))
+    stats = chosen.join(cum, "su")
+    return (
+        targets.join(F.broadcast(stats), ["tnum", "tden"], "left")
+        .select(
+            F.round(F.col("tnum").cast("double") / F.col("tden"), 6).alias("target"),
+            F.round(F.col("su").cast("double") / F.lit(1_000_000.0), 6).alias(
+                "threshold"
+            ),
+            F.col("kept").alias("kept_n"),
+            F.round(
+                F.col("kept").cast("double") / F.lit(float(max(total, 1))), 6
+            ).alias("kept_fraction"),
+            F.round(
+                F.col("pos_kept").cast("double") / F.col("kept").cast("double"), 6
+            ).alias("realized_precision"),
+        )
+    )
+
+
+def ext_quality_threshold_oracle() -> str:
+    """Composed onto the shared fit CTEs — same scored frame, same integer
+    cross-multiplied qualifying test, same most-permissive-threshold rule."""
+    tgt_union = " UNION ALL ".join(
+        f"SELECT CAST({n} AS BIGINT) AS tnum, CAST({d} AS BIGINT) AS tden"
+        for n, d in QC_THRESH_TARGETS
+    )
+    return f"""
+        WITH RECURSIVE {_qc_sql_fit_ctes()},
+        g AS (
+            SELECT CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS su,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS pos
+            FROM scored GROUP BY 1
+        ),
+        cum AS (
+            SELECT su,
+                   CAST(SUM(n) OVER (ORDER BY su DESC) AS BIGINT) AS kept,
+                   CAST(SUM(pos) OVER (ORDER BY su DESC) AS BIGINT) AS pos_kept
+            FROM g
+        ),
+        tot AS (SELECT GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0) AS nn FROM scored),
+        targets AS ({tgt_union}),
+        chosen AS (
+            SELECT t.tnum, t.tden, MIN(c.su) AS su
+            FROM targets t JOIN cum c
+              ON c.pos_kept * t.tden >= c.kept * t.tnum
+            GROUP BY t.tnum, t.tden
+        )
+        SELECT ROUND(CAST(t.tnum AS DOUBLE) / t.tden, 6) AS target,
+               ROUND(CAST(ch.su AS DOUBLE) / 1000000.0, 6) AS threshold,
+               c2.kept AS kept_n,
+               ROUND(CAST(c2.kept AS DOUBLE) / (SELECT nn FROM tot), 6)
+                   AS kept_fraction,
+               ROUND(CAST(c2.pos_kept AS DOUBLE) / CAST(c2.kept AS DOUBLE), 6)
+                   AS realized_precision
+        FROM targets t
+        LEFT JOIN chosen ch ON ch.tnum = t.tnum AND ch.tden = t.tden
+        LEFT JOIN cum c2 ON c2.su = ch.su
+    """
+
+
 def ext_quality_calibration_oracle() -> str:
     b = QC_CAL_BINS
     return f"""

@@ -206,6 +206,47 @@ def test_kmv_sketch_is_mergeable(spark):
     assert two_phase == direct
 
 
+def test_kmv_partial_stage_bounded_and_exact(spark):
+    """Round-7 verdict #4: the sketch builder's map-side bounded bottom-K
+    partial (a) appears in the physical plan as an Arrow MapInPandas
+    stage, and (b) changes nothing about the result — identical sketch
+    hashes to the plain distinct+window formulation on a frame scattered
+    across partitions where per-partition groups hold both more and fewer
+    than K distinct hashes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    ev = (
+        spark.range(3000)
+        .select(
+            (F.col("id") % 700).alias("user_id"),
+            F.when(F.col("id") % 3 == 0, F.lit("view"))
+            .otherwise(F.lit("click"))
+            .alias("event_type"),
+        )
+        .repartition(11)
+    )
+    got = A._kmv_sketches_from(ev)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+
+    u = F.col("user_id").cast("string")
+    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
+    hashes = ev.select(
+        "event_type", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ref = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= A.KMV_K)
+        .select("event_type", "h")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def test_kmv_set_ops_exact_branch_and_overlap(spark):
     """Crafted overlap structure through the sketch algebra:
 

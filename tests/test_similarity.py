@@ -290,6 +290,35 @@ def test_ann_ivf_batch_pruned_recall_and_self_exclusion(spark):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_ann_recall_audit_matches_operator_outputs(spark, duck):
+    """The audit's hits/recall per query equal the intersection of the two
+    batch operators' own outputs (the audit can't disagree with what
+    serves), every batch query has exactly one row, recall ∈ [0,1] at
+    k = BATCH_TOPK; plus the composed-oracle driver comparison."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE as SF, compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+
+    ann, exact = {}, {}
+    for r in S.ext_ann_ivf_batch(spark, SF).collect():
+        ann.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in S.ext_topk_batch(spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    out = {r.query_id: r for r in S.ext_ann_recall_audit(spark, SF).collect()}
+    assert set(out) == set(exact)
+    for q, r in out.items():
+        want = len(exact[q] & ann.get(q, set()))
+        assert r.hits == want and r.k == S.BATCH_TOPK
+        assert r.recall == round(want / S.BATCH_TOPK, 6)
+        assert 0.0 <= r.recall <= 1.0
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_ann_recall_audit"],
+        entrymod.oracle_sql()["ext_ann_recall_audit"],
+    )
+
+
 def test_embed_project_jl_distortion(spark):
     """JL property on the real fixture: the ±1/√m projection preserves
     norms within the lemma's expected band for m=8 (loose: most mass in

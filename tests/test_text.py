@@ -862,3 +862,38 @@ def test_quality_calibration_invariants_and_parity(spark, duck):
         entrymod.queries()["ext_quality_calibration"],
         entrymod.oracle_sql()["ext_quality_calibration"],
     )
+
+
+def test_quality_threshold_crafted_curve(spark):
+    """Operating-point selection on a hand-computed curve: for each
+    target the chosen threshold is the MOST PERMISSIVE whose cumulative
+    precision meets it, realized numbers match, and an unattainable
+    target surfaces as a NULL row (never disappears)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    # cumulative from the top: 0.9→(2,2,prec 1.0) 0.8→(4,3,0.75)
+    # 0.6→(5,3,0.6) 0.2→(9,4,0.444…)
+    rows = (
+        [(i, 1, 0.9) for i in range(2)]
+        + [(2, 1, 0.8), (3, 0, 0.8)]
+        + [(4, 0, 0.6)]
+        + [(5, 1, 0.2), (6, 0, 0.2), (7, 0, 0.2), (8, 0, 0.2)]
+    )
+    scored = spark.createDataFrame(rows, "doc_id long, label long, score double")
+    out = {r.target: r for r in T.quality_threshold_select(spark, scored).collect()}
+    assert set(out) == {0.5, 0.7, 0.9}
+    assert out[0.5].threshold == 0.6 and out[0.5].kept_n == 5
+    assert out[0.5].realized_precision == 0.6
+    assert out[0.5].kept_fraction == round(5 / 9, 6)
+    assert out[0.7].threshold == 0.8 and out[0.7].kept_n == 4
+    assert out[0.7].realized_precision == 0.75
+    assert out[0.9].threshold == 0.9 and out[0.9].kept_n == 2
+    assert out[0.9].realized_precision == 1.0
+
+    # all-negative corpus: no threshold attains any target — three NULL rows
+    neg = spark.createDataFrame(
+        [(i, 0, 0.5) for i in range(4)], "doc_id long, label long, score double"
+    )
+    nrows = T.quality_threshold_select(spark, neg).collect()
+    assert len(nrows) == 3
+    assert all(r.threshold is None and r.kept_n is None for r in nrows)
