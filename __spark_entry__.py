@@ -54,10 +54,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     thresholded verify replaces the 160-char-prefix contract),
     `ext_approx_distinct_kmv` / `ext_kmv_set_ops` (bounded-heap map-side
     KMV partials + the set-ops sketch-reuse checkpoint ADVICE fix);
-    positions 47-50 carry this round's new ids and next-oldest
-    (r05-recorded) re-attests. Everything after position 50 has a green
-    r04/r05/r06 driver row and an unchanged implementation; the ids not
-    re-attested this round queue for r08 in ROUND7_NOTES.
+    positions 47-50 are `ext_dedup_clusters` (r05 re-attest, guarding the
+    shared pair-kernel edits), the two NEW round-7 ids
+    (`ext_quality_threshold` — operating-point selection composed onto
+    the trained filter's fit CTEs; `ext_ann_recall_audit` — recall@k of
+    the IVF batch serve vs the brute-force batch), and
+    `agg_funnel_stages` (r05 re-attest). Everything after position 50
+    has a green r05/r06 driver row and an unchanged implementation; the
+    44 r05-era ids not re-attested this round are the precomputed r08
+    queue in ROUND7_NOTES.
     """
     return {
         # --- r07 window positions 1-40: the 40 r04-era ids from
