@@ -54,15 +54,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     thresholded verify replaces the 160-char-prefix contract),
     `ext_approx_distinct_kmv` / `ext_kmv_set_ops` (bounded-heap map-side
     KMV partials + the set-ops sketch-reuse checkpoint ADVICE fix);
-    positions 47-50 are `ext_dedup_clusters` (r05 re-attest, guarding the
-    shared pair-kernel edits), the two NEW round-7 ids
-    (`ext_quality_threshold` — operating-point selection composed onto
-    the trained filter's fit CTEs; `ext_ann_recall_audit` — recall@k of
-    the IVF batch serve vs the brute-force batch), and
-    `agg_funnel_stages` (r05 re-attest). Everything after position 50
-    has a green r05/r06 driver row and an unchanged implementation; the
-    44 r05-era ids not re-attested this round are the precomputed r08
-    queue in ROUND7_NOTES.
+    positions 47-50 are the two NEW round-7 ids (`ext_quality_threshold`
+    — operating-point selection composed onto the trained filter's fit
+    CTEs; `ext_ann_recall_audit` — recall@k of the IVF batch serve vs
+    the brute-force batch) and the two trained-filter ids changed by the
+    round-7 shared-fit-cache refactor (`ext_quality_classifier`,
+    `ext_quality_calibration` — one GD loop per dataset now serves all
+    three consumer ids). Everything after position 50 has a green
+    r05/r06 driver row and an unchanged implementation; the 46 r05-era
+    ids not re-attested this round are the precomputed r08 queue in
+    ROUND7_NOTES.
     """
     return {
         # --- r07 window positions 1-40: the 40 r04-era ids from
@@ -117,20 +118,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
         "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
         "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        # --- positions 47-50: next-oldest (r05-recorded) ids;
-        # ext_dedup_clusters guards the shared pair-kernel edits ---
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        # --- new round 7: operating-point selection for the trained
-        # quality filter (max kept-fraction subject to precision targets,
+        # --- positions 47-50: round-7 new ids + the two trained-filter
+        # ids changed by the shared-fit-cache refactor (re-attest) ---
+        # new round 7: operating-point selection for the trained quality
+        # filter (max kept-fraction subject to precision targets,
         # integer-exact, composed onto the shared fit CTEs)
         "ext_quality_threshold": text.ext_quality_threshold,
-        # --- new round 7: recall@k audit for the IVF ANN serve (pruned
+        # new round 7: recall@k audit for the IVF ANN serve (pruned
         # probe vs brute force, both via their own serve paths)
         "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
-        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        # changed round 7: fit served from the shared _qc_fit_cached
+        # frame (one GD loop per dataset for all three consumer ids)
+        "ext_quality_classifier": text.ext_quality_classifier,
+        "ext_quality_calibration": text.ext_quality_calibration,
         # --- position > 50 from here: all have green r04/r05/r06
         # rows and unchanged implementations this round ---
         "ext_text_langid": text.ext_text_langid,
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
         "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,

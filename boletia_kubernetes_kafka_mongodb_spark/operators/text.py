@@ -1561,9 +1561,12 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     learnability is pinned by the crafted separable corpus in
     tests/test_text.py (accuracy ≥ 0.9 there).
     """
-    return quality_classifier_fit_apply(
-        spark, tables.load(spark, sf_dir, "documents")
-    )
+    feats, n, w = _qc_fit_cached(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, label long, score double, pred boolean"
+        )
+    return quality_classifier_score(feats, w)
 
 
 def quality_classifier_fit_apply(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -1578,6 +1581,35 @@ def quality_classifier_fit_apply(spark: SparkSession, docs: DataFrame) -> DataFr
         )
     w = quality_classifier_fit(feats, n)
     return quality_classifier_score(feats, w)
+
+
+_QC_FIT_CACHE: dict = {}
+
+
+def _qc_fit_cached(spark: SparkSession, sf_dir: str):
+    """(checkpointed feature frame, n, weights) for the documents table,
+    fit ONCE per (application, dataset signature) — THREE driver ids
+    consume the identical deterministic fit (`ext_quality_classifier`,
+    `ext_quality_calibration`, `ext_quality_threshold`), and without the
+    cache each re-runs the 8-collect GD loop (~1.5 s at sf0.1) on a model
+    that cannot change while the dataset doesn't (the
+    `_jaccard_pairs_cache` discipline; content-signature-keyed via
+    `dataset_cache_get`). The crafted-corpus tests keep driving
+    `quality_classifier_fit_apply` directly — arbitrary frames never
+    enter this cache."""
+    from ..sources.layouts import dataset_cache_get
+
+    def _build():
+        feats = _qc_features(
+            tables.load(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        n = feats.count()
+        w = quality_classifier_fit(feats, n) if n else [0.0] * 5
+        return feats, n, w
+
+    return dataset_cache_get(
+        _QC_FIT_CACHE, spark, sf_dir, "documents", _build, tag="qc-fit"
+    )
 
 
 def quality_classifier_fit(feats: DataFrame, n: int) -> list[float]:
@@ -1701,11 +1733,15 @@ def ext_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: scores are 6dp-rounded, so `score·1e6` recovers an integer
     and the per-bin mean is an ORDER-INDEPENDENT BIGINT sum divided once —
     no float accumulation; `cal_gap` is computed from the two ROUNDED
-    aggregates. One extra tiny agg after the serving pass.
+    aggregates. One extra tiny agg after the serving pass; the fit itself
+    comes from the shared `_qc_fit_cached` frame (round 7).
     """
-    scored = quality_classifier_fit_apply(
-        spark, tables.load(spark, sf_dir, "documents")
-    )
+    feats, n, w = _qc_fit_cached(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "bin int, n long, mean_score double, frac_positive double, cal_gap double"
+        )
+    scored = quality_classifier_score(feats, w)
     bin_col = F.least(
         F.floor(F.col("score") * QC_CAL_BINS).cast("int"),
         F.lit(QC_CAL_BINS - 1),
@@ -1758,17 +1794,27 @@ def ext_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the 6dp score domain (≤ 1M rows) regardless of corpus
     size; the descending cumulative runs on that bounded frame (single
     partition by construction — documented constant, not a data-sized
-    sort).
+    sort). The fit comes from the shared `_qc_fit_cached` frame, and the
+    corpus total reuses its count (round 7).
     """
-    scored = quality_classifier_fit_apply(
-        spark, tables.load(spark, sf_dir, "documents")
-    )
-    return quality_threshold_select(spark, scored)
+    feats, n, w = _qc_fit_cached(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "target double, threshold double, kept_n long, "
+            "kept_fraction double, realized_precision double",
+        )
+    scored = quality_classifier_score(feats, w)
+    return quality_threshold_select(spark, scored, total=n)
 
 
-def quality_threshold_select(spark: SparkSession, scored: DataFrame) -> DataFrame:
+def quality_threshold_select(
+    spark: SparkSession, scored: DataFrame, total: int | None = None
+) -> DataFrame:
     """The selection alone, over any (label, score) frame with 6dp scores
-    — the testable core (crafted operating-curve fixtures drive this)."""
+    — the testable core (crafted operating-curve fixtures drive this).
+    ``total`` lets callers that already counted the corpus skip the extra
+    job."""
     from pyspark.sql.window import Window
 
     su = F.round(F.col("score") * F.lit(1_000_000.0), 0).cast("long")
@@ -1788,7 +1834,8 @@ def quality_threshold_select(spark: SparkSession, scored: DataFrame) -> DataFram
         F.sum("n").over(w).cast("long").alias("kept"),
         F.sum("pos").over(w).cast("long").alias("pos_kept"),
     ).localCheckpoint(eager=True)  # score-domain-bounded; referenced twice
-    total = scored.count()
+    if total is None:
+        total = scored.count()
     targets = spark.createDataFrame(
         list(QC_THRESH_TARGETS), "tnum long, tden long"
     )

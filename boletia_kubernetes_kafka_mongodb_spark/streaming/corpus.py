@@ -91,3 +91,22 @@ def quality_score_stream(docs_stream: DataFrame, weights: list[float]) -> DataFr
     from ..operators.text import _qc_features, quality_classifier_score
 
     return quality_classifier_score(_qc_features(docs_stream), weights)
+
+
+def quality_gate_stream(
+    docs_stream: DataFrame, weights: list[float], threshold: float
+) -> DataFrame:
+    """Streaming serve of a CHOSEN OPERATING POINT (round 7): train
+    offline, select the threshold offline (`text.quality_threshold_select`
+    — max kept-fraction subject to a precision target), then gate the
+    arriving corpus ONLINE. Still a stateless narrow map per micro-batch;
+    the integer-unit compare (score·1e6 ≥ threshold·1e6, both 6dp
+    integers) keeps the keep/drop decision exactly the batch selection's
+    `score ≥ t` rule, never a float-epsilon different one. Stream ≡ batch
+    on the same documents is pinned in tests/test_corpus_stream.py."""
+    scored = quality_score_stream(docs_stream, weights)
+    su = F.round(F.col("score") * F.lit(1_000_000.0), 0).cast("long")
+    tu = int(round(threshold * 1_000_000))
+    return scored.select(
+        "doc_id", "score", (su >= F.lit(tu)).alias("keep")
+    )

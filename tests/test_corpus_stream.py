@@ -239,3 +239,44 @@ def test_quality_score_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM qscores").collect()
     }
     assert got == batch
+
+
+def test_quality_gate_stream_equals_batch_threshold(spark, tmp_path):
+    """The full offline→online operating-point loop: fit + choose a
+    threshold on the batch snapshot (`quality_threshold_select`), gate
+    the SAME documents as a file stream — the streamed keep set equals
+    the batch rule `score >= t` exactly (integer-unit compare, never a
+    float-epsilon different decision)."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    sf = "/root/testdata/sf0.001"
+    docs = tables.load(spark, sf, "documents")
+    feats = T._qc_features(docs).localCheckpoint(eager=True)
+    n = feats.count()
+    w = T.quality_classifier_fit(feats, n)
+    scored = T.quality_classifier_score(feats, w)
+    ops = {r.target: r for r in T.quality_threshold_select(spark, scored, total=n).collect()}
+    # pick the loosest attainable operating point; fall back to 0.5 if
+    # the fixture attains none (threshold rows are NULL then)
+    chosen = next(
+        (r.threshold for t, r in sorted(ops.items()) if r.threshold is not None),
+        0.5,
+    )
+    batch_keep = {
+        r.doc_id: round(r.score * 1_000_000) >= round(chosen * 1_000_000)
+        for r in scored.collect()
+    }
+
+    src = str(tmp_path / "gate_stream")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    (
+        C.quality_gate_stream(stream, w, chosen)
+        .writeStream.format("memory").queryName("qgate")
+        .trigger(availableNow=True).start().awaitTermination(120)
+    )
+    rows = spark.sql("SELECT * FROM qgate").collect()
+    assert {r.doc_id: r.keep for r in rows} == batch_keep
+    assert any(r.keep for r in rows) or all(not v for v in batch_keep.values())
