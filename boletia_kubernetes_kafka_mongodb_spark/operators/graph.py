@@ -517,6 +517,22 @@ def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     )
 
 
+def _lp_votes(edges: DataFrame, lab: DataFrame, broadcast_frontier: bool) -> DataFrame:
+    """One propagation round's vote count: join the labeled frontier
+    (src_id, nl) onto the edge list and emit the map-side-combined
+    (dst, nl, cnt) frame. The frontier enters either as a broadcast
+    (tier 2) or as a shuffle-hash build against the pre-partitioned
+    cached edge frame (tier 3) — same counts either way, so the tiers
+    stay bit-equal (the `_pr_contribs` factoring, plan-gated the same
+    way)."""
+    f = F.broadcast(lab) if broadcast_frontier else lab.hint("shuffle_hash")
+    return (
+        edges.join(f, edges["src"] == lab["src_id"])
+        .groupBy("dst", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _label_prop_distributed(
     edges: DataFrame, seeds: DataFrame, broadcast_nodes_max: int | None = None
 ) -> DataFrame:
@@ -548,12 +564,7 @@ def _label_prop_distributed(
         # shuffle per round is the map-side-combined (dst, label) count.
         # tier 3: the frontier shuffle-hash-builds against the cached
         # src-partitioned edge frame (no edge re-exchange).
-        frontier = F.broadcast(lab) if broadcast_tier else lab.hint("shuffle_hash")
-        votes = (
-            edges.join(frontier, edges["src"] == lab["src_id"])
-            .groupBy("dst", "nl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        votes = _lp_votes(edges, lab, broadcast_frontier=broadcast_tier)
         w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("nl"))
         winner = (
             votes.withColumn("rn", F.row_number().over(w))

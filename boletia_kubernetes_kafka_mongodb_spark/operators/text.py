@@ -1488,12 +1488,14 @@ QC_SCALE = 1_000_000_000.0  # per-row gradient quantization: BIGINT nano-units
 QC_EN_STOPWORDS = LANG_STOPWORDS["en"]
 
 
-def _qc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, y, x1..x4): the surface-feature frame for the classifier —
-    en-stopword ratio (×10), mean token length (/10), type-token ratio,
-    and √tokens (/10), all deliberately scaled to O(1) so no single
-    feature dominates the unnormalized gradient (the raw mean-token-length
-    feature at ~4.5 made full-batch GD oscillate; measured).
+def _qc_features(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """(doc_id, *keep, y, x1..x4): the surface-feature frame for the
+    classifier — en-stopword ratio (×10), mean token length (/10),
+    type-token ratio, and √tokens (/10), all deliberately scaled to O(1)
+    so no single feature dominates the unnormalized gradient (the raw
+    mean-token-length feature at ~4.5 made full-batch GD oscillate;
+    measured). ``keep`` passes document columns through untouched — the
+    streaming gate needs the full row alongside its decision.
 
     Every feature is ROUNDED at 6dp at construction so both engines carry
     identical doubles into training, and no transcendental appears
@@ -1505,6 +1507,7 @@ def _qc_features(docs: DataFrame) -> DataFrame:
     hits = F.size(F.filter(toks, lambda t: t.isin(*QC_EN_STOPWORDS)))
     return docs.select(
         "doc_id",
+        *keep,
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
         F.round(
             F.lit(10.0) * hits.cast("double") / F.greatest(nt, F.lit(1)), 6
@@ -1638,16 +1641,22 @@ def quality_classifier_fit(feats: DataFrame, n: int) -> list[float]:
     return w
 
 
+def quality_score_col(w: list[float]):
+    """The frozen-weight 6dp score as a single Column over the (x1..x4)
+    feature columns — shared by the batch scorer and the streaming
+    serve/gate twins so no consumer can restate the link differently."""
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") \
+        + F.lit(w[3]) * F.col("x3") + F.lit(w[4]) * F.col("x4")
+    return F.round(_qc_sigma(z), 6)
+
+
 def quality_classifier_score(feats: DataFrame, w: list[float]) -> DataFrame:
     """Serve frozen weights over any feature frame — a pure narrow map, so
     it applies unchanged to BATCH and STREAMING frames."""
-    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
-    z = F.lit(w[0]) + F.lit(w[1]) * xs[1] + F.lit(w[2]) * xs[2] \
-        + F.lit(w[3]) * xs[3] + F.lit(w[4]) * xs[4]
     return feats.select(
         "doc_id",
         F.col("y").cast("long").alias("label"),
-        F.round(_qc_sigma(z), 6).alias("score"),
+        quality_score_col(w).alias("score"),
     ).select("doc_id", "label", "score", (F.col("score") >= 0.5).alias("pred"))
 
 

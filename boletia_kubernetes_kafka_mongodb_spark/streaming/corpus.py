@@ -102,11 +102,17 @@ def quality_gate_stream(
     arriving corpus ONLINE. Still a stateless narrow map per micro-batch;
     the integer-unit compare (score·1e6 ≥ threshold·1e6, both 6dp
     integers) keeps the keep/drop decision exactly the batch selection's
-    `score ≥ t` rule, never a float-epsilon different one. Stream ≡ batch
+    `score ≥ t` rule, never a float-epsilon different one. The full
+    document row passes through with the decision, so downstream stages
+    (dedup, sinks) compose in the same streaming query. Stream ≡ batch
     on the same documents is pinned in tests/test_corpus_stream.py."""
-    scored = quality_score_stream(docs_stream, weights)
-    su = F.round(F.col("score") * F.lit(1_000_000.0), 0).cast("long")
+    from ..operators.text import _qc_features, quality_score_col
+
+    carry = tuple(c for c in docs_stream.columns if c != "doc_id")
+    feats = _qc_features(docs_stream, keep=carry)
+    score = quality_score_col(weights)
+    su = F.round(score * F.lit(1_000_000.0), 0).cast("long")
     tu = int(round(threshold * 1_000_000))
-    return scored.select(
-        "doc_id", "score", (su >= F.lit(tu)).alias("keep")
+    return feats.select(
+        "doc_id", *carry, score.alias("score"), (su >= F.lit(tu)).alias("keep")
     )

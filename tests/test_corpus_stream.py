@@ -280,3 +280,84 @@ def test_quality_gate_stream_equals_batch_threshold(spark, tmp_path):
     rows = spark.sql("SELECT * FROM qgate").collect()
     assert {r.doc_id: r.keep for r in rows} == batch_keep
     assert any(r.keep for r in rows) or all(not v for v in batch_keep.values())
+
+
+def test_ingestion_pipeline_end_to_end_stream(spark, tmp_path):
+    """The composed ingestion story in ONE streaming query: CSV shards
+    land → format quarantine → learned quality gate (offline fit +
+    offline operating point) → stateful keep-first exact dedup → sink.
+    Checks: corrupt lines reach quarantine (never the pipeline), the
+    gate's keep set matches the batch rule, and exactly one survivor per
+    normalized-text fingerprint among gate-kept docs comes out."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.sources import csv_corpus
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    sf = "/root/testdata/sf0.001"
+    docs = tables.load(spark, sf, "documents")
+
+    # offline: fit + pick the loosest attainable operating point
+    feats = T._qc_features(docs).localCheckpoint(eager=True)
+    n = feats.count()
+    w = T.quality_classifier_fit(feats, n)
+    scored = T.quality_classifier_score(feats, w)
+    ops = T.quality_threshold_select(spark, scored, total=n).collect()
+    chosen = next(
+        (r.threshold for r in sorted(ops, key=lambda r: r.target)
+         if r.threshold is not None),
+        0.5,
+    )
+
+    # shard directory: the corpus as CSV + an exact-duplicate line of the
+    # max-id doc (new id 999999) + two corrupt lines
+    src = tmp_path / "landing"
+    src.mkdir()
+    csv_corpus.write_csv_corpus(docs, str(src / "shard-0"))
+    dup = docs.orderBy(F.desc("doc_id")).first()
+    (src / "shard-1.csv").write_text(
+        spark.createDataFrame(
+            [(999999, dup.text, dup.lang, dup.source, dup.n_chars)], docs.schema
+        ).select(F.to_csv(F.struct(*docs.columns))).first()[0]
+        + "\n"
+        "zzz,not an id,en,s,5\n"
+        "1,too,many,fields,5,6,EXTRA\n"
+    )
+
+    good, quarantine = csv_corpus.read_csv_corpus_stream(
+        spark, str(src) + "/*"
+    )
+    gated = C.quality_gate_stream(good, w, chosen)
+    kept = gated.where(F.col("keep")).drop("score", "keep")
+    survivors = C.dedup_exact_stream(kept)
+    (
+        survivors.writeStream.format("memory").queryName("pipe_out")
+        .trigger(availableNow=True).start().awaitTermination(180)
+    )
+    (
+        quarantine.select("line").writeStream.format("memory")
+        .queryName("pipe_quar").trigger(availableNow=True).start()
+        .awaitTermination(120)
+    )
+
+    out = spark.sql("SELECT * FROM pipe_out").collect()
+    quar = sorted(r.line for r in spark.sql("SELECT * FROM pipe_quar").collect())
+    assert quar == ["1,too,many,fields,5,6,EXTRA", "zzz,not an id,en,s,5"]
+
+    # batch expectation: gate-kept docs (the duplicate copy passes iff its
+    # original does), one survivor per fingerprint
+    tu = round(chosen * 1_000_000)
+    batch_kept = {
+        r.doc_id for r in scored.collect()
+        if round(r.score * 1_000_000) >= tu
+    }
+    fp = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", T.fingerprint_col().alias("fp")).collect()}
+    want_fps = {fp[d] for d in batch_kept}
+    assert {r.fingerprint for r in out} == want_fps
+    assert len(out) == len(want_fps), "more than one survivor per fingerprint"
+    # every survivor is a gate-kept doc (999999 may stand in for the dup)
+    legal = batch_kept | ({999999} if dup.doc_id in batch_kept else set())
+    assert all(r.doc_id in legal for r in out)

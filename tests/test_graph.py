@@ -209,6 +209,40 @@ def test_pagerank_shuffle_tier_plan_gate(spark):
         adj.unpersist()
 
 
+def test_label_prop_shuffle_tier_plan_gate(spark):
+    """Tier-3 contract for the propagation rounds, proven on the plan:
+    with the node-broadcast gate forced, the per-round vote step joins
+    the frontier via shuffle-hash (never a broadcast) and consumes the
+    cached src-partitioned edge frame in place (no src-keyed exchange
+    above the cache scan) — the `_pr_contribs` gate, for label prop."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 7) % 40) for i in range(600) if i % 40 != (i * 7) % 40],
+        "src long, dst long",
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_p = edges.repartition(nparts, "src").persist()
+    edges_p.count()
+    try:
+        lab = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "fr") for i in range(40)],
+            "src_id long, nl string",
+        ).localCheckpoint(eager=True)
+        step = graph._lp_votes(edges_p, lab, broadcast_frontier=False)
+        step.collect()
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        outer = plan.split("InMemoryRelation")[0]
+        assert "ShuffledHashJoin" in outer, plan
+        assert "Broadcast" not in outer, plan
+        import re
+
+        assert "InMemoryTableScan" in outer, plan
+        assert not re.search(r"Exchange hashpartitioning\(src", outer), plan
+    finally:
+        edges_p.unpersist()
+
+
 def test_label_prop_incomplete_seed_frame_paths_agree(spark):
     """A vertex present in edges but ABSENT from the seed frame (round-6
     ADVICE): the distributed path silently drops such vertices (they never
