@@ -43,31 +43,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-7 window (round-4 verdict #1's standing rule:
-    pay the rotation on schedule) = positions 1-40 are exactly the 40
-    r04-era ids from ROUND6_NOTES' precomputed queue (after this round no
-    id's latest attestation is older than round 5); positions 41-46 are
-    this round's changed ids — `ext_graph_pagerank` /
-    `ext_graph_label_prop` / `ext_graph_survivor_rank` (third strategy
-    tier for beyond-broadcast node counts + the label-prop driver-path
-    seed-coverage ADVICE fix), `ext_dedup_edit_distance` (full-text
-    thresholded verify replaces the 160-char-prefix contract),
-    `ext_approx_distinct_kmv` / `ext_kmv_set_ops` (bounded-heap map-side
-    KMV partials + the set-ops sketch-reuse checkpoint ADVICE fix);
-    positions 47-50 are the two NEW round-7 ids (`ext_quality_threshold`
-    — operating-point selection composed onto the trained filter's fit
-    CTEs; `ext_ann_recall_audit` — recall@k of the IVF batch serve vs
-    the brute-force batch) and the two trained-filter ids changed by the
-    round-7 shared-fit-cache refactor (`ext_quality_classifier`,
-    `ext_quality_calibration` — one GD loop per dataset now serves all
-    three consumer ids). Everything after position 50 has a green
-    r05/r06 driver row and an unchanged implementation; the 46 r05-era
-    ids not re-attested this round are the precomputed r08 queue in
-    ROUND7_NOTES.
+    order per round. Round-8 window (round-4 verdict #1's standing rule:
+    pay the rotation on schedule) = positions 1-46 are exactly the 46
+    r05-era ids from ROUND7_NOTES' precomputed queue (after this round
+    no id's latest attestation is older than round 6); positions 47-48
+    are this round's changed ids — `ext_graph_pagerank` /
+    `ext_graph_label_prop` (tier-3 super-hub src salting in the
+    shuffle-hash loops, round-7 verdict item 2; `ext_graph_survivor_rank`
+    composes the same salted kernels but its window slot went to the
+    queue — the three-tier bit-equality suite re-pins it this round and
+    its r07 row stands); positions 49-50 are the round-8 NEW ids
+    (`ext_approx_quantiles_sketch` — mergeable deterministic quantile
+    sketch, verdict item 3; `ext_quality_psi` — population-stability
+    drift monitor on the trained filter's fit CTEs, verdict item 5).
+    Everything after position 50 has a green r06/r07 driver row and an
+    unchanged implementation; the r09 rotation queue is precomputed in
+    ROUND8_NOTES.
     """
     return {
-        # --- r07 window positions 1-40: the 40 r04-era ids from
-        # ROUND6_NOTES' precomputed rotation queue ---
+        # --- r08 window positions 1-46: the 46 r05-era ids from
+        # ROUND7_NOTES' precomputed rotation queue ---
+        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
+        "agg_value_histogram": aggregates.agg_value_histogram,
+        "cdc_broker_metrics": cdc.cdc_broker_metrics,
+        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        "ext_bm25_search": search.ext_bm25_search,
+        "ext_cooccurrence": aggregates.ext_cooccurrence,
+        "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
+        "ext_corpus_stats": text.ext_corpus_stats,
+        "ext_decontaminate": sampling.ext_decontaminate,
+        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
+        "ext_dedup_incremental": dedup.ext_dedup_incremental,
+        "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_dedup_simhash": dedup.ext_dedup_simhash,
+        "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_heavy_hitters": text.ext_heavy_hitters,
+        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
+        "ext_multimodal_features": multimodal.ext_multimodal_features,
+        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
+        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
+        "ext_quality_buckets": text.ext_quality_buckets,
+        "ext_sample_importance": sampling.ext_sample_importance,
+        "ext_sample_quota": sampling.ext_sample_quota,
+        "ext_sample_split": sampling.ext_sample_split,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_shard_manifest": sampling.ext_shard_manifest,
+        "ext_split_drift": sampling.ext_split_drift,
+        "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
+        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
+        "ext_text_clean": dedup.ext_text_clean,
+        "ext_text_entropy": text.ext_text_entropy,
+        "ext_text_fingerprint": text.ext_text_fingerprint,
+        "ext_text_langid": text.ext_text_langid,
+        "ext_text_pii_mask": text.ext_text_pii_mask,
+        "ext_text_quality": text.ext_text_quality,
+        "ext_text_repetition": text.ext_text_repetition,
+        "ext_text_sentiment": text.ext_text_sentiment,
+        "ext_text_tokens": text.ext_text_tokens,
+        "ext_text_winnowing": text.ext_text_winnowing,
+        "ext_tfidf_terms": search.ext_tfidf_terms,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
+        # --- positions 47-48: changed this round (re-attest) —
+        # tier-3 super-hub src salting in the shuffle-hash loops
+        # (_pr_contribs / _lp_votes; round-7 verdict item 2) ---
+        "ext_graph_pagerank": graph.ext_graph_pagerank,
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
+        # --- positions 49-50: new round-8 ids are inserted here ---
+        # --- position > 50 from here: all have green r06/r07
+        # driver rows and unchanged implementations this round ---
         "agg_count_reservations": aggregates.agg_count_reservations,
         "agg_ewma_daily": aggregates.agg_ewma_daily,
         "agg_pivot_estado": aggregates.agg_pivot_estado,
@@ -108,35 +157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_churn_emails": ordering.setop_churn_emails,
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "sql_availability": scans.sql_availability,
-        # --- positions 41-46: changed this round (re-attest) —
-        # graph third strategy tier + label-prop seed-coverage fix,
-        # full-text edit-distance verify, bounded-heap KMV partials +
-        # set-ops sketch checkpoint ---
         "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
-        "ext_graph_pagerank": graph.ext_graph_pagerank,
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
         "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
         "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
         "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        # --- positions 47-50: round-7 new ids + the two trained-filter
-        # ids changed by the shared-fit-cache refactor (re-attest) ---
-        # new round 7: operating-point selection for the trained quality
-        # filter (max kept-fraction subject to precision targets,
-        # integer-exact, composed onto the shared fit CTEs)
         "ext_quality_threshold": text.ext_quality_threshold,
-        # new round 7: recall@k audit for the IVF ANN serve (pruned
-        # probe vs brute force, both via their own serve paths)
         "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
-        # changed round 7: fit served from the shared _qc_fit_cached
-        # frame (one GD loop per dataset for all three consumer ids)
         "ext_quality_classifier": text.ext_quality_classifier,
         "ext_quality_calibration": text.ext_quality_calibration,
-        # --- position > 50 from here: all have green r04/r05/r06
-        # rows and unchanged implementations this round ---
-        "ext_text_langid": text.ext_text_langid,
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        "agg_funnel_stages": aggregates.agg_funnel_stages,
-        "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_mixture": sampling.ext_sample_mixture,
         "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_pack": sampling.ext_sample_pack,
@@ -168,8 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_readability": text.ext_text_readability,
         "ext_ngram_novelty": dedup.ext_ngram_novelty,
         "ext_embed_project": similarity.ext_embed_project,
-        "ext_quality_classifier": text.ext_quality_classifier,
-        "ext_quality_calibration": text.ext_quality_calibration,
         "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "agg_user_stickiness": aggregates.agg_user_stickiness,
@@ -181,48 +207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range_guard": scans.filter_range_guard,
         "filter_state_machine": cdc.filter_state_machine,
         "project_rename_detreserva": scans.project_rename_detreserva,
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
-        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
-        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
-        "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
-        "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
-        "ext_dedup_simhash": dedup.ext_dedup_simhash,
-        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
-        "ext_multimodal_features": multimodal.ext_multimodal_features,
-        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
-        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
-        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
-        "ext_text_tokens": text.ext_text_tokens,
-        "ext_text_quality": text.ext_text_quality,
-        "ext_text_fingerprint": text.ext_text_fingerprint,
-        "ext_text_winnowing": text.ext_text_winnowing,
-        "ext_text_repetition": text.ext_text_repetition,
-        "ext_text_pii_mask": text.ext_text_pii_mask,
-        "ext_corpus_stats": text.ext_corpus_stats,
-        "ext_text_sentiment": text.ext_text_sentiment,
-        "ext_sample_quota": sampling.ext_sample_quota,
-        "ext_decontaminate": sampling.ext_decontaminate,
-        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
-        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
-        "agg_value_histogram": aggregates.agg_value_histogram,
-        "cdc_broker_metrics": cdc.cdc_broker_metrics,
-        "ext_bm25_search": search.ext_bm25_search,
-        "ext_cooccurrence": aggregates.ext_cooccurrence,
-        "ext_dedup_incremental": dedup.ext_dedup_incremental,
-        "ext_dedup_segments": dedup.ext_dedup_segments,
-        "ext_dedup_substring": dedup.ext_dedup_substring,
-        "ext_heavy_hitters": text.ext_heavy_hitters,
-        "ext_quality_buckets": text.ext_quality_buckets,
-        "ext_sample_importance": sampling.ext_sample_importance,
-        "ext_sample_weighted": sampling.ext_sample_weighted,
-        "ext_shard_manifest": sampling.ext_shard_manifest,
-        "ext_split_drift": sampling.ext_split_drift,
-        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
-        "ext_text_clean": dedup.ext_text_clean,
-        "ext_text_entropy": text.ext_text_entropy,
-        "ext_tfidf_terms": search.ext_tfidf_terms,
-        "ext_vocab_coverage": text.ext_vocab_coverage,
     }
 
 
