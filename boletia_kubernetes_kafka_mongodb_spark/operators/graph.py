@@ -42,10 +42,25 @@ Scale design (100 TB) — THREE gated physical strategies, all bit-equal:
    never re-exchanges — verified in the plan gate; PySpark
    `localCheckpoint` would lose it, hence persist for the adjacency).
    Per-iteration cost: two node-sized exchanges (ranks in, combined
-   (dst, sum) out), zero broadcasts, build side ≈ nodes/partitions.
-   Known residual: a single pathological-degree source key lands whole
-   in one partition (hash-partitioned by src) — the map-side combine
-   absorbs dst-side skew, src-side super-hubs would need salting.
+   (dst, sum) out), no node-sized broadcasts, build side ≈
+   nodes/partitions.
+
+   **Super-hub split (round 8):** hash-partitioning the adjacency by
+   ``src`` lands a pathological-degree source key whole in one
+   partition — and near-dup graphs produce exactly such hubs
+   (boilerplate/template cliques). Sources with degree >
+   ``HUB_DEGREE_MIN`` are therefore split out at setup into a SECOND
+   cached adjacency partitioned by ``dst`` (a hub's edges spread
+   evenly — strictly better than salting, which still leaves D/S rows
+   per salt and needs rank-row replication). The hub id list is
+   bounded by edges/HUB_DEGREE_MIN (≤ ~25k rows even at 10^11 edges),
+   so each iteration extracts the hubs' CURRENT ranks by a broadcast
+   semi-join (tiny build — never node-sized) and broadcast-joins that
+   hub-rank frame onto the dst-partitioned hub adjacency; the two
+   (dst, share) branches union below one map-side-combined groupBy.
+   Integer shares make the per-dst sum order-independent, so the
+   split path stays bit-equal to every other tier (pinned by a forced
+   hot-hub equality test + a partition-spread test).
 
 Rank lineage is truncated every iteration so the plan never grows with
 the iteration count. The single driver-side scalar is ``N`` (one
@@ -70,6 +85,12 @@ PR_SCALE = 1_000_000_000  # rank unit: 1e-9 (BIGINT nano-ranks)
 # broadcast and the loops switch to the co-partitioned shuffle-hash tier
 # (~100M nodes ≈ a few GB of (id, rank) rows — the executor-memory wall)
 BROADCAST_NODES_MAX = 100_000_000
+# tier-3 out-degree above which a source's adjacency is split into the
+# dst-partitioned hub cache instead of the src-partitioned one (see the
+# module docstring): 4M rows ≈ a couple of average partitions at the
+# node counts tier 3 exists for, and caps the hub id list at
+# edges/4M (~25k rows at 10^11 edges — always broadcastable)
+HUB_DEGREE_MIN = 4_000_000
 
 _JACCARD_PAIRS_CACHE: dict = {}
 
@@ -100,6 +121,7 @@ def _pagerank_nano(
     edges: DataFrame,
     driver_max_edges: int | None = None,
     broadcast_nodes_max: int | None = None,
+    hub_degree_min: int | None = None,
 ) -> DataFrame:
     """(doc_id, degree, rank_nano) from a symmetric (src, dst) edge list.
 
@@ -131,7 +153,7 @@ def _pagerank_nano(
     if n_edges <= driver_max_edges:
         return _pagerank_driver(spark, edges)
     return _pagerank_distributed(
-        spark, edges.localCheckpoint(eager=True), broadcast_nodes_max
+        spark, edges.localCheckpoint(eager=True), broadcast_nodes_max, hub_degree_min
     )
 
 
@@ -177,23 +199,80 @@ def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
 
 
-def _pr_contribs(adj: DataFrame, ranks: DataFrame, broadcast_ranks: bool) -> DataFrame:
+def _pr_contribs(
+    adj: DataFrame,
+    ranks: DataFrame,
+    broadcast_ranks: bool,
+    hub_adj: DataFrame | None = None,
+    hubs: DataFrame | None = None,
+) -> DataFrame:
     """One power-iteration reduce: join ranks onto the (src, dst, d)
     adjacency and emit the map-side-combined (dst, Σ share) frame. The
     rank side enters either as a broadcast (tier 2) or as a shuffle-hash
     build side against the pre-partitioned cached adjacency (tier 3) —
-    the arithmetic is identical, so the tiers stay bit-equal."""
+    the arithmetic is identical, so the tiers stay bit-equal.
+
+    Tier-3 hub split: when ``hub_adj`` (the dst-partitioned adjacency of
+    super-hub sources) is present, the hubs' current ranks are extracted
+    by a broadcast semi-join against the bounded ``hubs`` id frame and
+    broadcast onto ``hub_adj`` — both broadcast builds are hub-count-
+    sized, never node-sized. Integer shares keep the per-dst sum
+    order-independent, so the union is bit-equal to the unsplit form."""
     r = F.broadcast(ranks) if broadcast_ranks else ranks.hint("shuffle_hash")
-    return (
-        adj.join(r, adj["src"] == ranks["doc_id"])
-        .select("dst", F.expr("r DIV d").alias("share"))
-        .groupBy("dst")
-        .agg(F.sum("share").alias("s"))
+    shares = adj.join(r, adj["src"] == ranks["doc_id"]).select(
+        "dst", F.expr("r DIV d").alias("share")
     )
+    if hub_adj is not None:
+        hub_ranks = ranks.join(
+            F.broadcast(hubs), ranks["doc_id"] == hubs["hub_src"], "left_semi"
+        )
+        shares = shares.unionByName(
+            hub_adj.join(F.broadcast(hub_ranks), hub_adj["src"] == hub_ranks["doc_id"])
+            .select("dst", F.expr("r DIV d").alias("share"))
+        )
+    return shares.groupBy("dst").agg(F.sum("share").alias("s"))
+
+
+def _hub_split(
+    adj: DataFrame, deg: DataFrame, nparts: int, hub_degree_min: int
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Split a joined (src, dst, …) adjacency into the src-partitioned
+    main cache and (if any super-hubs exist) the dst-partitioned hub
+    cache + the broadcastable hub id frame. Both caches are persisted
+    (NOT localCheckpoint — the checkpoint scan reports
+    UnknownPartitioning and would re-exchange every iteration); callers
+    unpersist via `_hub_unpersist`. One bounded driver scalar: the hub
+    count (≤ edges/hub_degree_min by construction)."""
+    hubs = deg.where(F.col("d") > hub_degree_min).select(
+        F.col("src").alias("hub_src")
+    )
+    if hubs.count() == 0:
+        main = adj.repartition(nparts, "src").persist()
+        main.count()
+        return main, None, None
+    hubs = hubs.localCheckpoint(eager=True)
+    main = adj.join(
+        F.broadcast(hubs), adj["src"] == hubs["hub_src"], "left_anti"
+    ).repartition(nparts, "src").persist()
+    hub_adj = adj.join(
+        F.broadcast(hubs), adj["src"] == hubs["hub_src"], "left_semi"
+    ).repartition(nparts, "dst").persist()
+    main.count()
+    hub_adj.count()
+    return main, hub_adj, hubs
+
+
+def _hub_unpersist(main: DataFrame, hub_adj: DataFrame | None) -> None:
+    main.unpersist()
+    if hub_adj is not None:
+        hub_adj.unpersist()
 
 
 def _pagerank_distributed(
-    spark: SparkSession, edges: DataFrame, broadcast_nodes_max: int | None = None
+    spark: SparkSession,
+    edges: DataFrame,
+    broadcast_nodes_max: int | None = None,
+    hub_degree_min: int | None = None,
 ) -> DataFrame:
     """Distributed tiers 2 and 3: see the module docstring for the plan
     shapes. The tier split is on NODE count — the broadcast loop's rank
@@ -201,24 +280,32 @@ def _pagerank_distributed(
     switches to shuffle-hash joins against a once-partitioned cached
     adjacency (persist, not localCheckpoint: the PySpark checkpoint scan
     reports UnknownPartitioning and would re-exchange the edge frame
-    every iteration — verified, see the tier-3 plan gate)."""
+    every iteration — verified, see the tier-3 plan gate), with
+    super-hub sources split into a dst-partitioned cache served by
+    bounded broadcasts (`_hub_split`)."""
     if broadcast_nodes_max is None:
         broadcast_nodes_max = BROADCAST_NODES_MAX
+    if hub_degree_min is None:
+        hub_degree_min = HUB_DEGREE_MIN
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     n = deg.count()
     init = PR_SCALE // n
     base = (PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100) // n  # 150e6 DIV N
     broadcast_tier = n <= broadcast_nodes_max
+    hub_adj = hubs = None
     if broadcast_tier:
         # adjacency with out-degree attached — reused every iteration
         adj = edges.join(deg, "src").localCheckpoint(eager=True)
     else:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        adj = edges.join(deg, "src").repartition(nparts, "src").persist()
-        adj.count()
+        adj, hub_adj, hubs = _hub_split(
+            edges.join(deg, "src"), deg, nparts, hub_degree_min
+        )
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(init).cast("long").alias("r"))
     for i in range(PR_ITERS):
-        contribs = _pr_contribs(adj, ranks, broadcast_ranks=broadcast_tier)
+        contribs = _pr_contribs(
+            adj, ranks, broadcast_ranks=broadcast_tier, hub_adj=hub_adj, hubs=hubs
+        )
         ranks = contribs.select(
             F.col("dst").alias("doc_id"),
             (F.lit(base) + F.expr(f"({PR_DAMP_NUM} * s) DIV 100")).cast("long").alias("r"),
@@ -233,7 +320,7 @@ def _pagerank_distributed(
         # the cached adjacency is no longer needed — but the final join
         # is still lazy, so materialize it before dropping the cache
         out = out.localCheckpoint(eager=True)
-        adj.unpersist()
+        _hub_unpersist(adj, hub_adj)
     return out
 
 
@@ -421,6 +508,7 @@ def label_propagate(
     seeds: DataFrame,
     driver_max_edges: int | None = None,
     broadcast_nodes_max: int | None = None,
+    hub_degree_min: int | None = None,
 ) -> DataFrame:
     """The propagation loop over any symmetric (src, dst) edge list and
     (doc_id, is_seed, label) seed frame — the testable core (the crafted
@@ -438,7 +526,7 @@ def label_propagate(
     if edges.count() <= driver_max_edges:
         return _label_prop_driver(edges, seeds)
     return _label_prop_distributed(
-        edges.localCheckpoint(eager=True), seeds, broadcast_nodes_max
+        edges.localCheckpoint(eager=True), seeds, broadcast_nodes_max, hub_degree_min
     )
 
 
@@ -517,39 +605,62 @@ def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     )
 
 
-def _lp_votes(edges: DataFrame, lab: DataFrame, broadcast_frontier: bool) -> DataFrame:
+def _lp_votes(
+    edges: DataFrame,
+    lab: DataFrame,
+    broadcast_frontier: bool,
+    hub_edges: DataFrame | None = None,
+    hubs: DataFrame | None = None,
+) -> DataFrame:
     """One propagation round's vote count: join the labeled frontier
     (src_id, nl) onto the edge list and emit the map-side-combined
     (dst, nl, cnt) frame. The frontier enters either as a broadcast
     (tier 2) or as a shuffle-hash build against the pre-partitioned
     cached edge frame (tier 3) — same counts either way, so the tiers
     stay bit-equal (the `_pr_contribs` factoring, plan-gated the same
-    way)."""
+    way). Tier-3 hub split: super-hub sources vote through the
+    dst-partitioned ``hub_edges`` cache via a bounded broadcast of just
+    the hubs' frontier rows (`_pr_contribs`' hub branch, for votes —
+    counts are order-independent, so the union stays bit-equal)."""
     f = F.broadcast(lab) if broadcast_frontier else lab.hint("shuffle_hash")
-    return (
-        edges.join(f, edges["src"] == lab["src_id"])
-        .groupBy("dst", "nl")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    votes = edges.join(f, edges["src"] == lab["src_id"]).select("dst", "nl")
+    if hub_edges is not None:
+        hub_lab = lab.join(
+            F.broadcast(hubs), lab["src_id"] == hubs["hub_src"], "left_semi"
+        )
+        votes = votes.unionByName(
+            hub_edges.join(
+                F.broadcast(hub_lab), hub_edges["src"] == hub_lab["src_id"]
+            ).select("dst", "nl")
+        )
+    return votes.groupBy("dst", "nl").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def _label_prop_distributed(
-    edges: DataFrame, seeds: DataFrame, broadcast_nodes_max: int | None = None
+    edges: DataFrame,
+    seeds: DataFrame,
+    broadcast_nodes_max: int | None = None,
+    hub_degree_min: int | None = None,
 ) -> DataFrame:
     """Distributed tiers 2 and 3: see `label_propagate` for the plan
     shapes. Tier 3 (nodes past the broadcast wall) hash-partitions the
-    edge frame on ``src`` once and persists it; the per-round frontier
-    and winner joins become shuffle-hash builds of the node-sized side,
-    so no round ever broadcasts a node-sized frame."""
+    edge frame on ``src`` once and persists it — super-hub sources split
+    into a dst-partitioned cache served by bounded broadcasts
+    (`_hub_split`); the per-round frontier and winner joins become
+    shuffle-hash builds of the node-sized side, so no round ever
+    broadcasts a node-sized frame."""
     from pyspark.sql.window import Window
 
     if broadcast_nodes_max is None:
         broadcast_nodes_max = BROADCAST_NODES_MAX
+    if hub_degree_min is None:
+        hub_degree_min = HUB_DEGREE_MIN
     broadcast_tier = seeds.count() <= broadcast_nodes_max
+    hub_edges = hubs = None
     if not broadcast_tier:
         nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        edges = edges.repartition(nparts, "src").persist()
-        edges.count()
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        edges, hub_edges, hubs = _hub_split(edges, deg, nparts, hub_degree_min)
     labels = seeds.select(
         "doc_id",
         "is_seed",
@@ -564,7 +675,10 @@ def _label_prop_distributed(
         # shuffle per round is the map-side-combined (dst, label) count.
         # tier 3: the frontier shuffle-hash-builds against the cached
         # src-partitioned edge frame (no edge re-exchange).
-        votes = _lp_votes(edges, lab, broadcast_frontier=broadcast_tier)
+        votes = _lp_votes(
+            edges, lab, broadcast_frontier=broadcast_tier,
+            hub_edges=hub_edges, hubs=hubs,
+        )
         w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("nl"))
         winner = (
             votes.withColumn("rn", F.row_number().over(w))
@@ -587,7 +701,7 @@ def _label_prop_distributed(
         if i % 2 == 1 or not broadcast_tier:
             labels = labels.localCheckpoint(eager=True)
     if not broadcast_tier:
-        edges.unpersist()
+        _hub_unpersist(edges, hub_edges)
     return labels
 
 

@@ -352,3 +352,147 @@ def test_graph_ops_empty_graph_safe(spark):
     pr = graph._pagerank_nano(spark, edges)
     assert pr.count() == 0
     assert [f.name for f in pr.schema.fields] == ["doc_id", "degree", "rank_nano"]
+
+
+# ---------------------------------------------------------------------------
+# round 8: tier-3 super-hub split (dst-partitioned hub cache + bounded
+# broadcasts) — the round-7 verdict's named scale-killer
+# ---------------------------------------------------------------------------
+
+
+def _hot_hub_edges(spark):
+    """A template-clique shape: vertex 0 is a super-hub adjacent to
+    1..200; the tail 201..260 forms a sparse ring. Symmetric."""
+    pairs = [(0, i) for i in range(1, 201)] + [
+        (200 + i, 200 + (i % 60) + 1) for i in range(1, 61) if 200 + i != 200 + (i % 60) + 1
+    ]
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sorted(set(rows)), "src long, dst long")
+
+
+def test_pagerank_hub_split_bit_equal(spark):
+    """Forcing tier 3 WITH the hub split engaged (hub_degree_min below the
+    hub's degree) produces bit-identical ranks to the numpy driver path —
+    integer shares keep the per-dst sum order-independent across the
+    union of the src-partitioned and dst-partitioned branches."""
+    edges = _hot_hub_edges(spark)
+    a = sorted(map(tuple, graph._pagerank_nano(spark, edges, driver_max_edges=10**9).collect()))
+    b = sorted(map(tuple, graph._pagerank_nano(
+        spark, edges, driver_max_edges=0, broadcast_nodes_max=0, hub_degree_min=50
+    ).collect()))
+    # and with EVERY vertex a hub (main cache empty — pure hub path)
+    c = sorted(map(tuple, graph._pagerank_nano(
+        spark, edges, driver_max_edges=0, broadcast_nodes_max=0, hub_degree_min=0
+    ).collect()))
+    assert a == b == c and len(a) > 0
+
+
+def test_label_prop_hub_split_bit_equal(spark):
+    edges = _hot_hub_edges(spark)
+    seeds = edges.selectExpr("src AS doc_id").distinct().selectExpr(
+        "doc_id",
+        "doc_id % 3 = 0 AS is_seed",
+        "CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'fr' END) END AS label",
+    )
+    a = sorted(map(tuple, graph.label_propagate(
+        edges, seeds, driver_max_edges=10**9
+    ).collect()))
+    b = sorted(map(tuple, graph.label_propagate(
+        edges, seeds, driver_max_edges=0, broadcast_nodes_max=0, hub_degree_min=50
+    ).collect()))
+    c = sorted(map(tuple, graph.label_propagate(
+        edges, seeds, driver_max_edges=0, broadcast_nodes_max=0, hub_degree_min=0
+    ).collect()))
+    assert a == b == c and len(a) > 0
+
+
+def test_hub_split_partition_spread(spark):
+    """The point of the split: the hub's adjacency rows spread ~evenly
+    across partitions (dst-hash), instead of landing whole in the one
+    src-hash partition; and the src-partitioned main cache holds NO hub
+    rows. Max per-partition hub rows must be far below the hub degree."""
+    edges = _hot_hub_edges(spark)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    main, hub_adj, hubs = graph._hub_split(edges.join(deg, "src"), deg, nparts, 50)
+    try:
+        assert hub_adj is not None
+        assert [r.hub_src for r in hubs.collect()] == [0]
+        assert main.where(F.col("src") == 0).count() == 0
+        hub_degree = hub_adj.count()
+        per_part = (
+            hub_adj.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        # 200 rows over 32 dst-hash partitions: max ~ binomial tail, far
+        # below the whole-hub-in-one-task 200 of the unsplit layout
+        assert per_part <= max(hub_degree // 4, 1), (per_part, hub_degree)
+    finally:
+        graph._hub_unpersist(main, hub_adj)
+
+
+def test_hub_split_empty_when_no_hubs(spark):
+    """Below-threshold graphs take the EXACT pre-split path: no hub cache,
+    no extra plan branches."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    main, hub_adj, hubs = graph._hub_split(edges.join(deg, "src"), deg, 4, 50)
+    try:
+        assert hub_adj is None and hubs is None
+        assert main.count() == 4
+    finally:
+        graph._hub_unpersist(main, hub_adj)
+
+
+def test_pagerank_hub_branch_plan_gate(spark):
+    """Plan contract of the split contribution step: the non-hub branch
+    still enters via ShuffledHashJoin with the src-partitioned cache
+    consumed in place (no src-keyed exchange above the cache scan), and
+    the hub branch's joins are broadcasts whose builds derive from the
+    bounded hub frame (the hub-id semi-join + the hub-rank join) — never
+    a broadcast of the full rank frame."""
+    import re
+
+    edges = _hot_hub_edges(spark)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    main, hub_adj, hubs = graph._hub_split(edges.join(deg, "src"), deg, nparts, 50)
+    try:
+        ranks = deg.select(
+            F.col("src").alias("doc_id"), F.lit(1000).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        step = graph._pr_contribs(
+            main, ranks, broadcast_ranks=False, hub_adj=hub_adj, hubs=hubs
+        )
+        step.collect()
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        # plan text prints union branch 1 (main) fully — including its
+        # cache-build subtree — before branch 2, so the region above the
+        # FIRST InMemoryRelation is exactly the per-iteration main branch
+        outer = plan.split("InMemoryRelation")[0]
+        # main branch: the rank side enters shuffled-hash, never broadcast,
+        # and nothing re-exchanges the src-partitioned adjacency
+        assert "ShuffledHashJoin" in outer, plan
+        assert "BroadcastHashJoin" not in outer, plan
+        assert not re.search(r"Exchange hashpartitioning\(src", outer), plan
+        # hub branch in isolation (the exact frames _pr_contribs builds):
+        # the hub-rank join is a broadcast whose build derives from the
+        # bounded hub frame, consuming the dst-partitioned cache in place
+        # — no exchange at all above the cache scan
+        hub_ranks = ranks.join(
+            F.broadcast(hubs), ranks["doc_id"] == hubs["hub_src"], "left_semi"
+        )
+        hb = hub_adj.join(
+            F.broadcast(hub_ranks), hub_adj["src"] == hub_ranks["doc_id"]
+        ).select("dst", F.expr("r DIV d").alias("share"))
+        hb.collect()
+        hplan = hb._jdf.queryExecution().executedPlan().toString()
+        houter = hplan.split("InMemoryRelation")[0]
+        assert "BroadcastHashJoin" in houter, hplan
+        assert "Exchange hashpartitioning" not in houter, hplan
+    finally:
+        graph._hub_unpersist(main, hub_adj)
