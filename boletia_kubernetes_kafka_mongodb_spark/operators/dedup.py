@@ -1760,10 +1760,14 @@ def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, pcRes/pcRes.go:1 — no near-dup support at all.)
     """
     docs = tables.load(spark, sf_dir, "documents", fan=True)
+    # checkpoint ONCE: the norm subtree (scan + normalize) fans into four
+    # plan references — both sides of the band self-join via `keyed`, plus
+    # the ta/tb full-text fetch joins — and would re-execute per reference
+    # otherwise (the `ext_kmv_set_ops` re-execution class; round-7 ADVICE)
     norm = docs.select(
         "doc_id",
         F.regexp_replace(F.lower("text"), r"\s+", " ").alias("nt"),
-    )
+    ).localCheckpoint(eager=True)
     keyed = norm.select(
         "doc_id",
         F.substring("nt", 1, EDIT_PREFIX).alias("p"),

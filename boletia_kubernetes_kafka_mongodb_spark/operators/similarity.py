@@ -701,17 +701,22 @@ def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("h"))
     )
-    k = BATCH_TOPK
+    # denominator = the exact side's ACTUAL per-query list size, not the
+    # constant BATCH_TOPK: a corpus with fewer than k eligible vectors
+    # would otherwise understate recall and overstate the list size
+    # (round-7 ADVICE)
     return (
-        exact.select("query_id")
-        .distinct()
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
         .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
-            F.lit(k).cast("long").alias("k"),
+            "k",
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
             F.round(
-                F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(float(k)), 6
+                F.coalesce(F.col("h"), F.lit(0)).cast("double")
+                / F.col("k").cast("double"),
+                6,
             ).alias("recall"),
         )
     )
@@ -719,8 +724,9 @@ def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_ann_recall_audit_oracle() -> str:
     """The two batch CTE programs composed under one WITH (DuckDB allows a
-    nested WITH as a CTE body), joined on (query_id, vec_id)."""
-    k = BATCH_TOPK
+    nested WITH as a CTE body), joined on (query_id, vec_id). The
+    denominator is the exact side's actual per-query list size (round-7
+    ADVICE), mirroring the engine."""
     return f"""
         WITH ann AS ({ext_ann_ivf_batch_oracle()}),
         exact AS ({ext_topk_batch_oracle()}),
@@ -731,10 +737,12 @@ def ext_ann_recall_audit_oracle() -> str:
             GROUP BY a.query_id
         )
         SELECT q.query_id,
-               CAST({k} AS BIGINT) AS k,
+               q.k,
                COALESCE(h.h, 0) AS hits,
-               ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE) / {k}.0, 6) AS recall
-        FROM (SELECT DISTINCT query_id FROM exact) q
+               ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)
+                     / CAST(q.k AS DOUBLE), 6) AS recall
+        FROM (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+              FROM exact GROUP BY query_id) q
         LEFT JOIN hits h ON h.query_id = q.query_id
     """
 

@@ -33,6 +33,15 @@ from pyspark.sql import functions as F
 
 from .jsonl import DOC_SCHEMA_DDL
 
+# ONE quote model for the parser, the writer, AND the arity counter:
+# RFC-4180 doubled-quote escaping. Spark's csv default is BACKSLASH
+# escaping (escape='\\'), under which write_csv_corpus emits an embedded
+# quote as \" inside a quoted field — the arity regex (which erases
+# '"(?:[^"]|"")*"' quoted regions) would treat \" as the closing quote
+# and count any comma after it as a delimiter, silently quarantining
+# valid documents like 'a "b, c' on round-trip (round-7 ADVICE).
+_CSV_OPTS = {"escape": '"'}
+
 
 def _csv_is_clean(schema_ddl: str) -> Column:
     """Validity gate over a raw ``value`` line: correct arity (no extra
@@ -43,8 +52,8 @@ def _csv_is_clean(schema_ddl: str) -> Column:
 
     fields = StructType.fromDDL(schema_ddl).fieldNames()
     as_string = ", ".join(f"{name} string" for name in fields)
-    typed = F.from_csv("value", F.lit(schema_ddl))
-    raw = F.from_csv("value", F.lit(as_string))
+    typed = F.from_csv("value", F.lit(schema_ddl), _CSV_OPTS)
+    raw = F.from_csv("value", F.lit(as_string), _CSV_OPTS)
     # arity overflow gates on the RAW delimiter count (commas outside
     # RFC-4180 quoted regions), not a sentinel extra column: the parser
     # reads an EMPTY trailing extra field ("1,x,y,") as NULL under every
@@ -72,7 +81,7 @@ def read_csv_corpus(
     )
     ok = _csv_is_clean(schema_ddl)
     good = raw.where(ok).select(
-        F.from_csv("value", F.lit(schema_ddl)).alias("_rec")
+        F.from_csv("value", F.lit(schema_ddl), _CSV_OPTS).alias("_rec")
     ).select("_rec.*")
     quarantine = raw.where(~ok).select(
         F.col("value").alias("line"), F.col("_file").alias("file")
@@ -84,7 +93,7 @@ def write_csv_corpus(df: DataFrame, path: str) -> None:
     """Write a DataFrame as headerless CSV text (RFC-4180 quoting via
     ``to_csv``), one record per line in column order."""
     df.select(
-        F.to_csv(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+        F.to_csv(F.struct(*[F.col(c) for c in df.columns]), _CSV_OPTS).alias("value")
     ).write.mode("overwrite").text(path)
 
 
@@ -101,7 +110,7 @@ def read_csv_corpus_stream(
     )
     ok = _csv_is_clean(schema_ddl)
     good = raw.where(ok).select(
-        F.from_csv("value", F.lit(schema_ddl)).alias("_rec")
+        F.from_csv("value", F.lit(schema_ddl), _CSV_OPTS).alias("_rec")
     ).select("_rec.*")
     quarantine = raw.where(~ok).select(
         F.col("value").alias("line"), F.col("_file").alias("file")

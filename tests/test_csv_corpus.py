@@ -65,6 +65,26 @@ def test_csv_quoted_fields_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, good.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_csv_quote_then_comma_roundtrip(spark, tmp_path):
+    """Round-7 ADVICE regression: a double quote FOLLOWED by a comma inside
+    a field. Under Spark's default backslash escaping the writer emits
+    \\" inside the quoted field, the RFC-4180 arity regex treats \\" as
+    the closing quote, and the comma after it counts as a delimiter —
+    silently quarantining a valid document. The shared _CSV_OPTS
+    (escape='"' → doubled-quote escaping) makes writer, parser, and
+    counter agree on one quote model."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text='a "b, c', lang="en", source="s", n_chars=7)]
+    )
+    path = str(tmp_path / "qc")
+    csv_corpus.write_csv_corpus(df, path)
+    good, quarantine = csv_corpus.read_csv_corpus(spark, path)
+    assert quarantine.count() == 0
+    assert [tuple(r) for r in good.collect()] == [tuple(r) for r in df.collect()]
+
+
 def test_csv_stream_twin_matches_batch(spark, tmp_path):
     """The streaming reader over the same shard directory produces the
     same parsed rows and the same quarantine set as the batch reader."""

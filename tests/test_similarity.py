@@ -309,8 +309,11 @@ def test_ann_recall_audit_matches_operator_outputs(spark, duck):
     assert set(out) == set(exact)
     for q, r in out.items():
         want = len(exact[q] & ann.get(q, set()))
-        assert r.hits == want and r.k == S.BATCH_TOPK
-        assert r.recall == round(want / S.BATCH_TOPK, 6)
+        # k is the exact side's ACTUAL per-query list size (round-7
+        # ADVICE) — equal to BATCH_TOPK whenever the corpus has ≥ k
+        # eligible vectors, as here
+        assert r.hits == want and r.k == len(exact[q]) == S.BATCH_TOPK
+        assert r.recall == round(want / len(exact[q]), 6)
         assert 0.0 <= r.recall <= 1.0
     compare_with_oracle(
         spark, duck,
