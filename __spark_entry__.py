@@ -114,7 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (_pr_contribs / _lp_votes; round-7 verdict item 2) ---
         "ext_graph_pagerank": graph.ext_graph_pagerank,
         "ext_graph_label_prop": graph.ext_graph_label_prop,
-        # --- positions 49-50: new round-8 ids are inserted here ---
+        # --- positions 49-50: new round-8 ids ---
+        # mergeable deterministic quantile sketch (bottom-K row sample),
+        # the sketch companion to the exact agg_value_quantiles
+        "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
+        # population-stability drift monitor for the trained quality
+        # filter (PSI per source vs the fit-time score distribution)
+        "ext_quality_psi": text.ext_quality_psi,
         # --- position > 50 from here: all have green r06/r07
         # driver rows and unchanged implementations this round ---
         "agg_count_reservations": aggregates.agg_count_reservations,
@@ -298,8 +304,14 @@ def oracle_sql() -> dict[str, str]:
         "ext_quality_calibration": text.ext_quality_calibration_oracle(),
         # round 7: threshold selection composed onto the same fit CTEs
         "ext_quality_threshold": text.ext_quality_threshold_oracle(),
+        # round 8: PSI drift monitor composed onto the same fit CTEs —
+        # deterministic-ln series, BIGINT-quantized bin contributions
+        "ext_quality_psi": text.ext_quality_psi_oracle(),
         # round 7: the two batch ANN CTE programs composed — recall@k
         "ext_ann_recall_audit": similarity.ext_ann_recall_audit_oracle(),
+        # round 8: deterministic bottom-K row-sample quantile sketch —
+        # md5 row hashes + the same interpolated percentile as the exact id
+        "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch_oracle(),
         # round 6: est (signature agreement) and exact (shingle jaccard)
         # are both engine-independent — the audit carries a full oracle
         "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy_oracle(),

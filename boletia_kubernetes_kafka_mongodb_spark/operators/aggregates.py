@@ -701,6 +701,131 @@ def ext_kmv_set_ops_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# mergeable quantile sketch (round 8): deterministic bottom-K row sample
+# ---------------------------------------------------------------------------
+
+QSK_K = 512  # per-group sample size: rank error ~ 1/sqrt(K) ≈ 4.4%
+
+
+def _qsketch_rows_from(ev: DataFrame) -> DataFrame:
+    """(event_type, value) — the bottom-``QSK_K`` rows per group by
+    md5-derived row hash: a deterministic uniform-without-replacement
+    row sample, which is a MERGEABLE quantile sketch (the fixed-level
+    sampled family; cf. KLL, Karnin/Lang/Liberty 2016 — the md5 hash
+    plays the role KLL's coin flips play, made deterministic so the
+    whole construction replays in SQL).
+
+    Mergeability is the bottom-K argument over ROWS instead of distinct
+    hashes: rows are unique by ``event_id``, bottom-K of a union is the
+    bottom-K of the parts' bottom-Ks, so a bounded per-partition partial
+    (Arrow ``mapInPandas``, ≤ T×K rows leave each partition — the
+    `_kmv_sketches_from` plan) feeds an exact per-group bottom-K window
+    over ≤ partitions×T×K survivors. Sketch cost never tracks group
+    cardinality — the 100 TB path for percentile queries whose exact
+    form (`agg_value_quantiles`) needs the full group in one sorted
+    aggregation. Full determinism: the sample is ordered by
+    (h, event_id, value), every key engine-independent."""
+    from pyspark.sql.window import Window
+
+    u = F.col("event_id").cast("string")
+    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
+    rows = ev.select(
+        "event_type",
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"),
+        "event_id",
+        "value",
+    )
+    k = int(QSK_K)  # captured by value (workers must not resolve package
+    # globals when the driver's cwd isn't the repo — round-3 catch)
+
+    def _partial(batches):
+        import pandas as pd
+
+        best: dict = {}
+        for pdf in batches:
+            for t, grp in pdf.groupby("event_type", sort=False):
+                g = grp[["h", "event_id", "value"]]
+                prev = best.get(t)
+                if prev is not None:
+                    g = pd.concat([prev, g])
+                best[t] = g.sort_values(["h", "event_id", "value"]).head(k)
+        for t, g in best.items():
+            out = g.copy()
+            out.insert(0, "event_type", t)
+            yield out
+
+    part = rows.mapInPandas(
+        _partial, "event_type string, h long, event_id long, value double"
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id", "value")
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= QSK_K)
+        .select("event_type", "value")
+    )
+
+
+def ext_approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group percentiles from the mergeable bottom-K row
+    sample — the sketch companion to the exact ``agg_value_quantiles``
+    (round-7 verdict #3: the missing member of the sketch family next to
+    KMV distinct, HLL, and Misra–Gries).
+
+    Estimator: the same interpolated percentile the exact id uses,
+    applied to the ≤ K sampled values per group. Sample ranks
+    concentrate around true ranks (DKW: sup-CDF error ≤
+    sqrt(ln(2/δ)/(2K)) w.p. 1−δ — ~6% at K=512, δ=0.01), pinned against
+    the exact id by the rank-error test. When a group has fewer than K
+    rows the sketch holds the whole group and the estimate is EXACT.
+
+    Cross-engine: the sample is engine-deterministic (md5 row hashes),
+    and both engines state the same linear-interpolation percentile
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) over the same ≤ K
+    doubles — already hash-gate-proven by the exact id — so this
+    approximate operator carries a full value-hash oracle.
+    """
+    bot = _qsketch_rows_from(tables.load(spark, sf_dir, "events"))
+    pcts = F.percentile("value", F.lit(list(QUANTILES)))
+    return bot.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("sketch_k"),
+        F.round(pcts[0], 4).alias("p50"),
+        F.round(pcts[1], 4).alias("p90"),
+        F.round(pcts[2], 4).alias("p99"),
+    )
+
+
+def ext_approx_quantiles_sketch_oracle() -> str:
+    """DuckDB replay of the identical sketch: same md5-derived signed-64
+    row hash, same (h, event_id, value) bottom-K window, same
+    interpolated quantiles over the sampled values."""
+    h64 = (
+        "(CASE WHEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) >= 2147483648 "
+        "THEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) - 4294967296 "
+        "ELSE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) END) * 4294967296 "
+        "+ CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT)"
+    )
+    return f"""
+        WITH qh AS (
+            SELECT event_type, {h64} AS h, event_id, value FROM events
+        ),
+        qrk AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, event_id, value) AS rk
+            FROM qh
+        ),
+        qbot AS (SELECT event_type, value FROM qrk WHERE rk <= {QSK_K})
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)             AS sketch_k,
+               ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+               ROUND(quantile_cont(value, 0.9), 4)  AS p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM qbot GROUP BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
 # event analytics: ordered funnel and retention cohorts (§2.9 extensions)
 # ---------------------------------------------------------------------------
 

@@ -116,3 +116,58 @@ def quality_gate_stream(
     return feats.select(
         "doc_id", *carry, score.alias("score"), (su >= F.lit(tu)).alias("keep")
     )
+
+
+def quality_psi_batch(
+    docs_batch: DataFrame,
+    weights: list[float],
+    fit_bin: DataFrame,
+    fit_total: int,
+    batch_id: int,
+) -> DataFrame:
+    """One monitoring reading: score the ARRIVING batch with the frozen
+    offline weights, bin on the shared calibration bins, and compute its
+    PSI against the broadcast fit-time baseline (`operators.text.
+    quality_psi_from_binned` — the identical algebra the batch monitor
+    `ext_quality_psi` runs per source). STATELESS: bins recompute per
+    batch, the baseline is a B-row broadcast frame, nothing accumulates
+    across batches. Output: one (batch_id, n, psi, drifted) row."""
+    from ..operators.text import (
+        QC_CAL_BINS,
+        _qc_features,
+        quality_psi_from_binned,
+        quality_score_col,
+    )
+
+    feats = _qc_features(docs_batch)
+    bin_col = F.least(
+        F.floor(quality_score_col(weights) * QC_CAL_BINS).cast("int"),
+        F.lit(QC_CAL_BINS - 1),
+    )
+    binned = feats.select(F.lit(int(batch_id)).alias("grp"), bin_col.alias("bin"))
+    return quality_psi_from_binned(binned, fit_bin, fit_total).select(
+        F.col("grp").cast("long").alias("batch_id"), "n", "psi", "drifted"
+    )
+
+
+def quality_psi_stream(
+    docs_stream: DataFrame,
+    weights: list[float],
+    fit_bin: DataFrame,
+    fit_total: int,
+    emit,
+):
+    """The monitoring lambda (the `anomaly_alert_stream` shape, per-batch
+    flavor): fit offline, freeze (weights, per-bin baseline counts,
+    total), then for every arriving micro-batch hand the stateless PSI
+    reading of THAT batch to ``emit(psi_df)`` — a deployment posts it to
+    a metrics sink, tests collect it. Returns the ``writeStream`` builder
+    (caller picks trigger/checkpoint and starts it). The integer-unit /
+    deterministic-ln algebra is shared with the batch monitor, so an
+    alert online is exactly the alert the batch audit would raise on the
+    same rows — pinned by the stream ≡ batch test."""
+
+    def _each(bdf: DataFrame, bid: int) -> None:
+        emit(quality_psi_batch(bdf, weights, fit_bin, fit_total, bid))
+
+    return docs_stream.writeStream.foreachBatch(_each)

@@ -173,6 +173,11 @@ QUERIES = {
     # x1->x3 is already a 9x edge span inside one strategy.
     "ext_ann_recall_audit": "pruned probe + ONE brute-force reference "
     "scan per audit (the honest price of measuring recall)",
+    # round-8 additions
+    "ext_approx_quantiles_sketch": "linear scan + bounded bottom-K partials "
+    "(<= partitions x T x K rows ever shuffle, any corpus size)",
+    "ext_quality_psi": "cached fit + scoring pass + one (source, bin) "
+    "count shuffle; PSI algebra on sources x 10 rows",
     "ext_graph_pagerank@dist": "linear in EDGES — broadcast tier forced "
     "(driver gate low); gated edge-normalized",
     "ext_graph_label_prop@dist": "linear in EDGES — broadcast tier forced; "

@@ -361,3 +361,59 @@ def test_ingestion_pipeline_end_to_end_stream(spark, tmp_path):
     # every survivor is a gate-kept doc (999999 may stand in for the dup)
     legal = batch_kept | ({999999} if dup.doc_id in batch_kept else set())
     assert all(r.doc_id in legal for r in out)
+
+
+def test_quality_psi_stream_equals_batch(spark, tmp_path):
+    """The monitoring lambda: fit + per-bin baseline offline, stream the
+    SAME documents in 4 micro-batches — each batch's streamed PSI row
+    equals `quality_psi_batch` on that batch's rows (stateless, and the
+    deterministic-ln algebra is shared, so the readings are identical,
+    not merely close)."""
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    sf = "/root/testdata/sf0.001"
+    docs = tables.load(spark, sf, "documents")
+    feats = T._qc_features(docs).localCheckpoint(eager=True)
+    n = feats.count()
+    w = T.quality_classifier_fit(feats, n)
+    bin_col = F.least(
+        F.floor(T.quality_score_col(w) * T.QC_CAL_BINS).cast("int"),
+        F.lit(T.QC_CAL_BINS - 1),
+    )
+    fit_bin = (
+        feats.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+
+    stream = _doc_stream(spark, tmp_path)
+    got: dict[int, tuple] = {}
+
+    def emit(psi_df):
+        for r in psi_df.collect():
+            got[r.batch_id] = (r.n, r.psi, r.drifted)
+
+    q = (
+        C.quality_psi_stream(stream, w, fit_bin, n, emit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "psi_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(got) == 4 and sum(v[0] for v in got.values()) == docs.count()
+    # replay: the stream delivered doc_id-ordered files;
+    # rebuild each micro-batch from the written files and compare exactly
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "docs") + "/*.parquet"))
+    assert len(files) == 4
+    psis = sorted((v[1], v[0]) for v in got.values())
+    want = []
+    for i, f in enumerate(files):
+        bdf = spark.read.schema(docs.schema).parquet(f)
+        r = C.quality_psi_batch(bdf, w, fit_bin, n, i).collect()[0]
+        want.append((r.psi, r.n))
+    assert psis == sorted(want)

@@ -378,3 +378,93 @@ def test_kmv_set_ops_random_small_sets_exact(spark):
         assert r.est_intersection == float(inter)
 
     run()
+
+
+def test_qsketch_partial_stage_bounded_and_exact(spark):
+    """Round-8 quantile sketch: the builder's map-side bounded bottom-K
+    row partial (a) appears in the plan as an Arrow MapInPandas stage and
+    (b) is value-invisible — identical sampled rows to the plain window
+    formulation on an 11-partition frame whose per-partition groups hold
+    both more and fewer than K rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    ev = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 5 == 0, F.lit("rare"))
+            .otherwise(F.lit("common"))
+            .alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        .repartition(11)
+    )
+    got = A._qsketch_rows_from(ev)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+
+    u = F.col("event_id").cast("string")
+    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
+    w = Window.partitionBy("event_type").orderBy("h", "event_id", "value")
+    plain = (
+        ev.select(
+            "event_type",
+            F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"),
+            "event_id",
+            "value",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= A.QSK_K)
+        .select("event_type", "value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_approx_quantiles_sketch_error_and_small_exact(spark, duck):
+    """Estimator branch: per-group RANK error of every sketched percentile
+    vs the group's true CDF within 2× the DKW bound at K=512 (~9%) on
+    sf0.01 (groups ~2000 > K). Small-set branch: sf0.001 groups (< K
+    rows) are held whole — estimates EQUAL the exact id's. Plus the
+    driver-style oracle comparison."""
+    import bisect
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    sf = "/root/testdata/sf0.01"
+    est = {r.event_type: r for r in A.ext_approx_quantiles_sketch(spark, sf).collect()}
+    groups = {
+        r.event_type: sorted(r.vs)
+        for r in tables.load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    bound = 0.09  # 2 × sqrt(ln(2/0.01)/(2·512)) ≈ 2 × 0.0455
+    assert set(est) == set(groups)
+    for t, vs in groups.items():
+        assert len(vs) > A.QSK_K
+        assert est[t].sketch_k == A.QSK_K
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            pos = bisect.bisect_left(vs, getattr(est[t], col)) / len(vs)
+            assert abs(pos - p) <= bound, (t, col, pos)
+
+    sf_small = "/root/testdata/sf0.001"
+    small = {r.event_type: r for r in A.ext_approx_quantiles_sketch(spark, sf_small).collect()}
+    exact = {r.event_type: r for r in A.agg_value_quantiles(spark, sf_small).collect()}
+    for t, r in small.items():
+        assert r.sketch_k == exact[t].n < A.QSK_K
+        assert (r.p50, r.p90, r.p99) == (exact[t].p50, exact[t].p90, exact[t].p99)
+
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_approx_quantiles_sketch"],
+        entrymod.oracle_sql()["ext_approx_quantiles_sketch"],
+    )

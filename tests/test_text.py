@@ -897,3 +897,99 @@ def test_quality_threshold_crafted_curve(spark):
     nrows = T.quality_threshold_select(spark, neg).collect()
     assert len(nrows) == 3
     assert all(r.threshold is None and r.kept_n is None for r in nrows)
+
+
+# ---------------------------------------------------------------------------
+# round 8: PSI drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_psi_ln_series_accuracy_and_cross_engine(spark, duck):
+    """The deterministic ln (16th-root reduction + 16-term artanh Horner)
+    is within 2e-5 of math.log over the whole smoothed-ratio envelope
+    [1e-12, 1e12], and BIT-IDENTICAL between Spark and DuckDB on every
+    grid point (the property that lets PSI carry a value-hash oracle)."""
+    import math
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    from pyspark.sql import functions as F
+
+    lnr, z = T._ln_det_expr("r_")
+    rs = [10.0 ** e for e in range(-12, 13)] + [0.3, 0.5, 0.9, 1.1, 2.0, 7.0]
+    sdf = (
+        spark.createDataFrame([(r,) for r in rs], "r_ double")
+        .withColumn("z_", F.expr(z))
+        .withColumn("z2_", F.col("z_") * F.col("z_"))
+        .withColumn("lnr", F.expr(lnr))
+    )
+    sp = {r.r_: r.lnr for r in sdf.collect()}
+    assert max(abs(v - math.log(k)) for k, v in sp.items()) < 2e-5
+    dd = duck.execute(
+        f"SELECT r_, {z} AS z_, z_ * z_ AS z2_, {lnr} AS lnr "
+        f"FROM (SELECT UNNEST({rs}) AS r_)"
+    ).fetchall()
+    assert all(sp[row[0]] == row[3] for row in dd)
+
+
+def test_psi_core_discriminates_and_matches_python(spark):
+    """quality_psi_from_binned on crafted bins: a group drawn FROM the
+    baseline distribution reads ≈ 0 (undrifted), a group concentrated in
+    a rare bin alerts; and every psi equals a python replay of the
+    smoothed formula (series tolerance 1e-4)."""
+    import math
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    B = T.QC_CAL_BINS
+    # baseline: 1000 fit rows, 60% in bin 0, 30% in bin 1, 10% in bin 9
+    fit_counts = {0: 600, 1: 300, 9: 100}
+    fit_bin = spark.createDataFrame(
+        [(b, n) for b, n in fit_counts.items()], "bin int, a long"
+    )
+    rows = []
+    for b, n in fit_counts.items():  # 'same': scaled copy of the baseline
+        rows += [("same", b)] * (n // 2)
+    rows += [("shifted", 5)] * 400 + [("shifted", 0)] * 100
+    binned = spark.createDataFrame(rows, "grp string, bin int")
+    got = {
+        r.grp: r
+        for r in T.quality_psi_from_binned(binned, fit_bin, 1000).collect()
+    }
+    assert not got["same"].drifted and got["same"].psi < 0.05
+    assert got["shifted"].drifted and got["shifted"].psi > 1.0
+
+    def psi_ref(counts, nb):
+        s = 0.0
+        for b in range(B):
+            p = (counts.get(b, 0) + 1) / (nb + B)
+            q = (fit_counts.get(b, 0) + 1) / (1000 + B)
+            s += (p - q) * math.log(p / q)
+        return s
+
+    assert abs(got["same"].psi - psi_ref({b: n // 2 for b, n in fit_counts.items()}, 500)) < 1e-4
+    assert abs(got["shifted"].psi - psi_ref({5: 400, 0: 100}, 500)) < 1e-4
+
+
+def test_quality_psi_operator_and_parity(spark, duck):
+    """ext_quality_psi: one row per source, n sums to the corpus, psi ≥ 0
+    … wait — PSI of a subset CAN be 0 only if identical; assert psi is
+    non-negative-ish (> -1e-6, quantization can dip a hair) and finite;
+    plus the composed-oracle driver comparison."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE, compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    rows = T.ext_quality_psi(spark, SF_SMOKE).collect()
+    n_docs = tables.load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n for r in rows) == n_docs and len(rows) > 1
+    for r in rows:
+        assert r.psi is not None and r.psi > -1e-6
+        assert r.drifted == (r.psi > T.QC_PSI_ALERT)
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_quality_psi"],
+        entrymod.oracle_sql()["ext_quality_psi"],
+    )
