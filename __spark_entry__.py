@@ -46,19 +46,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order per round. Round-8 window (round-4 verdict #1's standing rule:
     pay the rotation on schedule) = positions 1-46 are exactly the 46
     r05-era ids from ROUND7_NOTES' precomputed queue (after this round
-    no id's latest attestation is older than round 6); positions 47-48
-    are this round's changed ids — `ext_graph_pagerank` /
-    `ext_graph_label_prop` (tier-3 super-hub src salting in the
-    shuffle-hash loops, round-7 verdict item 2; `ext_graph_survivor_rank`
-    composes the same salted kernels but its window slot went to the
-    queue — the three-tier bit-equality suite re-pins it this round and
-    its r07 row stands); positions 49-50 are the round-8 NEW ids
-    (`ext_approx_quantiles_sketch` — mergeable deterministic quantile
-    sketch, verdict item 3; `ext_quality_psi` — population-stability
-    drift monitor on the trained filter's fit CTEs, verdict item 5).
-    Everything after position 50 has a green r06/r07 driver row and an
-    unchanged implementation; the r09 rotation queue is precomputed in
-    ROUND8_NOTES.
+    no id's latest attestation is older than round 6); position 47 is
+    `ext_graph_pagerank`, the changed id the round-7 verdict named for
+    re-attestation (tier-3 super-hub split in the shuffle-hash loops);
+    positions 48-50 are the round-8 NEW ids
+    (`ext_approx_quantiles_incremental` — standing-sketch ∪ batch-partial
+    percentile update with shift report; `ext_approx_quantiles_sketch` —
+    the mergeable deterministic quantile sketch itself, verdict item 3;
+    `ext_quality_psi` — population-stability drift monitor on the
+    trained filter's fit CTEs, verdict item 5). `ext_graph_label_prop`
+    and `ext_graph_survivor_rank` share the hub-split change through
+    `_lp_votes`/`_hub_split`/`_pr_contribs` but run the UNCHANGED numpy
+    tier at driver scale — the tier-forced bit-equality + plan-gate
+    tests cover the change, their r07 rows stand, and they head the r09
+    queue precomputed in ROUND8_NOTES. Everything after position 50 has
+    a green r06/r07 driver row.
     """
     return {
         # --- r08 window positions 1-46: the 46 r05-era ids from
@@ -109,20 +111,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_winnowing": text.ext_text_winnowing,
         "ext_tfidf_terms": search.ext_tfidf_terms,
         "ext_vocab_coverage": text.ext_vocab_coverage,
-        # --- positions 47-48: changed this round (re-attest) —
-        # tier-3 super-hub src salting in the shuffle-hash loops
-        # (_pr_contribs / _lp_votes; round-7 verdict item 2) ---
+        # --- position 47: changed this round (re-attest; named in the
+        # round-7 verdict) — tier-3 super-hub split in the shuffle-hash
+        # loops (_pr_contribs / _hub_split) ---
         "ext_graph_pagerank": graph.ext_graph_pagerank,
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
-        # --- positions 49-50: new round-8 ids ---
+        # --- positions 48-50: new round-8 ids ---
+        # incremental percentile update: standing sketch ∪ batch partials
+        # → updated p50/p90/p99 + per-percentile shifts (mergeability as
+        # a first-class op; only the batch scans when the standing side
+        # is a persisted layout)
+        "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
         # mergeable deterministic quantile sketch (bottom-K row sample),
         # the sketch companion to the exact agg_value_quantiles
         "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
         # population-stability drift monitor for the trained quality
         # filter (PSI per source vs the fit-time score distribution)
         "ext_quality_psi": text.ext_quality_psi,
-        # --- position > 50 from here: all have green r06/r07
-        # driver rows and unchanged implementations this round ---
+        # --- position > 50 from here: all have green r06/r07 driver
+        # rows; implementations unchanged this round EXCEPT
+        # ext_graph_label_prop, which shares the round-8 hub-split change
+        # via _lp_votes/_hub_split — at driver (sf0.01) scale its
+        # dispatch runs the UNCHANGED numpy tier, the tier-forced
+        # bit-equality + plan-gate tests cover the change, its r07 row
+        # stands, and it heads the r09 queue (ROUND8_NOTES) ---
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
         "agg_count_reservations": aggregates.agg_count_reservations,
         "agg_ewma_daily": aggregates.agg_ewma_daily,
         "agg_pivot_estado": aggregates.agg_pivot_estado,
@@ -312,6 +324,9 @@ def oracle_sql() -> dict[str, str]:
         # round 8: deterministic bottom-K row-sample quantile sketch —
         # md5 row hashes + the same interpolated percentile as the exact id
         "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch_oracle(),
+        # round 8: the sketch CTE program × (standing, batch, merged) —
+        # incremental update + percentile shifts
+        "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental_oracle(),
         # round 6: est (signature agreement) and exact (shingle jaccard)
         # are both engine-independent — the audit carries a full oracle
         "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy_oracle(),

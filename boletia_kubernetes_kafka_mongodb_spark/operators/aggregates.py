@@ -725,8 +725,13 @@ def _qsketch_rows_from(ev: DataFrame) -> DataFrame:
     form (`agg_value_quantiles`) needs the full group in one sorted
     aggregation. Full determinism: the sample is ordered by
     (h, event_id, value), every key engine-independent."""
-    from pyspark.sql.window import Window
+    return _qsk_bottomk(_qsk_partials(ev)).select("event_type", "value")
 
+
+def _qsk_partials(ev: DataFrame) -> DataFrame:
+    """(event_type, h, event_id, value) bounded per-partition bottom-K
+    partial sketches — ≤ T×K rows leave each partition; the hash stays a
+    native JVM expression, only the bounded partial is Arrow-batched."""
     u = F.col("event_id").cast("string")
     hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
@@ -755,14 +760,22 @@ def _qsketch_rows_from(ev: DataFrame) -> DataFrame:
             out.insert(0, "event_type", t)
             yield out
 
-    part = rows.mapInPandas(
+    return rows.mapInPandas(
         _partial, "event_type string, h long, event_id long, value double"
     )
+
+
+def _qsk_bottomk(keyed: DataFrame) -> DataFrame:
+    """Exact per-group bottom-K over any (event_type, h, event_id, value)
+    frame, KEYS RETAINED — the merge step of the mergeable sketch
+    (bottom-K of a union of sketches = the union's sketch)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("event_type").orderBy("h", "event_id", "value")
     return (
-        part.withColumn("rk", F.row_number().over(w))
+        keyed.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= QSK_K)
-        .select("event_type", "value")
+        .select("event_type", "h", "event_id", "value")
     )
 
 
@@ -793,6 +806,104 @@ def ext_approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pcts[1], 4).alias("p90"),
         F.round(pcts[2], 4).alias("p99"),
     )
+
+
+QSK_BATCH_MOD = 10  # event_id % 10 == 0 → the arriving batch (the
+# `ext_dedup_incremental` standing-vs-new convention, on the events key)
+
+
+def ext_approx_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (nightly-ingest) percentile update — the mergeability
+    payoff as a first-class operation: the STANDING corpus's bottom-K
+    sketch absorbs the arriving batch's bounded partials and serves
+    updated percentiles, plus the per-group shift each percentile took —
+    the monitoring reading next to `ext_quality_psi`'s distribution
+    drift (PSI watches a score histogram; this watches the value tails).
+
+    This is the shape a 100 TB pipeline actually runs daily: the
+    standing side is the PERSISTED T×K sketch (here re-derived from the
+    standing slice — the batch stand-in, as in `ext_dedup_incremental`),
+    so only the arriving batch is scanned per run; merging is bottom-K
+    of a union of two T×K frames (sketch ∪ sketch = sketch of the
+    union — exact, not approximate-on-approximate, the Bar-Yossef
+    mergeability argument over rows). Pinned by the merged ≡
+    whole-corpus-sketch equality test.
+
+    Output per event type: merged sketch fill, the UPDATED p50/p90/p99,
+    and each percentile's shift vs the standing-only sketch (4dp values,
+    exact-rounded subtraction — deterministic cross-engine; a type with
+    no standing rows surfaces NULL shifts, never vanishes).
+    """
+    return quantiles_incremental_from(tables.load(spark, sf_dir, "events"))
+
+
+def quantiles_incremental_from(ev: DataFrame) -> DataFrame:
+    """The standing/batch split + sketch-merge + shift report over any
+    events-shaped frame — the testable core (crafted batch-only-type and
+    merge-equality fixtures drive this)."""
+    is_batch = F.pmod("event_id", F.lit(QSK_BATCH_MOD)) == 0
+    sk_standing = _qsk_bottomk(_qsk_partials(ev.where(~is_batch)))
+    sk_batch = _qsk_bottomk(_qsk_partials(ev.where(is_batch)))
+    merged = _qsk_bottomk(sk_standing.unionByName(sk_batch))
+    pcts = F.percentile("value", F.lit(list(QUANTILES)))
+
+    def stats(frame, prefix):
+        return frame.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}k"),
+            F.round(pcts[0], 4).alias(f"{prefix}p50"),
+            F.round(pcts[1], 4).alias(f"{prefix}p90"),
+            F.round(pcts[2], 4).alias(f"{prefix}p99"),
+        )
+
+    m = stats(merged, "")
+    s = stats(sk_standing, "s_")
+    shift = lambda c: F.round(F.col(c) - F.col(f"s_{c}"), 4).alias(f"{c}_shift")
+    return m.join(s, "event_type", "left").select(
+        "event_type",
+        F.col("k").alias("sketch_k"),
+        "p50", "p90", "p99",
+        shift("p50"), shift("p90"), shift("p99"),
+    )
+
+
+def ext_approx_quantiles_incremental_oracle() -> str:
+    """The sketch CTE program three times (standing, batch, merged union)
+    under one WITH — same hash, same windows, same interpolated
+    quantiles, same exact-rounded 4dp shifts."""
+    h64 = (
+        "(CASE WHEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) >= 2147483648 "
+        "THEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) - 4294967296 "
+        "ELSE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) END) * 4294967296 "
+        "+ CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT)"
+    )
+    bk = f"""SELECT event_type, h, event_id, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY h, event_id, value) AS rk
+            FROM {{src}}
+        ) WHERE rk <= {QSK_K}"""
+    agg = """SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS {p}k,
+               ROUND(quantile_cont(value, 0.5), 4)  AS {p}p50,
+               ROUND(quantile_cont(value, 0.9), 4)  AS {p}p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS {p}p99
+        FROM {src} GROUP BY event_type"""
+    return f"""
+        WITH qh AS (
+            SELECT event_type, {h64} AS h, event_id, value FROM events
+        ),
+        sk_s AS ({bk.format(src=f"(SELECT * FROM qh WHERE event_id % {QSK_BATCH_MOD} <> 0)")}),
+        sk_b AS ({bk.format(src=f"(SELECT * FROM qh WHERE event_id % {QSK_BATCH_MOD} = 0)")}),
+        mg AS ({bk.format(src="(SELECT * FROM sk_s UNION ALL SELECT * FROM sk_b)")}),
+        ma AS ({agg.format(p="", src="mg")}),
+        sa AS ({agg.format(p="s_", src="sk_s")})
+        SELECT ma.event_type,
+               ma.k AS sketch_k,
+               ma.p50, ma.p90, ma.p99,
+               ROUND(ma.p50 - sa.s_p50, 4) AS p50_shift,
+               ROUND(ma.p90 - sa.s_p90, 4) AS p90_shift,
+               ROUND(ma.p99 - sa.s_p99, 4) AS p99_shift
+        FROM ma LEFT JOIN sa ON sa.event_type = ma.event_type
+    """
 
 
 def ext_approx_quantiles_sketch_oracle() -> str:

@@ -176,6 +176,8 @@ QUERIES = {
     # round-8 additions
     "ext_approx_quantiles_sketch": "linear scan + bounded bottom-K partials "
     "(<= partitions x T x K rows ever shuffle, any corpus size)",
+    "ext_approx_quantiles_incremental": "two sliced sketch builds + a "
+    "T x K union merge (at serve time only the batch slice scans)",
     "ext_quality_psi": "cached fit + scoring pass + one (source, bin) "
     "count shuffle; PSI algebra on sources x 10 rows",
     "ext_graph_pagerank@dist": "linear in EDGES — broadcast tier forced "

@@ -468,3 +468,49 @@ def test_approx_quantiles_sketch_error_and_small_exact(spark, duck):
         entrymod.queries()["ext_approx_quantiles_sketch"],
         entrymod.oracle_sql()["ext_approx_quantiles_sketch"],
     )
+
+
+def test_quantiles_incremental_merge_equals_whole_and_shifts(spark, duck):
+    """Mergeability at the operator level: the standing-sketch ∪ batch-
+    partial merge serves EXACTLY the percentiles the whole-corpus sketch
+    serves (bottom-K of a union of sketches = the union's sketch); the
+    shift columns equal merged − standing (exact-rounded 4dp); plus the
+    driver-style oracle comparison."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_with_oracle
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    sf = "/root/testdata/sf0.01"
+    inc = {r.event_type: r for r in A.ext_approx_quantiles_incremental(spark, sf).collect()}
+    whole = {r.event_type: r for r in A.ext_approx_quantiles_sketch(spark, sf).collect()}
+    assert set(inc) == set(whole)
+    for t, r in inc.items():
+        w = whole[t]
+        assert (r.sketch_k, r.p50, r.p90, r.p99) == (w.sketch_k, w.p50, w.p90, w.p99)
+        assert r.p50_shift is not None  # every fixture type has standing rows
+    compare_with_oracle(
+        spark, duck,
+        entrymod.queries()["ext_approx_quantiles_incremental"],
+        entrymod.oracle_sql()["ext_approx_quantiles_incremental"],
+    )
+
+
+def test_quantiles_incremental_batch_only_type_null_shifts(spark):
+    """A type arriving ONLY in the batch slice (no standing rows) surfaces
+    with merged percentiles and NULL shifts — never vanishes."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    rows = (
+        # 'old': ids 1..200 (mixed slices); 'fresh': ids 10,20,...,500 —
+        # every id ≡ 0 (mod QSK_BATCH_MOD), so no standing rows
+        [(i, "old", float(i % 37)) for i in range(1, 201)]
+        + [(i * 10, "fresh", float(i % 13)) for i in range(1, 51)]
+    )
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_type: r for r in A.quantiles_incremental_from(ev).collect()}
+    assert got["fresh"].p50_shift is None and got["fresh"].p99_shift is None
+    assert got["fresh"].sketch_k == 50 and got["fresh"].p50 is not None
+    assert got["old"].p50_shift is not None
