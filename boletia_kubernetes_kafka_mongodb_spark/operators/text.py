@@ -969,32 +969,15 @@ def ext_vocab_coverage_oracle() -> str:
 HH_K = 128  # Misra–Gries counters per partition
 
 
-def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus heavy hitters (tokens with frequency > N/(k+1)) via the
-    two-pass Misra–Gries recipe — the mergeable bounded-memory answer to
-    "what dominates this corpus" when the vocabulary itself is too big to
-    aggregate (URLs, hostnames, n-grams at web scale).
-
-    Pass 1 runs an MG(k) summary PER PARTITION inside ``mapInPandas`` — k
-    counters of state regardless of partition size, emitting ≤ k candidate
-    rows plus the partition's exact token total. The pigeonhole guarantee:
-    any token with global frequency > N/(k+1) must exceed n_p/(k+1) in some
-    partition and therefore survives that partition's summary — candidates
-    ⊇ the true heavy set, NO false negatives. Pass 2 rescans with the
-    candidate set broadcast (≤ k·partitions rows) and counts exactly; the
-    final filter n·(k+1) > N therefore returns EXACTLY the true heavy set
-    with exact counts — which is why this sketch-built operator still has a
-    plain-SQL oracle (GROUP BY + HAVING over the full vocab): the sketch
-    changes the memory bound, not the answer.
-    """
+def _mg_summaries(toks: DataFrame, k: int) -> DataFrame:
+    """Bounded per-partition Misra–Gries summaries over a ``token`` column:
+    each partition emits ≤ k candidate rows plus one exact-total row
+    (``is_total``), regardless of partition size — the pass-1 stage of
+    ``ext_heavy_hitters``, shared with the streaming twin
+    (``streaming/corpus.heavy_hitters_stream``)."""
     from collections.abc import Iterator
 
     import pandas as pd
-
-    docs = tables.load(spark, sf_dir, "documents", fan=True)
-    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
-
-    k = HH_K
 
     def mg_summary(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -1024,11 +1007,55 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         yield out
 
-    summaries = toks.mapInPandas(
-        mg_summary, "token string, cnt long, is_total boolean"
-    )
+    return toks.mapInPandas(mg_summary, "token string, cnt long, is_total boolean")
+
+
+def mg_merge(counters: dict[str, int], other: dict[str, int], k: int) -> dict[str, int]:
+    """Merge Misra–Gries summaries (Agarwal et al. 2012, "Mergeable
+    Summaries"): add counters, then — if more than ``k`` survive — subtract
+    the (k+1)-th largest count from every counter and drop the
+    non-positive ones. Each truncation removes ≥ (k+1)·cut of summary
+    mass, and total mass inserted across any merge tree is the true item
+    count N, so the accumulated underestimate is ≤ N/(k+1):
+    true − N/(k+1) ≤ est ≤ true holds after ARBITRARY merge sequences —
+    the property that lets per-partition and per-micro-batch summaries
+    fold into one k-counter state. ``other`` may itself be the counter
+    SUM of several summaries (an m-way merge with a single truncation is
+    valid by the same mass argument, and strictly tighter than folding
+    pairwise)."""
+    merged = dict(counters)
+    for t, c in other.items():
+        merged[t] = merged.get(t, 0) + int(c)
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {t: c - cut for t, c in merged.items() if c - cut > 0}
+    return merged
+
+
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens with frequency > N/(k+1)) via the
+    two-pass Misra–Gries recipe — the mergeable bounded-memory answer to
+    "what dominates this corpus" when the vocabulary itself is too big to
+    aggregate (URLs, hostnames, n-grams at web scale).
+
+    Pass 1 runs an MG(k) summary PER PARTITION inside ``mapInPandas`` — k
+    counters of state regardless of partition size, emitting ≤ k candidate
+    rows plus the partition's exact token total. The pigeonhole guarantee:
+    any token with global frequency > N/(k+1) must exceed n_p/(k+1) in some
+    partition and therefore survives that partition's summary — candidates
+    ⊇ the true heavy set, NO false negatives. Pass 2 rescans with the
+    candidate set broadcast (≤ k·partitions rows) and counts exactly; the
+    final filter n·(k+1) > N therefore returns EXACTLY the true heavy set
+    with exact counts — which is why this sketch-built operator still has a
+    plain-SQL oracle (GROUP BY + HAVING over the full vocab): the sketch
+    changes the memory bound, not the answer.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+
+    k = HH_K
     # bounded frames: ≤ k rows + 1 total row per partition
-    summaries = summaries.localCheckpoint(eager=False)
+    summaries = _mg_summaries(toks, k).localCheckpoint(eager=False)
     total = summaries.where("is_total").agg(F.sum("cnt").alias("n_total"))
     candidates = (
         summaries.where(~F.col("is_total")).select("token").distinct()
@@ -1062,6 +1089,135 @@ def ext_heavy_hitters_oracle() -> str:
         FROM occ, tot
         GROUP BY token
         HAVING COUNT(*) * ({HH_K} + 1) > MAX(n_total)
+    """
+
+
+CMS_D = 4  # Count-Min depth (independent hash rows)
+CMS_W = 512  # Count-Min width (buckets per row)
+CMS_TOPN = 50  # audited probe keys: the exact top-N tokens
+
+
+def _cms_pos(col, j: int, w: int) -> Column:
+    """Row-``j`` bucket of a token: 32-bit md5 slice of the seeded
+    rendering mod ``w`` — the ``sampling._bloom_pos`` hash convention,
+    bit-identical in Spark and DuckDB so the sketch's collisions (and
+    therefore every estimate) are deterministic and cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    seeded = F.concat(F.lit(f"{j}:"), c)
+    return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long") % w
+
+
+def _cms_pos_sql(expr: str, j: int, w: int) -> str:
+    return f"CAST('0x' || substr(md5('{j}:' || {expr}), 1, 8) AS BIGINT) % {w}"
+
+
+def cms_report(toks: DataFrame, d: int, w: int, topn: int) -> DataFrame:
+    """Count-Min construction + audit over a ``token`` column — the
+    testable core of ``ext_freq_countmin`` (crafted forced-collision
+    fixtures drive this with a tiny ``w``).
+
+    The counter table is a ``groupBy`` onto ≤ d·w keys, so map-side
+    combine bounds what leaves each partition at d·w rows regardless of
+    partition size, and cell-wise SUM makes the sketch trivially
+    mergeable across shards/days. The probe side explodes only the
+    ``topn`` audited keys against the broadcast (≤ d·w rows) sketch."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_pos("token", j, w).alias("b")
+            )
+            for j in range(d)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("token").asc()).limit(topn)
+    probed = top.select("token", "n_exact", F.explode(probes).alias("p")).select(
+        "token", "n_exact", F.col("p.j").alias("j"), F.col("p.b").alias("b")
+    )
+    return (
+        probed.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("n_est"))
+        .select(
+            "token",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias("overshoot"),
+        )
+    )
+
+
+def ext_freq_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency sketch (Cormode & Muthukrishnan 2005) with
+    its fidelity audit — the frequency member of the sketch family next to
+    KMV distinct, the bottom-K quantile sketch, and Misra–Gries heavy
+    hitters. MG answers "what dominates"; Count-Min answers "how often is
+    THIS key" for ANY key in d·w counters — the shape a 100 TB pipeline
+    uses for per-URL / per-hostname / per-n-gram frequency service without
+    vocabulary-sized state.
+
+    Construction: d=4 independent md5-seeded hash rows × w=512 buckets;
+    each token increments one bucket per row; a key's estimate is the MIN
+    over its d cells — an overestimate ALWAYS (est ≥ true, deterministic:
+    a cell holds the key's own count plus colliding mass), within εN with
+    the usual (ε=e/w, δ=e^−d) guarantee. The counter build is one
+    aggregation onto ≤ d·w keys (map-side combined — partition output is
+    sketch-sized, never corpus-sized) and cells merge by SUM, so per-shard
+    sketches combine exactly like the KMV/bottom-K partials.
+
+    The audit reports est vs exact for the top-``CMS_TOPN`` tokens (count
+    desc, token asc — a total order, so the probe set is deterministic):
+    ``overshoot`` = est − exact ≥ 0 row by row. Exactness lives on the
+    audit side only — a deployment serves from the sketch alone. Because
+    the md5 bucket hashes replay in SQL, the collisions are identical on
+    both engines and the oracle is a full value-hash replay of the
+    construction, not a tolerance check.
+    """
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    return cms_report(toks, CMS_D, CMS_W, CMS_TOPN)
+
+
+def ext_freq_countmin_oracle() -> str:
+    cell_union = "\n            UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_pos_sql('token', j, CMS_W)} AS b FROM occ"
+        for j in range(CMS_D)
+    )
+    probe_union = "\n            UNION ALL ".join(
+        f"SELECT token, n_exact, {j} AS j, {_cms_pos_sql('token', j, CMS_W)} AS b FROM top"
+        for j in range(CMS_D)
+    )
+    return f"""
+        WITH occ AS (
+            SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+            FROM documents
+        ),
+        cells AS (
+            SELECT j, b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ({cell_union})
+            GROUP BY j, b
+        ),
+        exact AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM occ GROUP BY token
+        ),
+        top AS (
+            SELECT token, n_exact FROM exact
+            ORDER BY n_exact DESC, token ASC LIMIT {CMS_TOPN}
+        ),
+        probed AS ({probe_union})
+        SELECT p.token, p.n_exact,
+               CAST(MIN(c.cnt) AS BIGINT) AS n_est,
+               CAST(MIN(c.cnt) - p.n_exact AS BIGINT) AS overshoot
+        FROM probed p JOIN cells c USING (j, b)
+        GROUP BY p.token, p.n_exact
     """
 
 
@@ -1382,30 +1538,23 @@ def ext_bpe_merges_oracle() -> str:
     """
 
 
-def ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SERVE the learned tokenizer: encode every document with the
-    ``_bpe_learn`` merge table (classic BPE encode — chars, then each merge
-    applied in rank order) and report the per-doc subword count next to the
-    whitespace-token count. The train→serve composition mirrors
-    k-means→SemDeDup: model learned by the iterative loop, applied in one
-    distributed narrow pass (merge list rides the closure — it is the
-    model, a few dozen strings; corpus never leaves executors).
-
-    Oracle-backed: the recursive BPE CTE (``_bpe_cte_sql``) re-derives the
-    merge table, a second recursive CTE encodes each DISTINCT word by
-    applying the merges in rank order (one delimiter-string ``replace``
-    per rank), and per-doc counts join tokens to encoded lengths — plus an
-    encode-equality test vs a pure-python reference.
-    """
+def _bpe_count_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched per-doc subword counter under a frozen merge list —
+    classic BPE encode (chars, then each merge applied greedily in rank
+    order), counting symbols. The merge list rides the closure as plain
+    strings (it IS the model, a few dozen pairs — never a package symbol,
+    per the round-3 worker-pickling rule). Shared by the serve operator
+    (`ext_tokenizer_apply`) and the fertility audit
+    (`ext_tokenizer_fertility`)."""
     import pandas as pd
 
-    merges = [(m[1], m[2]) for m in _bpe_learn(spark, sf_dir)]
+    pairs = [(str(a), str(b)) for a, b in merges]
 
     @F.pandas_udf("long")
     def bpe_count(words_s):
         def encode_len(word):
             syms = list(word)
-            for a, b in merges:
+            for a, b in pairs:
                 out, i = [], 0
                 while i < len(syms):
                     if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
@@ -1421,6 +1570,26 @@ def ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             [sum(encode_len(w) for w in words) for words in words_s]
         )
 
+    return bpe_count
+
+
+def ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE the learned tokenizer: encode every document with the
+    ``_bpe_learn`` merge table (classic BPE encode — chars, then each merge
+    applied in rank order) and report the per-doc subword count next to the
+    whitespace-token count. The train→serve composition mirrors
+    k-means→SemDeDup: model learned by the iterative loop, applied in one
+    distributed narrow pass (merge list rides the closure — it is the
+    model, a few dozen strings; corpus never leaves executors).
+
+    Oracle-backed: the recursive BPE CTE (``_bpe_cte_sql``) re-derives the
+    merge table, a second recursive CTE encodes each DISTINCT word by
+    applying the merges in rank order (one delimiter-string ``replace``
+    per rank), and per-doc counts join tokens to encoded lengths — plus an
+    encode-equality test vs a pure-python reference.
+    """
+    merges = [(m[1], m[2]) for m in _bpe_learn(spark, sf_dir)]
+    bpe_count = _bpe_count_udf(merges)
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = tokens_col("text")
     return docs.select(
@@ -1474,6 +1643,102 @@ def ext_tokenizer_apply_oracle() -> str:
                ROUND(COALESCE(p.n_tokens_bpe, 0)
                      / GREATEST(COALESCE(p.n_tokens_ws, 0), 1), 6) AS compression
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer audit under the learned BPE merges: fertility
+    (subword tokens per word) and characters-per-token — the standard
+    multilingual tokenizer-quality reading (a language whose fertility sits
+    far above the rest is under-served by the shared vocabulary; the
+    metric the XLM-R / BLOOM tokenizer analyses report per language).
+    Completes the tokenizer lifecycle train (`ext_bpe_merges`) → serve
+    (`ext_tokenizer_apply`) → AUDIT, the same arc as the quality filter's
+    fit → calibrate → threshold → PSI.
+
+    Plan: one narrow corpus pass computes per-doc word/char/subword counts
+    (words and chars as native HOFs, subwords via the shared Arrow
+    ``_bpe_count_udf`` kernel), then a languages-sized groupBy. Cross-engine
+    determinism: per-lang SUMs of BIGINT counts (order-independent), then
+    ONE IEEE-exact division each, 6dp. Languages with zero extracted words
+    are omitted on both engines (and with ≥1 word every divisor is > 0 —
+    each word encodes to ≥ 1 symbol)."""
+    merges = [(m[1], m[2]) for m in _bpe_learn(spark, sf_dir)]
+    bpe_count = _bpe_count_udf(merges)
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = tokens_col("text")
+    per = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("nw"),
+        F.aggregate(
+            F.transform(toks, lambda s: F.length(s).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nc"),
+        bpe_count(toks).alias("nb"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("nb").cast("long").alias("n_tokens_bpe"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens_bpe",
+            "n_chars",
+            F.round(
+                F.col("n_tokens_bpe") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars") / F.col("n_tokens_bpe").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def ext_tokenizer_fertility_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_bpe_cte_sql()},
+        words AS (
+            SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents
+        ),
+        enc AS (
+            SELECT w, 0 AS rk,
+                   '|' || array_to_string(
+                       [substr(w, i, 1) for i in generate_series(1, length(w))],
+                       '||') || '|' AS s
+            FROM words
+            UNION ALL
+            SELECT e.w, e.rk + 1,
+                   replace(e.s, '|' || m.l || '||' || m.r || '|',
+                                '|' || m.l || m.r || '|')
+            FROM enc e JOIN bpe m ON m.merge_rank = e.rk + 1
+        ),
+        enc_len AS (
+            SELECT w, CAST(len(str_split(trim(s, '|'), '||')) AS BIGINT) AS n_sub
+            FROM enc WHERE rk = (SELECT MAX(merge_rank) FROM bpe)
+        ),
+        doc_tokens AS (
+            SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents
+        ),
+        per AS (
+            SELECT t.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(e.n_sub) AS BIGINT) AS n_tokens_bpe,
+                   CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
+            FROM doc_tokens t JOIN enc_len e USING (w)
+            GROUP BY t.lang
+        )
+        SELECT lang, n_words, n_tokens_bpe, n_chars,
+               ROUND(n_tokens_bpe / CAST(n_words AS DOUBLE), 6) AS fertility,
+               ROUND(n_chars / CAST(n_tokens_bpe AS DOUBLE), 6) AS chars_per_token
+        FROM per
     """
 
 

@@ -171,3 +171,98 @@ def quality_psi_stream(
         emit(quality_psi_batch(bdf, weights, fit_bin, fit_total, bid))
 
     return docs_stream.writeStream.foreachBatch(_each)
+
+
+def quantile_sketch_update(standing: DataFrame | None, ev_batch: DataFrame) -> DataFrame:
+    """One sketch-maintenance step: absorb an arriving events batch into the
+    standing bottom-K quantile sketch (``operators.aggregates`` round-8
+    family). The batch contributes only its bounded per-partition partials
+    (≤ T×K rows per partition), and bottom-K of (sketch ∪ partials) IS the
+    sketch of the union — exact mergeability, so the maintained state
+    after any number of steps equals the one-shot whole-history sketch."""
+    from ..operators.aggregates import _qsk_bottomk, _qsk_partials
+
+    part = _qsk_partials(ev_batch)
+    merged = part if standing is None else standing.unionByName(part)
+    return _qsk_bottomk(merged)
+
+
+def quantile_sketch_serve(sketch: DataFrame) -> DataFrame:
+    """Serve per-group approximate percentiles from a standing sketch —
+    the same estimator/columns as the batch ``ext_approx_quantiles_sketch``
+    (interpolated percentile over the ≤ K sampled values, 4dp)."""
+    from ..operators.aggregates import QUANTILES
+
+    pcts = F.percentile("value", F.lit(list(QUANTILES)))
+    return sketch.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("sketch_k"),
+        F.round(pcts[0], 4).alias("p50"),
+        F.round(pcts[1], 4).alias("p90"),
+        F.round(pcts[2], 4).alias("p99"),
+    )
+
+
+def quantile_sketch_stream(ev_stream: DataFrame, emit, state: dict | None = None):
+    """Streaming quantile monitoring — the deployment form of
+    ``ext_approx_quantiles_incremental``: the standing bottom-K sketch
+    (state = ≤ T×K rows TOTAL, regardless of stream length) absorbs each
+    arriving micro-batch's bounded partials and serves updated
+    p50/p90/p99 to ``emit(batch_id, pct_df)``. Because bottom-K merge is
+    exact (sketch ∪ sketch = the union's sketch), the standing state after
+    draining the stream is BIT-EQUAL to the batch sketch over the same
+    rows — the strongest stream ≡ batch contract any twin here carries,
+    pinned in tests/test_corpus_stream.py. The per-step ``localCheckpoint``
+    is load-bearing twice over: it cuts lineage (state would otherwise
+    chain every past micro-batch's plan) and it pins the merged rows so
+    the next merge reads materialized state, the discipline the graph
+    loops established."""
+    state = {"sketch": None} if state is None else state
+
+    def _each(bdf: DataFrame, bid: int) -> None:
+        sk = quantile_sketch_update(state["sketch"], bdf).localCheckpoint()
+        state["sketch"] = sk
+        emit(bid, quantile_sketch_serve(sk))
+
+    return ev_stream.writeStream.foreachBatch(_each)
+
+
+def heavy_hitters_stream(
+    docs_stream: DataFrame, emit, k: int | None = None, state: dict | None = None
+):
+    """Streaming Misra–Gries heavy hitters: per micro-batch, the bounded
+    per-partition MG summaries (the batch operator's pass-1 stage,
+    ``operators.text._mg_summaries``) collect ≤ (k+1)·partitions rows and
+    fold into ONE standing k-counter summary via the mergeable-summaries
+    merge (``operators.text.mg_merge``) — state is k counters plus a
+    running exact total, regardless of stream length or vocabulary size.
+
+    Per batch, ``emit(batch_id, n_total, counters)`` receives the running
+    candidate set with estimate counts. Guarantees that survive arbitrary
+    merge sequences (and are pinned by the stream-vs-exact test): every
+    token with true frequency > N/(k+1) is present (no false negatives),
+    and for every candidate est ≤ true ≤ est + N/(k+1). The batch
+    operator's exact pass-2 rescan has no streaming analogue (it would
+    re-read history); a deployment runs that rescan offline against the
+    emitted candidates — the candidate set is exactly what makes the
+    offline pass cheap."""
+    from ..operators.text import HH_K, _mg_summaries, mg_merge
+
+    kk = int(HH_K if k is None else k)
+    state = {"counters": {}, "n_total": 0} if state is None else state
+
+    def _each(bdf: DataFrame, bid: int) -> None:
+        toks = bdf.select(F.explode(tokens_col("text")).alias("token"))
+        add: dict[str, int] = {}
+        batch_n = 0
+        for r in _mg_summaries(toks, kk).collect():
+            if r["is_total"]:
+                batch_n += int(r["cnt"])
+            else:
+                add[r["token"]] = add.get(r["token"], 0) + int(r["cnt"])
+        # all of this batch's partition summaries merge in one m-way step
+        # (single truncation — valid and tighter than pairwise folding)
+        state["n_total"] += batch_n
+        state["counters"] = mg_merge(state["counters"], add, kk)
+        emit(bid, state["n_total"], dict(state["counters"]))
+
+    return docs_stream.writeStream.foreachBatch(_each)

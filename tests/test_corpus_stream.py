@@ -417,3 +417,161 @@ def test_quality_psi_stream_equals_batch(spark, tmp_path):
         r = C.quality_psi_batch(bdf, w, fit_bin, n, i).collect()[0]
         want.append((r.psi, r.n))
     assert psis == sorted(want)
+
+
+def test_quantile_sketch_stream_state_equals_batch_sketch(spark, tmp_path):
+    """The standing sketch after draining the stream is EXACTLY the batch
+    whole-corpus sketch (bottom-K mergeability is exact, not approximate):
+    same (event_type, h, event_id, value) row set, and the final served
+    percentiles equal `ext_approx_quantiles_sketch` on the same events."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events")
+    cdc_stream.write_ordered_files(ev, path, n_files=4, order_col="event_id")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    state: dict = {"sketch": None}
+    emitted: dict[int, list] = {}
+
+    def emit(bid, pct_df):
+        emitted[bid] = sorted(map(tuple, pct_df.collect()))
+
+    q = (
+        C.quantile_sketch_stream(stream, emit, state)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "qsk_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    assert len(emitted) == 4
+
+    got_rows = sorted(map(tuple, state["sketch"].collect()))
+    want_rows = sorted(
+        map(tuple, A._qsk_bottomk(A._qsk_partials(ev)).collect())
+    )
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    want_pcts = sorted(
+        map(tuple, A.ext_approx_quantiles_sketch(spark, SF_SMOKE).collect())
+    )
+    assert emitted[max(emitted)] == want_pcts
+
+
+def test_quantile_sketch_stream_percentiles_converge(spark, tmp_path):
+    """Intermediate emissions are the sketch of the PREFIX: after batch 0
+    the served percentiles equal the batch sketch over file-0 rows alone."""
+    import glob
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events")
+    cdc_stream.write_ordered_files(ev, path, n_files=3, order_col="event_id")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    emitted: dict[int, list] = {}
+
+    def emit(bid, pct_df):
+        emitted[bid] = sorted(map(tuple, pct_df.collect()))
+
+    q = (
+        C.quantile_sketch_stream(stream, emit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "qsk2_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    first = spark.read.schema(ev.schema).parquet(files[0])
+    want0 = sorted(
+        map(
+            tuple,
+            C.quantile_sketch_serve(
+                C.quantile_sketch_update(None, first)
+            ).collect(),
+        )
+    )
+    assert emitted[0] == want0
+
+
+def test_heavy_hitters_stream_guarantees_vs_exact(spark, tmp_path):
+    """Streaming MG with a deliberately tiny k over a skewed crafted corpus:
+    after draining, (a) the running total is the exact token count, (b) the
+    candidate set contains EVERY token with true frequency > N/(k+1) — the
+    no-false-negative guarantee across merges — and (c) every estimate
+    satisfies est ≤ true ≤ est + N/(k+1)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    # skewed corpus: 'alpha' dominates, long tail of near-unique tokens
+    rows = []
+    for i in range(120):
+        toks = ["alpha", "alpha", f"tail{i}"] + (["beta"] if i % 3 == 0 else [])
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "hhdocs")
+    cdc_stream.write_ordered_files(docs, path, n_files=4, order_col="doc_id")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    k = 4
+    seen: list = []
+
+    def emit(bid, n_total, counters):
+        seen.append((bid, n_total, counters))
+
+    q = (
+        C.heavy_hitters_stream(stream, emit, k=k)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    assert len(seen) == 4
+    _, n_total, counters = seen[-1]
+
+    exact = {
+        r["token"]: r["n"]
+        for r in docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    n = sum(exact.values())
+    assert n_total == n
+    heavy = {t for t, c in exact.items() if c * (k + 1) > n}
+    assert heavy and heavy.issubset(set(counters)), (heavy, counters)
+    assert len(counters) <= k
+    for t, est in counters.items():
+        true = exact.get(t, 0)
+        assert est <= true <= est + n / (k + 1), (t, est, true, n)
+
+
+def test_mg_merge_guarantee_crafted():
+    """Unit: m-way counter-add + single truncation preserves the MG bound
+    on a crafted pair of summaries whose merge forces a truncation."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import mg_merge
+
+    # exact stream A: a×6, b×4, c×1  → MG(2) summary {a:5, b:3} (c evicted)
+    # exact stream B: c×5, d×3, a×1  → MG(2) summary {c:4, d:2} (a evicted)
+    a = {"a": 5, "b": 3}
+    b = {"c": 4, "d": 2}
+    merged = mg_merge(a, b, 2)
+    exact = {"a": 7, "b": 4, "c": 6, "d": 3}
+    n = sum(exact.values())
+    assert len(merged) <= 2
+    for t, c in exact.items():
+        if c > n / 3:  # true heavy at k=2
+            assert t in merged
+    for t, est in merged.items():
+        assert est <= exact[t] <= est + n / 3

@@ -993,3 +993,116 @@ def test_quality_psi_operator_and_parity(spark, duck):
         entrymod.queries()["ext_quality_psi"],
         entrymod.oracle_sql()["ext_quality_psi"],
     )
+
+
+# ---------------------------------------------------------------------------
+# staged for r09 registration: ext_freq_countmin / ext_tokenizer_fertility
+# (window rule: the r08 driver window is fully allocated to the rotation
+# queue — these two ship with full oracles + tests now and take their
+# queries()/oracle_sql() slots in the r09 rotation commit)
+# ---------------------------------------------------------------------------
+
+
+def test_freq_countmin_forced_collisions_python_reference(spark):
+    """Tiny width forces collisions; the Spark sketch must equal a pure
+    python replay of the identical construction (same md5 bucket hashes),
+    and every estimate must overestimate (est ≥ true — the deterministic
+    CMS property)."""
+    import hashlib
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    toks = []
+    for i in range(40):
+        toks += ["alpha", "alpha", f"tail{i % 7}"]
+    toks += ["beta"] * 9
+    tdf = spark.createDataFrame([(t,) for t in toks], "token string").repartition(5)
+    d, w = 2, 4
+    got = {r.token: (r.n_exact, r.n_est, r.overshoot)
+           for r in T.cms_report(tdf, d, w, 100).collect()}
+
+    exact: dict = {}
+    for t in toks:
+        exact[t] = exact.get(t, 0) + 1
+    cells: dict = {}
+    for t, c in exact.items():
+        for j in range(d):
+            b = int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:8], 16) % w
+            cells[(j, b)] = cells.get((j, b), 0) + c
+    want = {}
+    for t, c in exact.items():
+        est = min(
+            cells[(j, int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:8], 16) % w)]
+            for j in range(d)
+        )
+        want[t] = (c, est, est - c)
+    assert got == want
+    assert all(est >= true for true, est, _ in got.values())
+    # the tiny width actually collided (otherwise the test is vacuous)
+    assert any(o > 0 for _, _, o in got.values())
+
+
+def test_freq_countmin_probe_set_bounded_and_deterministic(spark):
+    """topn caps the audited rows with a total (count desc, token asc)
+    order — two runs return the identical probe set."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    a = sorted(tuple(r) for r in T.ext_freq_countmin(spark, "/root/testdata/sf0.001").collect())
+    b = sorted(tuple(r) for r in T.ext_freq_countmin(spark, "/root/testdata/sf0.001").collect())
+    assert a == b
+    assert 0 < len(a) <= T.CMS_TOPN
+    assert all(r[3] >= 0 for r in a)  # overshoot ≥ 0 on every audited key
+
+
+def test_freq_countmin_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark, duck, T.ext_freq_countmin, T.ext_freq_countmin_oracle()
+    )
+
+
+def test_tokenizer_fertility_invariants_and_apply_consistency(spark):
+    """fertility ∈ [1, chars/word]; chars_per_token ≥ 1; per-lang sums agree
+    exactly with the serve operator's per-doc counts (same merges, same
+    kernel)."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.lang: r for r in T.ext_tokenizer_fertility(spark, sf).collect()}
+    assert out
+    for r in out.values():
+        assert r.n_words > 0 and r.n_tokens_bpe >= r.n_words
+        assert r.n_chars >= r.n_tokens_bpe
+        assert 1.0 <= r.fertility <= r.n_chars / r.n_words
+        assert r.chars_per_token >= 1.0
+
+    docs = tables.load(spark, sf, "documents")
+    per_doc = T.ext_tokenizer_apply(spark, sf).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    want = {
+        r.lang: (r.nw, r.nb)
+        for r in per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_tokens_ws").cast("long").alias("nw"),
+            F.sum("n_tokens_bpe").cast("long").alias("nb"),
+        )
+        .collect()
+        if r.nw > 0
+    }
+    got = {lang: (r.n_words, r.n_tokens_bpe) for lang, r in out.items()}
+    assert got == want
+
+
+def test_tokenizer_fertility_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark, duck, T.ext_tokenizer_fertility, T.ext_tokenizer_fertility_oracle()
+    )
