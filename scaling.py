@@ -187,6 +187,13 @@ QUERIES = {
     "ext_graph_pagerank@shuffle": "linear in EDGES — tier-3 co-partitioned "
     "shuffle loop forced (node-broadcast gate low too); gated "
     "edge-normalized",
+    # round-8 staged ids (full oracles + tests now; driver registration
+    # lands with the r09 window rotation)
+    "ext_freq_countmin": "linear scan -> d x w cell agg (map-side "
+    "combined, partition output sketch-sized); probe side bounded at "
+    "topn x d rows",
+    "ext_tokenizer_fertility": "cached BPE fit + one narrow Arrow encode "
+    "pass + languages-sized agg",
 }
 
 
@@ -219,12 +226,27 @@ def _forced_label_prop(spark, sf_dir):
     )
 
 
+def _staged_countmin(spark, sf_dir):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text
+
+    return text.ext_freq_countmin(spark, sf_dir)
+
+
+def _staged_fertility(spark, sf_dir):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text
+
+    return text.ext_tokenizer_fertility(spark, sf_dir)
+
+
 # scaling-only callables for the @-suffixed forced-strategy ids (not part
 # of the driver contract — the plain ids' gated dispatch IS the contract)
+# plus the round-8 staged ids not yet registered in __spark_entry__
 EXTRA_QUERIES = {
     "ext_graph_pagerank@dist": _forced_pagerank(None),
     "ext_graph_pagerank@shuffle": _forced_pagerank(0),
     "ext_graph_label_prop@dist": _forced_label_prop,
+    "ext_freq_countmin": _staged_countmin,
+    "ext_tokenizer_fertility": _staged_fertility,
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:
