@@ -1111,6 +1111,30 @@ def _cms_pos_sql(expr: str, j: int, w: int) -> str:
     return f"CAST('0x' || substr(md5('{j}:' || {expr}), 1, 8) AS BIGINT) % {w}"
 
 
+def _cms_probes(d: int, w: int):
+    """The d (row, bucket) probe structs for a ``token`` column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_pos("token", j, w).alias("b")
+            )
+            for j in range(d)
+        ]
+    )
+
+
+def _cms_cells(toks: DataFrame, d: int, w: int) -> DataFrame:
+    """The d×w counter table of a ``token`` frame: one groupBy onto ≤ d·w
+    keys (map-side combined — partition output is sketch-sized). Cells
+    merge across shards/days/micro-batches by plain cell-wise SUM, which
+    is what the streaming twin folds on."""
+    return (
+        toks.select(F.explode(_cms_probes(d, w)).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def cms_report(toks: DataFrame, d: int, w: int, topn: int) -> DataFrame:
     """Count-Min construction + audit over a ``token`` column — the
     testable core of ``ext_freq_countmin`` (crafted forced-collision
@@ -1121,19 +1145,8 @@ def cms_report(toks: DataFrame, d: int, w: int, topn: int) -> DataFrame:
     partition size, and cell-wise SUM makes the sketch trivially
     mergeable across shards/days. The probe side explodes only the
     ``topn`` audited keys against the broadcast (≤ d·w rows) sketch."""
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"), _cms_pos("token", j, w).alias("b")
-            )
-            for j in range(d)
-        ]
-    )
-    cells = (
-        toks.select(F.explode(probes).alias("p"))
-        .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    probes = _cms_probes(d, w)
+    cells = _cms_cells(toks, d, w)
     exact = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )

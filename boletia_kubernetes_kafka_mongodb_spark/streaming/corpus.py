@@ -266,3 +266,68 @@ def heavy_hitters_stream(
         emit(bid, state["n_total"], dict(state["counters"]))
 
     return docs_stream.writeStream.foreachBatch(_each)
+
+
+def freq_sketch_stream(
+    docs_stream: DataFrame,
+    emit,
+    d: int | None = None,
+    w: int | None = None,
+    state: dict | None = None,
+):
+    """Streaming Count-Min: each micro-batch's d×w cell table (bounded —
+    map-side combined to sketch size before anything shuffles) adds
+    CELL-WISE into the standing counter state. CMS merge IS cell-wise
+    SUM, so like the bottom-K twin this carries the exact contract: the
+    drained state equals the batch sketch over the same documents, row
+    for row (pinned in tests/test_corpus_stream.py). State is ≤ d·w rows
+    forever; ``emit(batch_id, cells_df)`` hands out the running sketch —
+    point-frequency service for ANY key via ``freq_sketch_estimate``
+    with no vocabulary-sized state anywhere in the pipeline."""
+    from ..operators.text import CMS_D, CMS_W, _cms_cells
+
+    dd = int(CMS_D if d is None else d)
+    ww = int(CMS_W if w is None else w)
+    state = {"cells": None} if state is None else state
+
+    def _each(bdf: DataFrame, bid: int) -> None:
+        toks = bdf.select(F.explode(tokens_col("text")).alias("token"))
+        batch_cells = _cms_cells(toks, dd, ww)
+        merged = (
+            batch_cells
+            if state["cells"] is None
+            else state["cells"]
+            .unionByName(batch_cells)
+            .groupBy("j", "b")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        state["cells"] = merged.localCheckpoint()
+        emit(bid, state["cells"])
+
+    return docs_stream.writeStream.foreachBatch(_each)
+
+
+def freq_sketch_estimate(
+    cells: DataFrame, keys: DataFrame, d: int | None = None, w: int | None = None
+) -> DataFrame:
+    """Point-frequency estimates for a ``token`` keys frame against a
+    standing Count-Min cell table: MIN over the key's d cells, with an
+    ABSENT cell counting as zero (a never-inserted key must estimate ≥ 0
+    from its emptiest cell, not skip it — ``F.min`` ignores NULLs, so the
+    coalesce happens per row, before the MIN)."""
+    from ..operators.text import CMS_D, CMS_W, _cms_probes
+
+    dd = int(CMS_D if d is None else d)
+    ww = int(CMS_W if w is None else w)
+    probed = keys.select("token", F.explode(_cms_probes(dd, ww)).alias("p")).select(
+        "token", F.col("p.j").alias("j"), F.col("p.b").alias("b")
+    )
+    return (
+        probed.join(F.broadcast(cells), ["j", "b"], "left")
+        .groupBy("token")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("n_est")
+        )
+    )

@@ -575,3 +575,62 @@ def test_mg_merge_guarantee_crafted():
             assert t in merged
     for t, est in merged.items():
         assert est <= exact[t] <= est + n / 3
+
+
+def test_freq_sketch_stream_state_equals_batch_cells(spark, tmp_path):
+    """Streaming Count-Min: drained cell state == the batch cell table over
+    the same documents (cell-wise SUM merge is exact), and estimates served
+    from the drained state match the batch audit operator's estimates for
+    its probe keys."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "cmsdocs")
+    cdc_stream.write_ordered_files(docs, path, n_files=4, order_col="doc_id")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    state: dict = {"cells": None}
+    n_emits = []
+
+    q = (
+        C.freq_sketch_stream(stream, lambda bid, cells: n_emits.append(bid), state=state)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    assert n_emits == [0, 1, 2, 3]
+
+    toks = docs.select(F.explode(T.tokens_col("text")).alias("token"))
+    want_cells = sorted(map(tuple, T._cms_cells(toks, T.CMS_D, T.CMS_W).collect()))
+    got_cells = sorted(map(tuple, state["cells"].collect()))
+    assert got_cells == want_cells and len(got_cells) > 0
+
+    batch = T.ext_freq_countmin(spark, SF_SMOKE)
+    keys = batch.select("token")
+    got_est = {
+        r.token: r.n_est
+        for r in C.freq_sketch_estimate(state["cells"], keys).collect()
+    }
+    want_est = {r.token: r.n_est for r in batch.collect()}
+    assert got_est == want_est
+
+
+def test_freq_sketch_estimate_unseen_key_zero(spark):
+    """A key never inserted can estimate 0 when one of its cells is empty —
+    the absent-cell-is-zero rule (left join + per-row coalesce BEFORE min)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    toks = spark.createDataFrame([("only",)], "token string")
+    # w large enough that a random other key almost surely misses at least
+    # one of 'only's cells; assert the rule structurally instead: an empty
+    # sketch estimates 0 for anything
+    cells = T._cms_cells(toks, 2, 64).where(F.lit(False))
+    got = C.freq_sketch_estimate(cells, spark.createDataFrame(
+        [("ghost",)], "token string"), 2, 64).collect()
+    assert len(got) == 1 and got[0].n_est == 0
