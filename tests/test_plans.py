@@ -433,3 +433,40 @@ def test_classifier_gradient_is_single_partial_agg(spark):
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan, plan
     assert "Join" not in plan
+
+
+def test_freq_countmin_broadcast_probe_bounded_top(spark):
+    """The Count-Min audit: probe keys select via a bounded heap
+    (TakeOrderedAndProject, never a global sort), the sketch joins the
+    probe side by broadcast (d·w rows), and no cartesian/sort-merge
+    appears. The corpus tokenizes once per semantic branch (cells + exact
+    audit) — never per probe row."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text
+
+    df = text.ext_freq_countmin(spark, SF_CORRECT)
+    s = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert s.count("regexp_extract_all") <= 3
+
+
+def test_tokenizer_fertility_single_scan_single_shuffle(spark):
+    """The fertility audit is one narrow corpus pass (words/chars as HOFs,
+    subwords in the Arrow kernel — ONE documents scan) into a
+    languages-sized aggregation: exactly one hash exchange (the lang agg;
+    the only other exchange is the fan-out RoundRobin from tables.load),
+    partial sums before it, and no joins anywhere."""
+    import re
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text
+
+    plan = (
+        text.ext_tokenizer_fertility(spark, SF_CORRECT)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
