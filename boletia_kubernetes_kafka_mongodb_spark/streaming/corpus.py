@@ -245,27 +245,37 @@ def heavy_hitters_stream(
     re-read history); a deployment runs that rescan offline against the
     emitted candidates — the candidate set is exactly what makes the
     offline pass cheap."""
-    from ..operators.text import HH_K, _mg_summaries, mg_merge
+    from ..operators.text import HH_K
 
     kk = int(HH_K if k is None else k)
     state = {"counters": {}, "n_total": 0} if state is None else state
 
     def _each(bdf: DataFrame, bid: int) -> None:
-        toks = bdf.select(F.explode(tokens_col("text")).alias("token"))
-        add: dict[str, int] = {}
-        batch_n = 0
-        for r in _mg_summaries(toks, kk).collect():
-            if r["is_total"]:
-                batch_n += int(r["cnt"])
-            else:
-                add[r["token"]] = add.get(r["token"], 0) + int(r["cnt"])
-        # all of this batch's partition summaries merge in one m-way step
-        # (single truncation — valid and tighter than pairwise folding)
-        state["n_total"] += batch_n
-        state["counters"] = mg_merge(state["counters"], add, kk)
+        heavy_hitters_fold(state, bdf, kk)
         emit(bid, state["n_total"], dict(state["counters"]))
 
     return docs_stream.writeStream.foreachBatch(_each)
+
+
+def heavy_hitters_fold(state: dict, docs_batch: DataFrame, k: int) -> dict:
+    """One MG maintenance step (the per-batch body of
+    ``heavy_hitters_stream``, callable from a composed ``foreachBatch``):
+    the batch's bounded per-partition summaries merge into the standing
+    k-counter state in one m-way step (single truncation — valid and
+    tighter than pairwise folding)."""
+    from ..operators.text import _mg_summaries, mg_merge
+
+    toks = docs_batch.select(F.explode(tokens_col("text")).alias("token"))
+    add: dict[str, int] = {}
+    batch_n = 0
+    for r in _mg_summaries(toks, k).collect():
+        if r["is_total"]:
+            batch_n += int(r["cnt"])
+        else:
+            add[r["token"]] = add.get(r["token"], 0) + int(r["cnt"])
+    state["n_total"] += batch_n
+    state["counters"] = mg_merge(state["counters"], add, k)
+    return state
 
 
 def freq_sketch_stream(
@@ -284,27 +294,39 @@ def freq_sketch_stream(
     forever; ``emit(batch_id, cells_df)`` hands out the running sketch —
     point-frequency service for ANY key via ``freq_sketch_estimate``
     with no vocabulary-sized state anywhere in the pipeline."""
-    from ..operators.text import CMS_D, CMS_W, _cms_cells
+    from ..operators.text import CMS_D, CMS_W
 
     dd = int(CMS_D if d is None else d)
     ww = int(CMS_W if w is None else w)
     state = {"cells": None} if state is None else state
 
     def _each(bdf: DataFrame, bid: int) -> None:
-        toks = bdf.select(F.explode(tokens_col("text")).alias("token"))
-        batch_cells = _cms_cells(toks, dd, ww)
-        merged = (
-            batch_cells
-            if state["cells"] is None
-            else state["cells"]
-            .unionByName(batch_cells)
-            .groupBy("j", "b")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-        )
-        state["cells"] = merged.localCheckpoint()
+        freq_sketch_fold(state, bdf, dd, ww)
         emit(bid, state["cells"])
 
     return docs_stream.writeStream.foreachBatch(_each)
+
+
+def freq_sketch_fold(state: dict, docs_batch: DataFrame, d: int, w: int) -> dict:
+    """One CMS maintenance step (the per-batch body of
+    ``freq_sketch_stream``, callable from a composed ``foreachBatch``):
+    the batch's bounded cell table adds cell-wise into the standing
+    counters; eager localCheckpoint pins the ≤ d·w-row state and cuts
+    lineage."""
+    from ..operators.text import _cms_cells
+
+    toks = docs_batch.select(F.explode(tokens_col("text")).alias("token"))
+    batch_cells = _cms_cells(toks, d, w)
+    merged = (
+        batch_cells
+        if state["cells"] is None
+        else state["cells"]
+        .unionByName(batch_cells)
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    state["cells"] = merged.localCheckpoint()
+    return state
 
 
 def freq_sketch_estimate(

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from boletia_kubernetes_kafka_mongodb_spark import tables
@@ -408,7 +410,7 @@ def test_quality_psi_stream_equals_batch(spark, tmp_path):
     # rebuild each micro-batch from the written files and compare exactly
     import glob
 
-    files = sorted(glob.glob(str(tmp_path / "docs") + "/*.parquet"))
+    files = sorted(glob.glob(str(tmp_path / "docs") + "/*.parquet"), key=os.path.getmtime)
     assert len(files) == 4
     psis = sorted((v[1], v[0]) for v in got.values())
     want = []
@@ -489,7 +491,7 @@ def test_quantile_sketch_stream_percentiles_converge(spark, tmp_path):
         .start()
     )
     q.awaitTermination(600)
-    files = sorted(glob.glob(path + "/*.parquet"))
+    files = sorted(glob.glob(path + "/*.parquet"), key=os.path.getmtime)
     first = spark.read.schema(ev.schema).parquet(files[0])
     want0 = sorted(
         map(
@@ -634,3 +636,83 @@ def test_freq_sketch_estimate_unseen_key_zero(spark):
     got = C.freq_sketch_estimate(cells, spark.createDataFrame(
         [("ghost",)], "token string"), 2, 64).collect()
     assert len(got) == 1 and got[0].n_est == 0
+
+
+def test_monitoring_stack_one_stream(spark, tmp_path):
+    """The round-8 monitoring stack COMPOSED in one streaming query: a
+    single foreachBatch drives the PSI drift reading (stateless, vs the
+    offline fit baseline), the Misra–Gries heavy-hitter fold, and the
+    Count-Min cell fold over the SAME arriving micro-batches — three
+    bounded monitor states, one pipeline. Each monitor must honor its
+    standalone contract: PSI readings equal the per-batch stateless
+    recompute, drained CMS cells equal the batch cell table, and the MG
+    state keeps its guarantee vs exact counts."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+
+    # offline: quality fit + per-bin baseline (the PSI monitor's model)
+    feats = T._qc_features(docs).localCheckpoint(eager=True)
+    n = feats.count()
+    w = T.quality_classifier_fit(feats, n)
+    bin_col = F.least(
+        F.floor(T.quality_score_col(w) * T.QC_CAL_BINS).cast("int"),
+        F.lit(T.QC_CAL_BINS - 1),
+    )
+    fit_bin = (
+        feats.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+
+    stream = _doc_stream(spark, tmp_path)
+    k, d, cw = 8, 2, 64
+    hh_state: dict = {"counters": {}, "n_total": 0}
+    cms_state: dict = {"cells": None}
+    psi: dict[int, float] = {}
+
+    def each(bdf, bid):
+        psi[bid] = C.quality_psi_batch(bdf, w, fit_bin, n, bid).collect()[0].psi
+        C.heavy_hitters_fold(hh_state, bdf, k)
+        C.freq_sketch_fold(cms_state, bdf, d, cw)
+
+    q = (
+        stream.writeStream.foreachBatch(each)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "stack_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sorted(psi) == [0, 1, 2, 3]
+
+    # PSI: replay each written file through the stateless batch reading
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "docs") + "/*.parquet"), key=os.path.getmtime)
+    for i, f in enumerate(files):
+        bdf = spark.read.schema(docs.schema).parquet(f)
+        want = C.quality_psi_batch(bdf, w, fit_bin, n, i).collect()[0].psi
+        assert psi[i] == want
+
+    # CMS: drained cells == the batch cell table over the whole corpus
+    toks = docs.select(F.explode(T.tokens_col("text")).alias("token"))
+    want_cells = sorted(map(tuple, T._cms_cells(toks, d, cw).collect()))
+    assert sorted(map(tuple, cms_state["cells"].collect())) == want_cells
+
+    # MG: totals exact; guarantee holds vs exact counts
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    nn = sum(exact.values())
+    assert hh_state["n_total"] == nn
+    assert len(hh_state["counters"]) <= k
+    for t, est in hh_state["counters"].items():
+        assert est <= exact.get(t, 0) <= est + nn / (k + 1)
+    for t, c in exact.items():
+        if c * (k + 1) > nn:
+            assert t in hh_state["counters"]
