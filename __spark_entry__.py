@@ -43,28 +43,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-8 window (round-4 verdict #1's standing rule:
-    pay the rotation on schedule) = positions 1-46 are exactly the 46
-    r05-era ids from ROUND7_NOTES' precomputed queue (after this round
-    no id's latest attestation is older than round 6); position 47 is
-    `ext_graph_pagerank`, the changed id the round-7 verdict named for
-    re-attestation (tier-3 super-hub split in the shuffle-hash loops);
-    positions 48-50 are the round-8 NEW ids
-    (`ext_approx_quantiles_incremental` — standing-sketch ∪ batch-partial
-    percentile update with shift report; `ext_approx_quantiles_sketch` —
-    the mergeable deterministic quantile sketch itself, verdict item 3;
-    `ext_quality_psi` — population-stability drift monitor on the
-    trained filter's fit CTEs, verdict item 5). `ext_graph_label_prop`
-    and `ext_graph_survivor_rank` share the hub-split change through
-    `_lp_votes`/`_hub_split`/`_pr_contribs` but run the UNCHANGED numpy
-    tier at driver scale — the tier-forced bit-equality + plan-gate
-    tests cover the change, their r07 rows stand, and they head the r09
-    queue precomputed in ROUND8_NOTES. Everything after position 50 has
-    a green r06/r07 driver row.
+    order per round. Round-9 window (the standing rotation rule, paid
+    exactly as precomputed in ROUND8_NOTES' revised r09 queue):
+    positions 1-4 are the four round-8-changed ids shipped on
+    compensating tests (`ext_graph_label_prop`/`ext_graph_survivor_rank`
+    via the shared `_hub_split`/`_lp_votes`/`_pr_contribs`;
+    `ext_dedup_edit_distance` norm checkpoint; `ext_ann_recall_audit`
+    per-query denominator) — re-attested FIRST per the round-8 verdict;
+    positions 5-6 are the two round-8 STAGED ids registering now
+    (`ext_freq_countmin` — Count-Min point-frequency sketch + fidelity
+    audit; `ext_tokenizer_fertility` — per-language fertility audit of
+    the learned BPE); positions 7-8 are the two ids CHANGED this round
+    (`ext_quality_psi` — now emits `n_batch` beside the PSI so alerting
+    can gate on sample size, round-8 verdict #4; `ext_approx_distinct`
+    — now a tolerance-banded full oracle instead of rows-only, round-8
+    verdict #3); positions 9-50 are the 42 r06-era ids from the queue.
+    Deviation from the precomputed list, documented: the two r07-attested
+    KMV ids pencilled ahead-of-schedule at 49-50 are dropped per the
+    queue's own note ("droppable if r09 ships further new ids") — their
+    slots go to the two changed ids, which MUST sit inside the window.
+    After this round no id's latest attestation is older than round 7.
+    Everything after position 50 has a green r07/r08 driver row.
     """
     return {
-        # --- r08 window positions 1-46: the 46 r05-era ids from
-        # ROUND7_NOTES' precomputed rotation queue ---
+        # --- r09 window positions 1-4: the round-8-changed ids, first ---
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
+        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
+        # --- positions 5-6: the round-8 staged ids (first registration;
+        # no prior CORRECTNESS row, so they MUST be inside the window) ---
+        # Count-Min point-frequency sketch (d=4×w=512 md5-bucket cells,
+        # map-side-combined cell build) + min-over-rows fidelity audit
+        "ext_freq_countmin": text.ext_freq_countmin,
+        # per-language fertility (subwords/word) + chars-per-token under
+        # the learned BPE merges — the tokenizer lifecycle's audit leg
+        "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
+        # --- positions 7-8: changed THIS round ---
+        # PSI drift monitor; round 9 adds n_batch (source sample size) so
+        # downstream alerting can gate on the small-batch smoothing bias
+        "ext_quality_psi": text.ext_quality_psi,
+        # HLL approx distinct; round 9 closes the last no_oracle row with
+        # a tolerance-banded oracle (exact, est, within_bound per group)
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        # --- positions 9-50: the 42 r06-era ids from the queue ---
+        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
+        "agg_latency_bands": aggregates.agg_latency_bands,
+        "agg_user_stickiness": aggregates.agg_user_stickiness,
+        "cdc_scd2_history": cdc.cdc_scd2_history,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
+        "ext_bpe_merges": text.ext_bpe_merges,
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
+        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
+        "ext_embed_project": similarity.ext_embed_project,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        "ext_entity_resolution": dedup.ext_entity_resolution,
+        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_ngram_novelty": dedup.ext_ngram_novelty,
+        "ext_percolate_match": search.ext_percolate_match,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        "ext_semdedup": similarity.ext_semdedup,
+        "ext_text_readability": text.ext_text_readability,
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
+        "ext_tokenizer_apply": text.ext_tokenizer_apply,
+        "ext_vocab_topk": text.ext_vocab_topk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "join_attribution": joins.join_attribution,
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        "lookup_pk": scans.lookup_pk,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "order_page_keyset": ordering.order_page_keyset,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
+        # --- position > 50 from here: every id has a green r07/r08
+        # driver row and is implementation-unchanged this round ---
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
         "agg_funnel_stages": aggregates.agg_funnel_stages,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
@@ -111,30 +177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_winnowing": text.ext_text_winnowing,
         "ext_tfidf_terms": search.ext_tfidf_terms,
         "ext_vocab_coverage": text.ext_vocab_coverage,
-        # --- position 47: changed this round (re-attest; named in the
-        # round-7 verdict) — tier-3 super-hub split in the shuffle-hash
-        # loops (_pr_contribs / _hub_split) ---
         "ext_graph_pagerank": graph.ext_graph_pagerank,
-        # --- positions 48-50: new round-8 ids ---
-        # incremental percentile update: standing sketch ∪ batch partials
-        # → updated p50/p90/p99 + per-percentile shifts (mergeability as
-        # a first-class op; only the batch scans when the standing side
-        # is a persisted layout)
         "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
-        # mergeable deterministic quantile sketch (bottom-K row sample),
-        # the sketch companion to the exact agg_value_quantiles
         "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
-        # population-stability drift monitor for the trained quality
-        # filter (PSI per source vs the fit-time score distribution)
-        "ext_quality_psi": text.ext_quality_psi,
-        # --- position > 50 from here: all have green r06/r07 driver
-        # rows; implementations unchanged this round EXCEPT
-        # ext_graph_label_prop, which shares the round-8 hub-split change
-        # via _lp_votes/_hub_split — at driver (sf0.01) scale its
-        # dispatch runs the UNCHANGED numpy tier, the tier-forced
-        # bit-equality + plan-gate tests cover the change, its r07 row
-        # stands, and it heads the r09 queue (ROUND8_NOTES) ---
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
         "agg_count_reservations": aggregates.agg_count_reservations,
         "agg_ewma_daily": aggregates.agg_ewma_daily,
         "agg_pivot_estado": aggregates.agg_pivot_estado,
@@ -150,7 +195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_route_messages": cdc.cdc_route_messages,
         "event_cancel_update": mutations.event_cancel_update,
         "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
         "ext_asof_join": joins.ext_asof_join,
         "ext_dedup_containment": dedup.ext_dedup_containment,
         "ext_dedup_embedding": dedup.ext_dedup_embedding,
@@ -175,56 +219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_churn_emails": ordering.setop_churn_emails,
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "sql_availability": scans.sql_availability,
-        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
-        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
         "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
         "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
         "ext_quality_threshold": text.ext_quality_threshold,
-        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
         "ext_quality_classifier": text.ext_quality_classifier,
         "ext_quality_calibration": text.ext_quality_calibration,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
-        "ext_sample_pack": sampling.ext_sample_pack,
-        "ext_embed_quantize": similarity.ext_embed_quantize,
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "ext_bpe_merges": text.ext_bpe_merges,
-        "ext_mmr_diversify": similarity.ext_mmr_diversify,
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
-        "ext_semdedup": similarity.ext_semdedup,
-        "join_attribution": joins.join_attribution,
-        "ext_entity_resolution": dedup.ext_entity_resolution,
-        "ext_tokenizer_apply": text.ext_tokenizer_apply,
-        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
-        "cdc_scd2_history": cdc.cdc_scd2_history,
-        "agg_latency_bands": aggregates.agg_latency_bands,
-        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
-        "ext_percolate_match": search.ext_percolate_match,
-        "order_page_keyset": ordering.order_page_keyset,
-        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
-        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
-        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        "ext_vocab_topk": text.ext_vocab_topk,
-        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
-        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
-        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        "join_availability_bucketed": joins.join_availability_bucketed,
-        "ext_text_readability": text.ext_text_readability,
-        "ext_ngram_novelty": dedup.ext_ngram_novelty,
-        "ext_embed_project": similarity.ext_embed_project,
-        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
-        "agg_user_stickiness": aggregates.agg_user_stickiness,
-        "scan_full_eventos": scans.scan_full_eventos,
-        "scan_full_inventario": scans.scan_full_inventario,
-        "lookup_point_unique": scans.lookup_point_unique,
-        "lookup_pk": scans.lookup_pk,
-        "filter_compound_eq": scans.filter_compound_eq,
-        "filter_range_guard": scans.filter_range_guard,
-        "filter_state_machine": cdc.filter_state_machine,
-        "project_rename_detreserva": scans.project_rename_detreserva,
     }
 
 
@@ -327,6 +326,12 @@ def oracle_sql() -> dict[str, str]:
         # round 8: the sketch CTE program × (standing, batch, merged) —
         # incremental update + percentile shifts
         "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental_oracle(),
+        # round 9 (staged r8): Count-Min cells are md5-bucket groupBy
+        # sums — engine-deterministic including collisions → full oracle
+        "ext_freq_countmin": text.ext_freq_countmin_oracle(),
+        # round 9 (staged r8): fertility audit replays the BPE fit CTEs;
+        # BIGINT sums + one IEEE-exact division per metric
+        "ext_tokenizer_fertility": text.ext_tokenizer_fertility_oracle(),
         # round 6: est (signature agreement) and exact (shingle jaccard)
         # are both engine-independent — the audit carries a full oracle
         "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy_oracle(),
