@@ -432,9 +432,9 @@ def oracle_sql() -> dict[str, str]:
         # universal-hash permutations + polynomial band fold)
         "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh_oracle(),
         "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near_oracle(),
-        # ext_approx_distinct is the ONE remaining rows-only id — an HLL
-        # sketch is engine-private by nature; its exact companion
-        # ext_distinct_users_exact carries the hash gate →
-        # intentionally no SQL oracle (driver records rows-only); their
-        # semantics are asserted against python references in tests/.
+        # round 9: the last rows-only id closed — the HLL estimate itself
+        # is engine-private, but the GUARANTEE is not: each engine checks
+        # its own sketch against the same exact count with an all-BIGINT
+        # tolerance band, so the driver hash-gates |est−exact|/exact ≤ ε.
+        "ext_approx_distinct": aggregates.ext_approx_distinct_oracle(),
     }

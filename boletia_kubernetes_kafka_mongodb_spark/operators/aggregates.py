@@ -369,24 +369,75 @@ def agg_unpivot_estado_oracle() -> str:
     )
 
 
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw HLL++ estimate per event type alongside the exact count —
+    what a user reads; engine-private values, so NOT the registered
+    driver surface (see ``ext_approx_distinct``)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+
+
+# HLL tolerance band for the hash-gated guarantee: 4× Spark's default
+# rsd (0.05) — wide enough that BOTH engines' (different) HLL sketches
+# sit inside it on any non-adversarial input, tight enough that a broken
+# sketch implementation fails the gate. Stated as an integer multiple so
+# the band compare is all-BIGINT (no float rounding to diverge on):
+# |est − exact| · HLL_TOL_DEN ≤ exact  ⇔  |est/exact − 1| ≤ 1/HLL_TOL_DEN.
+HLL_TOL_DEN = 5  # ε = 0.2
+
+
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: HyperLogLog++ distinct-user counts per event type, alongside the
-    exact count.
+    """A10: HyperLogLog++ distinct-user guarantee audit per event type.
 
     The sketch IS the scale path: ``approx_count_distinct`` is a fixed-size
     (~few KB) mergeable sketch per group — partial aggregation combines
     map-side and the shuffle carries sketches, not user ids. The exact
     ``count_distinct`` on the same row shows the accuracy trade (its
     shuffle carries every distinct id — fine per-group here, prohibitive
-    for a global distinct at 100 TB). Rows-only: HLL++ register values are
-    engine-specific, so there is no cross-engine hash oracle; the error
-    bound vs exact is asserted in tests instead (rsd 0.05 default).
+    for a global distinct at 100 TB).
+
+    Round 9 (closing the round-8 verdict's last ``no_oracle`` row): HLL++
+    register values are engine-private, so the RAW estimate can never
+    hash-match a DuckDB oracle — but the GUARANTEE can. The registered
+    surface emits per group the exact count plus ``within_bound`` =
+    |est − exact|·``HLL_TOL_DEN`` ≤ exact (an all-BIGINT ε = 0.2 band
+    compare), computed in each engine from ITS OWN sketch against the
+    SAME exact companion SQL — the driver now hash-gates that both
+    engines' sketches honor the tolerance, even though the estimates
+    differ. The raw estimate stays available via ``approx_distinct_raw``
+    (bound asserted in tests), and the deterministic estimator family
+    lives in ``ext_approx_distinct_kmv``.
     """
+    est = F.approx_count_distinct("user_id").alias("est")
     ev = tables.load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    agg = ev.groupBy("event_type").agg(
+        est, F.count_distinct("user_id").cast("long").alias("exact_users")
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) * F.lit(HLL_TOL_DEN)
+            <= F.col("exact_users")
+        ).alias("within_bound"),
+    )
+
+
+def ext_approx_distinct_oracle() -> str:
+    """DuckDB runs the same band compare on ITS OWN HLL estimate — the
+    hash gates the guarantee, not the engine-private registers."""
+    return f"""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               ABS(CAST(approx_count_distinct(user_id) AS BIGINT)
+                   - CAST(COUNT(DISTINCT user_id) AS BIGINT)) * {HLL_TOL_DEN}
+                   <= CAST(COUNT(DISTINCT user_id) AS BIGINT) AS within_bound
+        FROM events
+        GROUP BY event_type
+    """
 
 
 def ext_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,14 +500,19 @@ def _kmv_sketches_from(ev: DataFrame) -> DataFrame:
 
         best: dict = {}
         for pdf in batches:
-            for t, grp in pdf.groupby("event_type", sort=False):
+            # dropna=False: the downstream window (and the DuckDB oracle)
+            # treat NULL event_type as a group — the kernel must too
+            for t, grp in pdf.groupby("event_type", sort=False, dropna=False):
+                t = None if pd.isna(t) else t
                 arr = np.unique(grp["h"].to_numpy())[:k]
                 prev = best.get(t)
                 if prev is not None:
                     arr = np.unique(np.concatenate([prev, arr]))[:k]
                 best[t] = arr
         for t, arr in best.items():
-            yield pd.DataFrame({"event_type": t, "h": arr})
+            yield pd.DataFrame(
+                {"event_type": pd.Series([t] * len(arr), dtype=object), "h": arr}
+            )
 
     part = hashes.mapInPandas(_partial, "event_type string, h long")
     # ≤ partitions×T×K survivors: distinct (duplicates recur across
@@ -749,7 +805,10 @@ def _qsk_partials(ev: DataFrame) -> DataFrame:
 
         best: dict = {}
         for pdf in batches:
-            for t, grp in pdf.groupby("event_type", sort=False):
+            # dropna=False: the merge window (and the DuckDB oracle's
+            # row_number partition) keep NULL event_type as a group
+            for t, grp in pdf.groupby("event_type", sort=False, dropna=False):
+                t = None if pd.isna(t) else t
                 g = grp[["h", "event_id", "value"]]
                 prev = best.get(t)
                 if prev is not None:
@@ -757,7 +816,7 @@ def _qsk_partials(ev: DataFrame) -> DataFrame:
                 best[t] = g.sort_values(["h", "event_id", "value"]).head(k)
         for t, g in best.items():
             out = g.copy()
-            out.insert(0, "event_type", t)
+            out.insert(0, "event_type", pd.Series([t] * len(g), dtype=object, index=g.index))
             yield out
 
     return rows.mapInPandas(

@@ -243,14 +243,19 @@ def _hub_split(
     UnknownPartitioning and would re-exchange every iteration); callers
     unpersist via `_hub_unpersist`. One bounded driver scalar: the hub
     count (≤ edges/hub_degree_min by construction)."""
+    # persist (not localCheckpoint) so the hub filter runs ONCE — the
+    # same frame gates on count, serves every per-iteration broadcast,
+    # and is releasable in `_hub_unpersist` (round-8 ADVICE: the old
+    # count-then-recheckpoint shape evaluated the filter twice and
+    # pinned an unreleasable checkpoint RDD)
     hubs = deg.where(F.col("d") > hub_degree_min).select(
         F.col("src").alias("hub_src")
-    )
+    ).persist()
     if hubs.count() == 0:
+        hubs.unpersist()
         main = adj.repartition(nparts, "src").persist()
         main.count()
         return main, None, None
-    hubs = hubs.localCheckpoint(eager=True)
     main = adj.join(
         F.broadcast(hubs), adj["src"] == hubs["hub_src"], "left_anti"
     ).repartition(nparts, "src").persist()
@@ -262,10 +267,16 @@ def _hub_split(
     return main, hub_adj, hubs
 
 
-def _hub_unpersist(main: DataFrame, hub_adj: DataFrame | None) -> None:
+def _hub_unpersist(
+    main: DataFrame,
+    hub_adj: DataFrame | None,
+    hubs: DataFrame | None = None,
+) -> None:
     main.unpersist()
     if hub_adj is not None:
         hub_adj.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
 
 
 def _pagerank_distributed(
@@ -320,7 +331,7 @@ def _pagerank_distributed(
         # the cached adjacency is no longer needed — but the final join
         # is still lazy, so materialize it before dropping the cache
         out = out.localCheckpoint(eager=True)
-        _hub_unpersist(adj, hub_adj)
+        _hub_unpersist(adj, hub_adj, hubs)
     return out
 
 
@@ -701,7 +712,7 @@ def _label_prop_distributed(
         if i % 2 == 1 or not broadcast_tier:
             labels = labels.localCheckpoint(eager=True)
     if not broadcast_tier:
-        _hub_unpersist(edges, hub_edges)
+        _hub_unpersist(edges, hub_edges, hubs)
     return labels
 
 

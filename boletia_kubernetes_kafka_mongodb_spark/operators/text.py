@@ -2224,6 +2224,12 @@ def ext_quality_calibration_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 QC_PSI_ALERT = 0.2   # industry convention: PSI > 0.2 = significant drift
+# Minimum group size for a trustworthy PSI reading: with n ≪ 20·B the
+# Laplace smoothing alone inflates PSI (a 25-row source reads ~0.7 from
+# the empty-bin terms — the documented round-8 caveat), so readings
+# below this carry a first-class low_sample flag for alert gating
+# (round-8 verdict #4) instead of a docstring warning.
+QC_PSI_MIN_N = 20 * QC_CAL_BINS
 _PSI_LN_TERMS = 16   # artanh Horner terms — see _ln_det_expr
 
 
@@ -2259,10 +2265,14 @@ def _ln_det_expr(rcol: str) -> str:
 def quality_psi_from_binned(
     binned: DataFrame, fit_bin: DataFrame, fit_total: int, bins: int = QC_CAL_BINS
 ) -> DataFrame:
-    """(grp, n, psi, drifted) from a per-row ``(grp, bin)`` frame and the
-    fit-time per-bin counts ``(bin, a)`` — the testable core shared by
-    the batch monitor (grp = document source) and the streaming twin
-    (grp = micro-batch id).
+    """(grp, n, psi, drifted, low_sample) from a per-row ``(grp, bin)``
+    frame and the fit-time per-bin counts ``(bin, a)`` — the testable
+    core shared by the batch monitor (grp = document source) and the
+    streaming twin (grp = micro-batch id). ``low_sample`` (n <
+    ``QC_PSI_MIN_N``) is the round-8 verdict #4 gate: small groups read
+    inflated PSI from the smoothing terms alone, so alerting should
+    require ``drifted AND NOT low_sample`` — the flag makes that a
+    column instead of a docstring caveat.
 
     PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with Laplace-smoothed shares
     p_i = (b_i+1)/(n_grp+B), q_i = (a_i+1)/(N_fit+B) — smoothing keeps
@@ -2323,6 +2333,7 @@ def quality_psi_from_binned(
             F.col("nb").alias("n"),
             "psi",
             (F.col("psi") > F.lit(QC_PSI_ALERT)).alias("drifted"),
+            (F.col("nb") < F.lit(QC_PSI_MIN_N)).alias("low_sample"),
         )
     )
 
@@ -2345,13 +2356,17 @@ def ext_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin: `streaming.corpus.quality_psi_batch` (stateless per-batch
     bins against the broadcast fit baseline).
 
-    Output: one row per source — row count, 6dp PSI, and the
-    conventional ``psi > 0.2`` alert flag.
+    Output: one row per source — row count, 6dp PSI, the conventional
+    ``psi > 0.2`` alert flag, and the ``low_sample`` gate (round 9:
+    n < ``QC_PSI_MIN_N`` — small slices read inflated PSI from the
+    smoothing terms alone, so alerting composes
+    ``drifted AND NOT low_sample``).
     """
     feats, n, w = _qc_fit_cached(spark, sf_dir)
     if n == 0:
         return spark.createDataFrame(
-            [], "source string, n long, psi double, drifted boolean"
+            [],
+            "source string, n long, psi double, drifted boolean, low_sample boolean",
         )
     scored = quality_classifier_score(feats, w)
     bin_col = F.least(
@@ -2366,7 +2381,7 @@ def ext_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("grp"), bin_col.alias("bin")
     )
     return quality_psi_from_binned(binned, fit_bin, n).select(
-        F.col("grp").alias("source"), "n", "psi", "drifted"
+        F.col("grp").alias("source"), "n", "psi", "drifted", "low_sample"
     )
 
 
@@ -2420,6 +2435,7 @@ def ext_quality_psi_oracle() -> str:
         SELECT grp AS source, nb AS n,
                ROUND(CAST(SUM(cn) AS DOUBLE) / 1000000000.0, 6) AS psi,
                ROUND(CAST(SUM(cn) AS DOUBLE) / 1000000000.0, 6) > {QC_PSI_ALERT}
-                   AS drifted
+                   AS drifted,
+               nb < {QC_PSI_MIN_N} AS low_sample
         FROM terms GROUP BY grp, nb
     """

@@ -110,13 +110,23 @@ def test_defaults_and_validation(spark):
 
 def test_approx_distinct_error_bound(spark):
     """HLL++ sketch accuracy: within 3x the default rsd (0.05) of exact on
-    every group — the rows-only gate for ext_approx_distinct."""
+    every group (raw helper), and the registered guarantee-audit surface
+    reads within_bound=true everywhere with the exact counts intact."""
     from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
 
-    rows = A.ext_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    rows = A.approx_distinct_raw(spark, "/root/testdata/sf0.01").collect()
     assert len(rows) > 0
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users)
+
+    audit = {r.event_type: r for r in A.ext_approx_distinct(spark, "/root/testdata/sf0.01").collect()}
+    assert len(audit) == len(rows)
+    for r in rows:
+        a = audit[r.event_type]
+        assert a.exact_users == r.exact_users
+        assert a.within_bound == (
+            abs(r.approx_users - r.exact_users) * A.HLL_TOL_DEN <= r.exact_users
+        )
 
 
 def test_approx_distinct_kmv_error_bound_and_branches(spark):
@@ -514,3 +524,71 @@ def test_quantiles_incremental_batch_only_type_null_shifts(spark):
     assert got["fresh"].p50_shift is None and got["fresh"].p99_shift is None
     assert got["fresh"].sketch_k == 50 and got["fresh"].p50 is not None
     assert got["old"].p50_shift is not None
+
+
+def test_sketch_kernels_keep_null_group(spark):
+    """Round-8 ADVICE: the pandas partial kernels must groupby with
+    dropna=False — the merge window (and the DuckDB oracle's row_number
+    partition) keep NULL event_type as a group, so a kernel that drops
+    NULL-keyed rows silently loses the group. Crafted frame: NULL and
+    non-NULL keys scattered across 7 partitions; both sketch builders
+    must equal their plain distinct+window formulations, NULL group
+    included."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+
+    ev = (
+        spark.range(900)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 13).alias("user_id"),
+            F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.lit("click"))
+            .alias("event_type"),
+            (F.col("id") % 41).cast("double").alias("value"),
+        )
+        .repartition(7)
+    )
+
+    # KMV: distinct-hash bottom-K per group
+    u = F.col("user_id").cast("string")
+    hi = F.conv(F.substring(F.md5(u), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(u), 9, 8), 16, 10).cast("long")
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv_ref = (
+        ev.select("event_type", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= A.KMV_K)
+        .select("event_type", "h")
+    )
+    kmv_got = A._kmv_sketches_from(ev)
+    key = lambda r: (r[0] or "", *r[1:])
+    assert sorted(map(tuple, kmv_got.collect()), key=key) == sorted(
+        map(tuple, kmv_ref.collect()), key=key
+    )
+    assert kmv_got.where(F.col("event_type").isNull()).count() > 0
+
+    # quantile sketch: bottom-K row sample per group
+    ue = F.col("event_id").cast("string")
+    hie = F.conv(F.substring(F.md5(ue), 1, 8), 16, 10).cast("long")
+    loe = F.conv(F.substring(F.md5(ue), 9, 8), 16, 10).cast("long")
+    wq = Window.partitionBy("event_type").orderBy("h", "event_id", "value")
+    qsk_ref = (
+        ev.select(
+            "event_type",
+            F.shiftleft(hie, 32).bitwiseOR(loe).alias("h"),
+            "event_id",
+            "value",
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= A.QSK_K)
+        .select("event_type", "value")
+    )
+    qsk_got = A._qsketch_rows_from(ev)
+    assert sorted(map(tuple, qsk_got.collect()), key=key) == sorted(
+        map(tuple, qsk_ref.collect()), key=key
+    )
+    assert qsk_got.where(F.col("event_type").isNull()).count() > 0

@@ -971,6 +971,36 @@ def test_psi_core_discriminates_and_matches_python(spark):
     assert abs(got["shifted"].psi - psi_ref({5: 400, 0: 100}, 500)) < 1e-4
 
 
+def test_psi_low_sample_gate(spark):
+    """Round-8 verdict #4: the small-batch smoothing bias is a COLUMN now,
+    not a docstring caveat. A 25-row slice drawn EXACTLY from the baseline
+    distribution still reads a large PSI (the documented empty-bin
+    smoothing effect) — but it carries low_sample=true, while a 500-row
+    slice of the same shape reads near-zero and gates clean. Alerting
+    composes `drifted AND NOT low_sample`."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    fit_counts = {0: 600, 1: 300, 9: 100}
+    fit_bin = spark.createDataFrame(
+        [(b, n) for b, n in fit_counts.items()], "bin int, a long"
+    )
+    rows = []
+    for b, n in fit_counts.items():
+        rows += [("big", b)] * (n // 2)        # 500 rows, baseline shape
+    rows += [("tiny", 0)] * 15 + [("tiny", 1)] * 7 + [("tiny", 9)] * 3  # 25 rows, same shape
+    binned = spark.createDataFrame(rows, "grp string, bin int")
+    got = {
+        r.grp: r
+        for r in T.quality_psi_from_binned(binned, fit_bin, 1000).collect()
+    }
+    assert got["tiny"].n == 25 and got["tiny"].low_sample
+    assert got["big"].n == 500 and not got["big"].low_sample
+    # identical distribution, yet the tiny slice reads way above the big
+    # one purely from smoothing — exactly why the gate must be a column
+    assert got["tiny"].psi > 10 * max(got["big"].psi, 1e-6)
+    assert got["big"].psi < 0.05
+
+
 def test_quality_psi_operator_and_parity(spark, duck):
     """ext_quality_psi: one row per source, n sums to the corpus, psi ≥ 0
     … wait — PSI of a subset CAN be 0 only if identical; assert psi is
@@ -988,6 +1018,7 @@ def test_quality_psi_operator_and_parity(spark, duck):
     for r in rows:
         assert r.psi is not None and r.psi > -1e-6
         assert r.drifted == (r.psi > T.QC_PSI_ALERT)
+        assert r.low_sample == (r.n < T.QC_PSI_MIN_N)
     compare_with_oracle(
         spark, duck,
         entrymod.queries()["ext_quality_psi"],
