@@ -716,3 +716,186 @@ def test_monitoring_stack_one_stream(spark, tmp_path):
     for t, c in exact.items():
         if c * (k + 1) > nn:
             assert t in hh_state["counters"]
+
+
+def test_quantile_sketch_restart_durable(spark, tmp_path):
+    """Round-8 verdict #2 (kill-and-restart criterion): with a
+    `DurableSketchState`, the standing sketch after a restart mid-stream —
+    including Structured Streaming's redelivery of the in-flight batch
+    with the SAME batch id — is row-for-row equal to the uninterrupted
+    run's state AND to the batch whole-corpus sketch; replaying a batch
+    twice is a no-op fold."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import aggregates as A
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    batches = [ev.where(F.col("event_id") % 3 == i).localCheckpoint() for i in range(3)]
+    emitted_a: dict[int, list] = {}
+    emitted_b: dict[int, list] = {}
+
+    # uninterrupted run
+    store_a = C.DurableSketchState(spark, str(tmp_path / "state_a"))
+    h = C.quantile_sketch_handler(
+        lambda bid, df: emitted_a.__setitem__(bid, sorted(map(tuple, df.collect()))),
+        store=store_a,
+    )
+    for i, b in enumerate(batches):
+        h(b, i)
+
+    # killed after committing batch 1, restarted: a NEW handler (fresh
+    # in-memory state) on the same store; batch 1 is redelivered first
+    store_b = C.DurableSketchState(spark, str(tmp_path / "state_b"))
+    h1 = C.quantile_sketch_handler(
+        lambda bid, df: emitted_b.__setitem__(bid, sorted(map(tuple, df.collect()))),
+        store=store_b,
+    )
+    h1(batches[0], 0)
+    h1(batches[1], 1)
+    rows_before_replay = sorted(map(tuple, store_b.load()[0].collect()))
+    h2 = C.quantile_sketch_handler(
+        lambda bid, df: emitted_b.__setitem__(bid, sorted(map(tuple, df.collect()))),
+        store=store_b,
+    )
+    h2(batches[1], 1)  # redelivered in-flight batch: must be a no-op fold
+    assert sorted(map(tuple, store_b.load()[0].collect())) == rows_before_replay
+    h2(batches[2], 2)
+
+    sa, bid_a = store_a.load()
+    sb, bid_b = store_b.load()
+    assert bid_a == bid_b == 2
+    got_a = sorted(map(tuple, sa.collect()))
+    got_b = sorted(map(tuple, sb.collect()))
+    want = sorted(map(tuple, A._qsk_bottomk(A._qsk_partials(ev)).collect()))
+    assert got_a == got_b == want and len(want) > 0
+    assert emitted_a[2] == emitted_b[2]
+
+
+def test_heavy_hitters_restart_durable(spark, tmp_path):
+    """MG restart durability: counters + running total survive a restart
+    exactly; the redelivered batch folds zero times."""
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    rows = [(i, " ".join(["alpha", "alpha", f"tail{i}"] + (["beta"] if i % 3 == 0 else []))) for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [docs.where(F.col("doc_id") % 3 == i).localCheckpoint() for i in range(3)]
+    k = 4
+
+    store_a = C.DurableSketchState(spark, str(tmp_path / "hh_a"))
+    emit_a: dict[int, tuple] = {}
+    h = C.heavy_hitters_handler(
+        lambda bid, n, c: emit_a.__setitem__(bid, (n, c)), k=k, store=store_a
+    )
+    for i, b in enumerate(batches):
+        h(b, i)
+
+    store_b = C.DurableSketchState(spark, str(tmp_path / "hh_b"))
+    emit_b: dict[int, tuple] = {}
+    h1 = C.heavy_hitters_handler(
+        lambda bid, n, c: emit_b.__setitem__(bid, (n, c)), k=k, store=store_b
+    )
+    h1(batches[0], 0)
+    h1(batches[1], 1)
+    h2 = C.heavy_hitters_handler(
+        lambda bid, n, c: emit_b.__setitem__(bid, (n, c)), k=k, store=store_b
+    )
+    h2(batches[1], 1)  # replay: no double count
+    h2(batches[2], 2)
+
+    assert emit_a[2] == emit_b[2]
+    # totals are EXACT counts — a double fold would show immediately
+    n_tokens = 90 * 3 + 30
+    assert emit_b[2][0] == n_tokens
+    # restart-loaded state equals the uninterrupted dict state
+    da, _ = store_a.load()
+    db, _ = store_b.load()
+    key = lambda r: (r[0] or "", *r[1:])
+    assert sorted(map(tuple, da.collect()), key=key) == sorted(
+        map(tuple, db.collect()), key=key
+    )
+
+
+def test_freq_sketch_restart_durable_real_stream(spark, tmp_path):
+    """TRUE kill-and-restart through Structured Streaming: run 1 drains the
+    first two files with a checkpointLocation + DurableSketchState, the
+    query stops (availableNow), two MORE files land, and run 2 — a fresh
+    stream, fresh handler, EMPTY in-memory state — resumes from the same
+    checkpoint + store. The drained standing cells must equal the batch
+    cell table over ALL four files (offset checkpoint and effect store
+    stay aligned — the reference's exactly-once-effect lesson applied to
+    the monitors)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "cmsdocs")
+    ckpt = str(tmp_path / "cms_restart_ckpt")
+    store = C.DurableSketchState(spark, str(tmp_path / "cms_state"))
+    d, w = 2, 64
+    bids: list[int] = []
+
+    cdc_stream.write_ordered_files(first, path, n_files=2, order_col="doc_id")
+    stream1 = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q1 = (
+        C.freq_sketch_stream(stream1, lambda bid, cells: bids.append(bid), d=d, w=w, store=store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q1.awaitTermination(600)
+    assert bids == [0, 1]
+
+    cdc_stream.write_ordered_files(second, path, n_files=2, order_col="doc_id")
+    stream2 = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q2 = (
+        C.freq_sketch_stream(stream2, lambda bid, cells: bids.append(bid), d=d, w=w, store=store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.awaitTermination(600)
+    assert bids == [0, 1, 2, 3]
+
+    cells, last_bid = store.load()
+    assert last_bid == 3
+    toks = docs.select(F.explode(T.tokens_col("text")).alias("token"))
+    want = sorted(map(tuple, T._cms_cells(toks, d, w).collect()))
+    assert sorted(map(tuple, cells.collect())) == want and len(want) > 0
+
+
+def test_sketch_stream_checkpoint_release_bounded(spark):
+    """Round-8 ADVICE: the NON-durable monitors' per-step localCheckpoints
+    must not accumulate — each fold releases its predecessor's blocks, so
+    N folds leave exactly ONE new persisted RDD (per monitor), not N."""
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    sc = spark.sparkContext
+
+    def persisted_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} common") for i in range(60)],
+        "doc_id long, text string",
+    )
+    base = persisted_ids()
+    cms_state: dict = {"cells": None}
+    for i in range(5):
+        C.freq_sketch_fold(cms_state, docs.where(F.col("doc_id") % 5 == i), 2, 16)
+    assert len(persisted_ids() - base) == 1
+
+    ev = spark.createDataFrame(
+        [(i, "t", float(i % 13)) for i in range(60)],
+        "event_id long, event_type string, value double",
+    )
+    base = persisted_ids()
+    served: list = []
+    h = C.quantile_sketch_handler(lambda bid, df: served.append(df.count()))
+    for i in range(5):
+        h(ev.where(F.col("event_id") % 5 == i), i)
+    assert len(persisted_ids() - base) == 1
