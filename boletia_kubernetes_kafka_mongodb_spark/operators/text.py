@@ -1441,10 +1441,12 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> list:
     )
 
 
-def _bpe_learn_build(spark: SparkSession, sf_dir: str) -> list:
+def _bpe_learn_build(spark: SparkSession, sf_dir: str, docs_filter=None) -> list:
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    if docs_filter is not None:
+        docs = docs.where(docs_filter)
     words = (
-        tables.load(spark, sf_dir, "documents", fan=True)
-        .select(F.explode(tokens_col("text")).alias("w"))
+        docs.select(F.explode(tokens_col("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(F.split("w", "").alias("syms"), "freq")
@@ -1483,8 +1485,12 @@ def _bpe_learn_build(spark: SparkSession, sf_dir: str) -> list:
     return merges
 
 
-def _bpe_cte_sql() -> str:
+def _bpe_cte_sql(src: str = "documents") -> str:
     """Shared RECURSIVE-CTE body computing the BPE merge table in DuckDB.
+
+    ``src`` parametrizes the training relation (default the whole corpus;
+    the held-out OOV audit passes the train-split subquery so the SQL
+    replay trains on exactly the rows the Spark fit saw).
 
     State = one row per iteration carrying the ENTIRE (word, freq) vocab as
     a list of structs; the word's symbol sequence is encoded as a
@@ -1506,7 +1512,7 @@ def _bpe_cte_sql() -> str:
             FROM (
                 SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
                 FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
-                      FROM documents)
+                      FROM {src})
                 GROUP BY w
             )
         ),
@@ -1751,6 +1757,215 @@ def ext_tokenizer_fertility_oracle() -> str:
         SELECT lang, n_words, n_tokens_bpe, n_chars,
                ROUND(n_tokens_bpe / CAST(n_words AS DOUBLE), 6) AS fertility,
                ROUND(n_chars / CAST(n_tokens_bpe AS DOUBLE), 6) AS chars_per_token
+        FROM per
+    """
+
+
+def _bpe_learn_train(spark: SparkSession, sf_dir: str) -> list:
+    """The merge loop fit on the TRAIN+VAL hash split only (the held-out
+    'test' split never touches training) — the model the OOV audit
+    evaluates. Cached like `_bpe_learn` (tag-discriminated: same dict,
+    different model)."""
+    from .sampling import split_assignment
+    from ..sources.layouts import dataset_cache_get
+
+    return dataset_cache_get(
+        _BPE_LEARN_CACHE,
+        spark,
+        sf_dir,
+        "documents",
+        lambda: _bpe_learn_build(
+            spark, sf_dir, docs_filter=split_assignment("doc_id") != "test"
+        ),
+        tag="train_split",
+    )
+
+
+def ext_tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out OOV / coverage audit of the learned BPE vocabulary — the
+    last check a tokenizer pipeline runs before freezing (round-8 verdict
+    #5): fit the merges on the train+val hash split ONLY, then read how
+    the UNSEEN 'test' split tokenizes under them, per language.
+
+    Three readings per language over held-out word occurrences:
+
+    - ``new_word_rate`` — occurrences whose word TYPE never appears in the
+      training split (word-level OOV; pairs with `ext_vocab_coverage`'s
+      top-K occurrence coverage).
+    - ``oov_char_rate`` — character occurrences outside the training
+      alphabet. With character-level BPE these are exactly the symbols the
+      trained vocab cannot represent: a base char seen in training is in
+      the vocab, every merge product is in the vocab, and an unseen char
+      survives encoding as an out-of-vocab singleton. This is the true
+      "cannot encode" rate.
+    - ``fertility_heldout`` — subwords per word under the train-fit
+      merges; read against `ext_tokenizer_fertility`'s whole-corpus fit to
+      see generalization cost.
+
+    Plan (the vocab-sized discipline of the BPE family): the held-out
+    corpus collapses to a (lang, word, tf) frame in one pass; each
+    DISTINCT held-out word is encoded ONCE by the shared Arrow kernel and
+    its char/OOV-char counts come from a words×chars explode joined
+    against the (≤ alphabet-sized, broadcast) training alphabet; the
+    training word-type set joins vocab-to-vocab. Nothing downstream of
+    the two corpus scans tracks corpus size. Cross-engine determinism:
+    BIGINT sums, one IEEE-exact division per rate, 6dp.
+
+    Oracle: the SAME recursive BPE CTE program (`_bpe_cte_sql`) trained on
+    the split subquery, the serve CTE from `ext_tokenizer_apply_oracle`
+    restricted to held-out distinct words, and the split CASE shared with
+    `ext_sample_split` — the audit can never drift from the model or the
+    split it claims to audit.
+    """
+    from .sampling import split_assignment
+
+    merges = _bpe_learn_train(spark, sf_dir)
+    bpe_count = _bpe_count_udf([(m[1], m[2]) for m in merges])
+    docs = tables.load(spark, sf_dir, "documents", fan=True).select(
+        "lang", split_assignment("doc_id").alias("split"), "text"
+    )
+    held = (
+        docs.where(F.col("split") == "test")
+        .select("lang", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    train_words = (
+        docs.where(F.col("split") != "test")
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .distinct()
+    )
+    train_chars = (
+        train_words.select(F.explode(F.split("w", "")).alias("ch")).distinct()
+    )
+    dwords = held.select("w").distinct().select(
+        "w",
+        F.length("w").cast("long").alias("nc"),
+        bpe_count(F.array(F.col("w"))).alias("n_sub"),
+    )
+    woov = (
+        dwords.select("w", F.explode(F.split("w", "")).alias("ch"))
+        .join(
+            F.broadcast(train_chars.withColumn("seen", F.lit(True))), "ch", "left"
+        )
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_chars")
+        )
+    )
+    feats = dwords.join(woov, "w").join(
+        train_words.withColumn("known", F.lit(True)), "w", "left"
+    )
+    per = held.join(feats, "w").groupBy("lang").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.sum(F.when(F.col("known").isNull(), F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_new_words"),
+        F.sum(F.col("tf") * F.col("nc")).cast("long").alias("n_chars"),
+        F.sum(F.col("tf") * F.col("n_oov_chars")).cast("long").alias("n_oov_chars"),
+        F.sum(F.col("tf") * F.col("n_sub")).cast("long").alias("n_tokens_bpe"),
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        "n_new_words",
+        F.round(F.col("n_new_words") / F.col("n_words").cast("double"), 6).alias(
+            "new_word_rate"
+        ),
+        "n_chars",
+        "n_oov_chars",
+        F.round(F.col("n_oov_chars") / F.col("n_chars").cast("double"), 6).alias(
+            "oov_char_rate"
+        ),
+        "n_tokens_bpe",
+        F.round(F.col("n_tokens_bpe") / F.col("n_words").cast("double"), 6).alias(
+            "fertility_heldout"
+        ),
+    )
+
+
+def ext_tokenizer_oov_oracle() -> str:
+    from .sampling import TRAIN_PCT, VAL_PCT, _oracle_key_hash
+
+    h = _oracle_key_hash("doc_id")
+    cut = TRAIN_PCT + VAL_PCT
+    train_src = f"(SELECT * FROM documents WHERE {h} % 100 < {cut})"
+    return f"""
+        WITH RECURSIVE {_bpe_cte_sql(src=train_src)},
+        held AS (
+            SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents WHERE {h} % 100 >= {cut}
+        ),
+        hw AS (
+            SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM held GROUP BY lang, w
+        ),
+        dwords AS (SELECT DISTINCT w FROM hw),
+        enc AS (
+            SELECT w, 0 AS rk,
+                   '|' || array_to_string(
+                       [substr(w, i, 1) for i in generate_series(1, length(w))],
+                       '||') || '|' AS s
+            FROM dwords
+            UNION ALL
+            SELECT e.w, e.rk + 1,
+                   replace(e.s, '|' || m.l || '||' || m.r || '|',
+                                '|' || m.l || m.r || '|')
+            FROM enc e JOIN bpe m ON m.merge_rank = e.rk + 1
+        ),
+        enc_len AS (
+            SELECT w, CAST(len(str_split(trim(s, '|'), '||')) AS BIGINT) AS n_sub
+            FROM enc WHERE rk = (SELECT MAX(merge_rank) FROM bpe)
+        ),
+        tr_words AS (
+            SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents WHERE {h} % 100 < {cut}
+        ),
+        tr_chars AS (
+            SELECT DISTINCT unnest(
+                [substr(w, i, 1) for i in generate_series(1, length(w))]) AS ch
+            FROM tr_words
+        ),
+        wchars AS (
+            SELECT w, unnest(
+                [substr(w, i, 1) for i in generate_series(1, length(w))]) AS ch
+            FROM dwords
+        ),
+        woov AS (
+            SELECT wc.w,
+                   CAST(COUNT(*) FILTER (WHERE tc.ch IS NULL) AS BIGINT)
+                       AS n_oov_chars
+            FROM wchars wc LEFT JOIN tr_chars tc USING (ch)
+            GROUP BY wc.w
+        ),
+        feats AS (
+            SELECT d.w, CAST(length(d.w) AS BIGINT) AS nc, e.n_sub,
+                   o.n_oov_chars, tw.w IS NOT NULL AS known
+            FROM dwords d
+            JOIN enc_len e USING (w)
+            JOIN woov o USING (w)
+            LEFT JOIN tr_words tw USING (w)
+        ),
+        per AS (
+            SELECT h.lang,
+                   CAST(SUM(h.tf) AS BIGINT) AS n_words,
+                   CAST(SUM(CASE WHEN NOT f.known THEN h.tf ELSE 0 END) AS BIGINT)
+                       AS n_new_words,
+                   CAST(SUM(h.tf * f.nc) AS BIGINT) AS n_chars,
+                   CAST(SUM(h.tf * f.n_oov_chars) AS BIGINT) AS n_oov_chars,
+                   CAST(SUM(h.tf * f.n_sub) AS BIGINT) AS n_tokens_bpe
+            FROM hw h JOIN feats f USING (w)
+            GROUP BY h.lang
+        )
+        SELECT lang, n_words, n_new_words,
+               ROUND(n_new_words / CAST(n_words AS DOUBLE), 6) AS new_word_rate,
+               n_chars, n_oov_chars,
+               ROUND(n_oov_chars / CAST(n_chars AS DOUBLE), 6) AS oov_char_rate,
+               n_tokens_bpe,
+               ROUND(n_tokens_bpe / CAST(n_words AS DOUBLE), 6)
+                   AS fertility_heldout
         FROM per
     """
 

@@ -187,13 +187,21 @@ QUERIES = {
     "ext_graph_pagerank@shuffle": "linear in EDGES — tier-3 co-partitioned "
     "shuffle loop forced (node-broadcast gate low too); gated "
     "edge-normalized",
-    # round-8 staged ids (full oracles + tests now; driver registration
-    # lands with the r09 window rotation)
+    # registered in the r09 window (staged in r08)
     "ext_freq_countmin": "linear scan -> d x w cell agg (map-side "
     "combined, partition output sketch-sized); probe side bounded at "
     "topn x d rows",
     "ext_tokenizer_fertility": "cached BPE fit + one narrow Arrow encode "
     "pass + languages-sized agg",
+    # round-9 staged id (full oracle + tests now; driver registration
+    # lands with the r10 window rotation)
+    "ext_tokenizer_oov": "two corpus scans collapse to vocab-sized "
+    "frames (held (lang,word,tf), train word types); distinct held "
+    "words encode once; everything downstream vocab-sized",
+    # round-9 change (tolerance-banded oracle): one grouped scan carrying
+    # an HLL sketch + exact distinct partials — the band compare is free
+    "ext_approx_distinct": "linear (one grouped scan; HLL partial + "
+    "exact-distinct agg; types x 1 band compares)",
 }
 
 
@@ -226,27 +234,22 @@ def _forced_label_prop(spark, sf_dir):
     )
 
 
-def _staged_countmin(spark, sf_dir):
+def _staged_tokenizer_oov(spark, sf_dir):
     from boletia_kubernetes_kafka_mongodb_spark.operators import text
 
-    return text.ext_freq_countmin(spark, sf_dir)
-
-
-def _staged_fertility(spark, sf_dir):
-    from boletia_kubernetes_kafka_mongodb_spark.operators import text
-
-    return text.ext_tokenizer_fertility(spark, sf_dir)
+    return text.ext_tokenizer_oov(spark, sf_dir)
 
 
 # scaling-only callables for the @-suffixed forced-strategy ids (not part
 # of the driver contract — the plain ids' gated dispatch IS the contract)
-# plus the round-8 staged ids not yet registered in __spark_entry__
+# plus the round-9 staged id not yet registered in __spark_entry__
+# (the round-8 staged pair graduated into the r09 window and now arrives
+# via the registered queries() surface)
 EXTRA_QUERIES = {
     "ext_graph_pagerank@dist": _forced_pagerank(None),
     "ext_graph_pagerank@shuffle": _forced_pagerank(0),
     "ext_graph_label_prop@dist": _forced_label_prop,
-    "ext_freq_countmin": _staged_countmin,
-    "ext_tokenizer_fertility": _staged_fertility,
+    "ext_tokenizer_oov": _staged_tokenizer_oov,
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:

@@ -899,3 +899,77 @@ def test_sketch_stream_checkpoint_release_bounded(spark):
     for i in range(5):
         h(ev.where(F.col("event_id") % 5 == i), i)
     assert len(persisted_ids() - base) == 1
+
+
+def test_monitoring_stack_durable_composed_restart(spark, tmp_path):
+    """The round-9 deployment form of the composed monitoring stack: the MG
+    and CMS handlers run in ONE foreachBatch, EACH with its own
+    DurableSketchState, through a true Structured Streaming
+    kill-and-restart (checkpointLocation + new files between runs). After
+    draining, both standing states equal their batch recomputes over the
+    whole corpus — the composition preserves each monitor's standalone
+    durable contract."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "stackdocs")
+    ckpt = str(tmp_path / "stack_ckpt")
+    k, d, w = 8, 2, 64
+
+    def run_once():
+        """Fresh handlers + empty in-memory state each run — everything
+        standing must come back from the stores."""
+        hh = C.heavy_hitters_handler(
+            lambda bid, n, c: None, k=k,
+            store=C.DurableSketchState(spark, str(tmp_path / "hh_state")),
+        )
+        cms = C.freq_sketch_handler(
+            lambda bid, cells: None, d=d, w=w,
+            store=C.DurableSketchState(spark, str(tmp_path / "cms_state")),
+        )
+
+        def each(bdf, bid):
+            hh(bdf, bid)
+            cms(bdf, bid)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            stream.writeStream.foreachBatch(each)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    cdc_stream.write_ordered_files(first, path, n_files=2, order_col="doc_id")
+    run_once()
+    cdc_stream.write_ordered_files(second, path, n_files=2, order_col="doc_id")
+    run_once()
+
+    toks = docs.select(F.explode(T.tokens_col("text")).alias("token"))
+    cells, bid = C.DurableSketchState(spark, str(tmp_path / "cms_state")).load()
+    assert bid == 3
+    want_cells = sorted(map(tuple, T._cms_cells(toks, d, w).collect()))
+    assert sorted(map(tuple, cells.collect())) == want_cells
+
+    hh_df, hh_bid = C.DurableSketchState(spark, str(tmp_path / "hh_state")).load()
+    assert hh_bid == 3
+    st = C.heavy_hitters_state_load(hh_df)
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+    }
+    nn = sum(exact.values())
+    assert st["n_total"] == nn and len(st["counters"]) <= k
+    for t, est in st["counters"].items():
+        assert est <= exact.get(t, 0) <= est + nn / (k + 1)
+    for t, c in exact.items():
+        if c * (k + 1) > nn:
+            assert t in st["counters"]

@@ -1137,3 +1137,150 @@ def test_tokenizer_fertility_oracle_parity(spark, duck):
     compare_with_oracle(
         spark, duck, T.ext_tokenizer_fertility, T.ext_tokenizer_fertility_oracle()
     )
+
+
+# ---------------------------------------------------------------------------
+# staged for r10 registration: ext_tokenizer_oov (round-8 verdict #5 — the
+# held-out OOV/coverage audit; the r09 driver window is fully allocated to
+# the rotation + the two ids changed this round, so registration defers to
+# the r10 rotation commit per the standing staged-operator discipline)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_oov_crafted_corpus(spark, tmp_path):
+    """Non-degenerate OOV on a crafted corpus (the sf fixtures share one
+    vocabulary across splits, so their rates read 0): the held-out slice
+    contains a known word, a NEW word over the training alphabet, and a
+    word with characters outside the training alphabet. Every emitted
+    number equals an independent pure-python replay (tokenize → md5 split
+    → Sennrich BPE fit on train → encode held words)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 90][:6]
+    held_ids = [i for i in range(200) if bucket(i) >= 90][:2]
+    # training alphabet: {a..f}; held text adds types 'fade' (new word,
+    # known chars) and 'zap' (chars z/p outside the training alphabet)
+    train_text = "fab cafe bed dad fab feed"
+    held_text = "fab bed fade zap"
+    rows = [(i, train_text, "en", "crafted", len(train_text)) for i in train_ids]
+    rows += [(i, held_text, "en", "crafted", len(held_text)) for i in held_ids]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "oovsf")
+    docs.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+
+    got = {r.lang: r for r in T.ext_tokenizer_oov(spark, sf_dir).collect()}
+    assert set(got) == {"en"}
+
+    # --- python replay ---
+    tok = lambda s: re.findall("[a-z0-9]+", s.lower())
+    train_words_occ = []
+    for i in train_ids:
+        train_words_occ += tok(train_text)
+    wf = Counter(train_words_occ)
+    words = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(T.BPE_N_MERGES):
+        pc = Counter()
+        for w, syms in words.items():
+            for j in range(len(syms) - 1):
+                pc[(syms[j], syms[j + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w, syms in words.items():
+            res, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    res.append(a + b)
+                    j += 2
+                else:
+                    res.append(syms[j])
+                    j += 1
+            words[w] = res
+
+    def encode_len(word):
+        syms = list(word)
+        for a, b in merges:
+            res, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    res.append(a + b)
+                    j += 2
+                else:
+                    res.append(syms[j])
+                    j += 1
+            syms = res
+        return len(syms)
+
+    tr_types = set(wf)
+    tr_alpha = {c for w in tr_types for c in w}
+    held_occ = []
+    for i in held_ids:
+        held_occ += tok(held_text)
+    n_words = len(held_occ)
+    n_new = sum(1 for w in held_occ if w not in tr_types)
+    n_chars = sum(len(w) for w in held_occ)
+    n_oov = sum(sum(1 for c in w if c not in tr_alpha) for w in held_occ)
+    n_bpe = sum(encode_len(w) for w in held_occ)
+
+    r = got["en"]
+    assert (r.n_words, r.n_new_words, r.n_chars, r.n_oov_chars, r.n_tokens_bpe) == (
+        n_words, n_new, n_chars, n_oov, n_bpe
+    )
+    assert r.new_word_rate == round(n_new / n_words, 6) and r.new_word_rate > 0
+    assert r.oov_char_rate == round(n_oov / n_chars, 6) and r.oov_char_rate > 0
+    assert r.fertility_heldout == round(n_bpe / n_words, 6)
+
+
+def test_tokenizer_oov_invariants(spark):
+    """sf0.001: rates ∈ [0,1], counts nest (new ≤ words, oov ≤ chars),
+    every word encodes to ≥ 1 subword, and the audited slice is exactly
+    the 'test' hash split's token mass."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = T.ext_tokenizer_oov(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_new_words <= r.n_words
+        assert 0 <= r.n_oov_chars <= r.n_chars
+        assert r.n_tokens_bpe >= r.n_words
+        assert 0.0 <= r.new_word_rate <= 1.0
+        assert 0.0 <= r.oov_char_rate <= 1.0
+        assert r.fertility_heldout >= 1.0
+
+    docs = tables.load(spark, sf, "documents")
+    want = {
+        r.lang: r.nw
+        for r in docs.where(split_assignment("doc_id") == "test")
+        .select("lang", F.explode(T.tokens_col("text")).alias("w"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+        .collect()
+    }
+    assert {r.lang: r.n_words for r in rows} == want
+
+
+def test_tokenizer_oov_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark, duck, T.ext_tokenizer_oov, T.ext_tokenizer_oov_oracle()
+    )
