@@ -1761,6 +1761,112 @@ def ext_tokenizer_fertility_oracle() -> str:
     """
 
 
+BPE_SWEEP_KS = (2, 4, 8)  # merge-count ablation points (≤ BPE_N_MERGES)
+
+
+def ext_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-size ablation of the learned tokenizer: fertility and
+    chars-per-token at several merge-count prefixes of ONE BPE fit — the
+    curve a tokenizer team reads to pick the vocabulary size before the
+    expensive full train (diminishing compression returns per added
+    merge). BPE merge lists are prefix-nested (the first k merges of an
+    N-merge fit ARE the k-merge fit), so one cached fit serves every
+    ablation point.
+
+    Plan: ONE corpus scan with one Arrow encode kernel per ablation point
+    (each closing over a merge-list prefix), one global agg, then a
+    KS-sized literal union — corpus cost is a single pass regardless of
+    how many points the sweep reads. Oracle: the recursive BPE CTE
+    retains every intermediate rank's state, so the encode CTE read AT
+    rank k is exactly the k-merge tokenizer — the ablation replays from
+    the same program as training, no second fit. Determinism: BIGINT
+    sums, one IEEE-exact division per rate, 6dp.
+
+    Points with k > the number of learned merges are omitted on both
+    engines (the recursion stops when no pair repeats)."""
+    merges = [(m[1], m[2]) for m in _bpe_learn(spark, sf_dir)]
+    ks = [k for k in BPE_SWEEP_KS if k <= len(merges)]
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = tokens_col("text")
+    cols = [
+        F.size(toks).cast("long").alias("nw"),
+        F.length(F.array_join(toks, "")).cast("long").alias("nc"),
+    ]
+    for k in ks:
+        cols.append(_bpe_count_udf(merges[:k])(toks).alias(f"nb{k}"))
+    tot = docs.select(*cols).agg(
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        *[F.sum(f"nb{k}").cast("long").alias(f"nb{k}") for k in ks],
+    )
+    rows = [
+        tot.select(
+            F.lit(k).cast("int").alias("n_merges"),
+            "n_words",
+            F.col(f"nb{k}").alias("n_tokens_bpe"),
+            F.round(F.col(f"nb{k}") / F.col("n_words").cast("double"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("n_chars") / F.col(f"nb{k}").cast("double"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        for k in ks
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ext_bpe_vocab_sweep_oracle() -> str:
+    ks = ", ".join(str(k) for k in BPE_SWEEP_KS)
+    return f"""
+        WITH RECURSIVE {_bpe_cte_sql()},
+        words AS (
+            SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents
+        ),
+        enc AS (
+            SELECT w, 0 AS rk,
+                   '|' || array_to_string(
+                       [substr(w, i, 1) for i in generate_series(1, length(w))],
+                       '||') || '|' AS s
+            FROM words
+            UNION ALL
+            SELECT e.w, e.rk + 1,
+                   replace(e.s, '|' || m.l || '||' || m.r || '|',
+                                '|' || m.l || m.r || '|')
+            FROM enc e JOIN bpe m ON m.merge_rank = e.rk + 1
+        ),
+        enc_len AS (
+            SELECT w, rk, CAST(len(str_split(trim(s, '|'), '||')) AS BIGINT) AS n_sub
+            FROM enc WHERE rk IN ({ks})
+        ),
+        doc_tokens AS (
+            SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(length(w)) AS BIGINT) AS n_chars
+            FROM doc_tokens
+        ),
+        per_k AS (
+            SELECT e.rk AS n_merges,
+                   CAST(SUM(e.n_sub) AS BIGINT) AS n_tokens_bpe
+            FROM doc_tokens t JOIN enc_len e USING (w)
+            GROUP BY e.rk
+        )
+        SELECT CAST(n_merges AS INTEGER) AS n_merges,
+               n_words,
+               n_tokens_bpe,
+               ROUND(n_tokens_bpe / CAST(n_words AS DOUBLE), 6) AS fertility,
+               ROUND(n_chars / CAST(n_tokens_bpe AS DOUBLE), 6) AS chars_per_token
+        FROM per_k CROSS JOIN tot
+    """
+
+
 def _bpe_learn_train(spark: SparkSession, sf_dir: str) -> list:
     """The merge loop fit on the TRAIN+VAL hash split only (the held-out
     'test' split never touches training) — the model the OOV audit

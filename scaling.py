@@ -202,6 +202,10 @@ QUERIES = {
     # an HLL sketch + exact distinct partials — the band compare is free
     "ext_approx_distinct": "linear (one grouped scan; HLL partial + "
     "exact-distinct agg; types x 1 band compares)",
+    # round-9 staged id #2: merge-count ablation off ONE cached fit —
+    # one corpus scan with an Arrow kernel per point, one global agg
+    "ext_bpe_vocab_sweep": "cached BPE fit + ONE corpus scan (one encode "
+    "kernel per ablation point) + global agg; KS-sized output",
 }
 
 
@@ -240,9 +244,15 @@ def _staged_tokenizer_oov(spark, sf_dir):
     return text.ext_tokenizer_oov(spark, sf_dir)
 
 
+def _staged_bpe_vocab_sweep(spark, sf_dir):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text
+
+    return text.ext_bpe_vocab_sweep(spark, sf_dir)
+
+
 # scaling-only callables for the @-suffixed forced-strategy ids (not part
 # of the driver contract — the plain ids' gated dispatch IS the contract)
-# plus the round-9 staged id not yet registered in __spark_entry__
+# plus the round-9 staged ids not yet registered in __spark_entry__
 # (the round-8 staged pair graduated into the r09 window and now arrives
 # via the registered queries() surface)
 EXTRA_QUERIES = {
@@ -250,6 +260,7 @@ EXTRA_QUERIES = {
     "ext_graph_pagerank@shuffle": _forced_pagerank(0),
     "ext_graph_label_prop@dist": _forced_label_prop,
     "ext_tokenizer_oov": _staged_tokenizer_oov,
+    "ext_bpe_vocab_sweep": _staged_bpe_vocab_sweep,
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:

@@ -1284,3 +1284,44 @@ def test_tokenizer_oov_oracle_parity(spark, duck):
     compare_with_oracle(
         spark, duck, T.ext_tokenizer_oov, T.ext_tokenizer_oov_oracle()
     )
+
+
+def test_bpe_vocab_sweep_monotone_and_consistent(spark):
+    """The ablation curve: one row per merge-count point; subword totals are
+    non-increasing in k (every extra merge can only compress), the full-k
+    point equals the serve operator's corpus total, and fertility ≥ 1."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        T.ext_bpe_vocab_sweep(spark, sf).collect(), key=lambda r: r.n_merges
+    )
+    assert [r.n_merges for r in rows] == [
+        k for k in T.BPE_SWEEP_KS if k <= T.BPE_N_MERGES
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_tokens_bpe >= b.n_tokens_bpe
+        assert a.n_words == b.n_words
+    for r in rows:
+        assert r.fertility >= 1.0 and r.chars_per_token >= 1.0
+
+    full = rows[-1]
+    serve_total = (
+        T.ext_tokenizer_apply(spark, sf)
+        .agg(F.sum("n_tokens_bpe").cast("long").alias("nb"))
+        .collect()[0]
+        .nb
+    )
+    assert full.n_merges == T.BPE_N_MERGES
+    assert full.n_tokens_bpe == serve_total
+
+
+def test_bpe_vocab_sweep_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark, duck, T.ext_bpe_vocab_sweep, T.ext_bpe_vocab_sweep_oracle()
+    )
