@@ -1851,12 +1851,19 @@ def ext_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the final K-row aggregate.
     """
     emb = tables.load(spark, sf_dir, "embeddings")
+    return _kmeans_init_assign(emb).groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def kmeans_init_centroids(emb: DataFrame) -> DataFrame:
+    """(cluster, cvec): the DETERMINISTIC INIT centroids — identical
+    derivation to `_kmeans_fit`'s init (review fix): the K lowest NON-NULL
+    vec_ids with cluster = rank-1 — `vec_id < K` would silently diverge
+    from the fit on non-contiguous ids or null embeddings."""
     x = F.transform("embedding", lambda v: v.cast("double"))
-    # IDENTICAL derivation to _kmeans_fit's init (review fix): the K lowest
-    # NON-NULL vec_ids with cluster = rank-1 — `vec_id < K` would silently
-    # diverge from the fit on non-contiguous ids or null embeddings
     wc = Window.orderBy("vec_id")
-    cent = (
+    return (
         emb.where(F.col("embedding").isNotNull())
         .orderBy("vec_id")
         .limit(KMEANS_K)
@@ -1865,6 +1872,15 @@ def ext_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.alias("cvec"),
         )
     )
+
+
+def kmeans_assign_with(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cluster): engine-stable nearest-centroid assignment of any
+    embeddings frame against a given (cluster, cvec) frame — broadcast
+    K-row centroids, one narrow distance map, 6dp-rounded argmin with
+    lowest-cluster tie-break. Batch operators pass the init centroids;
+    the streaming drift twin passes the frozen offline frame."""
+    x = F.transform("embedding", lambda v: v.cast("double"))
     # same isNotNull filter as the fit's base frame: a null embedding has
     # NULL distance to every centroid and would otherwise land on cluster 0
     # by tie-break luck on both engines
@@ -1886,15 +1902,22 @@ def ext_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("vec_id", "cluster")
     )
 
 
-def ext_kmeans_assign_counts_oracle() -> str:
+def _kmeans_init_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster) under the deterministic init centroids — the
+    engine-stable assignment shared by `ext_kmeans_assign_counts` and the
+    embedding drift monitor (`ext_embed_drift`)."""
+    return kmeans_assign_with(emb, kmeans_init_centroids(emb))
+
+
+def _kmeans_assign_cte_sql() -> str:
+    """Shared DuckDB CTE body producing the same (vec_id, cluster) frame."""
     k = KMEANS_K
     return f"""
-        WITH cent AS (
+        cent AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
                    embedding::DOUBLE[] AS cvec
             FROM (SELECT vec_id, embedding FROM embeddings
@@ -1915,9 +1938,109 @@ def ext_kmeans_assign_counts_oracle() -> str:
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY sqdist ASC, cluster ASC) AS rk
             FROM d
+        ), assign AS (
+            SELECT vec_id, cluster FROM r WHERE rk = 1
+        )"""
+
+
+def ext_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space population drift per hash split — the embedding-side
+    companion to the quality filter's `ext_quality_psi` (round 9): PSI of
+    each split's CLUSTER-ASSIGNMENT distribution against the whole-corpus
+    distribution, over the K deterministic-init k-means cells. The
+    standard "did today's embedding batch move?" reading for a vector
+    pipeline: cheap (K-cell histograms, not pairwise distances),
+    model-free, and sensitive to modality/source shifts that per-dim
+    stats miss. A drifted split invalidates ANN layouts and trained
+    filters built on the fit-time geometry.
+
+    Composition: the engine-stable assignment shared with
+    `ext_kmeans_assign_counts` (broadcast K centroids, one narrow
+    distance map, argmin at 6dp) feeds the SAME PSI core as the text
+    monitor (`text.quality_psi_from_binned` — deterministic ln, BIGINT
+    nano-unit contributions, smoothed BIGINT counts), with bins = K
+    cluster cells and the low-sample gate scaled to 20·K. One corpus
+    pass; everything after is splits × K rows. Oracle: the shared
+    assignment CTE + the split CASE + the same PSI term program —
+    the monitor replays from the programs it composes.
+    """
+    from .sampling import split_assignment
+    from .text import quality_psi_from_binned
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # two consumers (baseline histogram + per-split bins): materialize once
+    assign = _kmeans_init_assign(emb).localCheckpoint(eager=False)
+    n = assign.count()
+    fit_bin = assign.groupBy(F.col("cluster").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    binned = assign.select(
+        split_assignment("vec_id").alias("grp"), F.col("cluster").alias("bin")
+    )
+    return quality_psi_from_binned(binned, fit_bin, n, bins=KMEANS_K).select(
+        F.col("grp").alias("split"), "n", "psi", "drifted", "low_sample"
+    )
+
+
+def ext_embed_drift_oracle() -> str:
+    from .sampling import TRAIN_PCT, VAL_PCT, _oracle_key_hash
+    from .text import QC_PSI_ALERT, QC_PSI_MIN_PER_BIN, _ln_det_expr
+
+    k = KMEANS_K
+    h = _oracle_key_hash("vec_id")
+    lnr, z = _ln_det_expr("r_")
+    return f"""
+        WITH {_kmeans_assign_cte_sql()},
+        fit_bin AS (
+            SELECT cluster AS bin, CAST(COUNT(*) AS BIGINT) AS a
+            FROM assign GROUP BY cluster
+        ),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM assign),
+        sbin AS (
+            SELECT CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+                        WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS grp,
+                   cluster AS bin
+            FROM assign
+        ),
+        grid AS (
+            SELECT t.grp, t.nb, gs.bin
+            FROM (SELECT grp, CAST(COUNT(*) AS BIGINT) AS nb
+                  FROM sbin GROUP BY grp) t
+            CROSS JOIN (SELECT CAST(UNNEST(range({k})) AS INTEGER) AS bin) gs
+        ),
+        terms AS (
+            SELECT g.grp, g.nb,
+                   CAST(COALESCE(sb.b, 0) + 1 AS DOUBLE)
+                       / CAST(g.nb + {k} AS DOUBLE) AS p_,
+                   CAST(COALESCE(fb.a, 0) + 1 AS DOUBLE)
+                       / CAST(na.v + {k} AS DOUBLE) AS q_,
+                   p_ / q_ AS r_,
+                   {z} AS z_,
+                   z_ * z_ AS z2_,
+                   (p_ - q_) * ({lnr}) AS contrib,
+                   CAST(ROUND(contrib * 1000000000.0, 0) AS BIGINT) AS cn
+            FROM grid g
+            CROSS JOIN na
+            LEFT JOIN (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS b
+                       FROM sbin GROUP BY grp, bin) sb
+              ON sb.grp = g.grp AND sb.bin = g.bin
+            LEFT JOIN fit_bin fb ON fb.bin = g.bin
         )
+        SELECT grp AS split, nb AS n,
+               ROUND(CAST(SUM(cn) AS DOUBLE) / 1000000000.0, 6) AS psi,
+               ROUND(CAST(SUM(cn) AS DOUBLE) / 1000000000.0, 6) > {QC_PSI_ALERT}
+                   AS drifted,
+               nb < {QC_PSI_MIN_PER_BIN * k} AS low_sample
+        FROM terms GROUP BY grp, nb
+    """
+
+
+def ext_kmeans_assign_counts_oracle() -> str:
+    return f"""
+        WITH {_kmeans_assign_cte_sql()}
         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
-        FROM r WHERE rk = 1 GROUP BY cluster
+        FROM assign GROUP BY cluster
     """
 
 

@@ -2549,8 +2549,12 @@ QC_PSI_ALERT = 0.2   # industry convention: PSI > 0.2 = significant drift
 # Laplace smoothing alone inflates PSI (a 25-row source reads ~0.7 from
 # the empty-bin terms — the documented round-8 caveat), so readings
 # below this carry a first-class low_sample flag for alert gating
-# (round-8 verdict #4) instead of a docstring warning.
-QC_PSI_MIN_N = 20 * QC_CAL_BINS
+# (round-8 verdict #4) instead of a docstring warning. The per-bin rate
+# is the general rule (`quality_psi_from_binned` scales it by its bins
+# argument — the embedding-drift monitor runs on K cluster bins);
+# QC_PSI_MIN_N is the text monitor's own B=QC_CAL_BINS instance.
+QC_PSI_MIN_PER_BIN = 20
+QC_PSI_MIN_N = QC_PSI_MIN_PER_BIN * QC_CAL_BINS
 _PSI_LN_TERMS = 16   # artanh Horner terms — see _ln_det_expr
 
 
@@ -2654,7 +2658,7 @@ def quality_psi_from_binned(
             F.col("nb").alias("n"),
             "psi",
             (F.col("psi") > F.lit(QC_PSI_ALERT)).alias("drifted"),
-            (F.col("nb") < F.lit(QC_PSI_MIN_N)).alias("low_sample"),
+            (F.col("nb") < F.lit(QC_PSI_MIN_PER_BIN * bins)).alias("low_sample"),
         )
     )
 

@@ -268,6 +268,59 @@ def quality_psi_stream(
     return docs_stream.writeStream.foreachBatch(_each)
 
 
+def embed_drift_batch(
+    emb_batch: DataFrame,
+    cent: DataFrame,
+    fit_bin: DataFrame,
+    fit_total: int,
+    batch_id: int,
+    k: int | None = None,
+) -> DataFrame:
+    """One embedding-drift reading: assign the ARRIVING embedding batch to
+    the frozen offline centroids (`similarity.kmeans_assign_with` — the
+    identical engine-stable argmin the batch monitor `ext_embed_drift`
+    uses) and compute its cluster-share PSI against the broadcast
+    fit-time assignment histogram. STATELESS — the `quality_psi_batch`
+    shape in embedding space. Output: one
+    (batch_id, n, psi, drifted, low_sample) row."""
+    from ..operators.similarity import KMEANS_K, kmeans_assign_with
+    from ..operators.text import quality_psi_from_binned
+
+    kk = int(KMEANS_K if k is None else k)
+    assign = kmeans_assign_with(emb_batch, cent)
+    binned = assign.select(
+        F.lit(int(batch_id)).alias("grp"), F.col("cluster").alias("bin")
+    )
+    return quality_psi_from_binned(binned, fit_bin, fit_total, bins=kk).select(
+        F.col("grp").cast("long").alias("batch_id"),
+        "n",
+        "psi",
+        "drifted",
+        "low_sample",
+    )
+
+
+def embed_drift_stream(
+    emb_stream: DataFrame,
+    cent: DataFrame,
+    fit_bin: DataFrame,
+    fit_total: int,
+    emit,
+    k: int | None = None,
+):
+    """The embedding-side monitoring lambda (the `quality_psi_stream`
+    shape): freeze (centroids, fit-time assignment histogram, total)
+    offline, then hand each arriving micro-batch's stateless drift
+    reading to ``emit(psi_df)``. An alert online is exactly the alert the
+    batch audit would raise on the same vectors — same argmin, same PSI
+    algebra."""
+
+    def _each(bdf: DataFrame, bid: int) -> None:
+        emit(embed_drift_batch(bdf, cent, fit_bin, fit_total, bid, k))
+
+    return emb_stream.writeStream.foreachBatch(_each)
+
+
 def quantile_sketch_update(standing: DataFrame | None, ev_batch: DataFrame) -> DataFrame:
     """One sketch-maintenance step: absorb an arriving events batch into the
     standing bottom-K quantile sketch (``operators.aggregates`` round-8

@@ -206,6 +206,10 @@ QUERIES = {
     # one corpus scan with an Arrow kernel per point, one global agg
     "ext_bpe_vocab_sweep": "cached BPE fit + ONE corpus scan (one encode "
     "kernel per ablation point) + global agg; KS-sized output",
+    # round-9 staged id #3: broadcast K centroids + one narrow distance
+    # map + per-vec argmin; PSI algebra on splits x K rows
+    "ext_embed_drift": "one corpus pass (broadcast-K assign) + "
+    "splits x K PSI algebra",
 }
 
 
@@ -250,6 +254,12 @@ def _staged_bpe_vocab_sweep(spark, sf_dir):
     return text.ext_bpe_vocab_sweep(spark, sf_dir)
 
 
+def _staged_embed_drift(spark, sf_dir):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    return similarity.ext_embed_drift(spark, sf_dir)
+
+
 # scaling-only callables for the @-suffixed forced-strategy ids (not part
 # of the driver contract — the plain ids' gated dispatch IS the contract)
 # plus the round-9 staged ids not yet registered in __spark_entry__
@@ -261,6 +271,7 @@ EXTRA_QUERIES = {
     "ext_graph_label_prop@dist": _forced_label_prop,
     "ext_tokenizer_oov": _staged_tokenizer_oov,
     "ext_bpe_vocab_sweep": _staged_bpe_vocab_sweep,
+    "ext_embed_drift": _staged_embed_drift,
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:

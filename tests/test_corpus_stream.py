@@ -973,3 +973,52 @@ def test_monitoring_stack_durable_composed_restart(spark, tmp_path):
     for t, c in exact.items():
         if c * (k + 1) > nn:
             assert t in st["counters"]
+
+
+def test_embed_drift_stream_equals_batch(spark, tmp_path):
+    """Streaming embedding-drift twin: each micro-batch's reading equals
+    the stateless batch recompute over that file's vectors, against the
+    same frozen (centroids, fit histogram, total)."""
+    import glob
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    cent = S.kmeans_init_centroids(emb).localCheckpoint(eager=True)
+    assign = S.kmeans_assign_with(emb, cent)
+    fit_bin = (
+        assign.groupBy(F.col("cluster").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    n = assign.count()
+
+    path = str(tmp_path / "embfiles")
+    cdc_stream.write_ordered_files(emb, path, n_files=3, order_col="vec_id")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    emitted: dict[int, tuple] = {}
+
+    def emit(df):
+        r = df.collect()[0]
+        emitted[r.batch_id] = (r.n, r.psi, r.drifted, r.low_sample)
+
+    q = (
+        C.embed_drift_stream(stream, cent, fit_bin, n, emit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "embdrift_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sorted(emitted) == [0, 1, 2]
+
+    files = sorted(glob.glob(path + "/*.parquet"), key=os.path.getmtime)
+    for i, f in enumerate(files):
+        bdf = spark.read.schema(emb.schema).parquet(f)
+        r = C.embed_drift_batch(bdf, cent, fit_bin, n, i).collect()[0]
+        assert emitted[i] == (r.n, r.psi, r.drifted, r.low_sample)
+        assert r.n > 0

@@ -372,3 +372,89 @@ def test_embed_project_oracle_parity(spark, duck):
         entrymod.queries()["ext_embed_project"],
         entrymod.oracle_sql()["ext_embed_project"],
     )
+
+
+# ---------------------------------------------------------------------------
+# staged for r10 registration: ext_embed_drift (round 9 — embedding-space
+# population drift; window rule defers registration to the r10 rotation)
+# ---------------------------------------------------------------------------
+
+
+def test_embed_drift_invariants_and_mass(spark):
+    """Splits cover the non-null corpus exactly; psi finite and ≥ ~0;
+    drifted and low_sample are pure functions of psi / n."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        QC_PSI_ALERT,
+        QC_PSI_MIN_PER_BIN,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = S.ext_embed_drift(spark, sf).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"} and rows
+    n_vec = (
+        tables.load(spark, sf, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .count()
+    )
+    assert sum(r.n for r in rows) == n_vec
+    for r in rows:
+        assert r.psi is not None and r.psi > -1e-6
+        assert r.drifted == (r.psi > QC_PSI_ALERT)
+        assert r.low_sample == (r.n < QC_PSI_MIN_PER_BIN * S.KMEANS_K)
+
+
+def test_embed_drift_crafted_shift_alerts(spark, tmp_path):
+    """A crafted corpus whose held-out split collapses onto ONE cluster
+    must alert (large PSI), while a split drawn uniformly like the corpus
+    reads near zero — the monitor discriminates, not just computes."""
+    import hashlib
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    K = S.KMEANS_K
+    # vec_ids 0..K-1 are the deterministic init centroids: unit axes
+    def axis(j, scale=10.0):
+        v = [0.0] * K
+        v[j] = scale
+        return v
+
+    rows = [(j, axis(j), "c") for j in range(K)]
+    train_ids = [i for i in range(K, 4000) if bucket(i) < 90]
+    test_ids = [i for i in range(K, 4000) if bucket(i) >= 90][:120]
+    # training mass: uniform over clusters (vector sits ON its cluster axis,
+    # tiny id-dependent jitter on another dim keeps rows distinct)
+    for n, i in enumerate(train_ids[:960]):
+        v = axis(n % K)
+        v[(n + 1) % K] += 0.001 * (n % 7)
+        rows.append((i, v, "t"))
+    # held-out mass: ALL on cluster 7 — a hard population shift
+    for n, i in enumerate(test_ids):
+        v = axis(7)
+        v[(7 + 1) % K] += 0.001 * (n % 7)
+        rows.append((i, v, "h"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    sf_dir = str(tmp_path / "driftsf")
+    emb.coalesce(1).write.parquet(sf_dir + "/embeddings.parquet")
+
+    got = {r.split: r for r in S.ext_embed_drift(spark, sf_dir).collect()}
+    assert got["test"].drifted and got["test"].psi > 0.5
+    # the baseline is the WHOLE corpus, shifted mass included, so the
+    # in-distribution split reads slightly above zero — but nowhere near
+    # the alert, and an order of magnitude under the shifted split
+    assert not got["train"].drifted and got["train"].psi < 0.1
+    assert got["train"].psi * 5 < got["test"].psi
+    assert not got["train"].low_sample
+
+
+def test_embed_drift_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(spark, duck, S.ext_embed_drift, S.ext_embed_drift_oracle())
