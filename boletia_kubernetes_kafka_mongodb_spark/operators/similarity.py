@@ -747,6 +747,154 @@ def ext_ann_recall_audit_oracle() -> str:
     """
 
 
+# NDCG rank discounts 1/log2(i+1), i = 1..BATCH_TOPK, quantized to BIGINT
+# nano-units ONCE in python — both the Spark expression and the oracle SQL
+# embed the SAME integer literals, so no engine evaluates a transcendental
+# and the discounted sums are order-independent integer arithmetic.
+_NDCG_DISC_NANO = tuple(
+    int(round(1e9 / __import__("math").log2(i + 1)))
+    for i in range(1, BATCH_TOPK + 1)
+)
+_NDCG_IDEAL_PREFIX = tuple(
+    sum(_NDCG_DISC_NANO[: i + 1]) for i in range(len(_NDCG_DISC_NANO))
+)
+
+
+def ext_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k ranking-quality audit for the IVF ANN serve — the audit
+    family member `ext_ann_recall_audit` doesn't cover: recall asks "did
+    the right ids surface", NDCG asks "did they surface in the right
+    ORDER, weighted toward the top" — the number a retrieval stack reports
+    next to recall before shipping an index.
+
+    Relevance is the label signal the fixture carries (binary: a
+    retrieved vector is relevant iff it shares the query vector's
+    ``label`` — the `ext_knn_label_transfer` convention). Per batch
+    query: DCG@k over the ANN ranking with 1/log2(rank+1) discounts,
+    normalized by the ideal DCG given the corpus's actual relevant count
+    (min(k, R_q) top slots filled). Queries the probe missed entirely
+    surface as ndcg 0 rows; queries with NO relevant vector anywhere in
+    the corpus surface with NULL ndcg (undefined, and visibly so, on
+    both engines).
+
+    Determinism: the discounts are BIGINT nano-unit literals generated
+    once and embedded in BOTH engines' programs (no runtime log2
+    anywhere), so DCG/IDCG are order-independent integer sums and the
+    final value is ONE IEEE-exact division, 6dp. Scale: the ANN side is
+    the pruned probe serve; relevance joins are a broadcast of the
+    NQ-row query-label frame plus one label-equality count per query —
+    no brute-force reference scan at all (cheaper than the recall audit,
+    which is the point: NDCG-with-labels audits CAN run on every
+    deployment batch).
+    """
+    emb = tables.load(spark, sf_dir, "embeddings")
+    labels = emb.where(F.col("embedding").isNotNull()).select("vec_id", "label")
+    qlab = labels.where(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    ann = ext_ann_ivf_batch(spark, sf_dir).select("query_id", "rank", "vec_id")
+    disc = F.element_at(
+        F.lit(list(_NDCG_DISC_NANO)).cast("array<long>"), F.col("rank")
+    )
+    dcg = (
+        ann.join(F.broadcast(qlab), "query_id")
+        .join(labels, "vec_id")
+        .select(
+            "query_id",
+            (F.col("label") == F.col("qlabel")).cast("long").alias("rel"),
+            disc.alias("disc"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") * F.col("disc")).cast("long").alias("dcg_n"),
+            F.sum("rel").cast("long").alias("n_relevant_retrieved"),
+        )
+    )
+    # corpus relevant pool per query (self excluded): one broadcast
+    # label-equality count — NQ × corpus narrow compare, no distances
+    rq = (
+        labels.join(F.broadcast(qlab), labels["label"] == qlab["qlabel"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    )
+    ideal = F.element_at(
+        F.lit(list(_NDCG_IDEAL_PREFIX)).cast("array<long>"),
+        F.least(F.col("n_relevant"), F.lit(BATCH_TOPK)).cast("int"),
+    )
+    return (
+        qlab.select("query_id")
+        .join(F.broadcast(rq), "query_id", "left")
+        .join(F.broadcast(dcg), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce("n_relevant_retrieved", F.lit(0))
+            .cast("long")
+            .alias("n_relevant_retrieved"),
+            F.when(
+                F.coalesce("n_relevant", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dcg_n", F.lit(0)).cast("double")
+                    / ideal.cast("double"),
+                    6,
+                ),
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ext_ann_ndcg_audit_oracle() -> str:
+    disc_rows = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISC_NANO)
+    )
+    prefix_rows = ", ".join(
+        f"({i + 1}, {p})" for i, p in enumerate(_NDCG_IDEAL_PREFIX)
+    )
+    return f"""
+        WITH ann AS ({ext_ann_ivf_batch_oracle()}),
+        disc(rank, d) AS (VALUES {disc_rows}),
+        ideal(m, idcg_n) AS (VALUES {prefix_rows}),
+        labels AS (
+            SELECT vec_id, label FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        qlab AS (
+            SELECT vec_id AS query_id, label AS qlabel
+            FROM labels WHERE vec_id < {N_BATCH_QUERIES}
+        ),
+        dcg AS (
+            SELECT a.query_id,
+                   CAST(SUM(CASE WHEN l.label = q.qlabel THEN dc.d ELSE 0 END)
+                        AS BIGINT) AS dcg_n,
+                   CAST(SUM(CASE WHEN l.label = q.qlabel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_relevant_retrieved
+            FROM ann a
+            JOIN qlab q ON q.query_id = a.query_id
+            JOIN labels l ON l.vec_id = a.vec_id
+            JOIN disc dc ON dc.rank = a.rank
+            GROUP BY a.query_id
+        ),
+        rq AS (
+            SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+            FROM labels l JOIN qlab q ON l.label = q.qlabel
+            WHERE l.vec_id <> q.query_id
+            GROUP BY q.query_id
+        )
+        SELECT q.query_id,
+               COALESCE(r.n_relevant, 0) AS n_relevant,
+               COALESCE(d.n_relevant_retrieved, 0) AS n_relevant_retrieved,
+               CASE WHEN COALESCE(r.n_relevant, 0) > 0 THEN
+                   ROUND(CAST(COALESCE(d.dcg_n, 0) AS DOUBLE)
+                         / CAST(i.idcg_n AS DOUBLE), 6)
+               END AS ndcg
+        FROM qlab q
+        LEFT JOIN rq r ON r.query_id = q.query_id
+        LEFT JOIN dcg d ON d.query_id = q.query_id
+        LEFT JOIN ideal i
+          ON i.m = LEAST(COALESCE(r.n_relevant, 0), {BATCH_TOPK})
+    """
+
+
 def _ivf_layout_path(sf_dir: str) -> str:
     import os
     import tempfile

@@ -210,6 +210,10 @@ QUERIES = {
     # map + per-vec argmin; PSI algebra on splits x K rows
     "ext_embed_drift": "one corpus pass (broadcast-K assign) + "
     "splits x K PSI algebra",
+    # round-9 staged id #4: pruned IVF probe serve + NQ-row broadcast
+    # label joins — NO brute-force reference scan (cheaper than recall)
+    "ext_ann_ndcg_audit": "IVF probe serve + broadcast label joins; "
+    "integer-literal discount algebra on NQ x k rows",
 }
 
 
@@ -260,6 +264,12 @@ def _staged_embed_drift(spark, sf_dir):
     return similarity.ext_embed_drift(spark, sf_dir)
 
 
+def _staged_ann_ndcg(spark, sf_dir):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
+
+    return similarity.ext_ann_ndcg_audit(spark, sf_dir)
+
+
 # scaling-only callables for the @-suffixed forced-strategy ids (not part
 # of the driver contract — the plain ids' gated dispatch IS the contract)
 # plus the round-9 staged ids not yet registered in __spark_entry__
@@ -272,6 +282,7 @@ EXTRA_QUERIES = {
     "ext_tokenizer_oov": _staged_tokenizer_oov,
     "ext_bpe_vocab_sweep": _staged_bpe_vocab_sweep,
     "ext_embed_drift": _staged_embed_drift,
+    "ext_ann_ndcg_audit": _staged_ann_ndcg,
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:

@@ -458,3 +458,76 @@ def test_embed_drift_oracle_parity(spark, duck):
     from tests.conftest import compare_with_oracle
 
     compare_with_oracle(spark, duck, S.ext_embed_drift, S.ext_embed_drift_oracle())
+
+
+# ---------------------------------------------------------------------------
+# staged for r10 registration: ext_ann_ndcg_audit (round 9 — ranking-quality
+# audit next to the recall audit; window rule defers registration)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_ndcg_audit_matches_python_reference(spark):
+    """Every emitted NDCG equals an independent float replay (math.log2
+    discounts, no nano-quantization) within quantization tolerance, and
+    the invariants hold: one row per batch query, ndcg in [0,1],
+    retrieved-relevant <= min(k, corpus-relevant)."""
+    import math
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.query_id: r for r in S.ext_ann_ndcg_audit(spark, sf).collect()}
+    assert len(got) == S.N_BATCH_QUERIES
+
+    emb = tables.load(spark, sf, "embeddings")
+    labels = {
+        r.vec_id: r.label
+        for r in emb.where("embedding IS NOT NULL").select("vec_id", "label").collect()
+    }
+    ann: dict[int, list] = {}
+    for r in S.ext_ann_ivf_batch(spark, sf).collect():
+        ann.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+
+    for qid, row in got.items():
+        qlabel = labels[qid]
+        rq = sum(1 for v, l in labels.items() if l == qlabel and v != qid)
+        assert row.n_relevant == rq
+        rels = [
+            (rank, 1 if labels[v] == qlabel else 0)
+            for rank, v in sorted(ann.get(qid, []))
+        ]
+        assert row.n_relevant_retrieved == sum(r for _, r in rels)
+        assert row.n_relevant_retrieved <= min(S.BATCH_TOPK, rq)
+        if rq == 0:
+            assert row.ndcg is None
+            continue
+        dcg = sum(r / math.log2(rank + 1) for rank, r in rels)
+        idcg = sum(
+            1 / math.log2(i + 1) for i in range(1, min(S.BATCH_TOPK, rq) + 1)
+        )
+        assert abs(row.ndcg - dcg / idcg) < 2e-6
+        assert 0.0 <= row.ndcg <= 1.0
+
+
+def test_ann_ndcg_audit_perfect_ranking_is_one():
+    """Discount algebra sanity without a cluster: a fully-relevant top-k
+    against a corpus with >= k relevant items scores exactly 1.0 under
+    the quantized prefix table."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+
+    full = sum(S._NDCG_DISC_NANO)
+    assert S._NDCG_IDEAL_PREFIX[-1] == full
+    assert round(full / full, 6) == 1.0
+    # prefix table is strictly increasing and 1-indexed-aligned
+    assert list(S._NDCG_IDEAL_PREFIX) == sorted(set(S._NDCG_IDEAL_PREFIX))
+    assert len(S._NDCG_DISC_NANO) == S.BATCH_TOPK
+
+
+def test_ann_ndcg_audit_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark, duck, S.ext_ann_ndcg_audit, S.ext_ann_ndcg_audit_oracle()
+    )
