@@ -470,3 +470,34 @@ def test_tokenizer_fertility_single_scan_single_shuffle(spark):
     assert len(re.findall(r"Scan parquet", plan)) == 1, plan
     assert "partial_sum" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_staged_round9_ops_plan_hygiene(spark):
+    """The four round-9 staged operators (registered in the r10 window)
+    must already satisfy the global plan gates: no CartesianProduct, and
+    the small-side joins they advertise as broadcast ARE broadcast."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity, text
+
+    staged = {
+        "ext_tokenizer_oov": text.ext_tokenizer_oov,
+        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
+        "ext_embed_drift": similarity.ext_embed_drift,
+        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
+    }
+    offenders = []
+    for qid, fn in sorted(staged.items()):
+        plan = plans.explain_str(fn(spark, SF_CORRECT))
+        if "CartesianProduct" in plan:
+            offenders.append(qid)
+    assert not offenders, f"cartesian products in staged ops: {offenders}"
+
+    # embed_drift: the K-row centroid side and the PSI stat frames ride
+    # broadcasts; the corpus side must never sort-merge against them
+    plan = plans.explain_str(similarity.ext_embed_drift(spark, SF_CORRECT))
+    assert "BroadcastExchange" in plan
+    # ndcg: the NQ-row label frames broadcast onto the pruned serve
+    plan = plans.explain_str(similarity.ext_ann_ndcg_audit(spark, SF_CORRECT))
+    assert "BroadcastExchange" in plan
+    # tokenizer_oov: the alphabet-sized training-char frame broadcasts
+    plan = plans.explain_str(text.ext_tokenizer_oov(spark, SF_CORRECT))
+    assert "BroadcastExchange" in plan
