@@ -1022,3 +1022,54 @@ def test_embed_drift_stream_equals_batch(spark, tmp_path):
         r = C.embed_drift_batch(bdf, cent, fit_bin, n, i).collect()[0]
         assert emitted[i] == (r.n, r.psi, r.drifted, r.low_sample)
         assert r.n > 0
+
+
+def test_freq_sketch_durable_random_schedules(spark, tmp_path):
+    """Protocol fuzz for the durable handlers: seeded random interleavings
+    of {fold next batch, redeliver the in-flight batch, crash+restart
+    (fresh handler, empty in-memory state, optional redelivery)} must all
+    drain to the exact batch cell table — the full generality of the
+    Structured Streaming replay contract, beyond the three crafted
+    scenarios."""
+    import random
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    batches = [
+        spark.createDataFrame(
+            [(j, f"tok{j % 5} x{j % 3} common") for j in range(i * 10, i * 10 + 10)],
+            "doc_id long, text string",
+        ).localCheckpoint()
+        for i in range(4)
+    ]
+    d, w = 2, 16
+    alldocs = batches[0]
+    for b in batches[1:]:
+        alldocs = alldocs.unionByName(b)
+    toks = alldocs.select(F.explode(T.tokens_col("text")).alias("token"))
+    want = sorted(map(tuple, T._cms_cells(toks, d, w).collect()))
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        store = C.DurableSketchState(spark, str(tmp_path / f"sched{seed}"))
+        h = C.freq_sketch_handler(lambda bid, cells: None, d, w, None, store)
+        nxt = 0
+        while nxt < len(batches):
+            roll = rng.random()
+            if roll < 0.25 and nxt > 0:
+                # redelivery of the already-committed in-flight batch
+                h(batches[nxt - 1], nxt - 1)
+            elif roll < 0.5:
+                # crash: the handler (and all driver state) is lost;
+                # restart builds a fresh one over the same store, and the
+                # stream may redeliver the last batch first
+                h = C.freq_sketch_handler(lambda bid, cells: None, d, w, None, store)
+                if nxt > 0 and rng.random() < 0.7:
+                    h(batches[nxt - 1], nxt - 1)
+            else:
+                h(batches[nxt], nxt)
+                nxt += 1
+        cells, last_bid = store.load()
+        assert last_bid == len(batches) - 1, f"seed {seed}"
+        assert sorted(map(tuple, cells.collect())) == want, f"seed {seed}"
