@@ -268,6 +268,71 @@ def quality_psi_stream(
     return docs_stream.writeStream.foreachBatch(_each)
 
 
+def fertility_batch(
+    docs_batch: DataFrame, merges: list[tuple[str, str]], batch_id: int
+) -> DataFrame:
+    """One tokenizer-drift reading: per-language fertility (subwords/word)
+    and chars-per-token of the ARRIVING batch under the FROZEN merge
+    table — the deployment form of `text.ext_tokenizer_fertility` (the
+    batch audit fits and audits one corpus; the twin watches whether the
+    corpus a deployed tokenizer serves still looks like the one it was
+    fit on — fertility creeping up per language is vocabulary rot).
+    STATELESS: the merge list rides the closure (it IS the model), one
+    narrow Arrow encode pass + a languages-sized agg per batch."""
+    from ..operators.text import _bpe_count_udf, tokens_col
+
+    bpe_count = _bpe_count_udf(merges)
+    toks = tokens_col("text")
+    per = docs_batch.select(
+        "lang",
+        F.size(toks).cast("long").alias("nw"),
+        F.aggregate(
+            F.transform(toks, lambda s: F.length(s).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nc"),
+        bpe_count(toks).alias("nb"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("nb").cast("long").alias("n_tokens_bpe"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            "lang",
+            "n_words",
+            "n_tokens_bpe",
+            F.round(
+                F.col("n_tokens_bpe") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars") / F.col("n_tokens_bpe").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def fertility_stream(
+    docs_stream: DataFrame, merges: list[tuple[str, str]], emit
+):
+    """The tokenizer-drift monitoring lambda (the `quality_psi_stream`
+    shape): train the BPE offline (`text._bpe_learn`), freeze the merge
+    table, and hand each arriving micro-batch's per-language fertility
+    reading to ``emit(df)``. Composes in the same foreachBatch as the
+    PSI / sketch monitors — the tokenizer lifecycle's online leg next to
+    the offline audits (`ext_tokenizer_fertility`, `ext_tokenizer_oov`,
+    `ext_bpe_vocab_sweep`)."""
+
+    def _each(bdf: DataFrame, bid: int) -> None:
+        emit(fertility_batch(bdf, merges, bid))
+
+    return docs_stream.writeStream.foreachBatch(_each)
+
+
 def embed_drift_batch(
     emb_batch: DataFrame,
     cent: DataFrame,

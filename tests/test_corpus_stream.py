@@ -1073,3 +1073,53 @@ def test_freq_sketch_durable_random_schedules(spark, tmp_path):
         cells, last_bid = store.load()
         assert last_bid == len(batches) - 1, f"seed {seed}"
         assert sorted(map(tuple, cells.collect())) == want, f"seed {seed}"
+
+
+def test_fertility_stream_equals_batch(spark, tmp_path):
+    """Tokenizer-drift twin: per micro-batch fertility readings under the
+    frozen offline merges equal the stateless batch recompute per file,
+    and the whole-stream token totals reconcile with the batch audit
+    operator's corpus totals."""
+    import glob
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+
+    merges = [(m[1], m[2]) for m in T._bpe_learn(spark, SF_SMOKE)]
+    stream = _doc_stream(spark, tmp_path, n_files=3)
+    emitted: dict[int, list] = {}
+
+    def emit(df):
+        rows = df.collect()
+        if rows:
+            emitted[rows[0].batch_id] = sorted(map(tuple, rows))
+
+    q = (
+        C.fertility_stream(stream, merges, emit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "fert_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sorted(emitted) == [0, 1, 2]
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    files = sorted(glob.glob(str(tmp_path / "docs") + "/*.parquet"), key=os.path.getmtime)
+    for i, f in enumerate(files):
+        bdf = spark.read.schema(docs.schema).parquet(f)
+        want = sorted(map(tuple, C.fertility_batch(bdf, merges, i).collect()))
+        assert emitted[i] == want and len(want) > 0
+
+    # whole-stream totals == the batch audit's corpus totals per language
+    from collections import defaultdict
+
+    tot = defaultdict(lambda: [0, 0])
+    for rows in emitted.values():
+        for _bid, lang, nw, nb, _f, _c in rows:
+            tot[lang][0] += nw
+            tot[lang][1] += nb
+    batch = {
+        r.lang: (r.n_words, r.n_tokens_bpe)
+        for r in T.ext_tokenizer_fertility(spark, SF_SMOKE).collect()
+    }
+    assert {k: tuple(v) for k, v in tot.items()} == batch
