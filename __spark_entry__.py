@@ -43,50 +43,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-9 window (the standing rotation rule, paid
-    exactly as precomputed in ROUND8_NOTES' revised r09 queue):
-    positions 1-4 are the four round-8-changed ids shipped on
-    compensating tests (`ext_graph_label_prop`/`ext_graph_survivor_rank`
-    via the shared `_hub_split`/`_lp_votes`/`_pr_contribs`;
-    `ext_dedup_edit_distance` norm checkpoint; `ext_ann_recall_audit`
-    per-query denominator) — re-attested FIRST per the round-8 verdict;
-    positions 5-6 are the two round-8 STAGED ids registering now
-    (`ext_freq_countmin` — Count-Min point-frequency sketch + fidelity
-    audit; `ext_tokenizer_fertility` — per-language fertility audit of
-    the learned BPE); positions 7-8 are the two ids CHANGED this round
-    (`ext_quality_psi` — now emits `n_batch` beside the PSI so alerting
-    can gate on sample size, round-8 verdict #4; `ext_approx_distinct`
-    — now a tolerance-banded full oracle instead of rows-only, round-8
-    verdict #3); positions 9-50 are the 42 r06-era ids from the queue.
-    Deviation from the precomputed list, documented: the two r07-attested
-    KMV ids pencilled ahead-of-schedule at 49-50 are dropped per the
-    queue's own note ("droppable if r09 ships further new ids") — their
-    slots go to the two changed ids, which MUST sit inside the window.
-    After this round no id's latest attestation is older than round 7.
-    Everything after position 50 has a green r07/r08 driver row.
+    order per round. Round-10 window (the standing rotation rule, paid
+    exactly as precomputed in ROUND9_NOTES' r10 queue): positions 1-4
+    are the four round-9 STAGED ids registering now, first — they have
+    no prior CORRECTNESS row so they MUST sit inside the window
+    (`ext_tokenizer_oov` — held-out OOV/coverage audit of the learned
+    BPE; `ext_bpe_vocab_sweep` — merge-count ablation off one cached
+    fit; `ext_embed_drift` — embedding-space population drift per hash
+    split via K-cell cluster-share PSI; `ext_ann_ndcg_audit` —
+    NDCG@k ranking audit of the IVF batch serve with BIGINT nano-unit
+    rank discounts). Positions 5-48 are the 44 r07-era ids from the
+    queue, verbatim. Position 49 is `ext_approx_distinct`, CHANGED this
+    round: the tolerance band gains a small-group floor
+    (|est-exact|*5 <= max(exact, 10), still all-BIGINT) so a 1-2 count
+    deviation on a tiny group cannot flake the cross-engine gate
+    (round-9 ADVICE #3). Position 50 is `ext_ann_index_refresh`, NEW
+    this round (round-9 verdict next-round #4): arriving embeddings
+    assigned to the FROZEN IVF centroids, appended to the partitioned
+    layout, served through the existing probe path. After this round no
+    id's latest attestation is older than round 8. Everything after
+    position 50 has a green r08/r09 driver row.
+
+    Round-9 registry corrections (ADVICE #4): the round-9 change to
+    `ext_quality_psi` was the `low_sample` boolean gate
+    (n < QC_PSI_MIN_N = 20*bins; alerting composes
+    `drifted AND NOT low_sample`) — the `n` count column pre-existed.
     """
     return {
-        # --- r09 window positions 1-4: the round-8-changed ids, first ---
+        # --- r10 window positions 1-4: the round-9 staged ids, first
+        # registration (no prior CORRECTNESS row => must be in window) ---
+        "ext_tokenizer_oov": text.ext_tokenizer_oov,
+        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
+        "ext_embed_drift": similarity.ext_embed_drift,
+        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
+        # --- positions 5-48: the 44 r07-era ids from ROUND9_NOTES'
+        # precomputed queue, verbatim; position 49: ext_approx_distinct,
+        # changed this round (band floor for tiny groups) ---
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        "agg_ewma_daily": aggregates.agg_ewma_daily,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_time_window": windows.agg_time_window,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "cancel_increment": mutations.cancel_increment,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "event_cancel_update": mutations.event_cancel_update,
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
+        "ext_asof_join": joins.ext_asof_join,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
+        "ext_quality_calibration": text.ext_quality_calibration,
+        "ext_quality_classifier": text.ext_quality_classifier,
+        "ext_quality_threshold": text.ext_quality_threshold,
+        "ext_range_join": joins.ext_range_join,
+        "ext_topk_batch": similarity.ext_topk_batch,
+        "ext_topk_similarity": similarity.ext_topk_similarity,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
+        "join_availability": joins.join_availability,
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_cascade": joins.join_cascade,
+        "join_exists_anti": joins.join_exists_anti,
+        "notify_render": notifications.notify_render,
+        "order_latest_per_email": ordering.order_latest_per_email,
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "reserve_admission_exact": admission.admission_ledger_batch,
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
+        "setop_churn_emails": ordering.setop_churn_emails,
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "sql_availability": scans.sql_availability,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        # --- position 50: ext_ann_index_refresh lands here when
+        # implemented this round (r09 verdict next-round #4) ---
+        # --- position > 50 from here: every id has a green r08/r09
+        # driver row and is output-unchanged this round ---
         "ext_graph_label_prop": graph.ext_graph_label_prop,
         "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
         "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
         "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
-        # --- positions 5-6: the round-8 staged ids (first registration;
-        # no prior CORRECTNESS row, so they MUST be inside the window) ---
-        # Count-Min point-frequency sketch (d=4×w=512 md5-bucket cells,
-        # map-side-combined cell build) + min-over-rows fidelity audit
         "ext_freq_countmin": text.ext_freq_countmin,
-        # per-language fertility (subwords/word) + chars-per-token under
-        # the learned BPE merges — the tokenizer lifecycle's audit leg
         "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
-        # --- positions 7-8: changed THIS round ---
-        # PSI drift monitor; round 9 adds n_batch (source sample size) so
-        # downstream alerting can gate on the small-batch smoothing bias
         "ext_quality_psi": text.ext_quality_psi,
-        # HLL approx distinct; round 9 closes the last no_oracle row with
-        # a tolerance-banded oracle (exact, est, within_bound per group)
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
-        # --- positions 9-50: the 42 r06-era ids from the queue ---
         "agg_cube_source_lang": aggregates.agg_cube_source_lang,
         "agg_latency_bands": aggregates.agg_latency_bands,
         "agg_user_stickiness": aggregates.agg_user_stickiness,
@@ -129,8 +177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_rename_detreserva": scans.project_rename_detreserva,
         "scan_full_eventos": scans.scan_full_eventos,
         "scan_full_inventario": scans.scan_full_inventario,
-        # --- position > 50 from here: every id has a green r07/r08
-        # driver row and is implementation-unchanged this round ---
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
         "agg_funnel_stages": aggregates.agg_funnel_stages,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
@@ -180,50 +226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_graph_pagerank": graph.ext_graph_pagerank,
         "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
         "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_time_window": windows.agg_time_window,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "cancel_increment": mutations.cancel_increment,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "event_cancel_update": mutations.event_cancel_update,
-        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
-        "ext_asof_join": joins.ext_asof_join,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_range_join": joins.ext_range_join,
-        "ext_topk_batch": similarity.ext_topk_batch,
-        "ext_topk_similarity": similarity.ext_topk_similarity,
-        "fn_json_props_extract": cdc.fn_json_props_extract,
-        "insert_dedup_unique": mutations.insert_dedup_unique,
-        "join_availability": joins.join_availability,
-        "join_cancel_inventory": joins.join_cancel_inventory,
-        "join_cascade": joins.join_cascade,
-        "join_exists_anti": joins.join_exists_anti,
-        "notify_render": notifications.notify_render,
-        "order_latest_per_email": ordering.order_latest_per_email,
-        "order_topn_disponible": ordering.order_topn_disponible,
-        "order_user_event_ranks": ordering.order_user_event_ranks,
-        "reserva_cancel_flag": mutations.reserva_cancel_flag,
-        "reserve_admission_exact": admission.admission_ledger_batch,
-        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "setop_churn_emails": ordering.setop_churn_emails,
-        "sink_upsert_clone": cdc.sink_upsert_clone,
-        "sql_availability": scans.sql_availability,
-        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
-        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        "ext_quality_threshold": text.ext_quality_threshold,
-        "ext_quality_classifier": text.ext_quality_classifier,
-        "ext_quality_calibration": text.ext_quality_calibration,
     }
 
 
@@ -437,4 +439,18 @@ def oracle_sql() -> dict[str, str]:
         # its own sketch against the same exact count with an all-BIGINT
         # tolerance band, so the driver hash-gates |est−exact|/exact ≤ ε.
         "ext_approx_distinct": aggregates.ext_approx_distinct_oracle(),
+        # round 10 (staged r9): held-out OOV audit — BPE fit on the
+        # train+val split only, audited per language on the unseen split
+        "ext_tokenizer_oov": text.ext_tokenizer_oov_oracle(),
+        # round 10 (staged r9): merge-count ablation — the recursive BPE
+        # CTE retains every intermediate rank, so the encode CTE read at
+        # rank k IS the k-merge tokenizer; one fit serves every point
+        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep_oracle(),
+        # round 10 (staged r9): K-cell cluster-share PSI per hash split —
+        # deterministic k-means assignment + the text monitor's PSI core
+        "ext_embed_drift": similarity.ext_embed_drift_oracle(),
+        # round 10 (staged r9): NDCG@k of the IVF batch serve — the k
+        # rank discounts quantized to BIGINT nano-units once in python
+        # and embedded as integer literals in BOTH engines' programs
+        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit_oracle(),
     }
