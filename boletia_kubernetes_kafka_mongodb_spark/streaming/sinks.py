@@ -20,11 +20,11 @@ commit instead of directory swap); the batch dedup logic is identical.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ._snapshot import SnapshotDir
 
 
 class ParquetMergeTable:
@@ -35,23 +35,32 @@ class ParquetMergeTable:
         self.path = path
         self.key = key
         self.order_col = order_col  # keep-last tie-break (e.g. seq/offset)
+        self._snap = SnapshotDir(path)
 
     def read(self) -> DataFrame | None:
-        if not os.path.isdir(self.path) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        ):
+        sub, _ = self._snap.current()
+        if sub is None:
+            # pre-r10 flat layout (parquet files directly in the table
+            # path): readable so an in-place upgrade keeps its rows.
+            if os.path.isdir(self.path) and any(
+                f.endswith(".parquet") for f in os.listdir(self.path)
+            ):
+                return self.spark.read.parquet(self.path)
             return None
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(sub)
 
     def _replace_with(self, df: DataFrame) -> None:
-        """Atomic-ish snapshot replace (write new, swap directories)."""
-        parent = os.path.dirname(self.path) or "."
-        os.makedirs(parent, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix="merge_", dir=parent)
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+        """Crash-atomic snapshot replace: write the immutable versioned
+        dir, then flip the pointer file with one ``os.replace``
+        (round-9 verdict: the previous write→rmtree→replace shape had a
+        crash window that lost the whole table; the ``SnapshotDir``
+        protocol recovers either the old or the new snapshot at any
+        crash instant). The pointer's version counter is the commit
+        ordinal, monotone across the table's life."""
+        _, n = self._snap.current()
+        sub = self._snap.staging(n + 1)
+        df.write.mode("overwrite").parquet(sub)
+        self._snap.commit(os.path.basename(sub), n + 1)
 
     # -- S2: insert-or-replace by key (keep-last) ---------------------------
 

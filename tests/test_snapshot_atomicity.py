@@ -1,0 +1,238 @@
+"""Crash-atomicity of the durable snapshot stores (round-9 verdict #1).
+
+The previous swap (write new → rmtree(old) → os.replace) had a crash
+window in which NO snapshot exists; these tests kill the protocol at
+every interesting instant and assert the previous committed state is
+always recoverable:
+
+- crash BETWEEN the staging write and the pointer flip → the store must
+  recover the PREVIOUS committed state (and bid), and a retried save of
+  the replayed batch must then commit cleanly and GC the stale staging;
+- crash AFTER the flip but before GC (stale predecessor / orphaned
+  pointer temps left behind) → the NEW state serves, and the next commit
+  self-heals the strays;
+- a legitimately 0-row state frame round-trips WITH its batch id (the
+  pre-r10 layout's documented "empty reads as absent" caveat is gone);
+- the pre-r10 flat layout is still readable (in-place upgrade).
+
+Both durable classes are covered (`DurableSketchState`,
+`ParquetMergeTable`), plus a seeded random-schedule fuzz that adds the
+mid-swap-crash action to the round-9 replay-protocol fuzz.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from boletia_kubernetes_kafka_mongodb_spark.streaming import corpus as C
+from boletia_kubernetes_kafka_mongodb_spark.streaming import sinks
+from boletia_kubernetes_kafka_mongodb_spark.streaming._snapshot import SnapshotDir
+
+
+class _CrashMidSwap(Exception):
+    pass
+
+
+def _boom(self, name, bid):
+    raise _CrashMidSwap(f"simulated crash before pointer flip ({name}:{bid})")
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(rows, "j int, b int, cnt long")
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# --- DurableSketchState ---------------------------------------------------
+
+
+def test_sketch_crash_between_write_and_flip(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "state")
+    store = C.DurableSketchState(spark, path)
+    s0 = _cells(spark, [(0, 1, 10), (0, 2, 5)])
+    store.save(s0, 0)
+
+    # crash: the v1 staging dir is fully written, the pointer never flips
+    monkeypatch.setattr(SnapshotDir, "commit", _boom)
+    s1 = _cells(spark, [(0, 1, 12), (0, 2, 9)])
+    with pytest.raises(_CrashMidSwap):
+        store.save(s1, 1)
+    monkeypatch.undo()
+
+    # a restarted process recovers the PREVIOUS committed state, not empty
+    fresh = C.DurableSketchState(spark, path)
+    got, bid = fresh.load()
+    assert bid == 0
+    assert _sorted(got) == _sorted(s0)
+
+    # the stream redelivers batch 1; the retried save commits and the
+    # crashed attempt's staging dir is garbage-collected
+    fresh.save(s1, 1)
+    got, bid = C.DurableSketchState(spark, path).load()
+    assert bid == 1
+    assert _sorted(got) == _sorted(s1)
+    assert sorted(os.listdir(path)) == ["CURRENT", "v1"]
+
+
+def test_sketch_crash_after_flip_self_heals(spark, tmp_path):
+    path = str(tmp_path / "state")
+    store = C.DurableSketchState(spark, path)
+    store.save(_cells(spark, [(0, 1, 1)]), 0)
+
+    # simulate "crash after flip, before GC": strays the GC would have
+    # removed are still on disk next to the committed snapshot
+    os.makedirs(os.path.join(path, "v_stale_prev"))
+    open(os.path.join(path, ".ptr_orphan"), "w").write("junk")
+
+    got, bid = C.DurableSketchState(spark, path).load()
+    assert bid == 0 and _sorted(got) == [(0, 1, 1)]
+
+    # the next successful commit collects the strays
+    store.save(_cells(spark, [(0, 1, 3)]), 1)
+    assert sorted(os.listdir(path)) == ["CURRENT", "v1"]
+
+
+def test_sketch_empty_state_representable(spark, tmp_path):
+    """Round-9 'What's wrong #3': the pointer records the bid, so a 0-row
+    committed state at batch N no longer reads as 'no state'."""
+    path = str(tmp_path / "state")
+    store = C.DurableSketchState(spark, path)
+    empty = _cells(spark, []).where(F.lit(False))
+    store.save(empty, 3)
+    got, bid = C.DurableSketchState(spark, path).load()
+    assert bid == 3
+    assert got is not None and got.count() == 0
+    assert got.columns == ["j", "b", "cnt"]
+
+
+def test_sketch_legacy_flat_layout_still_loads(spark, tmp_path):
+    path = str(tmp_path / "state")
+    legacy = _cells(spark, [(1, 7, 42)]).withColumn(
+        "_bid", F.lit(5).cast("long")
+    )
+    legacy.write.mode("overwrite").parquet(path)
+    got, bid = C.DurableSketchState(spark, path).load()
+    assert bid == 5 and _sorted(got) == [(1, 7, 42)]
+    # and the first post-upgrade save moves it to the pointer protocol
+    store = C.DurableSketchState(spark, path)
+    store.save(_cells(spark, [(1, 7, 50)]), 6)
+    got, bid = C.DurableSketchState(spark, path).load()
+    assert bid == 6 and _sorted(got) == [(1, 7, 50)]
+
+
+# --- ParquetMergeTable -----------------------------------------------------
+
+
+def test_merge_table_crash_between_write_and_flip(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "tbl")
+    t = sinks.ParquetMergeTable(spark, path, key="k", order_col="seq")
+    b0 = spark.createDataFrame([("a", 1, "x")], "k string, seq long, v string")
+    t.upsert_keep_last(b0)
+
+    monkeypatch.setattr(SnapshotDir, "commit", _boom)
+    b1 = spark.createDataFrame([("a", 2, "y")], "k string, seq long, v string")
+    with pytest.raises(_CrashMidSwap):
+        t.upsert_keep_last(b1)
+    monkeypatch.undo()
+
+    # restart: the table still serves the last COMMITTED merge
+    fresh = sinks.ParquetMergeTable(spark, path, key="k", order_col="seq")
+    assert _sorted(fresh.read()) == [("a", 1, "x")]
+
+    # the redelivered batch merges idempotently and commits; the retry
+    # overwrites the crashed attempt's v1 staging and GCs the v0 snapshot
+    fresh.upsert_keep_last(b1)
+    assert _sorted(fresh.read()) == [("a", 2, "y")]
+    assert sorted(os.listdir(path)) == ["CURRENT", "v1"]
+
+
+def test_merge_table_legacy_flat_layout_still_reads(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("a", 1, "x")], "k string, seq long, v string"
+    ).write.mode("overwrite").parquet(path)
+    t = sinks.ParquetMergeTable(spark, path, key="k", order_col="seq")
+    assert _sorted(t.read()) == [("a", 1, "x")]
+    t.upsert_keep_last(
+        spark.createDataFrame([("b", 2, "y")], "k string, seq long, v string")
+    )
+    assert _sorted(t.read()) == [("a", 1, "x"), ("b", 2, "y")]
+
+
+# --- protocol fuzz with the mid-swap crash action ---------------------------
+
+
+class _CrashySketchStore(C.DurableSketchState):
+    """Save that sometimes writes the staging snapshot and dies before the
+    pointer flip — the exact window the round-9 verdict flagged."""
+
+    def __init__(self, spark, path, rng, p_crash=0.3):
+        super().__init__(spark, path)
+        self._rng = rng
+        self._p = p_crash
+
+    def save(self, state_df, bid):
+        if self._rng.random() < self._p:
+            sub = self._snap.staging(int(bid))
+            state_df.withColumn(
+                self.BID_COL, F.lit(int(bid)).cast("long")
+            ).write.mode("overwrite").parquet(sub)
+            raise _CrashMidSwap(f"mid-swap crash at bid {bid}")
+        super().save(state_df, bid)
+
+
+def test_freq_sketch_durable_fuzz_with_midswap_crashes(spark, tmp_path):
+    """Round-9 fuzz extended per the verdict's done-criteria: random
+    interleavings of {fold, redeliver, restart, CRASH MID-SWAP} must all
+    drain to the exact batch cell table."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    batches = [
+        spark.createDataFrame(
+            [(j, f"tok{j % 5} x{j % 3} common") for j in range(i * 10, i * 10 + 10)],
+            "doc_id long, text string",
+        ).localCheckpoint()
+        for i in range(4)
+    ]
+    d, w = 2, 16
+    alldocs = batches[0]
+    for b in batches[1:]:
+        alldocs = alldocs.unionByName(b)
+    toks = alldocs.select(F.explode(T.tokens_col("text")).alias("token"))
+    want = sorted(map(tuple, T._cms_cells(toks, d, w).collect()))
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        store = _CrashySketchStore(spark, str(tmp_path / f"crashy{seed}"), rng)
+        h = C.freq_sketch_handler(lambda bid, cells: None, d, w, None, store)
+        nxt = 0
+        while nxt < len(batches):
+            roll = rng.random()
+            try:
+                if roll < 0.2 and nxt > 0:
+                    h(batches[nxt - 1], nxt - 1)  # redelivery, committed
+                elif roll < 0.4:
+                    # plain crash+restart (handler and in-memory state lost)
+                    h = C.freq_sketch_handler(
+                        lambda bid, cells: None, d, w, None, store
+                    )
+                    if nxt > 0 and rng.random() < 0.7:
+                        h(batches[nxt - 1], nxt - 1)
+                else:
+                    h(batches[nxt], nxt)
+                    nxt += 1
+            except _CrashMidSwap:
+                # the failed batch never committed: Structured Streaming
+                # fails the query, restart re-folds it from committed state
+                h = C.freq_sketch_handler(
+                    lambda bid, cells: None, d, w, None, store
+                )
+        cells, last_bid = store.load()
+        assert last_bid == len(batches) - 1, f"seed {seed}"
+        assert sorted(map(tuple, cells.collect())) == want, f"seed {seed}"
