@@ -1783,9 +1783,18 @@ def ext_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, one IEEE-exact division per rate, 6dp.
 
     Points with k > the number of learned merges are omitted on both
-    engines (the recursion stops when no pair repeats)."""
+    engines (the recursion stops when no pair repeats) — including the
+    degenerate zero-merge fit (no repeated symbol pair anywhere), where
+    both engines return an empty sweep (round-9 ADVICE: the Spark side
+    used to raise on rows[0] while the oracle returned no rows)."""
     merges = [(m[1], m[2]) for m in _bpe_learn(spark, sf_dir)]
     ks = [k for k in BPE_SWEEP_KS if k <= len(merges)]
+    if not ks:
+        return spark.createDataFrame(
+            [],
+            "n_merges int, n_words long, n_tokens_bpe long, "
+            "fertility double, chars_per_token double",
+        )
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = tokens_col("text")
     cols = [

@@ -125,8 +125,15 @@ def test_approx_distinct_error_bound(spark):
         a = audit[r.event_type]
         assert a.exact_users == r.exact_users
         assert a.within_bound == (
-            abs(r.approx_users - r.exact_users) * A.HLL_TOL_DEN <= r.exact_users
+            abs(r.approx_users - r.exact_users) * A.HLL_TOL_DEN
+            <= max(r.exact_users, A.HLL_TOL_FLOOR)
         )
+    # round-10 floor semantics: on a tiny group the band tolerates an
+    # absolute deviation of FLOOR/DEN (=2) even where exact/DEN < 1 —
+    # the gate can no longer flake on a 1-2 count sketch wobble
+    assert A.HLL_TOL_FLOOR // A.HLL_TOL_DEN == 2
+    assert abs(5 - 4) * A.HLL_TOL_DEN <= max(4, A.HLL_TOL_FLOOR)  # est=5,exact=4
+    assert not (abs(7 - 4) * A.HLL_TOL_DEN <= max(4, A.HLL_TOL_FLOOR))
 
 
 def test_approx_distinct_kmv_error_bound_and_branches(spark):

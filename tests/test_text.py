@@ -1325,3 +1325,40 @@ def test_bpe_vocab_sweep_oracle_parity(spark, duck):
     compare_with_oracle(
         spark, duck, T.ext_bpe_vocab_sweep, T.ext_bpe_vocab_sweep_oracle()
     )
+
+
+def test_bpe_vocab_sweep_zero_merge_corpus_empty_on_both_engines(
+    spark, tmp_path
+):
+    """Round-9 ADVICE: a corpus where no symbol pair repeats (every token
+    one char) learns ZERO merges — the sweep must return an empty frame
+    with the output schema, matching the oracle's empty result, instead
+    of raising on rows[0]."""
+    import duckdb
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e", "en", "crafted", 9) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "degensf")
+    docs.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+
+    out = T.ext_bpe_vocab_sweep(spark, sf_dir)
+    assert out.count() == 0
+    assert out.columns == [
+        "n_merges",
+        "n_words",
+        "n_tokens_bpe",
+        "fertility",
+        "chars_per_token",
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    assert con.execute(T.ext_bpe_vocab_sweep_oracle()).fetchall() == []
+    con.close()
