@@ -124,8 +124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "sql_availability": scans.sql_availability,
         "ext_approx_distinct": aggregates.ext_approx_distinct,
-        # --- position 50: ext_ann_index_refresh lands here when
-        # implemented this round (r09 verdict next-round #4) ---
+        # --- position 50: NEW this round (r09 verdict next-round #4) —
+        # IVF index refresh under corpus growth: the arriving (test-split)
+        # batch assigned by the FROZEN standing-corpus quantizer, appended
+        # to the partitioned layout, compacted; the registered manifest is
+        # read back from the refreshed layout itself ---
+        "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
         # --- position > 50 from here: every id has a green r08/r09
         # driver row and is output-unchanged this round ---
         "ext_graph_label_prop": graph.ext_graph_label_prop,
@@ -453,4 +457,8 @@ def oracle_sql() -> dict[str, str]:
         # rank discounts quantized to BIGINT nano-units once in python
         # and embedded as integer literals in BOTH engines' programs
         "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit_oracle(),
+        # round 10 (NEW): the refreshed physical layout must agree with
+        # the declarative statement of what a rebuild under the frozen
+        # standing-corpus quantizer would hold — per-list split counts
+        "ext_ann_index_refresh": similarity.ext_ann_index_refresh_oracle(),
     }

@@ -193,8 +193,7 @@ QUERIES = {
     "topn x d rows",
     "ext_tokenizer_fertility": "cached BPE fit + one narrow Arrow encode "
     "pass + languages-sized agg",
-    # round-9 staged id (full oracle + tests now; driver registration
-    # lands with the r10 window rotation)
+    # round-9 staged id (registered with the r10 window rotation)
     "ext_tokenizer_oov": "two corpus scans collapse to vocab-sized "
     "frames (held (lang,word,tf), train word types); distinct held "
     "words encode once; everything downstream vocab-sized",
@@ -214,6 +213,11 @@ QUERIES = {
     # label joins — NO brute-force reference scan (cheaper than recall)
     "ext_ann_ndcg_audit": "IVF probe serve + broadcast label joins; "
     "integer-literal discount algebra on NQ x k rows",
+    # round-10 new id: one-time standing build amortizes; the nightly
+    # refresh leg is batch-sized (assign+append the arriving split only),
+    # the manifest a pruned NLIST-group agg over the layout
+    "ext_ann_index_refresh": "build linear once; refresh linear in the "
+    "ARRIVING batch; manifest = layout scan + NLIST-group agg",
 }
 
 
@@ -246,43 +250,14 @@ def _forced_label_prop(spark, sf_dir):
     )
 
 
-def _staged_tokenizer_oov(spark, sf_dir):
-    from boletia_kubernetes_kafka_mongodb_spark.operators import text
-
-    return text.ext_tokenizer_oov(spark, sf_dir)
-
-
-def _staged_bpe_vocab_sweep(spark, sf_dir):
-    from boletia_kubernetes_kafka_mongodb_spark.operators import text
-
-    return text.ext_bpe_vocab_sweep(spark, sf_dir)
-
-
-def _staged_embed_drift(spark, sf_dir):
-    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
-
-    return similarity.ext_embed_drift(spark, sf_dir)
-
-
-def _staged_ann_ndcg(spark, sf_dir):
-    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity
-
-    return similarity.ext_ann_ndcg_audit(spark, sf_dir)
-
-
 # scaling-only callables for the @-suffixed forced-strategy ids (not part
-# of the driver contract — the plain ids' gated dispatch IS the contract)
-# plus the round-9 staged ids not yet registered in __spark_entry__
-# (the round-8 staged pair graduated into the r09 window and now arrives
-# via the registered queries() surface)
+# of the driver contract — the plain ids' gated dispatch IS the contract).
+# The round-9 staged quartet graduated into the r10 window and now
+# arrives via the registered queries() surface.
 EXTRA_QUERIES = {
     "ext_graph_pagerank@dist": _forced_pagerank(None),
     "ext_graph_pagerank@shuffle": _forced_pagerank(0),
     "ext_graph_label_prop@dist": _forced_label_prop,
-    "ext_tokenizer_oov": _staged_tokenizer_oov,
-    "ext_bpe_vocab_sweep": _staged_bpe_vocab_sweep,
-    "ext_embed_drift": _staged_embed_drift,
-    "ext_ann_ndcg_audit": _staged_ann_ndcg,
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:

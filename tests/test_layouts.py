@@ -385,3 +385,125 @@ def test_bucketed_warehouse_heartbeat_protects_live_sessions(spark):
         import shutil
         shutil.rmtree(live, ignore_errors=True)
         shutil.rmtree(dead, ignore_errors=True)
+
+
+# --- round 10: IVF index refresh under corpus growth ------------------------
+
+
+def test_ivf_refresh_layout_equals_rebuild(spark):
+    """The append must place every arriving vector exactly where a
+    from-scratch rebuild under the SAME frozen quantizer would — the
+    refreshed layout's (vec_id, ivf_list) set equals the one-shot
+    assignment of the full grown corpus."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+
+    path = S.ensure_refreshed_ivf_layout(spark, SF_SMOKE)
+    got = sorted(
+        map(tuple, layouts.read_layout(spark, path).select("vec_id", "ivf_list").collect())
+    )
+    assign, _, _ = S._ivf_standing_quantizer(spark, SF_SMOKE)
+    emb = tables.load(spark, SF_SMOKE, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    want = sorted(
+        map(
+            tuple,
+            emb.select("vec_id", assign("embedding").cast("int").alias("ivf_list")).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # the arriving (test-split) vectors are physically present
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+
+    arriving = {
+        r.vec_id
+        for r in emb.select(
+            "vec_id", split_assignment("vec_id").alias("s")
+        ).collect()
+        if r.s == "test"
+    }
+    assert arriving and arriving <= {v for v, _ in got}
+
+
+def test_ivf_refresh_serve_pruned_and_arriving_servable(spark):
+    """The refreshed layout serves through a partition-pruned probe scan,
+    the served top-k equals the index-free form over the same frozen
+    quantizer, and appended (arriving) vectors are candidates the moment
+    the refresh commits."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+
+    served = S.ann_topk_over_refreshed(spark, SF_SMOKE)
+    plan = plans.explain_str(served)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1)
+
+    # index-free reference: assign the full corpus with the frozen
+    # quantizer in memory, filter to the same probe lists, score exactly
+    import numpy as np
+
+    assign, C, c_norm = S._ivf_standing_quantizer(spark, SF_SMOKE)
+    q_vec = S.query_vector(spark, SF_SMOKE)
+    q_norm = float(np.sqrt(q_vec @ q_vec))
+    probe = sorted(
+        np.argsort(-np.round((C @ q_vec) / (c_norm * q_norm), 6), kind="stable")[
+            : S.IVF_NPROBE
+        ].tolist()
+    )
+    emb = tables.load(spark, SF_SMOKE, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.col("vec_id") != S.QUERY_VEC_ID)
+    )
+    ref_cand = emb.where(assign("embedding").isin(probe))
+    ref = S.exact_topk_over_candidates(spark, ref_cand, q_vec)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, ref.collect()))
+
+    # at least one arriving vector sits in the probed partitions
+    path = S.ensure_refreshed_ivf_layout(spark, SF_SMOKE)
+    probed = layouts.read_ivf_probe(spark, path, probe).select(
+        "vec_id", split_assignment("vec_id").alias("s")
+    )
+    assert probed.where(F.col("s") == "test").count() > 0
+
+
+def test_ann_index_refresh_manifest_invariants(spark):
+    """Per-list bookkeeping: standing + added = total per list; totals
+    reconcile with the corpus split sizes; list ids live in [0, NLIST)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+
+    rows = S.ext_ann_index_refresh(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_standing + r.n_added == r.n_total
+        assert 0 <= r.ivf_list < S.IVF_NLIST
+
+    emb = tables.load(spark, SF_SMOKE, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    splits = {
+        r.s: r.n
+        for r in emb.select(split_assignment("vec_id").alias("s"))
+        .groupBy("s")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert sum(r.n_standing for r in rows) == splits.get("train", 0) + splits.get("val", 0)
+    assert sum(r.n_added for r in rows) == splits.get("test", 0)
+
+
+def test_ann_index_refresh_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark, duck, S.ext_ann_index_refresh, S.ext_ann_index_refresh_oracle()
+    )
