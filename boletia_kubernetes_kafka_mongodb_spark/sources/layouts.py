@@ -867,3 +867,163 @@ def write_zorder_events(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained IVF layout (round 10 — streaming index refresh)
+# ---------------------------------------------------------------------------
+
+
+class IncrementalIvfIndex:
+    """LSM-style streaming-maintained IVF layout: one immutable BASE
+    snapshot plus per-micro-batch immutable DELTA directories, committed
+    with the pointer-file protocol (``streaming/_snapshot``) — the
+    streaming form of ``ext_ann_index_refresh``'s nightly append.
+
+    Directory protocol under ``path``::
+
+        base_v{n}/ivf_list=<k>/...    the compacted standing index
+        delta_v{bid}/ivf_list=<k>/... one committed arriving micro-batch
+        CURRENT                        "{base_name}:{last_bid}"
+
+    Committed state = the pointer's base + every ``delta_v{b}`` with
+    ``b <= last_bid``. The append is crash-atomic and replay-idempotent:
+
+    - a delta dir's name is its batch id, so a retried write after a
+      crash OVERWRITES the half-written attempt instead of duplicating;
+    - the pointer flip (one ``os.replace``) is the only commit point — a
+      crash between delta write and flip leaves the batch uncommitted,
+      and Structured Streaming's redelivery of that batch id re-runs it;
+    - a redelivered ALREADY-committed batch is detected by
+      ``bid <= last_bid`` and skipped — append-twice is a no-op, the
+      same offset-commit ⇄ effect idempotency contract as the durable
+      sketch monitors.
+
+    ``compact()`` folds base + committed deltas into a new base snapshot
+    (bounding read fan-out — the LSM merge), with the same
+    either-old-or-new crash guarantee. On a real deployment this whole
+    protocol is a Delta/Iceberg table (ACID appends + OPTIMIZE); the
+    dataflow — frozen-quantizer assignment, partition-pruned probes,
+    batch-sized nightly cost — is identical.
+    """
+
+    _NO_BASE = "-"
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def current(self) -> "tuple[str | None, int]":
+        """(base dir name or None, last committed batch id)."""
+        from ..streaming._snapshot import read_pointer
+
+        name, bid = read_pointer(self.path)
+        if name is None or name == self._NO_BASE:
+            return None, bid
+        return name, bid
+
+    # -- writers -------------------------------------------------------------
+
+    def init_base(self, assigned_df: DataFrame) -> None:
+        """One-shot standing build: write ``base_v0`` and commit it with
+        no batches applied (bid = -1). ``assigned_df`` must carry the
+        ``ivf_list`` column (the frozen quantizer's output)."""
+        import os
+
+        from ..streaming._snapshot import write_pointer
+
+        base = "base_v0"
+        (
+            assigned_df.write.mode("overwrite")
+            .partitionBy("ivf_list")
+            .parquet(os.path.join(self.path, base))
+        )
+        write_pointer(self.path, base, -1)
+
+    def append(self, assigned_df: DataFrame, bid: int) -> bool:
+        """Commit one arriving micro-batch (False = replay, skipped)."""
+        import os
+
+        from ..streaming._snapshot import write_pointer
+
+        base, last = self.current()
+        if int(bid) <= last:
+            return False
+        delta = os.path.join(self.path, f"delta_v{int(bid)}")
+        (
+            assigned_df.write.mode("overwrite")
+            .partitionBy("ivf_list")
+            .parquet(delta)
+        )
+        write_pointer(self.path, base or self._NO_BASE, int(bid))
+        return True
+
+    def compact(self) -> None:
+        """Fold base + committed deltas into a new base snapshot, flip the
+        pointer, then GC absorbed dirs (best-effort; strays self-heal on
+        the next compaction). Uncommitted future deltas are preserved."""
+        import os
+        import re
+        import shutil
+
+        from ..streaming._snapshot import POINTER, write_pointer
+
+        base, last = self.current()
+        n = int(re.match(r"base_v(\d+)", base).group(1)) if base else -1
+        new_base = f"base_v{n + 1}"
+        df = self.read()
+        (
+            df.repartition("ivf_list")
+            .write.mode("overwrite")
+            .partitionBy("ivf_list")
+            .parquet(os.path.join(self.path, new_base))
+        )
+        write_pointer(self.path, new_base, last)
+        for entry in os.listdir(self.path):
+            if entry in (new_base, POINTER):
+                continue
+            m = re.match(r"delta_v(\d+)$", entry)
+            if m and int(m.group(1)) > last:
+                continue  # uncommitted future delta: not ours to collect
+            p = os.path.join(self.path, entry)
+            try:
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            except OSError:
+                pass
+
+    # -- readers -------------------------------------------------------------
+
+    def _committed_dirs(self) -> "list[str]":
+        import os
+        import re
+
+        base, last = self.current()
+        dirs = [os.path.join(self.path, base)] if base else []
+        for entry in sorted(os.listdir(self.path)):
+            m = re.match(r"delta_v(\d+)$", entry)
+            if m and int(m.group(1)) <= last:
+                dirs.append(os.path.join(self.path, entry))
+        return dirs
+
+    def read(self) -> DataFrame:
+        """The committed index as one frame (base ∪ committed deltas).
+        Each constituent is a partitioned tree, so downstream
+        ``ivf_list`` filters prune every scan; ``compact()`` bounds the
+        union length. Fresh (uncached) reads by design — the dir set
+        changes per batch."""
+        dirs = self._committed_dirs()
+        if not dirs:
+            raise ValueError(f"IncrementalIvfIndex at {self.path}: nothing committed")
+        out = self.spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(self.spark.read.parquet(d))
+        return out
+
+    def probe(self, probe_lists: "list[int]") -> DataFrame:
+        """Partition-pruned scan of the probe lists across base + deltas."""
+        return self.read().where(
+            F.col("ivf_list").isin([int(p) for p in probe_lists])
+        )

@@ -34,10 +34,35 @@ import shutil
 import tempfile
 
 
+POINTER = "CURRENT"
+
+
+def read_pointer(dirpath: str) -> tuple[str | None, int]:
+    """The committed ``(name, bid)`` pair from ``dirpath``'s pointer file;
+    ``(None, -1)`` when nothing has ever been committed."""
+    try:
+        with open(os.path.join(dirpath, POINTER)) as f:
+            name, bid = f.read().splitlines()[0].rsplit(":", 1)
+        return name, int(bid)
+    except (OSError, ValueError, IndexError):
+        return None, -1
+
+
+def write_pointer(dirpath: str, name: str, bid: int) -> None:
+    """Atomically commit ``(name, bid)`` as ``dirpath``'s pointer: write a
+    temp file, fsync, then ONE ``os.replace`` — the single commit point."""
+    fd, tmp = tempfile.mkstemp(prefix=".ptr_", dir=dirpath)
+    with os.fdopen(fd, "w") as f:
+        f.write(f"{name}:{int(bid)}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(dirpath, POINTER))
+
+
 class SnapshotDir:
     """Pointer-committed versioned snapshot store under one directory."""
 
-    POINTER = "CURRENT"
+    POINTER = POINTER
 
     def __init__(self, path: str):
         self.path = path
@@ -45,14 +70,11 @@ class SnapshotDir:
     def current(self) -> tuple[str | None, int]:
         """(absolute path of the committed snapshot dir, its batch id);
         ``(None, -1)`` when nothing has ever been committed."""
-        try:
-            with open(os.path.join(self.path, self.POINTER)) as f:
-                name, bid = f.read().splitlines()[0].rsplit(":", 1)
+        name, bid = read_pointer(self.path)
+        if name is not None:
             sub = os.path.join(self.path, name)
             if os.path.isdir(sub):
-                return sub, int(bid)
-        except (OSError, ValueError, IndexError):
-            pass
+                return sub, bid
         return None, -1
 
     def staging(self, bid: int) -> str:
@@ -68,12 +90,7 @@ class SnapshotDir:
         """Atomically flip the pointer to ``name``, then GC every other
         entry (predecessor snapshot, crashed staging dirs, orphaned
         pointer temps). The ``os.replace`` is the single commit point."""
-        fd, tmp = tempfile.mkstemp(prefix=".ptr_", dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            f.write(f"{name}:{int(bid)}\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.path, self.POINTER))
+        write_pointer(self.path, name, bid)
         for entry in os.listdir(self.path):
             if entry in (name, self.POINTER):
                 continue

@@ -394,6 +394,40 @@ def embed_drift_stream(
     return emb_stream.writeStream.foreachBatch(_each)
 
 
+def index_refresh_handler(index, assign_udf, emit=None):
+    """Per-batch body of ``index_refresh_stream`` — callable directly.
+
+    The streaming form of ``ext_ann_index_refresh``'s nightly append: each
+    arriving embedding micro-batch is assigned by the FROZEN standing
+    quantizer (``assign_udf`` — e.g.
+    ``similarity._ivf_standing_quantizer``'s first element) and committed
+    to the ``IncrementalIvfIndex`` as an immutable delta. Replay-safe by
+    the index's ``bid <= last_bid`` gate (append-twice is a no-op) and
+    crash-safe by its pointer-flip commit; ``emit(bid, applied)`` reports
+    whether the batch was applied or skipped as a replay."""
+
+    def _each(bdf: DataFrame, bid: int) -> None:
+        assigned = bdf.where(F.col("embedding").isNotNull()).withColumn(
+            "ivf_list", assign_udf("embedding")
+        )
+        applied = index.append(assigned, bid)
+        if emit is not None:
+            emit(bid, applied)
+
+    return _each
+
+
+def index_refresh_stream(emb_stream: DataFrame, index, assign_udf, emit=None):
+    """Streaming ANN index maintenance: arriving embeddings land in real
+    partitions of the served layout the moment their micro-batch commits
+    — probes see them immediately, no side table, no rebuild. Run
+    ``index.compact()`` on a maintenance schedule to bound delta fan-out
+    (the LSM merge)."""
+    return emb_stream.writeStream.foreachBatch(
+        index_refresh_handler(index, assign_udf, emit)
+    )
+
+
 def quantile_sketch_update(standing: DataFrame | None, ev_batch: DataFrame) -> DataFrame:
     """One sketch-maintenance step: absorb an arriving events batch into the
     standing bottom-K quantile sketch (``operators.aggregates`` round-8

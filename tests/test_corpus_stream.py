@@ -1123,3 +1123,162 @@ def test_fertility_stream_equals_batch(spark, tmp_path):
         for r in T.ext_tokenizer_fertility(spark, SF_SMOKE).collect()
     }
     assert {k: tuple(v) for k, v in tot.items()} == batch
+
+
+# --- round 10: streaming ANN index maintenance ------------------------------
+
+
+def _refresh_fixtures(spark):
+    """(frozen assign_udf, standing assigned frame, arriving frame)."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+
+    assign_udf, _, _ = S._ivf_standing_quantizer(spark, SF_SMOKE)
+    emb = tables.load(spark, SF_SMOKE, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    standing = emb.where(split_assignment("vec_id") != "test").withColumn(
+        "ivf_list", assign_udf("embedding")
+    )
+    arriving = emb.where(split_assignment("vec_id") == "test")
+    return assign_udf, standing, arriving
+
+
+def test_index_refresh_stream_equals_batch_refresh(spark, tmp_path):
+    """The streaming form of ext_ann_index_refresh: base init + per-batch
+    frozen-quantizer appends through a REAL Structured Streaming query
+    drain to exactly the batch operator's refreshed layout, and the
+    incremental probe is partition-pruned in every constituent scan."""
+    from boletia_kubernetes_kafka_mongodb_spark import plans
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+        read_layout,
+    )
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_ivf"))
+    idx.init_base(standing)
+
+    path = str(tmp_path / "arriving")
+    cdc_stream.write_ordered_files(arriving, path, n_files=3, order_col="vec_id")
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    applied: dict[int, bool] = {}
+    q = (
+        corpus.index_refresh_stream(
+            stream, idx, assign_udf, emit=lambda bid, ok: applied.setdefault(bid, ok)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "idx_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    assert applied == {0: True, 1: True, 2: True}
+
+    got = sorted(
+        map(tuple, idx.read().select("vec_id", "ivf_list").collect())
+    )
+    batch_path = S.ensure_refreshed_ivf_layout(spark, SF_SMOKE)
+    want = sorted(
+        map(
+            tuple,
+            read_layout(spark, batch_path).select("vec_id", "ivf_list").collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    plan = plans.explain_str(idx.probe([0, 3]))
+    import re
+
+    assert plan.count("PartitionFilters") >= 2  # base scan + delta scans
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        assert "ivf_list" in m.group(1)
+
+
+def test_index_refresh_replay_and_midswap_crash(spark, tmp_path):
+    """Replay of a committed batch is a no-op; a crash between the delta
+    write and the pointer flip leaves the batch uncommitted, and the
+    redelivered batch commits WITHOUT duplicating rows."""
+    import pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    batches = [
+        arriving.where(F.col("vec_id") % 2 == 0),
+        arriving.where(F.col("vec_id") % 2 == 1),
+    ]
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_ivf2"))
+    idx.init_base(standing)
+    h = corpus.index_refresh_handler(idx, assign_udf)
+
+    h(batches[0], 0)
+    n_after_0 = idx.read().count()
+    h(batches[0], 0)  # redelivery of a committed batch: no-op
+    assert idx.read().count() == n_after_0
+
+    # crash mid-append: delta written, pointer never flips
+    real = _snapshot.write_pointer
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    _snapshot.write_pointer = boom
+    try:
+        with pytest.raises(RuntimeError):
+            h(batches[1], 1)
+    finally:
+        _snapshot.write_pointer = real
+    # a restarted process sees only the committed state
+    fresh = IncrementalIvfIndex(spark, str(tmp_path / "inc_ivf2"))
+    assert fresh.current()[1] == 0
+    assert fresh.read().count() == n_after_0
+
+    # redelivery after the crash commits exactly once
+    h2 = corpus.index_refresh_handler(fresh, assign_udf)
+    h2(batches[1], 1)
+    want = standing.count() + batches[0].count() + batches[1].count()
+    assert fresh.read().count() == want
+
+
+def test_index_refresh_compact_bounds_and_preserves(spark, tmp_path):
+    """Compaction folds base + committed deltas into one base snapshot:
+    identical rows before and after, absorbed deltas collected, an
+    uncommitted future delta left alone, and a second compaction stable."""
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_ivf3"))
+    idx.init_base(standing)
+    h = corpus.index_refresh_handler(idx, assign_udf)
+    h(arriving.where(F.col("vec_id") % 2 == 0), 0)
+    h(arriving.where(F.col("vec_id") % 2 == 1), 1)
+
+    before = sorted(map(tuple, idx.read().select("vec_id", "ivf_list").collect()))
+    # simulate a crashed FUTURE append: delta exists but was never committed
+    os.makedirs(os.path.join(idx.path, "delta_v9"))
+
+    idx.compact()
+    after = sorted(map(tuple, idx.read().select("vec_id", "ivf_list").collect()))
+    assert after == before
+    entries = sorted(os.listdir(idx.path))
+    assert entries == ["CURRENT", "base_v1", "delta_v9"]
+
+    idx.compact()  # idempotent-ish: still the same rows, still one base
+    assert sorted(
+        map(tuple, idx.read().select("vec_id", "ivf_list").collect())
+    ) == before
+    assert sorted(os.listdir(idx.path)) == ["CURRENT", "base_v2", "delta_v9"]
