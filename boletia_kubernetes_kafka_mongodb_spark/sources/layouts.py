@@ -874,6 +874,33 @@ def write_zorder_events(
 # ---------------------------------------------------------------------------
 
 
+def make_cosine_assign_udf(C_arr):
+    """Quantizer factory: a pandas UDF assigning each embedding to the
+    nearest row of ``C_arr`` by 6dp-rounded cosine argmax (first max ⇒
+    lowest centroid id on ties) — the IVF family's engine-stable
+    assignment rule as a standalone builder. This is how a re-index
+    (``IncrementalIvfIndex.rebase``) freezes its NEW quantizer: collect
+    the re-clustered centroid matrix once, wrap it here, hand the UDF to
+    the append handler. Closure rule: captures only numpy arrays."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(C_arr, dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("long")
+    def assign(emb_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.array([np.asarray(e, dtype=np.float64) for e in emb_s])
+        if X.size == 0:
+            return pd.Series([], dtype="int64")
+        sims = (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * c_norm)
+        return pd.Series(np.argmax(np.round(sims, 6), axis=1).astype("int64"))
+
+    return assign
+
+
 class IncrementalIvfIndex:
     """LSM-style streaming-maintained IVF layout: one immutable BASE
     snapshot plus per-micro-batch immutable DELTA directories, committed
@@ -928,20 +955,58 @@ class IncrementalIvfIndex:
     # -- writers -------------------------------------------------------------
 
     def init_base(self, assigned_df: DataFrame) -> None:
-        """One-shot standing build: write ``base_v0`` and commit it with
-        no batches applied (bid = -1). ``assigned_df`` must carry the
-        ``ivf_list`` column (the frozen quantizer's output)."""
+        """One-shot standing build: write the first base snapshot and
+        commit it with no batches applied (bid = -1). ``assigned_df``
+        must carry the ``ivf_list`` column (the frozen quantizer's
+        output)."""
+        self.rebase(assigned_df)
+
+    def rebase(self, assigned_df: DataFrame) -> None:
+        """RE-INDEX in place (the re-cluster leg — `ext_embed_drift`
+        firing is the trigger): replace the entire committed state
+        (base + absorbed deltas) with a fresh base snapshot holding
+        ``assigned_df`` — typically every vector re-assigned under a NEW
+        quantizer trained on the grown corpus. The replay horizon
+        (``last_bid``) is PRESERVED, so a batch redelivered across the
+        re-index is still detected and skipped — re-clustering must not
+        reopen the at-least-once window. Crash guarantee as everywhere
+        here: either the old committed state or the new one, never
+        neither; absorbed dirs GC'd after the flip, uncommitted future
+        deltas preserved (a redelivered future batch overwrites its own
+        delta dir under whatever quantizer the handler then holds).
+
+        Consumption contract: ``assigned_df`` is evaluated ONCE, during
+        the new-base write (the old dirs still exist then). If it derives
+        from this index's own ``read()``, the caller must not re-evaluate
+        it after rebase returns — the underlying files are gone
+        (materialize first, e.g. ``localCheckpoint(eager=True)``, if the
+        frame is needed afterwards)."""
         import os
+        import re
+        import shutil
 
-        from ..streaming._snapshot import write_pointer
+        from ..streaming._snapshot import POINTER, write_pointer
 
-        base = "base_v0"
+        base, last = self.current()
+        n = int(re.match(r"base_v(\d+)", base).group(1)) if base else -1
+        new_base = f"base_v{n + 1}"
         (
             assigned_df.write.mode("overwrite")
             .partitionBy("ivf_list")
-            .parquet(os.path.join(self.path, base))
+            .parquet(os.path.join(self.path, new_base))
         )
-        write_pointer(self.path, base, -1)
+        write_pointer(self.path, new_base, last)
+        for entry in os.listdir(self.path):
+            if entry in (new_base, POINTER):
+                continue
+            m = re.match(r"delta_v(\d+)$", entry)
+            if m and int(m.group(1)) > last:
+                continue  # uncommitted future delta: not ours to collect
+            p = os.path.join(self.path, entry)
+            try:
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            except OSError:
+                pass
 
     def append(self, assigned_df: DataFrame, bid: int) -> bool:
         """Commit one arriving micro-batch (False = replay, skipped)."""
@@ -962,37 +1027,13 @@ class IncrementalIvfIndex:
         return True
 
     def compact(self) -> None:
-        """Fold base + committed deltas into a new base snapshot, flip the
-        pointer, then GC absorbed dirs (best-effort; strays self-heal on
-        the next compaction). Uncommitted future deltas are preserved."""
-        import os
-        import re
-        import shutil
-
-        from ..streaming._snapshot import POINTER, write_pointer
-
-        base, last = self.current()
-        n = int(re.match(r"base_v(\d+)", base).group(1)) if base else -1
-        new_base = f"base_v{n + 1}"
-        df = self.read()
-        (
-            df.repartition("ivf_list")
-            .write.mode("overwrite")
-            .partitionBy("ivf_list")
-            .parquet(os.path.join(self.path, new_base))
-        )
-        write_pointer(self.path, new_base, last)
-        for entry in os.listdir(self.path):
-            if entry in (new_base, POINTER):
-                continue
-            m = re.match(r"delta_v(\d+)$", entry)
-            if m and int(m.group(1)) > last:
-                continue  # uncommitted future delta: not ours to collect
-            p = os.path.join(self.path, entry)
-            try:
-                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-            except OSError:
-                pass
+        """Fold base + committed deltas into a new base snapshot — the
+        LSM merge, bounding read fan-out. A rebase of the CURRENT rows:
+        same assignments, one file tree, same crash guarantee (the
+        rebase writes the new base from the live scan BEFORE the flip,
+        so the source dirs outlive the read). The per-list repartition
+        collapses each partition dir to one file."""
+        self.rebase(self.read().repartition("ivf_list"))
 
     # -- readers -------------------------------------------------------------
 

@@ -1282,3 +1282,115 @@ def test_index_refresh_compact_bounds_and_preserves(spark, tmp_path):
         map(tuple, idx.read().select("vec_id", "ivf_list").collect())
     ) == before
     assert sorted(os.listdir(idx.path)) == ["CURRENT", "base_v2", "delta_v9"]
+
+
+def test_drift_gated_reindex_composition(spark, tmp_path):
+    """The full index-lifecycle loop the round-9 verdict sketched, in one
+    composed foreachBatch program: per arriving batch, (1) the embedding
+    drift reading vs the FROZEN index geometry, (2) the frozen-quantizer
+    append to the incremental index — and when drift FIRES, the re-index:
+    every vector re-assigned under a NEW quantizer via rebase(), which
+    preserves the replay horizon so redelivery across the re-index is
+    still a no-op."""
+    import numpy as np
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+
+    K = 4
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+
+    # frozen drift geometry: K cells from the standing corpus's first K
+    # non-null vectors (rank ids, the kmeans_init_centroids derivation)
+    cent_rows = (
+        standing.orderBy("vec_id").limit(K).select("embedding").collect()
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(cent_rows)],
+        "cluster int, cvec array<double>",
+    ).localCheckpoint(eager=True)
+    fit_assign = S.kmeans_assign_with(standing, cent)
+    fit_bin = (
+        fit_assign.groupBy(F.col("cluster").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    n_fit = fit_assign.count()
+
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_ivf_drift"))
+    idx.init_base(standing)
+    append = corpus.index_refresh_handler(idx, assign_udf)
+
+    # batch 0: in-distribution (real held-out vectors). batch 1: a HARD
+    # shift — every row is the same standing vector, so the whole batch
+    # collapses onto one drift cell.
+    b0 = arriving
+    one_vec = [float(x) for x in cent_rows[2].embedding]
+    max_id = int(
+        tables.load(spark, SF_SMOKE, "embeddings")
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )
+    b1 = spark.createDataFrame(
+        [(max_id + 1 + i, one_vec, 0) for i in range(60)],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+    readings: dict[int, tuple] = {}
+
+    def composed(bdf, bid):
+        r = corpus.embed_drift_batch(bdf, cent, fit_bin, n_fit, bid, k=K).collect()[0]
+        readings[bid] = (r.psi, bool(r.drifted))
+        append(bdf, bid)
+
+    composed(b0, 0)
+    composed(b1, 1)
+    assert not readings[0][1], f"in-distribution batch drifted: {readings[0]}"
+    assert readings[1][1] and readings[1][0] > 0.5, f"shift not caught: {readings[1]}"
+
+    # drift fired → re-cluster: NEW quantizer from the GROWN corpus (its
+    # K lowest vec_ids — the values matter less than the mechanics: every
+    # row re-assigned, one base, replay horizon preserved)
+    # materialize BEFORE rebase: the scan references the old base,
+    # which rebase GCs after its pointer flip (lazy reads would 404)
+    grown = (
+        idx.read().select("vec_id", "embedding", "label")
+        .localCheckpoint(eager=True)
+    )
+    new_cent = sorted(
+        grown.orderBy("vec_id").limit(S.IVF_NLIST).collect(),
+        key=lambda r: r.vec_id,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        make_cosine_assign_udf,
+    )
+
+    assign2 = make_cosine_assign_udf(
+        np.array([r.embedding for r in new_cent], dtype=np.float64)
+    )
+
+    idx.rebase(grown.withColumn("ivf_list", assign2("embedding")))
+
+    # the re-indexed state: every vector placed by the NEW quantizer
+    got = sorted(map(tuple, idx.read().select("vec_id", "ivf_list").collect()))
+    want = sorted(
+        map(
+            tuple,
+            grown.select("vec_id", assign2("embedding").cast("int")).collect(),
+        )
+    )
+    assert got == want and len(got) == standing.count() + b0.count() + 60
+
+    # replay across the re-index: batch 1 redelivered → still a no-op
+    h2 = corpus.index_refresh_handler(idx, assign2)
+    h2(b1, 1)
+    assert idx.read().count() == len(want)
+    # and the stream continues against the new frozen quantizer
+    b2 = spark.createDataFrame(
+        [(max_id + 100 + i, one_vec, 0) for i in range(5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    h2(b2, 2)
+    assert idx.read().count() == len(want) + 5

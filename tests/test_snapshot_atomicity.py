@@ -236,3 +236,68 @@ def test_freq_sketch_durable_fuzz_with_midswap_crashes(spark, tmp_path):
         cells, last_bid = store.load()
         assert last_bid == len(batches) - 1, f"seed {seed}"
         assert sorted(map(tuple, cells.collect())) == want, f"seed {seed}"
+
+
+# --- merge-table protocol fuzz with the mid-swap crash action ---------------
+
+
+class _CrashyMergeTable(sinks.ParquetMergeTable):
+    """_replace_with that sometimes writes the staging snapshot and dies
+    before the pointer flip — the merge-table side of the round-9 crash
+    window, fuzzed like the sketch stores."""
+
+    def __init__(self, spark, path, key, order_col, rng, p_crash=0.3):
+        super().__init__(spark, path, key=key, order_col=order_col)
+        self._rng = rng
+        self._p = p_crash
+
+    def _replace_with(self, df):
+        if self._rng.random() < self._p:
+            _, n = self._snap.current()
+            df.write.mode("overwrite").parquet(self._snap.staging(n + 1))
+            raise _CrashMidSwap(f"mid-swap crash at v{n + 1}")
+        super()._replace_with(df)
+
+
+def test_merge_table_fuzz_random_schedules_with_crashes(spark, tmp_path):
+    """Seeded random interleavings of {upsert next batch, redeliver the
+    previous batch, crash mid-swap + reconstruct} must drain every
+    schedule to the keep-last-by-seq merge of all batches — the
+    value-idempotent MERGE contract under the full at-least-once +
+    crash-recovery generality."""
+    rows = [(f"k{j % 7}", j, f"v{j}") for j in range(24)]
+    batches = [
+        spark.createDataFrame(rows[i : i + 6], "k string, seq long, v string")
+        for i in range(0, 24, 6)
+    ]
+    # expected: highest-seq row per key across all batches
+    want = {}
+    for k, seq, v in rows:
+        if k not in want or seq > want[k][1]:
+            want[k] = (k, seq, v)
+    want = sorted(want.values())
+
+    for seed in range(5):
+        rng = random.Random(2000 + seed)
+        path = str(tmp_path / f"mt{seed}")
+        t = _CrashyMergeTable(spark, path, key="k", order_col="seq", rng=rng)
+        nxt = 0
+        while nxt < len(batches):
+            roll = rng.random()
+            try:
+                if roll < 0.25 and nxt > 0:
+                    t.upsert_keep_last(batches[nxt - 1])  # redelivery
+                else:
+                    t.upsert_keep_last(batches[nxt])
+                    nxt += 1
+            except _CrashMidSwap:
+                # the failed merge never committed; reconstruct (restart)
+                # and let the stream redeliver — nxt not advanced past an
+                # uncommitted batch because the exception aborts the try
+                if roll >= 0.25:
+                    pass  # the in-flight batch will be retried
+                t = _CrashyMergeTable(
+                    spark, path, key="k", order_col="seq", rng=rng
+                )
+        got = sorted(map(tuple, t.read().collect()))
+        assert got == want, f"seed {seed}"
