@@ -218,6 +218,12 @@ QUERIES = {
     # the manifest a pruned NLIST-group agg over the layout
     "ext_ann_index_refresh": "build linear once; refresh linear in the "
     "ARRIVING batch; manifest = layout scan + NLIST-group agg",
+    # round-10 streaming leg: ONE constant-size batch appended to the
+    # IncrementalIvfIndex per call — the timing claim a streaming index
+    # lives on (append cost = batch size, NEVER index size), so the
+    # exponent must read ~0 while the standing index grows 10x
+    "ann_index_append@batch": "CONSTANT — one 200-row append + pointer "
+    "flip; index size must not appear in the cost",
 }
 
 
@@ -250,6 +256,62 @@ def _forced_label_prop(spark, sf_dir):
     )
 
 
+_APPEND_IDX: dict = {}
+
+
+def _incremental_append_leg(spark, sf_dir):
+    """One CONSTANT-size append to a standing IncrementalIvfIndex whose
+    base is the scale leg's full standing split — each call commits a
+    fresh batch id, so per-pass timings ARE successive appends to a
+    growing index. The batch (200 low-vec_id arriving rows, present at
+    every scale) is prepped from a rowgroup-pruned filter so prep cost
+    stays flat too; the returned frame is the batch's own NLIST-group
+    manifest (constant rows_out)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.operators.sampling import (
+        split_assignment,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.sources import layouts
+
+    key = layouts.dataset_cache_key(sf_dir, "embeddings")
+    idx = layouts.IncrementalIvfIndex(
+        spark, os.path.join(tempfile.gettempdir(), f"boletia_incidx_{key}")
+    )
+    assign_udf, _, _ = S._ivf_standing_quantizer(spark, sf_dir)
+    if idx.current() == (None, -1):
+        from boletia_kubernetes_kafka_mongodb_spark import tables
+
+        standing = (
+            tables.load(spark, sf_dir, "embeddings")
+            .where(
+                F.col("embedding").isNotNull()
+                & (split_assignment("vec_id") != "test")
+            )
+            .withColumn("ivf_list", assign_udf("embedding"))
+        )
+        idx.init_base(standing)
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+
+    batch = (
+        tables.load(spark, sf_dir, "embeddings")
+        .where(
+            (F.col("vec_id") < 2000)
+            & F.col("embedding").isNotNull()
+            & (split_assignment("vec_id") == "test")
+        )
+        .limit(200)
+        .withColumn("ivf_list", assign_udf("embedding"))
+    )
+    _, last = idx.current()
+    idx.append(batch, last + 1)
+    delta = spark.read.parquet(os.path.join(idx.path, f"delta_v{last + 1}"))
+    return delta.groupBy("ivf_list").agg(F.count(F.lit(1)).alias("n"))
+
+
 # scaling-only callables for the @-suffixed forced-strategy ids (not part
 # of the driver contract — the plain ids' gated dispatch IS the contract).
 # The round-9 staged quartet graduated into the r10 window and now
@@ -258,6 +320,7 @@ EXTRA_QUERIES = {
     "ext_graph_pagerank@dist": _forced_pagerank(None),
     "ext_graph_pagerank@shuffle": _forced_pagerank(0),
     "ext_graph_label_prop@dist": _forced_label_prop,
+    "ann_index_append@batch": _incremental_append_leg,
 }
 
 # class gates for `check` (round-5 verdict #6), on OUTPUT-NORMALIZED p:
