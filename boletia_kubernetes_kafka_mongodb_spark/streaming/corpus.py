@@ -601,10 +601,23 @@ def heavy_hitters_handler(
         if store is not None and bid <= state["last_bid"]:
             emit(bid, state["n_total"], dict(state["counters"]))
             return
-        heavy_hitters_fold(state, bdf, kk)
         if store is not None:
-            store.save(heavy_hitters_state_df(bdf.sparkSession, state), bid)
+            # fold into a scratch copy and adopt it only AFTER the durable
+            # save commits — a save that dies mid-swap must leave the
+            # in-memory state consistent with the store, like the other
+            # two durable handlers (which build their new state frame
+            # before saving and reload after)
+            scratch = {
+                "counters": dict(state["counters"]),
+                "n_total": state["n_total"],
+            }
+            heavy_hitters_fold(scratch, bdf, kk)
+            store.save(heavy_hitters_state_df(bdf.sparkSession, scratch), bid)
+            state["counters"] = scratch["counters"]
+            state["n_total"] = scratch["n_total"]
             state["last_bid"] = int(bid)
+        else:
+            heavy_hitters_fold(state, bdf, kk)
         emit(bid, state["n_total"], dict(state["counters"]))
 
     return _each

@@ -301,3 +301,45 @@ def test_merge_table_fuzz_random_schedules_with_crashes(spark, tmp_path):
                 )
         got = sorted(map(tuple, t.read().collect()))
         assert got == want, f"seed {seed}"
+
+
+def test_heavy_hitters_handler_state_consistent_after_crashed_save(
+    spark, tmp_path, monkeypatch
+):
+    """A save that dies mid-swap must leave the handler's in-memory MG
+    state consistent with the store — the fold is adopted only after the
+    durable commit, so the recovering retry folds the batch exactly
+    once (no double count even if the same handler object survives)."""
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "beta beta alpha"), (3, "delta")], "doc_id long, text string"
+    )
+    store = C.DurableSketchState(spark, str(tmp_path / "hh"))
+    emitted = []
+    h = C.heavy_hitters_handler(
+        lambda bid, n, counters: emitted.append((bid, n, counters)), 8, None, store
+    )
+    h(b0, 0)
+    n0, counters0 = emitted[-1][1], dict(emitted[-1][2])
+
+    monkeypatch.setattr(SnapshotDir, "commit", _boom)
+    with pytest.raises(_CrashMidSwap):
+        h(b1, 1)
+    monkeypatch.undo()
+
+    # the handler's state is STILL batch-0's (the fold was not adopted)
+    h(b0, 0)  # replay of the committed batch: served from state, no fold
+    assert emitted[-1][1] == n0 and dict(emitted[-1][2]) == counters0
+
+    # retry of batch 1 (same handler surviving, or a restart — same math)
+    h(b1, 1)
+    bid, n1, counters1 = emitted[-1]
+    assert bid == 1 and n1 == n0 + 4  # batch 1 folded exactly once
+    assert counters1.get("beta", 0) <= 3 and counters1.get("alpha", 0) <= 4
+
+    # and the durable store agrees with the handler
+    df, last = C.DurableSketchState(spark, str(tmp_path / "hh")).load()
+    assert last == 1
+    assert C.heavy_hitters_state_load(df)["n_total"] == n1
