@@ -491,12 +491,24 @@ def compact_layout(
     swap parks the old directory aside BEFORE promoting the compacted one —
     a crash between the two renames leaves either the original or both on
     disk, never neither (the ``._compact_old`` leftover is the recovery
-    breadcrumb).
+    breadcrumb). Round 10: the breadcrumb is now MACHINE-recovered — a
+    re-entered compaction (or any caller) finds ``path`` missing with the
+    parked original beside it and restores the original before compacting,
+    so the crash window self-heals instead of demanding an operator.
+    (``IncrementalIvfIndex`` avoids the window entirely via its
+    pointer-file protocol; this in-place function keeps the plain
+    ``spark.read.parquet(path)`` directory contract.)
     """
     import glob
     import math
     import os
     import shutil
+
+    old = path.rstrip("/") + "._compact_old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        # recover from a crash between the two swap renames: the parked
+        # original is complete by construction — restore it and re-compact
+        os.rename(old, path)
 
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     if not files:
@@ -523,7 +535,6 @@ def compact_layout(
     else:
         writer = df.coalesce(n_out).write.mode("overwrite")
     writer.parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

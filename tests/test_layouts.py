@@ -507,3 +507,30 @@ def test_ann_index_refresh_oracle_parity(spark, duck):
     compare_with_oracle(
         spark, duck, S.ext_ann_index_refresh, S.ext_ann_index_refresh_oracle()
     )
+
+
+def test_compact_layout_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between compact_layout's two swap renames leaves the path
+    missing with the parked original beside it — re-entering the
+    compaction must restore the original and complete, with no rows lost."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "lay")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "vec_id long, ivf_list int"
+    )
+    df.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # simulate the mid-swap crash state: original parked, path gone,
+    # half-finished tmp lying around
+    os.rename(path, path + "._compact_old")
+    os.makedirs(path + "._compact_tmp")
+
+    n = layouts.compact_layout(spark, path)
+    assert n >= 1
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want
+    assert not os.path.exists(path + "._compact_old")
+    shutil.rmtree(path + "._compact_tmp", ignore_errors=True)
