@@ -1394,3 +1394,31 @@ def test_drift_gated_reindex_composition(spark, tmp_path):
     )
     h2(b2, 2)
     assert idx.read().count() == len(want) + 5
+
+
+def test_index_refresh_bootstrap_without_base(spark, tmp_path):
+    """A pure-delta bootstrap: appends before any base init commit and
+    serve correctly (the stream-first deployment that builds its index
+    from nothing), and a later compact folds them into the first base."""
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+
+    assign_udf, _standing, arriving = _refresh_fixtures(spark)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_nobase"))
+    h = corpus.index_refresh_handler(idx, assign_udf)
+    h(arriving.where(F.col("vec_id") % 2 == 0), 0)
+    h(arriving.where(F.col("vec_id") % 2 == 1), 1)
+
+    want_n = arriving.count()
+    assert idx.read().count() == want_n
+    assert idx.current() == (None, 1)
+
+    idx.compact()
+    assert idx.read().count() == want_n
+    assert sorted(os.listdir(idx.path)) == ["CURRENT", "base_v0"]
+    # replay across the compaction still gated
+    h(arriving.where(F.col("vec_id") % 2 == 1), 1)
+    assert idx.read().count() == want_n
