@@ -343,3 +343,50 @@ def test_heavy_hitters_handler_state_consistent_after_crashed_save(
     df, last = C.DurableSketchState(spark, str(tmp_path / "hh")).load()
     assert last == 1
     assert C.heavy_hitters_state_load(df)["n_total"] == n1
+
+
+# --- pure-protocol property fuzz (no Spark) ---------------------------------
+
+
+def test_snapshot_dir_protocol_properties(tmp_path):
+    """Hypothesis-style property over the raw pointer protocol (no Spark,
+    plain files as snapshot payloads): under any interleaving of
+    {stage a write, commit it, crash before commit}, current() always
+    returns the LAST COMMITTED (name, bid) with its directory present,
+    and after any commit the store holds exactly the pointer + the
+    committed dir (GC total)."""
+    import os
+    import random
+
+    for seed in range(20):
+        rng = random.Random(3000 + seed)
+        root = str(tmp_path / f"p{seed}")
+        snap = SnapshotDir(root)
+        committed = (None, -1)
+        bid = 0
+        for _ in range(rng.randint(3, 12)):
+            action = rng.random()
+            sub = snap.staging(bid)
+            os.makedirs(sub, exist_ok=True)
+            with open(os.path.join(sub, "payload"), "w") as f:
+                f.write(f"bid={bid}")
+            if action < 0.35:
+                pass  # crash before commit: staging dir abandoned
+            else:
+                snap.commit(os.path.basename(sub), bid)
+                committed = (os.path.basename(sub), bid)
+            # invariant: current() is the last committed pair, dir intact
+            cur_dir, cur_bid = snap.current()
+            if committed[0] is None:
+                assert (cur_dir, cur_bid) == (None, -1), seed
+            else:
+                assert cur_bid == committed[1], seed
+                assert os.path.basename(cur_dir) == committed[0], seed
+                with open(os.path.join(cur_dir, "payload")) as f:
+                    assert f.read() == f"bid={committed[1]}", seed
+                if action >= 0.35:
+                    # a successful commit leaves pointer + committed dir ONLY
+                    assert sorted(os.listdir(root)) == sorted(
+                        ["CURRENT", committed[0]]
+                    ), seed
+            bid += 1
