@@ -1422,3 +1422,56 @@ def test_index_refresh_bootstrap_without_base(spark, tmp_path):
     # replay across the compaction still gated
     h(arriving.where(F.col("vec_id") % 2 == 1), 1)
     assert idx.read().count() == want_n
+
+
+def test_drift_and_append_compose_in_one_true_stream(spark, tmp_path):
+    """Monitoring + maintenance in ONE real Structured Streaming
+    foreachBatch: every arriving micro-batch gets its drift reading vs
+    the frozen geometry AND its frozen-quantizer append to the
+    incremental index — the deployment program, not handler simulation."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+
+    K = 4
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    cent_rows = standing.orderBy("vec_id").limit(K).select("embedding").collect()
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(cent_rows)],
+        "cluster int, cvec array<double>",
+    ).localCheckpoint(eager=True)
+    fit_assign = S.kmeans_assign_with(standing, cent)
+    fit_bin = (
+        fit_assign.groupBy(F.col("cluster").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    n_fit = fit_assign.count()
+
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_composed"))
+    idx.init_base(standing)
+    append = corpus.index_refresh_handler(idx, assign_udf)
+    readings: dict[int, float] = {}
+
+    def composed(bdf, bid):
+        r = corpus.embed_drift_batch(bdf, cent, fit_bin, n_fit, bid, k=K).collect()[0]
+        readings[bid] = r.psi
+        append(bdf, bid)
+
+    path = str(tmp_path / "arrive_files")
+    cdc_stream.write_ordered_files(arriving, path, n_files=2, order_col="vec_id")
+    q = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(composed)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "composed_ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+
+    assert sorted(readings) == [0, 1] and all(v >= 0 for v in readings.values())
+    assert idx.current()[1] == 1
+    assert idx.read().count() == standing.count() + arriving.count()
