@@ -43,163 +43,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-10 window (the standing rotation rule, paid
-    exactly as precomputed in ROUND9_NOTES' r10 queue): positions 1-4
-    are the four round-9 STAGED ids registering now, first — they have
-    no prior CORRECTNESS row so they MUST sit inside the window
-    (`ext_tokenizer_oov` — held-out OOV/coverage audit of the learned
-    BPE; `ext_bpe_vocab_sweep` — merge-count ablation off one cached
-    fit; `ext_embed_drift` — embedding-space population drift per hash
-    split via K-cell cluster-share PSI; `ext_ann_ndcg_audit` —
-    NDCG@k ranking audit of the IVF batch serve with BIGINT nano-unit
-    rank discounts). Positions 5-48 are the 44 r07-era ids from the
-    queue, verbatim. Position 49 is `ext_approx_distinct`, CHANGED this
-    round: the tolerance band gains a small-group floor
-    (|est-exact|*5 <= max(exact, 10), still all-BIGINT) so a 1-2 count
-    deviation on a tiny group cannot flake the cross-engine gate
-    (round-9 ADVICE #3). Position 50 is `ext_ann_index_refresh`, NEW
-    this round (round-9 verdict next-round #4): arriving embeddings
-    assigned to the FROZEN IVF centroids, appended to the partitioned
-    layout, served through the existing probe path. After this round no
-    id's latest attestation is older than round 8. Everything after
-    position 50 has a green r08/r09 driver row.
-
-    Round-9 registry corrections (ADVICE #4): the round-9 change to
-    `ext_quality_psi` was the `low_sample` boolean gate
-    (n < QC_PSI_MIN_N = 20*bins; alerting composes
-    `drifted AND NOT low_sample`) — the `n` count column pre-existed.
+    order per round. Round-11 window (the standing rotation rule, paid
+    exactly as precomputed in ROUND10_NOTES' r11 queue): positions 1-49
+    are the 49 r8-era ids from the queue, verbatim — after this round no
+    id's latest attestation is older than round 9. No registered output
+    changed this round (round 11 is the robustness round the r10 verdict
+    scheduled: the empty-batch append guard + power-loss dir fsync on
+    the pointer protocol, the {append,compact,rebase,crash} schedule
+    fuzz, and the recall-gated index-promotion composition — all
+    streaming-twin/infra work with zero window cost), so position 50
+    PRE-PAYS the rotation instead: `agg_cube_source_lang`, the first
+    r9-era id in sorted order. After r11 the latest-attestation
+    histogram is r9: 48, r10: 50, r11: 50 — TWO free slots in the r12
+    window instead of one, headroom the capacity note in ROUND10_NOTES
+    asked for. Everything after position 50 has a green r09/r10 driver
+    row and is output-unchanged this round.
     """
     return {
-        # --- r10 window positions 1-4: the round-9 staged ids, first
-        # registration (no prior CORRECTNESS row => must be in window) ---
-        "ext_tokenizer_oov": text.ext_tokenizer_oov,
-        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
-        "ext_embed_drift": similarity.ext_embed_drift,
-        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
-        # --- positions 5-48: the 44 r07-era ids from ROUND9_NOTES'
-        # precomputed queue, verbatim; position 49: ext_approx_distinct,
-        # changed this round (band floor for tiny groups) ---
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_time_window": windows.agg_time_window,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "cancel_increment": mutations.cancel_increment,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "event_cancel_update": mutations.event_cancel_update,
-        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
-        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
-        "ext_asof_join": joins.ext_asof_join,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        "ext_quality_calibration": text.ext_quality_calibration,
-        "ext_quality_classifier": text.ext_quality_classifier,
-        "ext_quality_threshold": text.ext_quality_threshold,
-        "ext_range_join": joins.ext_range_join,
-        "ext_topk_batch": similarity.ext_topk_batch,
-        "ext_topk_similarity": similarity.ext_topk_similarity,
-        "fn_json_props_extract": cdc.fn_json_props_extract,
-        "insert_dedup_unique": mutations.insert_dedup_unique,
-        "join_availability": joins.join_availability,
-        "join_cancel_inventory": joins.join_cancel_inventory,
-        "join_cascade": joins.join_cascade,
-        "join_exists_anti": joins.join_exists_anti,
-        "notify_render": notifications.notify_render,
-        "order_latest_per_email": ordering.order_latest_per_email,
-        "order_topn_disponible": ordering.order_topn_disponible,
-        "order_user_event_ranks": ordering.order_user_event_ranks,
-        "reserva_cancel_flag": mutations.reserva_cancel_flag,
-        "reserve_admission_exact": admission.admission_ledger_batch,
-        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "setop_churn_emails": ordering.setop_churn_emails,
-        "sink_upsert_clone": cdc.sink_upsert_clone,
-        "sql_availability": scans.sql_availability,
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
-        # --- position 50: NEW this round (r09 verdict next-round #4) —
-        # IVF index refresh under corpus growth: the arriving (test-split)
-        # batch assigned by the FROZEN standing-corpus quantizer, appended
-        # to the partitioned layout, compacted; the registered manifest is
-        # read back from the refreshed layout itself ---
-        "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
-        # --- position > 50 from here: every id has a green r08/r09
-        # driver row and is output-unchanged this round ---
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
-        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
-        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
-        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
-        "ext_freq_countmin": text.ext_freq_countmin,
-        "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
-        "ext_quality_psi": text.ext_quality_psi,
-        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
-        "agg_latency_bands": aggregates.agg_latency_bands,
-        "agg_user_stickiness": aggregates.agg_user_stickiness,
-        "cdc_scd2_history": cdc.cdc_scd2_history,
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "ext_bpe_merges": text.ext_bpe_merges,
-        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
-        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
-        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
-        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
-        "ext_embed_project": similarity.ext_embed_project,
-        "ext_embed_quantize": similarity.ext_embed_quantize,
-        "ext_entity_resolution": dedup.ext_entity_resolution,
-        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
-        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
-        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        "ext_mmr_diversify": similarity.ext_mmr_diversify,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        "ext_ngram_novelty": dedup.ext_ngram_novelty,
-        "ext_percolate_match": search.ext_percolate_match,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_pack": sampling.ext_sample_pack,
-        "ext_semdedup": similarity.ext_semdedup,
-        "ext_text_readability": text.ext_text_readability,
-        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
-        "ext_tokenizer_apply": text.ext_tokenizer_apply,
-        "ext_vocab_topk": text.ext_vocab_topk,
-        "filter_compound_eq": scans.filter_compound_eq,
-        "filter_range_guard": scans.filter_range_guard,
-        "filter_state_machine": cdc.filter_state_machine,
-        "join_attribution": joins.join_attribution,
-        "join_availability_bucketed": joins.join_availability_bucketed,
-        "lookup_pk": scans.lookup_pk,
-        "lookup_point_unique": scans.lookup_point_unique,
-        "order_page_keyset": ordering.order_page_keyset,
-        "project_rename_detreserva": scans.project_rename_detreserva,
-        "scan_full_eventos": scans.scan_full_eventos,
-        "scan_full_inventario": scans.scan_full_inventario,
+        # --- r11 window positions 1-49: the r8-era cohort from
+        # ROUND10_NOTES' precomputed queue, verbatim ---
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
         "agg_funnel_stages": aggregates.agg_funnel_stages,
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
         "agg_retention_cohorts": aggregates.agg_retention_cohorts,
         "agg_value_histogram": aggregates.agg_value_histogram,
         "cdc_broker_metrics": cdc.cdc_broker_metrics,
         "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
+        "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
         "ext_bm25_search": search.ext_bm25_search,
         "ext_cooccurrence": aggregates.ext_cooccurrence,
         "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
         "ext_corpus_stats": text.ext_corpus_stats,
         "ext_decontaminate": sampling.ext_decontaminate,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
         "ext_dedup_incremental": dedup.ext_dedup_incremental,
         "ext_dedup_segments": dedup.ext_dedup_segments,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_graph_pagerank": graph.ext_graph_pagerank,
         "ext_heavy_hitters": text.ext_heavy_hitters,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
@@ -227,9 +111,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_winnowing": text.ext_text_winnowing,
         "ext_tfidf_terms": search.ext_tfidf_terms,
         "ext_vocab_coverage": text.ext_vocab_coverage,
-        "ext_graph_pagerank": graph.ext_graph_pagerank,
-        "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
-        "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
+        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
+        # ^ position 50 just above: agg_cube_source_lang, pre-paying the
+        # r9 cohort (first in sorted order; nothing changed this round).
+        # --- position > 50 from here: green r09/r10 driver rows,
+        # output-unchanged this round (sorted for auditability) ---
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        "agg_ewma_daily": aggregates.agg_ewma_daily,
+        "agg_latency_bands": aggregates.agg_latency_bands,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_time_window": windows.agg_time_window,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        "agg_user_stickiness": aggregates.agg_user_stickiness,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "cancel_increment": mutations.cancel_increment,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "cdc_scd2_history": cdc.cdc_scd2_history,
+        "event_cancel_update": mutations.event_cancel_update,
+        "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
+        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
+        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
+        "ext_asof_join": joins.ext_asof_join,
+        "ext_bpe_merges": text.ext_bpe_merges,
+        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
+        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
+        "ext_embed_drift": similarity.ext_embed_drift,
+        "ext_embed_project": similarity.ext_embed_project,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        "ext_entity_resolution": dedup.ext_entity_resolution,
+        "ext_freq_countmin": text.ext_freq_countmin,
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
+        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
+        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_ngram_novelty": dedup.ext_ngram_novelty,
+        "ext_percolate_match": search.ext_percolate_match,
+        "ext_quality_calibration": text.ext_quality_calibration,
+        "ext_quality_classifier": text.ext_quality_classifier,
+        "ext_quality_psi": text.ext_quality_psi,
+        "ext_quality_threshold": text.ext_quality_threshold,
+        "ext_range_join": joins.ext_range_join,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        "ext_semdedup": similarity.ext_semdedup,
+        "ext_text_readability": text.ext_text_readability,
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
+        "ext_tokenizer_apply": text.ext_tokenizer_apply,
+        "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
+        "ext_tokenizer_oov": text.ext_tokenizer_oov,
+        "ext_topk_batch": similarity.ext_topk_batch,
+        "ext_topk_similarity": similarity.ext_topk_similarity,
+        "ext_vocab_topk": text.ext_vocab_topk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
+        "join_attribution": joins.join_attribution,
+        "join_availability": joins.join_availability,
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_cascade": joins.join_cascade,
+        "join_exists_anti": joins.join_exists_anti,
+        "lookup_pk": scans.lookup_pk,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "notify_render": notifications.notify_render,
+        "order_latest_per_email": ordering.order_latest_per_email,
+        "order_page_keyset": ordering.order_page_keyset,
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "reserve_admission_exact": admission.admission_ledger_batch,
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
+        "setop_churn_emails": ordering.setop_churn_emails,
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "sql_availability": scans.sql_availability,
     }
 
 

@@ -972,7 +972,7 @@ class IncrementalIvfIndex:
         output)."""
         self.rebase(assigned_df)
 
-    def rebase(self, assigned_df: DataFrame) -> None:
+    def rebase(self, assigned_df: DataFrame, audit=None) -> bool:
         """RE-INDEX in place (the re-cluster leg — `ext_embed_drift`
         firing is the trigger): replace the entire committed state
         (base + absorbed deltas) with a fresh base snapshot holding
@@ -985,6 +985,16 @@ class IncrementalIvfIndex:
         neither; absorbed dirs GC'd after the flip, uncommitted future
         deltas preserved (a redelivered future batch overwrites its own
         delta dir under whatever quantizer the handler then holds).
+
+        STAGED PROMOTION: when ``audit`` is given it is called with the
+        fully-written candidate (a DataFrame read back from the staged —
+        not yet committed — base tree, partition-pruned scans intact, or
+        ``None`` for a 0-row candidate) BEFORE the pointer flip. If it
+        returns falsy the staged tree is discarded and the committed
+        state is untouched (returns False) — a re-clustering that fails
+        its serve-quality audit (e.g. recall@k vs the index-free exact
+        form) can never replace a serving index. Returns True when the
+        rebase committed.
 
         Consumption contract: ``assigned_df`` is evaluated ONCE, during
         the new-base write (the old dirs still exist then). If it derives
@@ -1006,6 +1016,23 @@ class IncrementalIvfIndex:
             .partitionBy("ivf_list")
             .parquet(os.path.join(self.path, new_base))
         )
+        if not self._has_parquet(os.path.join(self.path, new_base)):
+            # 0-row rebase: an all-absorbed-away index is representable as
+            # pointer "-:{last}" — never commit a parquet-less tree.
+            shutil.rmtree(os.path.join(self.path, new_base), ignore_errors=True)
+            new_base = self._NO_BASE
+        if audit is not None:
+            cand = (
+                self.spark.read.parquet(os.path.join(self.path, new_base))
+                if new_base != self._NO_BASE
+                else None
+            )
+            if not audit(cand):
+                if new_base != self._NO_BASE:
+                    shutil.rmtree(
+                        os.path.join(self.path, new_base), ignore_errors=True
+                    )
+                return False
         write_pointer(self.path, new_base, last)
         for entry in os.listdir(self.path):
             if entry in (new_base, POINTER):
@@ -1018,10 +1045,20 @@ class IncrementalIvfIndex:
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
             except OSError:
                 pass
+        return True
 
     def append(self, assigned_df: DataFrame, bid: int) -> bool:
-        """Commit one arriving micro-batch (False = replay, skipped)."""
+        """Commit one arriving micro-batch (False = replay, skipped).
+
+        A 0-row batch (e.g. every embedding NULL after the handler's
+        isNotNull filter) still advances the replay horizon but leaves NO
+        delta directory: a partitionBy write of an empty frame produces a
+        tree with only ``_SUCCESS``, which ``spark.read.parquet`` rejects
+        (UNABLE_TO_INFER_SCHEMA) — committing it would poison every
+        subsequent ``read()``/``probe()``/``compact()``, the exact
+        failure class the pointer protocol exists to prevent."""
         import os
+        import shutil
 
         from ..streaming._snapshot import write_pointer
 
@@ -1034,6 +1071,8 @@ class IncrementalIvfIndex:
             .partitionBy("ivf_list")
             .parquet(delta)
         )
+        if not self._has_parquet(delta):
+            shutil.rmtree(delta, ignore_errors=True)
         write_pointer(self.path, base or self._NO_BASE, int(bid))
         return True
 
@@ -1043,10 +1082,25 @@ class IncrementalIvfIndex:
         same assignments, one file tree, same crash guarantee (the
         rebase writes the new base from the live scan BEFORE the flip,
         so the source dirs outlive the read). The per-list repartition
-        collapses each partition dir to one file."""
+        collapses each partition dir to one file. A committed-but-empty
+        index (only 0-row batches so far) has nothing to fold: no-op."""
+        if not self._committed_dirs():
+            return
         self.rebase(self.read().repartition("ivf_list"))
 
     # -- readers -------------------------------------------------------------
+
+    @staticmethod
+    def _has_parquet(d: str) -> bool:
+        """True iff the tree under ``d`` holds at least one data file
+        (``spark.read.parquet`` on a file-less tree raises
+        UNABLE_TO_INFER_SCHEMA, so writers and readers both gate on it)."""
+        import os
+
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def _committed_dirs(self) -> "list[str]":
         import os
@@ -1058,7 +1112,9 @@ class IncrementalIvfIndex:
             m = re.match(r"delta_v(\d+)$", entry)
             if m and int(m.group(1)) <= last:
                 dirs.append(os.path.join(self.path, entry))
-        return dirs
+        # Self-healing for layouts committed before the empty-batch guard:
+        # a parquet-less tree is unreadable, never part of the state.
+        return [d for d in dirs if self._has_parquet(d)]
 
     def read(self) -> DataFrame:
         """The committed index as one frame (base ∪ committed deltas).

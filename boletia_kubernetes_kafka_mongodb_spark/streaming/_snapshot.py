@@ -50,13 +50,23 @@ def read_pointer(dirpath: str) -> tuple[str | None, int]:
 
 def write_pointer(dirpath: str, name: str, bid: int) -> None:
     """Atomically commit ``(name, bid)`` as ``dirpath``'s pointer: write a
-    temp file, fsync, then ONE ``os.replace`` — the single commit point."""
+    temp file, fsync, then ONE ``os.replace`` — the single commit point.
+    The DIRECTORY is fsync'd after the replace: commit()'s GC of the
+    predecessor snapshot runs next, and without the dir fsync a power
+    loss could persist the rmtree while the rename is still unflushed —
+    CURRENT would then name a deleted snapshot (the either-old-or-new
+    guarantee must hold for power loss, not just process crashes)."""
     fd, tmp = tempfile.mkstemp(prefix=".ptr_", dir=dirpath)
     with os.fdopen(fd, "w") as f:
         f.write(f"{name}:{int(bid)}\n")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(dirpath, POINTER))
+    dfd = os.open(dirpath, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 class SnapshotDir:

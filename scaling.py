@@ -256,9 +256,6 @@ def _forced_label_prop(spark, sf_dir):
     )
 
 
-_APPEND_IDX: dict = {}
-
-
 def _incremental_append_leg(spark, sf_dir):
     """One CONSTANT-size append to a standing IncrementalIvfIndex whose
     base is the scale leg's full standing split — each call commits a

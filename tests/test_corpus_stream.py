@@ -1146,6 +1146,52 @@ def _refresh_fixtures(spark):
     return assign_udf, standing, arriving
 
 
+def _serve_recall_at_k(idx, C_arr, qvecs, k=5, nprobe=4):
+    """recall@k of the index's REAL partition-pruned serve path (nearest
+    ``nprobe`` lists by the quantizer ``C_arr``, then exact rerank of the
+    served candidates) against the index-free exact top-k over the same
+    committed rows — the promotion audit for a candidate (re-)clustering.
+    Accepts a live ``IncrementalIvfIndex`` OR a candidate DataFrame (what
+    ``rebase(audit=...)`` stages). Ties broken by vec_id on BOTH sides so
+    identical-vector rows cannot flake the metric."""
+    import numpy as np
+
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(idx, _DF):
+        _read = lambda: idx  # noqa: E731
+        _probe = lambda ls: idx.where(F.col("ivf_list").isin(ls))  # noqa: E731
+    else:
+        _read, _probe = idx.read, idx.probe
+
+    def _topk(ids, X, qn):
+        sims = np.round((X @ qn) / np.linalg.norm(X, axis=1), 6)
+        order = np.lexsort((ids, -sims))
+        return set(ids[order[:k]].tolist())
+
+    rows = _read().select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = np.asarray(C_arr, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    hits = 0
+    for q in qvecs:
+        qn = np.asarray(q, dtype=np.float64)
+        qn = qn / np.linalg.norm(qn)
+        exact = _topk(ids, X, qn)
+        lists = np.argsort(-np.round(Cn @ qn, 6), kind="stable")[:nprobe]
+        served = (
+            _probe([int(li) for li in lists])
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        if served:
+            sids = np.array([r.vec_id for r in served])
+            SX = np.array([r.embedding for r in served], dtype=np.float64)
+            hits += len(exact & _topk(sids, SX, qn))
+    return hits / (k * len(qvecs))
+
+
 def test_index_refresh_stream_equals_batch_refresh(spark, tmp_path):
     """The streaming form of ext_ann_index_refresh: base init + per-batch
     frozen-quantizer appends through a REAL Structured Streaming query
@@ -1367,11 +1413,49 @@ def test_drift_gated_reindex_composition(spark, tmp_path):
         make_cosine_assign_udf,
     )
 
-    assign2 = make_cosine_assign_udf(
-        np.array([r.embedding for r in new_cent], dtype=np.float64)
-    )
+    C_new = np.array([r.embedding for r in new_cent], dtype=np.float64)
+    assign2 = make_cosine_assign_udf(C_new)
 
-    idx.rebase(grown.withColumn("ivf_list", assign2("embedding")))
+    # PROMOTION GATE (r10 verdict #4): a re-clustering is promoted only if
+    # its serve quality clears the audit — through the engine API itself:
+    # rebase(audit=...) stages the candidate base, audits it, and flips
+    # the pointer ONLY on a pass. Audit = recall@k of the pruned probe
+    # path vs the index-free exact top-k over the same rows.
+    GATE = 0.6
+    qvecs = [list(r.embedding) for r in cent_rows[:3]] + [one_vec]
+    C_frozen = S._ivf_standing_quantizer(spark, SF_SMOKE)[1]
+    rec_before = _serve_recall_at_k(idx, C_frozen, qvecs)
+    assert rec_before >= GATE, f"serving index fails its own audit: {rec_before}"
+
+    audited: list[float] = []
+
+    def audit(cand):
+        rec = 0.0 if cand is None else _serve_recall_at_k(cand, C_new, qvecs)
+        audited.append(rec)
+        return rec >= GATE
+
+    # negative control: a quantizer that PLACES each vector in its
+    # farthest list while probes still look at the nearest lists — the
+    # staged audit must reject it, leaving the serving index untouched
+    n_serving = idx.read().count()
+    promoted = idx.rebase(
+        grown.withColumn("ivf_list", make_cosine_assign_udf(-C_new)("embedding")),
+        audit=audit,
+    )
+    assert promoted is False and audited[-1] < GATE, (
+        f"audit failed to reject the broken candidate: {audited}"
+    )
+    assert idx.read().count() == n_serving  # committed state intact
+
+    # the real candidate clears the gate → rebase commits
+    promoted = idx.rebase(
+        grown.withColumn("ivf_list", assign2("embedding")), audit=audit
+    )
+    assert promoted is True and audited[-1] >= GATE, audited
+
+    # and the PROMOTED index passes the same audit it was admitted under
+    rec_after = _serve_recall_at_k(idx, C_new, qvecs)
+    assert rec_after >= GATE, f"promoted index fails the audit: {rec_after}"
 
     # the re-indexed state: every vector placed by the NEW quantizer
     got = sorted(map(tuple, idx.read().select("vec_id", "ivf_list").collect()))
@@ -1475,3 +1559,173 @@ def test_drift_and_append_compose_in_one_true_stream(spark, tmp_path):
     assert sorted(readings) == [0, 1] and all(v >= 0 for v in readings.values())
     assert idx.current()[1] == 1
     assert idx.read().count() == standing.count() + arriving.count()
+
+
+def test_index_refresh_empty_batch_cannot_poison(spark, tmp_path):
+    """Round-10 ADVICE (high): a micro-batch whose embeddings are all NULL
+    reaches append() with ZERO rows after the handler's isNotNull filter —
+    a partitionBy write of that frame creates a tree holding only
+    _SUCCESS, which spark.read.parquet rejects (UNABLE_TO_INFER_SCHEMA).
+    The batch must still advance the replay horizon (exactly-once), but
+    committing the parquet-less dir would poison every subsequent
+    read()/probe()/compact() — the exact failure class the pointer
+    protocol exists to prevent."""
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.streaming._snapshot import (
+        write_pointer,
+    )
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_empty"))
+    idx.init_base(standing)
+    n_standing = idx.read().count()
+    applied: dict[int, bool] = {}
+    h = corpus.index_refresh_handler(
+        idx, assign_udf, emit=lambda bid, ok: applied.setdefault(bid, ok)
+    )
+
+    # batch 0: every embedding NULL → 0 rows survive the handler filter
+    empty = arriving.withColumn(
+        "embedding", F.lit(None).cast(arriving.schema["embedding"].dataType)
+    )
+    h(empty, 0)
+    assert applied == {0: True}  # committed (horizon advanced) ...
+    assert idx.current()[1] == 0
+    assert not os.path.exists(os.path.join(idx.path, "delta_v0"))  # ... dirless
+    assert idx.read().count() == n_standing  # index still fully readable
+
+    h(empty, 0)  # redelivery of the committed empty batch: replay no-op
+    assert applied == {0: True}
+
+    # the stream continues: a real batch, probes, and compaction all work
+    h(arriving, 1)
+    assert idx.read().count() == n_standing + arriving.count()
+    idx.compact()
+    assert idx.read().count() == n_standing + arriving.count()
+
+    # self-healing for layouts poisoned BEFORE this guard existed: a
+    # committed delta dir with no data files is skipped by readers
+    poisoned = os.path.join(idx.path, "delta_v7")
+    os.makedirs(poisoned)
+    open(os.path.join(poisoned, "_SUCCESS"), "w").close()
+    base, _ = idx.current()
+    write_pointer(idx.path, base, 7)
+    assert idx.read().count() == n_standing + arriving.count()
+    idx.compact()  # and compaction folds past it (then GCs it)
+    assert not os.path.exists(poisoned)
+
+
+def test_index_rebase_to_empty_representable(spark, tmp_path):
+    """A rebase that absorbs everything away (0 rows) must commit as
+    pointer "-:{last}" — never as a parquet-less base tree — preserving
+    the replay horizon so the index can keep accepting batches."""
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_rebase_empty"))
+    idx.init_base(standing)
+    h = corpus.index_refresh_handler(idx, assign_udf)
+    h(arriving, 0)
+
+    idx.rebase(idx.read().limit(0))  # e.g. a retention purge dropped all
+    assert idx.current() == (None, 0)  # empty state, horizon preserved
+    idx.compact()  # nothing to fold: no-op, not a crash
+    assert idx.current() == (None, 0)
+
+    h(arriving, 0)  # replay across the empty rebase: still gated
+    assert idx.current() == (None, 0)
+    h(arriving, 1)  # and new batches land normally
+    assert idx.read().count() == arriving.count()
+
+
+def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
+    """Round-10 verdict #3: seeded random schedules over {append next,
+    redeliver previous, EMPTY append, compact, rebase to a new quantizer,
+    crash mid-append / mid-compact / mid-rebase (+ restart)} must all
+    drain to the exact python-model table: committed vec_ids placed by
+    the CURRENT quantizer generation, horizon monotone."""
+    import random
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    NLISTS, NB = 4, 5
+    batch_vids = [list(range(i * 8, i * 8 + 8)) for i in range(NB)]
+
+    def assigned(vids, g):
+        # generation-g quantizer: ivf_list = (vec_id + g) % NLISTS
+        return spark.createDataFrame(
+            [(v, (v + g) % NLISTS) for v in vids], "vec_id long, ivf_list int"
+        )
+
+    class _Crash(Exception):
+        pass
+
+    real_wp = _snapshot.write_pointer
+
+    def boom(*a, **k):
+        raise _Crash("crash before pointer flip")
+
+    for seed in range(5):
+        rng = random.Random(4000 + seed)
+        path = str(tmp_path / f"fuzz{seed}")
+        idx = IncrementalIvfIndex(spark, path)
+        # python model: committed vid set, horizon, quantizer generation
+        committed: set[int] = set()
+        last, g = -1, 0
+        empty_bids = {b for b in range(NB) if rng.random() < 0.25}
+        nxt = 0
+        steps = 0
+        while nxt < NB or steps < 12:
+            steps += 1
+            assert steps < 400, f"seed {seed}: schedule failed to drain"
+            roll = rng.random()
+            crash = rng.random() < 0.3
+            if crash:
+                _snapshot.write_pointer = boom
+            try:
+                if roll < 0.35 and nxt < NB:
+                    vids = [] if nxt in empty_bids else batch_vids[nxt]
+                    if idx.append(assigned(vids, g), nxt):
+                        committed |= set(vids)
+                        last = nxt
+                        nxt += 1
+                elif roll < 0.5 and nxt > 0:
+                    b = rng.randrange(nxt)  # redeliver a committed batch
+                    assert not idx.append(assigned(batch_vids[b], g), b)
+                elif roll < 0.7:
+                    idx.compact()
+                elif roll < 0.9 and committed:
+                    g2 = g + 1
+                    idx.rebase(assigned(sorted(committed), g2))
+                    g = g2
+                else:
+                    if nxt >= NB:
+                        continue
+                    vids = [] if nxt in empty_bids else batch_vids[nxt]
+                    if idx.append(assigned(vids, g), nxt):
+                        committed |= set(vids)
+                        last = nxt
+                        nxt += 1
+            except _Crash:
+                # uncommitted attempt; restart sees only committed state
+                idx = IncrementalIvfIndex(spark, path)
+            finally:
+                _snapshot.write_pointer = real_wp
+            assert idx.current()[1] == last, f"seed {seed} step {steps}"
+
+        want = sorted((v, (v + g) % NLISTS) for v in committed)
+        if want:
+            got = sorted(
+                map(tuple, idx.read().select("vec_id", "ivf_list").collect())
+            )
+            assert got == want, f"seed {seed}"
+        assert idx.current()[1] == last == NB - 1, f"seed {seed}"

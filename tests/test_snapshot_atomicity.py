@@ -390,3 +390,37 @@ def test_snapshot_dir_protocol_properties(tmp_path):
                         ["CURRENT", committed[0]]
                     ), seed
             bid += 1
+
+
+def test_write_pointer_fsyncs_the_directory(tmp_path, monkeypatch):
+    """Round-10 ADVICE (power loss, not just process crash): after the
+    os.replace, write_pointer must fsync the STORE DIRECTORY before
+    commit()'s GC can run — otherwise a power loss may persist the
+    predecessor's rmtree while the rename is still unflushed, leaving
+    CURRENT naming a deleted snapshot. Pin the ordering: one fsync on a
+    directory fd strictly after the replace."""
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    events = []
+    real_replace, real_fsync = os.replace, os.fsync
+
+    def rec_replace(src, dst):
+        events.append(("replace", dst))
+        real_replace(src, dst)
+
+    def rec_fsync(fd):
+        st = os.fstat(fd)
+        import stat
+
+        events.append(("fsync_dir" if stat.S_ISDIR(st.st_mode) else "fsync_file",))
+        real_fsync(fd)
+
+    monkeypatch.setattr(os, "replace", rec_replace)
+    monkeypatch.setattr(os, "fsync", rec_fsync)
+    _snapshot.write_pointer(str(tmp_path), "v0", 0)
+
+    kinds = [e[0] for e in events]
+    assert kinds == ["fsync_file", "replace", "fsync_dir"]
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v0", 0)
