@@ -1729,3 +1729,47 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
             )
             assert got == want, f"seed {seed}"
         assert idx.current()[1] == last == NB - 1, f"seed {seed}"
+
+
+def test_rebase_audit_crash_leaves_serving_state_and_self_heals(spark, tmp_path):
+    """An audit that RAISES (promotion job dies mid-audit) must leave the
+    serving state untouched — the staged candidate tree is uncommitted
+    garbage, invisible to readers and GC'd by the next successful
+    rebase, like any crashed staging dir in the pointer protocol."""
+    import os
+
+    import pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "inc_auditcrash"))
+    idx.init_base(standing)
+    before = sorted(map(tuple, idx.read().select("vec_id", "ivf_list").collect()))
+
+    cand = idx.read().withColumn("ivf_list", (F.col("ivf_list") + 1) % 3)
+
+    def exploding_audit(c):
+        raise RuntimeError("audit job died")
+
+    with pytest.raises(RuntimeError, match="audit job died"):
+        idx.rebase(cand.localCheckpoint(eager=True), audit=exploding_audit)
+
+    # serving state untouched; the staged base_v1 is stray but invisible
+    fresh = IncrementalIvfIndex(spark, str(tmp_path / "inc_auditcrash"))
+    assert sorted(
+        map(tuple, fresh.read().select("vec_id", "ivf_list").collect())
+    ) == before
+    assert os.path.isdir(os.path.join(fresh.path, "base_v1"))  # stray staging
+
+    # next successful rebase overwrites the stray name and GCs everything
+    ok = fresh.rebase(
+        fresh.read().localCheckpoint(eager=True), audit=lambda c: c is not None
+    )
+    assert ok is True
+    assert sorted(
+        map(tuple, fresh.read().select("vec_id", "ivf_list").collect())
+    ) == before
+    assert sorted(os.listdir(fresh.path)) == ["CURRENT", "base_v1"]
