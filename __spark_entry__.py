@@ -43,54 +43,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-11 window (the standing rotation rule, paid
-    exactly as precomputed in ROUND10_NOTES' r11 queue): positions 1-49
-    are the 49 r8-era ids from the queue, verbatim — after this round no
-    id's latest attestation is older than round 9. No registered output
-    changed this round (round 11 is the robustness round the r10 verdict
-    scheduled: the empty-batch append guard + power-loss dir fsync on
-    the pointer protocol, the {append,compact,rebase,crash} schedule
-    fuzz, and the recall-gated index-promotion composition — all
-    streaming-twin/infra work with zero window cost), so position 50
-    PRE-PAYS the rotation instead: `agg_cube_source_lang`, the first
-    r9-era id in sorted order. After r11 the latest-attestation
-    histogram is r9: 48, r10: 50, r11: 50 — TWO free slots in the r12
-    window instead of one, headroom the capacity note in ROUND10_NOTES
-    asked for. Everything after position 50 has a green r09/r10 driver
-    row and is output-unchanged this round.
+    order per round. Round-12 window (the standing rotation rule, paid
+    exactly as the r11 verdict precomputed): positions 1-48 are the 48
+    r9-era due ids (everything whose latest attestation is round 9, in
+    sorted order) — after this round no id's latest attestation is older
+    than round 10. The two free slots round 11 earned: position 49 is
+    `ext_ann_index_promote`, the NEW driver-attested id (the staged
+    recall-gated `IncrementalIvfIndex.rebase(audit=...)` promotion,
+    r11 verdict #3 — both decision branches under one DuckDB oracle);
+    position 50 PRE-PAYS the r10 cohort with `agg_count_reservations`
+    (its first id in sorted order). After r12 the latest-attestation
+    histogram is r10: 49, r11: 50, r12: 50 — the r13 window has 49 due
+    ids + one free slot. Everything after position 50 has a green
+    r10/r11 driver row and is output-unchanged this round (round-12's
+    other changes — eager staged-tree reclaim on audit crash, fsync of
+    staged trees before pointer flips, the committed-dir parquet-check
+    memo, bench isolation for the numpy-driver-tier graph ids — are
+    infra/measurement work with zero registered-output cost).
     """
     return {
-        # --- r11 window positions 1-49: the r8-era cohort from
-        # ROUND10_NOTES' precomputed queue, verbatim ---
+        # --- r12 window positions 1-48: the 48 r9-era due ids from the
+        # cross-round attestation histogram, in sorted order ---
+        "agg_latency_bands": aggregates.agg_latency_bands,
+        "agg_user_stickiness": aggregates.agg_user_stickiness,
+        "cdc_scd2_history": cdc.cdc_scd2_history,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
+        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
+        "ext_bpe_merges": text.ext_bpe_merges,
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
+        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
+        "ext_embed_project": similarity.ext_embed_project,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        "ext_entity_resolution": dedup.ext_entity_resolution,
+        "ext_freq_countmin": text.ext_freq_countmin,
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
+        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_ngram_novelty": dedup.ext_ngram_novelty,
+        "ext_percolate_match": search.ext_percolate_match,
+        "ext_quality_psi": text.ext_quality_psi,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        "ext_semdedup": similarity.ext_semdedup,
+        "ext_text_readability": text.ext_text_readability,
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
+        "ext_tokenizer_apply": text.ext_tokenizer_apply,
+        "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
+        "ext_vocab_topk": text.ext_vocab_topk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "join_attribution": joins.join_attribution,
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        "lookup_pk": scans.lookup_pk,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "order_page_keyset": ordering.order_page_keyset,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
+        # position 49: the NEW driver-attested id this round — the staged
+        # recall-gated index promotion (round-11 verdict #3)
+        "ext_ann_index_promote": similarity.ext_ann_index_promote,
+        # position 50: free slot pre-pays the r10 cohort (first in sorted
+        # order), keeping the r13 window at 49 due ids + one slot
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        # --- position > 50 from here: green r10/r11 driver rows,
+        # output-unchanged this round (sorted for auditability) ---
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
+        "agg_ewma_daily": aggregates.agg_ewma_daily,
         "agg_funnel_stages": aggregates.agg_funnel_stages,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
         "agg_retention_cohorts": aggregates.agg_retention_cohorts,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_time_window": windows.agg_time_window,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
         "agg_value_histogram": aggregates.agg_value_histogram,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "cancel_increment": mutations.cancel_increment,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
         "cdc_broker_metrics": cdc.cdc_broker_metrics,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "event_cancel_update": mutations.event_cancel_update,
+        "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
         "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
         "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
         "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
+        "ext_asof_join": joins.ext_asof_join,
         "ext_bm25_search": search.ext_bm25_search,
+        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
         "ext_cooccurrence": aggregates.ext_cooccurrence,
         "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
         "ext_corpus_stats": text.ext_corpus_stats,
         "ext_decontaminate": sampling.ext_decontaminate,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
         "ext_dedup_incremental": dedup.ext_dedup_incremental,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
         "ext_dedup_segments": dedup.ext_dedup_segments,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_embed_drift": similarity.ext_embed_drift,
         "ext_graph_pagerank": graph.ext_graph_pagerank,
         "ext_heavy_hitters": text.ext_heavy_hitters,
+        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
         "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
         "ext_multimodal_phash": multimodal.ext_multimodal_phash,
         "ext_quality_buckets": text.ext_quality_buckets,
+        "ext_quality_calibration": text.ext_quality_calibration,
+        "ext_quality_classifier": text.ext_quality_classifier,
+        "ext_quality_threshold": text.ext_quality_threshold,
+        "ext_range_join": joins.ext_range_join,
         "ext_sample_importance": sampling.ext_sample_importance,
         "ext_sample_quota": sampling.ext_sample_quota,
         "ext_sample_split": sampling.ext_sample_split,
@@ -110,107 +199,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_tokens": text.ext_text_tokens,
         "ext_text_winnowing": text.ext_text_winnowing,
         "ext_tfidf_terms": search.ext_tfidf_terms,
-        "ext_vocab_coverage": text.ext_vocab_coverage,
-        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
-        # ^ position 50 just above: agg_cube_source_lang, pre-paying the
-        # r9 cohort (first in sorted order; nothing changed this round).
-        # --- position > 50 from here: green r09/r10 driver rows,
-        # output-unchanged this round (sorted for auditability) ---
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "agg_latency_bands": aggregates.agg_latency_bands,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_time_window": windows.agg_time_window,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "agg_user_stickiness": aggregates.agg_user_stickiness,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "cancel_increment": mutations.cancel_increment,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "cdc_scd2_history": cdc.cdc_scd2_history,
-        "event_cancel_update": mutations.event_cancel_update,
-        "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
-        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
-        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
-        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
-        "ext_asof_join": joins.ext_asof_join,
-        "ext_bpe_merges": text.ext_bpe_merges,
-        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
-        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
-        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
-        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
-        "ext_embed_drift": similarity.ext_embed_drift,
-        "ext_embed_project": similarity.ext_embed_project,
-        "ext_embed_quantize": similarity.ext_embed_quantize,
-        "ext_entity_resolution": dedup.ext_entity_resolution,
-        "ext_freq_countmin": text.ext_freq_countmin,
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
-        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
-        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
-        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
-        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        "ext_mmr_diversify": similarity.ext_mmr_diversify,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        "ext_ngram_novelty": dedup.ext_ngram_novelty,
-        "ext_percolate_match": search.ext_percolate_match,
-        "ext_quality_calibration": text.ext_quality_calibration,
-        "ext_quality_classifier": text.ext_quality_classifier,
-        "ext_quality_psi": text.ext_quality_psi,
-        "ext_quality_threshold": text.ext_quality_threshold,
-        "ext_range_join": joins.ext_range_join,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_pack": sampling.ext_sample_pack,
-        "ext_semdedup": similarity.ext_semdedup,
-        "ext_text_readability": text.ext_text_readability,
-        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
-        "ext_tokenizer_apply": text.ext_tokenizer_apply,
-        "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
         "ext_tokenizer_oov": text.ext_tokenizer_oov,
         "ext_topk_batch": similarity.ext_topk_batch,
         "ext_topk_similarity": similarity.ext_topk_similarity,
-        "ext_vocab_topk": text.ext_vocab_topk,
-        "filter_compound_eq": scans.filter_compound_eq,
-        "filter_range_guard": scans.filter_range_guard,
-        "filter_state_machine": cdc.filter_state_machine,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
         "fn_json_props_extract": cdc.fn_json_props_extract,
         "insert_dedup_unique": mutations.insert_dedup_unique,
-        "join_attribution": joins.join_attribution,
         "join_availability": joins.join_availability,
-        "join_availability_bucketed": joins.join_availability_bucketed,
         "join_cancel_inventory": joins.join_cancel_inventory,
         "join_cascade": joins.join_cascade,
         "join_exists_anti": joins.join_exists_anti,
-        "lookup_pk": scans.lookup_pk,
-        "lookup_point_unique": scans.lookup_point_unique,
         "notify_render": notifications.notify_render,
         "order_latest_per_email": ordering.order_latest_per_email,
-        "order_page_keyset": ordering.order_page_keyset,
         "order_topn_disponible": ordering.order_topn_disponible,
         "order_user_event_ranks": ordering.order_user_event_ranks,
-        "project_rename_detreserva": scans.project_rename_detreserva,
         "reserva_cancel_flag": mutations.reserva_cancel_flag,
         "reserve_admission_exact": admission.admission_ledger_batch,
         "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "scan_full_eventos": scans.scan_full_eventos,
-        "scan_full_inventario": scans.scan_full_inventario,
         "setop_churn_emails": ordering.setop_churn_emails,
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "sql_availability": scans.sql_availability,
@@ -445,4 +450,10 @@ def oracle_sql() -> dict[str, str]:
         # the declarative statement of what a rebuild under the frozen
         # standing-corpus quantizer would hold — per-list split counts
         "ext_ann_index_refresh": similarity.ext_ann_index_refresh_oracle(),
+        # round 12 (NEW): staged recall-gated index promotion — the oracle
+        # re-derives both candidate quantizers, nearest/farthest
+        # assignments, the pruned-serve recall@k, the integer
+        # promote/reject decision, and the post-decision committed
+        # manifest the physical index must have left behind
+        "ext_ann_index_promote": similarity.ext_ann_index_promote_oracle(),
     }

@@ -1205,6 +1205,420 @@ def ann_topk_over_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_topk_over_candidates(spark, candidates, q_vec)
 
 
+# --- staged index promotion (recall-gated rebase as a driver-attested op) ---
+
+PROMOTE_K = 5        # recall@k of the audit
+PROMOTE_NQ = 4       # probe queries (lowest non-null vec_ids)
+PROMOTE_MIN_HITS = 10  # promote iff hits >= this, i.e. recall >= 0.5 of K*NQ
+
+_PROMOTE_CACHE: dict = {}
+
+
+def _promote_new_quantizer(spark: SparkSession, sf_dir: str):
+    """The CANDIDATE re-clustering's quantizer: IVF_NLIST lowest ODD
+    non-null vec_ids, cid = rank position — deterministically different
+    geometry from the standing quantizer (vec_id < IVF_NLIST), so the
+    audit measures a genuine re-index, and SQL-rederivable so the oracle
+    can re-run the whole promotion decision."""
+    import numpy as np
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("embedding").isNotNull() & (F.col("vec_id") % 2 == 1))
+        .orderBy("vec_id")
+        .limit(IVF_NLIST)
+        .select("embedding")
+        .collect()
+    )
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def _make_assign_udf(C, farthest: bool = False):
+    """Arrow-batched assignment to the nearest (or, for the poisoned
+    candidate, the FARTHEST) of the captured centroids — 6dp-rounded
+    cosine before the arg pick, ties to the lowest cid, the cross-engine
+    convention every IVF oracle here uses."""
+    import numpy as np
+
+    C = np.asarray(C, dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("long")
+    def assign(emb_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.array([np.asarray(e, dtype=np.float64) for e in emb_s])
+        if X.size == 0:
+            return pd.Series([], dtype="int64")
+        sims = np.round(
+            (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * c_norm), 6
+        )
+        pick = np.argmin(sims, axis=1) if farthest else np.argmax(sims, axis=1)
+        return pd.Series(pick.astype("int64"))
+
+    return assign
+
+
+def _serve_hits_at_k(cand_df: DataFrame, C_new, qids, Q, k: int, nprobe: int) -> int:
+    """Σ_q |served top-k ∩ exact top-k| over a staged candidate frame —
+    the promotion audit's metric, computed DISTRIBUTED: one mapInPandas
+    matmul pass emits per-partition top-k for BOTH sides (exact = all
+    candidate rows; served = rows whose ivf_list is in the query's
+    nprobe-nearest lists under the CANDIDATE quantizer), then one window
+    reduces partials and one join counts the intersection. The only
+    driver transfer is the final count — the shape that still works when
+    the candidate is the full 100 TB index (probe resolution is an
+    NL×NQ numpy product over the driver-held centroid matrix, the same
+    economics as ``ext_ann_ivf_batch``)."""
+    import numpy as np
+
+    C = np.asarray(C_new, dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+    Q = np.asarray(Q, dtype=np.float64)
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    nq = Q.shape[0]
+    sims = np.round((C @ Q.T) / (c_norm[:, None] * q_norms[None, :]), 6)
+    probe_mask = np.zeros((C.shape[0], nq), dtype=bool)
+    for q in range(nq):
+        for lst in np.argsort(-sims[:, q], kind="stable")[:nprobe]:
+            probe_mask[lst, q] = True
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            ids = pdf["vec_id"].to_numpy()
+            lists = pdf["ivf_list"].to_numpy().astype(np.int64)
+            cos = np.round(
+                (X @ Q.T)
+                / (np.sqrt((X * X).sum(axis=1))[:, None] * q_norms[None, :]),
+                6,
+            )
+            notself = ids[:, None] != qid_arr[None, :]
+            out_q, out_id, out_cos, out_side = [], [], [], []
+            for q in range(nq):
+                rows = np.nonzero(notself[:, q])[0]
+                if rows.size == 0:
+                    continue
+                order = rows[np.lexsort((ids[rows], -cos[rows, q]))][:k]
+                out_q.extend([q] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_cos.extend(cos[order, q].tolist())
+                out_side.extend([0] * len(order))
+                srows = rows[probe_mask[lists[rows], q]]
+                sorder = srows[np.lexsort((ids[srows], -cos[srows, q]))][:k]
+                out_q.extend([q] * len(sorder))
+                out_id.extend(ids[sorder].tolist())
+                out_cos.extend(cos[sorder, q].tolist())
+                out_side.extend([1] * len(sorder))
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "vec_id": np.array(out_id, dtype=np.int64),
+                        "cosine": np.array(out_cos),
+                        "side": np.array(out_side, dtype=np.int32),
+                    }
+                )
+
+    partial = cand_df.select("vec_id", "embedding", "ivf_list").mapInPandas(
+        kernel, "query_id long, vec_id long, cosine double, side int"
+    )
+    w = Window.partitionBy("side", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("side", "query_id", "vec_id")
+    )
+    exact = top.where(F.col("side") == 0).select("query_id", "vec_id")
+    served = top.where(F.col("side") == 1).select("query_id", "vec_id")
+    return exact.join(served, ["query_id", "vec_id"]).count()
+
+
+def ext_ann_index_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged, recall-gated index promotion as a driver-attested operator
+    (round-11 verdict #3): drive ``IncrementalIvfIndex.rebase(df,
+    audit=...)`` (`sources/layouts.py`) through BOTH decision branches
+    against a live index and emit, per candidate, the audit verdict AND
+    the post-decision committed manifest read back FROM THE INDEX ITSELF.
+
+    Protocol (attempted in this order against one index):
+
+    1. Standing index: the corpus assigned by the standing quantizer
+       (vec_id < IVF_NLIST centroids), committed as the serving base.
+    2. POISONED candidate: re-assignment under the NEW quantizer
+       (lowest-odd-vec_id centroids) to each vector's FARTHEST list —
+       a broken re-clustering. The staged audit's recall@PROMOTE_K over
+       PROMOTE_NQ probe queries collapses (probes look at nearest lists)
+       → rejected; the committed manifest must still be the STANDING
+       assignment.
+    3. GOOD candidate: nearest-list assignment under the same new
+       quantizer → passes the audit → promoted; the committed manifest
+       must be the NEW assignment.
+
+    The manifest fingerprint ``Σ vec_id·(ivf_list+1)`` is
+    assignment-sensitive, so a wrong decision in either direction (a
+    rejected candidate leaking in, an accepted one not landing) breaks
+    the cross-engine hash. Decision rule is integer (hits ≥
+    PROMOTE_MIN_HITS of PROMOTE_K·PROMOTE_NQ) — no float threshold at
+    the branch. The oracle re-derives quantizers, assignments, pruned
+    serve paths, recall and both decisions declaratively in SQL.
+
+    Scale: the audit is the distributed two-sided top-k of
+    ``_serve_hits_at_k`` (exact side = one scan of the candidate — the
+    honest price of measuring recall, run on a sampled query set in
+    production); everything committed moves through the pointer-file
+    protocol (crash-atomic, power-loss-durable after round 11/12)."""
+    from ..sources.layouts import dataset_cache_get
+
+    def build():
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        from ..sources import layouts
+
+        emb = tables.load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("embedding").isNotNull()).select(
+            "vec_id", "label", "embedding"
+        )
+        assign_std, _, _ = layouts.ivf_assignment_udf(spark, sf_dir)
+        C_new = _promote_new_quantizer(spark, sf_dir)
+        qrows = sorted(
+            corpus.orderBy("vec_id")
+            .limit(PROMOTE_NQ)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+        qids = [r.vec_id for r in qrows]
+        Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+
+        audit_hits: list[int] = []
+
+        def audit(cand) -> bool:
+            hits = (
+                0
+                if cand is None
+                else _serve_hits_at_k(cand, C_new, qids, Q, PROMOTE_K, IVF_NPROBE)
+            )
+            audit_hits.append(int(hits))
+            return hits >= PROMOTE_MIN_HITS
+
+        def manifest(idx):
+            row = idx.read().agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.countDistinct("ivf_list").cast("long").alias("l"),
+                F.sum(
+                    F.col("vec_id") * (F.col("ivf_list").cast("long") + F.lit(1))
+                )
+                .cast("long")
+                .alias("fp"),
+            ).first()
+            return int(row.n), int(row.l), int(row.fp)
+
+        work = tempfile.mkdtemp(prefix="boletia_promote_")
+        try:
+            idx = layouts.IncrementalIvfIndex(spark, work)
+            idx.init_base(corpus.withColumn("ivf_list", assign_std("embedding")))
+            out = []
+            for name, farthest in (("poisoned", True), ("good", False)):
+                cand = corpus.withColumn(
+                    "ivf_list", _make_assign_udf(C_new, farthest=farthest)("embedding")
+                )
+                promoted = idx.rebase(cand, audit=audit)
+                hits = audit_hits[-1]
+                n, nlists, fp = manifest(idx)
+                out.append(
+                    {
+                        "candidate": name,
+                        "audited_hits": hits,
+                        "audited_recall": round(hits / float(PROMOTE_K * PROMOTE_NQ), 6),
+                        "decision": "promoted" if promoted else "rejected",
+                        "committed_rows": n,
+                        "committed_lists": nlists,
+                        "committed_fprint": fp,
+                    }
+                )
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    rows = dataset_cache_get(
+        _PROMOTE_CACHE, spark, sf_dir, "embeddings", build, tag="ann_promote"
+    )
+    return spark.createDataFrame(
+        rows,
+        "candidate string, audited_hits long, audited_recall double, "
+        "decision string, committed_rows long, committed_lists long, "
+        "committed_fprint long",
+    )
+
+
+def ext_ann_index_promote_oracle() -> str:
+    """DuckDB re-derivation of the full promotion protocol: standing and
+    candidate quantizers (rank-position centroid rules), nearest/farthest
+    6dp-cosine assignments, per-query nprobe probe lists, pruned-serve
+    vs exact top-k recall, the integer promote/reject decision, and the
+    post-decision committed manifest each branch must leave behind."""
+    nl, npb, k, nq = IVF_NLIST, IVF_NPROBE, PROMOTE_K, PROMOTE_NQ
+    denom = k * nq
+    min_hits = PROMOTE_MIN_HITS
+
+    def cos(a: str, b: str) -> str:
+        return f"""ROUND(list_dot_product({a}, {b})
+                 / (sqrt(list_dot_product({a}, {a}))
+                    * sqrt(list_dot_product({b}, {b}))), 6)"""
+
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        stdcent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {nl}
+        ),
+        newcent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                   embedding::DOUBLE[] AS cvec
+            FROM (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE embedding IS NOT NULL AND vec_id % 2 = 1
+                ORDER BY vec_id LIMIT {nl}
+            )
+        ),
+        assign_std AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY {cos('c.v', 's.cvec')} DESC,
+                                                   s.cid ASC) AS rk
+                FROM corpus c CROSS JOIN stdcent s
+            ) WHERE rk = 1
+        ),
+        sims_new AS (
+            SELECT c.vec_id, n.cid, {cos('c.v', 'n.cvec')} AS sim
+            FROM corpus c CROSS JOIN newcent n
+        ),
+        assign_good AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rk
+                FROM sims_new
+            ) WHERE rk = 1
+        ),
+        assign_poison AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim ASC, cid ASC) AS rk
+                FROM sims_new
+            ) WHERE rk = 1
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, v AS qv
+            FROM corpus ORDER BY vec_id LIMIT {nq}
+        ),
+        qprobe AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, n.cid,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY {cos('q.qv', 'n.cvec')} DESC,
+                                                   n.cid ASC) AS rk
+                FROM queries q CROSS JOIN newcent n
+            ) WHERE rk <= {npb}
+        ),
+        pair AS (
+            SELECT q.query_id, c.vec_id, {cos('c.v', 'q.qv')} AS cs
+            FROM corpus c CROSS JOIN queries q
+            WHERE c.vec_id != q.query_id
+        ),
+        exact_k AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cs DESC, vec_id ASC) AS rk
+                FROM pair
+            ) WHERE rk <= {k}
+        ),
+        served_good AS (
+            SELECT query_id, vec_id FROM (
+                SELECT p.query_id, p.vec_id,
+                       row_number() OVER (PARTITION BY p.query_id
+                                          ORDER BY p.cs DESC, p.vec_id ASC) AS rk
+                FROM pair p
+                JOIN assign_good a ON a.vec_id = p.vec_id
+                JOIN qprobe pr ON pr.query_id = p.query_id AND pr.cid = a.cid
+            ) WHERE rk <= {k}
+        ),
+        served_poison AS (
+            SELECT query_id, vec_id FROM (
+                SELECT p.query_id, p.vec_id,
+                       row_number() OVER (PARTITION BY p.query_id
+                                          ORDER BY p.cs DESC, p.vec_id ASC) AS rk
+                FROM pair p
+                JOIN assign_poison a ON a.vec_id = p.vec_id
+                JOIN qprobe pr ON pr.query_id = p.query_id AND pr.cid = a.cid
+            ) WHERE rk <= {k}
+        ),
+        stats AS (
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM served_good s
+                 JOIN exact_k e ON e.query_id = s.query_id
+                              AND e.vec_id = s.vec_id) AS hits_good,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM served_poison s
+                 JOIN exact_k e ON e.query_id = s.query_id
+                              AND e.vec_id = s.vec_id) AS hits_poison,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_rows,
+              (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) FROM assign_std)
+                  AS lists_std,
+              (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) FROM assign_good)
+                  AS lists_good,
+              (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) FROM assign_poison)
+                  AS lists_poison,
+              (SELECT CAST(SUM(vec_id * (cid + 1)) AS BIGINT) FROM assign_std)
+                  AS fp_std,
+              (SELECT CAST(SUM(vec_id * (cid + 1)) AS BIGINT) FROM assign_good)
+                  AS fp_good,
+              (SELECT CAST(SUM(vec_id * (cid + 1)) AS BIGINT) FROM assign_poison)
+                  AS fp_poison
+        )
+        SELECT 'poisoned' AS candidate,
+               hits_poison AS audited_hits,
+               ROUND(CAST(hits_poison AS DOUBLE) / {denom}, 6) AS audited_recall,
+               CASE WHEN hits_poison >= {min_hits}
+                    THEN 'promoted' ELSE 'rejected' END AS decision,
+               n_rows AS committed_rows,
+               CASE WHEN hits_poison >= {min_hits}
+                    THEN lists_poison ELSE lists_std END AS committed_lists,
+               CASE WHEN hits_poison >= {min_hits}
+                    THEN fp_poison ELSE fp_std END AS committed_fprint
+        FROM stats
+        UNION ALL
+        SELECT 'good',
+               hits_good,
+               ROUND(CAST(hits_good AS DOUBLE) / {denom}, 6),
+               CASE WHEN hits_good >= {min_hits}
+                    THEN 'promoted' ELSE 'rejected' END,
+               n_rows,
+               CASE WHEN hits_good >= {min_hits}
+                    THEN lists_good ELSE lists_std END,
+               CASE WHEN hits_good >= {min_hits}
+                    THEN fp_good ELSE fp_std END
+        FROM stats
+    """
+
+
 KNN_BLOCKS = 8  # tile degree for the exact 1-NN join
 
 

@@ -952,6 +952,14 @@ class IncrementalIvfIndex:
 
         self.spark = spark
         self.path = path
+        # committed dirs are immutable, so their has-parquet verdict never
+        # changes — memoized so the legacy-poisoned-layout self-heal in
+        # _committed_dirs() costs one os.walk per dir per process, not one
+        # per read()/probe() (round-11 ADVICE: the walk was on the hot
+        # serve path). NOT used for staging trees: append/rebase check the
+        # tree they just wrote, which a crashed-then-redelivered batch can
+        # legitimately re-write under the same name.
+        self._pq_memo: dict[str, bool] = {}
         os.makedirs(path, exist_ok=True)
 
     def current(self) -> "tuple[str | None, int]":
@@ -1006,7 +1014,7 @@ class IncrementalIvfIndex:
         import re
         import shutil
 
-        from ..streaming._snapshot import POINTER, write_pointer
+        from ..streaming._snapshot import POINTER, fsync_tree, write_pointer
 
         base, last = self.current()
         n = int(re.match(r"base_v(\d+)", base).group(1)) if base else -1
@@ -1027,12 +1035,29 @@ class IncrementalIvfIndex:
                 if new_base != self._NO_BASE
                 else None
             )
-            if not audit(cand):
+            try:
+                verdict = audit(cand)
+            except BaseException:
+                # Audit job died mid-run: treat as non-promotion AND reclaim
+                # the staged tree now — a crash-looping promotion job would
+                # otherwise re-write the full candidate each attempt while
+                # the stray (invisible but index-sized) tree persists until
+                # the next successful rebase (round-11 ADVICE).
+                if new_base != self._NO_BASE:
+                    shutil.rmtree(
+                        os.path.join(self.path, new_base), ignore_errors=True
+                    )
+                raise
+            if not verdict:
                 if new_base != self._NO_BASE:
                     shutil.rmtree(
                         os.path.join(self.path, new_base), ignore_errors=True
                     )
                 return False
+        if new_base != self._NO_BASE:
+            # Spark's parquet writer never fsyncs: flush the staged tree so
+            # a power-loss-durable pointer can only name a durable base.
+            fsync_tree(os.path.join(self.path, new_base))
         write_pointer(self.path, new_base, last)
         for entry in os.listdir(self.path):
             if entry in (new_base, POINTER):
@@ -1041,6 +1066,7 @@ class IncrementalIvfIndex:
             if m and int(m.group(1)) > last:
                 continue  # uncommitted future delta: not ours to collect
             p = os.path.join(self.path, entry)
+            self._pq_memo.pop(p, None)  # name may be reused after a reset
             try:
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
             except OSError:
@@ -1060,7 +1086,7 @@ class IncrementalIvfIndex:
         import os
         import shutil
 
-        from ..streaming._snapshot import write_pointer
+        from ..streaming._snapshot import fsync_tree, write_pointer
 
         base, last = self.current()
         if int(bid) <= last:
@@ -1073,6 +1099,10 @@ class IncrementalIvfIndex:
         )
         if not self._has_parquet(delta):
             shutil.rmtree(delta, ignore_errors=True)
+        else:
+            # Spark never fsyncs its parquet output: flush the delta so a
+            # power-loss-durable pointer can only commit a durable batch.
+            fsync_tree(delta)
         write_pointer(self.path, base or self._NO_BASE, int(bid))
         return True
 
@@ -1114,7 +1144,15 @@ class IncrementalIvfIndex:
                 dirs.append(os.path.join(self.path, entry))
         # Self-healing for layouts committed before the empty-batch guard:
         # a parquet-less tree is unreadable, never part of the state.
-        return [d for d in dirs if self._has_parquet(d)]
+        # Verdicts memoized per committed dir (immutable once committed).
+        out = []
+        for d in dirs:
+            ok = self._pq_memo.get(d)
+            if ok is None:
+                ok = self._pq_memo[d] = self._has_parquet(d)
+            if ok:
+                out.append(d)
+        return out
 
     def read(self) -> DataFrame:
         """The committed index as one frame (base ∪ committed deltas).

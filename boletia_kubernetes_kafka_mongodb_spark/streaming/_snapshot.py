@@ -54,19 +54,64 @@ def write_pointer(dirpath: str, name: str, bid: int) -> None:
     The DIRECTORY is fsync'd after the replace: commit()'s GC of the
     predecessor snapshot runs next, and without the dir fsync a power
     loss could persist the rmtree while the rename is still unflushed —
-    CURRENT would then name a deleted snapshot (the either-old-or-new
-    guarantee must hold for power loss, not just process crashes)."""
+    CURRENT would then name a deleted snapshot.
+
+    Scope (round-11 ADVICE): this function makes the POINTER FLIP itself
+    power-loss-durable (rename persisted before any GC unlink can be).
+    It does NOT flush the data files of the tree the new pointer names —
+    Spark's parquet writer never fsyncs, so callers that need the full
+    either-old-or-new guarantee under power loss must ``fsync_tree`` the
+    staged snapshot/delta BEFORE calling this (``SnapshotDir.commit`` and
+    ``IncrementalIvfIndex``'s commit points do). The dir fsync is
+    best-effort on platforms that cannot fsync a directory (non-POSIX):
+    process-crash atomicity still holds there via the rename."""
     fd, tmp = tempfile.mkstemp(prefix=".ptr_", dir=dirpath)
     with os.fdopen(fd, "w") as f:
         f.write(f"{name}:{int(bid)}\n")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(dirpath, POINTER))
-    dfd = os.open(dirpath, os.O_RDONLY)
+    try:
+        dfd = os.open(dirpath, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    except OSError:
+        return  # e.g. Windows: directories are not openable/fsyncable
     try:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+def fsync_tree(path: str) -> None:
+    """Best-effort fsync of every file and directory under ``path``,
+    bottom-up. The pointer-file protocol's missing half for POWER-LOSS
+    durability (round-11 ADVICE): the tree a pointer is about to name is
+    written by Spark, which never fsyncs — flushing it before the flip
+    means a durable pointer can only name a durable tree. Per-entry
+    OSErrors are swallowed (same best-effort stance as the dir fsync:
+    platforms or filesystems that cannot fsync still keep process-crash
+    atomicity from the rename)."""
+    for root, _dirs, files in os.walk(path, topdown=False):
+        for fname in files:
+            try:
+                ffd = os.open(os.path.join(root, fname), os.O_RDONLY)
+            except OSError:
+                continue
+            try:
+                os.fsync(ffd)
+            except OSError:
+                pass
+            finally:
+                os.close(ffd)
+        try:
+            dfd = os.open(root, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+        except OSError:
+            continue
+        try:
+            os.fsync(dfd)
+        except OSError:
+            pass
+        finally:
+            os.close(dfd)
 
 
 class SnapshotDir:
@@ -99,7 +144,13 @@ class SnapshotDir:
     def commit(self, name: str, bid: int) -> None:
         """Atomically flip the pointer to ``name``, then GC every other
         entry (predecessor snapshot, crashed staging dirs, orphaned
-        pointer temps). The ``os.replace`` is the single commit point."""
+        pointer temps). The ``os.replace`` is the single commit point.
+        The named tree is fsync'd first, so under power loss a durable
+        pointer can only name a durable snapshot (Spark's writer never
+        fsyncs the parquet data files itself)."""
+        tree = os.path.join(self.path, name)
+        if os.path.isdir(tree):
+            fsync_tree(tree)
         write_pointer(self.path, name, bid)
         for entry in os.listdir(self.path):
             if entry in (name, self.POINTER):

@@ -1733,9 +1733,11 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
 
 def test_rebase_audit_crash_leaves_serving_state_and_self_heals(spark, tmp_path):
     """An audit that RAISES (promotion job dies mid-audit) must leave the
-    serving state untouched — the staged candidate tree is uncommitted
-    garbage, invisible to readers and GC'd by the next successful
-    rebase, like any crashed staging dir in the pointer protocol."""
+    serving state untouched — and the staged candidate tree is reclaimed
+    EAGERLY before the exception propagates (round-11 ADVICE: a
+    crash-looping promotion job re-writes the full index-sized candidate
+    each attempt, so deferring GC to the next successful rebase leaks
+    disk equal to the whole index for as long as the job keeps dying)."""
     import os
 
     import pytest
@@ -1757,14 +1759,14 @@ def test_rebase_audit_crash_leaves_serving_state_and_self_heals(spark, tmp_path)
     with pytest.raises(RuntimeError, match="audit job died"):
         idx.rebase(cand.localCheckpoint(eager=True), audit=exploding_audit)
 
-    # serving state untouched; the staged base_v1 is stray but invisible
+    # serving state untouched AND the staged tree already reclaimed
     fresh = IncrementalIvfIndex(spark, str(tmp_path / "inc_auditcrash"))
     assert sorted(
         map(tuple, fresh.read().select("vec_id", "ivf_list").collect())
     ) == before
-    assert os.path.isdir(os.path.join(fresh.path, "base_v1"))  # stray staging
+    assert not os.path.exists(os.path.join(fresh.path, "base_v1"))
 
-    # next successful rebase overwrites the stray name and GCs everything
+    # a later successful rebase still works from the intact serving state
     ok = fresh.rebase(
         fresh.read().localCheckpoint(eager=True), audit=lambda c: c is not None
     )

@@ -531,3 +531,63 @@ def test_ann_ndcg_audit_oracle_parity(spark, duck):
     compare_with_oracle(
         spark, duck, S.ext_ann_ndcg_audit, S.ext_ann_ndcg_audit_oracle()
     )
+
+
+def test_ann_index_promote_both_branches(spark):
+    """The staged-promotion driver id (round-11 verdict #3) must exercise
+    BOTH decision branches of ``IncrementalIvfIndex.rebase(audit=...)``
+    against one live index: the farthest-list candidate is REJECTED and
+    the committed manifest it leaves behind is the STANDING assignment;
+    the nearest-list candidate under the same new quantizer is PROMOTED
+    and the manifest flips to the NEW assignment. Fingerprints are
+    re-derived independently from the assignment UDFs so a decision that
+    physically leaked the wrong tree cannot pass."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from boletia_kubernetes_kafka_mongodb_spark.sources import layouts
+
+    rows = {r.candidate: r for r in S.ext_ann_index_promote(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"poisoned", "good"}
+    p, g = rows["poisoned"], rows["good"]
+    assert p.decision == "rejected" and g.decision == "promoted"
+    assert p.audited_hits < S.PROMOTE_MIN_HITS <= g.audited_hits
+    assert p.audited_recall == round(p.audited_hits / (S.PROMOTE_K * S.PROMOTE_NQ), 6)
+    assert g.audited_recall == round(g.audited_hits / (S.PROMOTE_K * S.PROMOTE_NQ), 6)
+
+    # independent fingerprint re-derivation, per assignment
+    corpus = (
+        tables.load(spark, SF_SMOKE, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    assign_std, _, _ = layouts.ivf_assignment_udf(spark, SF_SMOKE)
+    C_new = S._promote_new_quantizer(spark, SF_SMOKE)
+
+    def fprint(assigned):
+        return int(
+            assigned.agg(
+                F.sum(F.col("vec_id") * (F.col("ivf_list").cast("long") + 1))
+            ).first()[0]
+        )
+
+    fp_std = fprint(corpus.withColumn("ivf_list", assign_std("embedding")))
+    fp_good = fprint(
+        corpus.withColumn("ivf_list", S._make_assign_udf(C_new)("embedding"))
+    )
+    assert p.committed_fprint == fp_std  # rejection left the standing index
+    assert g.committed_fprint == fp_good  # promotion landed the candidate
+    assert fp_std != fp_good
+    assert p.committed_rows == g.committed_rows == corpus.count()
+
+
+def test_ann_index_promote_oracle_parity(spark, duck):
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+    from tests.conftest import compare_with_oracle
+
+    compare_with_oracle(
+        spark, duck, S.ext_ann_index_promote, S.ext_ann_index_promote_oracle()
+    )

@@ -424,3 +424,73 @@ def test_write_pointer_fsyncs_the_directory(tmp_path, monkeypatch):
     kinds = [e[0] for e in events]
     assert kinds == ["fsync_file", "replace", "fsync_dir"]
     assert _snapshot.read_pointer(str(tmp_path)) == ("v0", 0)
+
+
+def test_commit_fsyncs_snapshot_tree_before_pointer_flip(tmp_path, monkeypatch):
+    """Round-11 ADVICE (medium): the dir fsync in write_pointer only makes
+    the RENAME durable — the parquet data files of the tree the new
+    pointer names are written by Spark, which never fsyncs, so a power
+    loss could persist the pointer while the snapshot's data is still
+    unflushed. Pin that SnapshotDir.commit flushes the named tree
+    (fsync_tree) strictly BEFORE the pointer flip."""
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    store = _snapshot.SnapshotDir(str(tmp_path))
+    staged = store.staging(0)
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "wb") as f:
+        f.write(b"data")
+
+    events = []
+    real_tree, real_ptr = _snapshot.fsync_tree, _snapshot.write_pointer
+    monkeypatch.setattr(
+        _snapshot,
+        "fsync_tree",
+        lambda p: (events.append(("tree", p)), real_tree(p))[1],
+    )
+    monkeypatch.setattr(
+        _snapshot,
+        "write_pointer",
+        lambda d, n, b: (events.append(("ptr", n)), real_ptr(d, n, b))[1],
+    )
+    store.commit("v0", 0)
+
+    assert [e[0] for e in events] == ["tree", "ptr"]
+    assert events[0][1] == staged
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v0", 0)
+
+
+def test_fsync_tree_flushes_every_file_and_directory(tmp_path, monkeypatch):
+    """fsync_tree must fsync each data file and each directory of the tree
+    (bottom-up), and must swallow per-entry OSErrors (best-effort on
+    filesystems that cannot fsync) rather than abort the commit."""
+    import os
+    import stat
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    root = tmp_path / "base_v0"
+    (root / "ivf_list=0").mkdir(parents=True)
+    (root / "ivf_list=1").mkdir()
+    (root / "ivf_list=0" / "part-0.parquet").write_bytes(b"a")
+    (root / "ivf_list=1" / "part-0.parquet").write_bytes(b"b")
+    (root / "_SUCCESS").write_bytes(b"")
+
+    files, dirs = [], []
+    real_fsync = os.fsync
+
+    def rec_fsync(fd):
+        (dirs if stat.S_ISDIR(os.fstat(fd).st_mode) else files).append(fd)
+        real_fsync(fd)
+
+    monkeypatch.setattr(os, "fsync", rec_fsync)
+    _snapshot.fsync_tree(str(root))
+    assert len(files) == 3 and len(dirs) == 3  # 2 parts + _SUCCESS; 2 lists + root
+
+    # best-effort: an fsync that raises must not propagate
+    monkeypatch.setattr(
+        os, "fsync", lambda fd: (_ for _ in ()).throw(OSError("no fsync here"))
+    )
+    _snapshot.fsync_tree(str(root))  # must not raise
