@@ -51,15 +51,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `ext_ann_index_promote`, the NEW driver-attested id (the staged
     recall-gated `IncrementalIvfIndex.rebase(audit=...)` promotion,
     r11 verdict #3 — both decision branches under one DuckDB oracle);
-    position 50 PRE-PAYS the r10 cohort with `agg_count_reservations`
-    (its first id in sorted order). After r12 the latest-attestation
-    histogram is r10: 49, r11: 50, r12: 50 — the r13 window has 49 due
-    ids + one free slot. Everything after position 50 has a green
-    r10/r11 driver row and is output-unchanged this round (round-12's
-    other changes — eager staged-tree reclaim on audit crash, fsync of
-    staged trees before pointer flips, the committed-dir parquet-check
-    memo, bench isolation for the numpy-driver-tier graph ids — are
-    infra/measurement work with zero registered-output cost).
+    position 50 is `ext_graph_pagerank`, whose distributed-tier PLAN
+    changed this round (explicit join-side on the adjacency build after
+    the x10 scale leg caught the optimizer broadcasting the 435M-row
+    edge side; output proven identical by the three-tier bit-equality
+    test) — the standing rule places every changed id in the window, so
+    this slot re-attests it instead of pre-paying the r10 cohort. After
+    r12 the latest-attestation histogram is r10: 50, r11: 49, r12: 50 —
+    the r13 window has exactly 50 due ids (the full r10 cohort), zero
+    slack: r13 must not change any other registered output. Everything
+    after position 50 has a green r10/r11 driver row and is
+    output-unchanged this round (round-12's other changes — eager
+    staged-tree reclaim on audit crash, fsync of staged trees before
+    pointer flips, the committed-dir parquet-check memo, bench isolation
+    for the numpy-driver-tier graph ids — are infra/measurement work
+    with zero registered-output cost).
     """
     return {
         # --- r12 window positions 1-48: the 48 r9-era due ids from the
@@ -115,12 +121,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position 49: the NEW driver-attested id this round — the staged
         # recall-gated index promotion (round-11 verdict #3)
         "ext_ann_index_promote": similarity.ext_ann_index_promote,
-        # position 50: free slot pre-pays the r10 cohort (first in sorted
-        # order), keeping the r13 window at 49 due ids + one slot
-        "agg_count_reservations": aggregates.agg_count_reservations,
+        # position 50: ext_graph_pagerank — its distributed-tier plan
+        # changed this round (explicit join-side on the adjacency build;
+        # output proven identical by the three-tier bit-equality test),
+        # and the standing rule places every changed id in the window
+        "ext_graph_pagerank": graph.ext_graph_pagerank,
         # --- position > 50 from here: green r10/r11 driver rows,
         # output-unchanged this round (sorted for auditability) ---
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "agg_count_reservations": aggregates.agg_count_reservations,
         "agg_cube_source_lang": aggregates.agg_cube_source_lang,
         "agg_ewma_daily": aggregates.agg_ewma_daily,
         "agg_funnel_stages": aggregates.agg_funnel_stages,
@@ -167,7 +176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_dedup_substring": dedup.ext_dedup_substring,
         "ext_embed_drift": similarity.ext_embed_drift,
-        "ext_graph_pagerank": graph.ext_graph_pagerank,
         "ext_heavy_hitters": text.ext_heavy_hitters,
         "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,

@@ -304,13 +304,24 @@ def _pagerank_distributed(
     base = (PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100) // n  # 150e6 DIV N
     broadcast_tier = n <= broadcast_nodes_max
     hub_adj = hubs = None
+    # The adjacency build's join side is EXPLICIT, never estimate-driven:
+    # the edge frame descends from a mapInPandas kernel through a
+    # localCheckpoint, a chain whose static size estimate Catalyst can
+    # wildly understate — at the 435M-edge x10 scale leg the optimizer
+    # chose the EDGE side as the broadcast build (a multi-GB driver
+    # collect that trips maxResultSize/driver memory before a single
+    # iteration runs). deg is node-count-sized: broadcast it inside the
+    # tier whose per-iteration broadcasts are node-sized anyway, and
+    # shuffle-hash it in tier 3, where node count exceeds what an
+    # executor should hold.
+    dside = F.broadcast(deg) if broadcast_tier else deg.hint("shuffle_hash")
     if broadcast_tier:
         # adjacency with out-degree attached — reused every iteration
-        adj = edges.join(deg, "src").localCheckpoint(eager=True)
+        adj = edges.join(dside, "src").localCheckpoint(eager=True)
     else:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         adj, hub_adj, hubs = _hub_split(
-            edges.join(deg, "src"), deg, nparts, hub_degree_min
+            edges.join(dside, "src"), deg, nparts, hub_degree_min
         )
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(init).cast("long").alias("r"))
     for i in range(PR_ITERS):

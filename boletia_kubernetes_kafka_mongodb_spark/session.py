@@ -41,5 +41,16 @@ def get_spark(app_name: str = "boletia-spark", cpus: str | int | None = None) ->
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # sized with the heap, not left at the 1g default: materializing a
+        # persisted multi-GB frame in LOCAL mode routes task results
+        # through the driver's result-size accounting (hit by the x10
+        # scale legs' 435M-edge graph at ~61MB/task — a Spark-internal
+        # effect, not a user-code collect: the same steps pass a 2MB cap
+        # at sf0.1). On a real cluster this is the standard knob an
+        # operator sizes to the driver container.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_MAX_RESULT_SIZE", "4g"),
+        )
     )
     return builder.getOrCreate()
