@@ -43,174 +43,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-12 window (the standing rotation rule, paid
-    exactly as the r11 verdict precomputed): positions 1-48 are the 48
-    r9-era due ids (everything whose latest attestation is round 9, in
-    sorted order) — after this round no id's latest attestation is older
-    than round 10. The two free slots round 11 earned: position 49 is
-    `ext_ann_index_promote`, the NEW driver-attested id (the staged
-    recall-gated `IncrementalIvfIndex.rebase(audit=...)` promotion,
-    r11 verdict #3 — both decision branches under one DuckDB oracle);
-    position 50 is `ext_graph_pagerank`, whose distributed-tier PLAN
-    changed this round (explicit join-side on the adjacency build after
-    the x10 scale leg caught the optimizer broadcasting the 435M-row
-    edge side; output proven identical by the three-tier bit-equality
-    test) — the standing rule places every changed id in the window, so
-    this slot re-attests it instead of pre-paying the r10 cohort. After
-    r12 the latest-attestation histogram is r10: 50, r11: 49, r12: 50 —
-    the r13 window has exactly 50 due ids (the full r10 cohort), zero
-    slack: r13 must not change any other registered output. Everything
-    after position 50 has a green r10/r11 driver row and is
-    output-unchanged this round (round-12's other changes — eager
-    staged-tree reclaim on audit crash, fsync of staged trees before
-    pointer flips, the committed-dir parquet-check memo, bench isolation
-    for the numpy-driver-tier graph ids — are infra/measurement work
-    with zero registered-output cost).
+    order per round. Round-13 window (the standing rotation rule, paid
+    exactly as the r12 verdict precomputed): positions 1-50 are the FULL
+    r10 cohort — the 50 ids whose latest attestation is round 10 in the
+    cross-round histogram (r10: 50, r11: 49, r12: 50), in sorted order.
+    The window has ZERO slack, so round 13 changes no other registered
+    output: every r13 code change is infra/measurement/durability work
+    (bench final-line summary JSON, anchor-normalized isolated bench
+    children, fsync error-class handling per ADVICE, the committed-dir
+    memo invalidation on pointer regression, the single-writer
+    interleaving fuzz for IncrementalIvfIndex) with zero registered-
+    output cost. After r13 the histogram is r11: 49, r12: 50, r13: 50 —
+    no id older than round 11.
     """
     return {
-        # --- r12 window positions 1-48: the 48 r9-era due ids from the
-        # cross-round attestation histogram, in sorted order ---
-        "agg_latency_bands": aggregates.agg_latency_bands,
-        "agg_user_stickiness": aggregates.agg_user_stickiness,
-        "cdc_scd2_history": cdc.cdc_scd2_history,
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
-        "ext_bpe_merges": text.ext_bpe_merges,
-        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
-        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
-        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
-        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
-        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
-        "ext_embed_project": similarity.ext_embed_project,
-        "ext_embed_quantize": similarity.ext_embed_quantize,
-        "ext_entity_resolution": dedup.ext_entity_resolution,
-        "ext_freq_countmin": text.ext_freq_countmin,
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
-        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
-        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
-        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
-        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        "ext_mmr_diversify": similarity.ext_mmr_diversify,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        "ext_ngram_novelty": dedup.ext_ngram_novelty,
-        "ext_percolate_match": search.ext_percolate_match,
-        "ext_quality_psi": text.ext_quality_psi,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_pack": sampling.ext_sample_pack,
-        "ext_semdedup": similarity.ext_semdedup,
-        "ext_text_readability": text.ext_text_readability,
-        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
-        "ext_tokenizer_apply": text.ext_tokenizer_apply,
-        "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
-        "ext_vocab_topk": text.ext_vocab_topk,
-        "filter_compound_eq": scans.filter_compound_eq,
-        "filter_range_guard": scans.filter_range_guard,
-        "filter_state_machine": cdc.filter_state_machine,
-        "join_attribution": joins.join_attribution,
-        "join_availability_bucketed": joins.join_availability_bucketed,
-        "lookup_pk": scans.lookup_pk,
-        "lookup_point_unique": scans.lookup_point_unique,
-        "order_page_keyset": ordering.order_page_keyset,
-        "project_rename_detreserva": scans.project_rename_detreserva,
-        "scan_full_eventos": scans.scan_full_eventos,
-        "scan_full_inventario": scans.scan_full_inventario,
-        # position 49: the NEW driver-attested id this round — the staged
-        # recall-gated index promotion (round-11 verdict #3)
-        "ext_ann_index_promote": similarity.ext_ann_index_promote,
-        # position 50: ext_graph_pagerank — its distributed-tier plan
-        # changed this round (explicit join-side on the adjacency build;
-        # output proven identical by the three-tier bit-equality test),
-        # and the standing rule places every changed id in the window
-        "ext_graph_pagerank": graph.ext_graph_pagerank,
-        # --- position > 50 from here: green r10/r11 driver rows,
-        # output-unchanged this round (sorted for auditability) ---
-        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        # --- r13 window positions 1-50: the full r10 cohort (every id
+        # whose latest attestation is round 10), in sorted order ---
         "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
         "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "agg_funnel_stages": aggregates.agg_funnel_stages,
         "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
         "agg_rollup_category": aggregates.agg_rollup_category,
         "agg_running_capacity": aggregates.agg_running_capacity,
         "agg_sessionize": aggregates.agg_sessionize,
         "agg_sliding_window": aggregates.agg_sliding_window,
         "agg_time_window": windows.agg_time_window,
         "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "agg_value_histogram": aggregates.agg_value_histogram,
         "agg_value_quantiles": aggregates.agg_value_quantiles,
         "cancel_increment": mutations.cancel_increment,
         "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "cdc_broker_metrics": cdc.cdc_broker_metrics,
         "cdc_route_messages": cdc.cdc_route_messages,
         "event_cancel_update": mutations.event_cancel_update,
         "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
-        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
-        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
         "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
-        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
         "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
         "ext_approx_distinct": aggregates.ext_approx_distinct,
         "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
-        "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
-        "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
         "ext_asof_join": joins.ext_asof_join,
-        "ext_bm25_search": search.ext_bm25_search,
         "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
-        "ext_cooccurrence": aggregates.ext_cooccurrence,
-        "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
-        "ext_corpus_stats": text.ext_corpus_stats,
-        "ext_decontaminate": sampling.ext_decontaminate,
-        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
-        "ext_dedup_clusters": dedup.ext_dedup_clusters,
         "ext_dedup_containment": dedup.ext_dedup_containment,
         "ext_dedup_embedding": dedup.ext_dedup_embedding,
         "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_incremental": dedup.ext_dedup_incremental,
         "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_dedup_segments": dedup.ext_dedup_segments,
-        "ext_dedup_simhash": dedup.ext_dedup_simhash,
-        "ext_dedup_substring": dedup.ext_dedup_substring,
         "ext_embed_drift": similarity.ext_embed_drift,
-        "ext_heavy_hitters": text.ext_heavy_hitters,
         "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
-        "ext_multimodal_features": multimodal.ext_multimodal_features,
-        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
-        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
-        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
-        "ext_quality_buckets": text.ext_quality_buckets,
         "ext_quality_calibration": text.ext_quality_calibration,
         "ext_quality_classifier": text.ext_quality_classifier,
         "ext_quality_threshold": text.ext_quality_threshold,
         "ext_range_join": joins.ext_range_join,
-        "ext_sample_importance": sampling.ext_sample_importance,
-        "ext_sample_quota": sampling.ext_sample_quota,
-        "ext_sample_split": sampling.ext_sample_split,
-        "ext_sample_weighted": sampling.ext_sample_weighted,
-        "ext_shard_manifest": sampling.ext_shard_manifest,
-        "ext_split_drift": sampling.ext_split_drift,
-        "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
-        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
-        "ext_text_clean": dedup.ext_text_clean,
-        "ext_text_entropy": text.ext_text_entropy,
-        "ext_text_fingerprint": text.ext_text_fingerprint,
-        "ext_text_langid": text.ext_text_langid,
-        "ext_text_pii_mask": text.ext_text_pii_mask,
-        "ext_text_quality": text.ext_text_quality,
-        "ext_text_repetition": text.ext_text_repetition,
-        "ext_text_sentiment": text.ext_text_sentiment,
-        "ext_text_tokens": text.ext_text_tokens,
-        "ext_text_winnowing": text.ext_text_winnowing,
-        "ext_tfidf_terms": search.ext_tfidf_terms,
         "ext_tokenizer_oov": text.ext_tokenizer_oov,
         "ext_topk_batch": similarity.ext_topk_batch,
         "ext_topk_similarity": similarity.ext_topk_similarity,
-        "ext_vocab_coverage": text.ext_vocab_coverage,
         "fn_json_props_extract": cdc.fn_json_props_extract,
         "insert_dedup_unique": mutations.insert_dedup_unique,
         "join_availability": joins.join_availability,
@@ -227,6 +109,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_churn_emails": ordering.setop_churn_emails,
         "sink_upsert_clone": cdc.sink_upsert_clone,
         "sql_availability": scans.sql_availability,
+        # --- position > 50 from here: green r11/r12 driver rows,
+        # output-unchanged this round (sorted for auditability) ---
+        "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
+        "agg_cube_source_lang": aggregates.agg_cube_source_lang,
+        "agg_funnel_stages": aggregates.agg_funnel_stages,
+        "agg_latency_bands": aggregates.agg_latency_bands,
+        "agg_retention_cohorts": aggregates.agg_retention_cohorts,
+        "agg_user_stickiness": aggregates.agg_user_stickiness,
+        "agg_value_histogram": aggregates.agg_value_histogram,
+        "cdc_broker_metrics": cdc.cdc_broker_metrics,
+        "cdc_scd2_history": cdc.cdc_scd2_history,
+        "ext_ann_index_promote": similarity.ext_ann_index_promote,
+        "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
+        "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
+        "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
+        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
+        "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
+        "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
+        "ext_bm25_search": search.ext_bm25_search,
+        "ext_bpe_merges": text.ext_bpe_merges,
+        "ext_cooccurrence": aggregates.ext_cooccurrence,
+        "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
+        "ext_corpus_stats": text.ext_corpus_stats,
+        "ext_decontaminate": sampling.ext_decontaminate,
+        "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
+        "ext_dedup_clusters": dedup.ext_dedup_clusters,
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
+        "ext_dedup_incremental": dedup.ext_dedup_incremental,
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
+        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_segments": dedup.ext_dedup_segments,
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
+        "ext_dedup_simhash": dedup.ext_dedup_simhash,
+        "ext_dedup_substring": dedup.ext_dedup_substring,
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
+        "ext_embed_project": similarity.ext_embed_project,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        "ext_entity_resolution": dedup.ext_entity_resolution,
+        "ext_freq_countmin": text.ext_freq_countmin,
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
+        "ext_graph_pagerank": graph.ext_graph_pagerank,
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
+        "ext_heavy_hitters": text.ext_heavy_hitters,
+        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
+        "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
+        "ext_multimodal_features": multimodal.ext_multimodal_features,
+        "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
+        "ext_multimodal_meta": multimodal.ext_multimodal_meta,
+        "ext_multimodal_phash": multimodal.ext_multimodal_phash,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_ngram_novelty": dedup.ext_ngram_novelty,
+        "ext_percolate_match": search.ext_percolate_match,
+        "ext_quality_buckets": text.ext_quality_buckets,
+        "ext_quality_psi": text.ext_quality_psi,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_importance": sampling.ext_sample_importance,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        "ext_sample_quota": sampling.ext_sample_quota,
+        "ext_sample_split": sampling.ext_sample_split,
+        "ext_sample_weighted": sampling.ext_sample_weighted,
+        "ext_semdedup": similarity.ext_semdedup,
+        "ext_shard_manifest": sampling.ext_shard_manifest,
+        "ext_split_drift": sampling.ext_split_drift,
+        "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
+        "ext_text_bigram_logprob": text.ext_text_bigram_logprob,
+        "ext_text_clean": dedup.ext_text_clean,
+        "ext_text_entropy": text.ext_text_entropy,
+        "ext_text_fingerprint": text.ext_text_fingerprint,
+        "ext_text_langid": text.ext_text_langid,
+        "ext_text_pii_mask": text.ext_text_pii_mask,
+        "ext_text_quality": text.ext_text_quality,
+        "ext_text_readability": text.ext_text_readability,
+        "ext_text_repetition": text.ext_text_repetition,
+        "ext_text_sentiment": text.ext_text_sentiment,
+        "ext_text_tokens": text.ext_text_tokens,
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
+        "ext_text_winnowing": text.ext_text_winnowing,
+        "ext_tfidf_terms": search.ext_tfidf_terms,
+        "ext_tokenizer_apply": text.ext_tokenizer_apply,
+        "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
+        "ext_vocab_topk": text.ext_vocab_topk,
+        "filter_compound_eq": scans.filter_compound_eq,
+        "filter_range_guard": scans.filter_range_guard,
+        "filter_state_machine": cdc.filter_state_machine,
+        "join_attribution": joins.join_attribution,
+        "join_availability_bucketed": joins.join_availability_bucketed,
+        "lookup_pk": scans.lookup_pk,
+        "lookup_point_unique": scans.lookup_point_unique,
+        "order_page_keyset": ordering.order_page_keyset,
+        "project_rename_detreserva": scans.project_rename_detreserva,
+        "scan_full_eventos": scans.scan_full_eventos,
+        "scan_full_inventario": scans.scan_full_inventario,
     }
 
 

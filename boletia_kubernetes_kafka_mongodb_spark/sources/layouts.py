@@ -943,6 +943,23 @@ class IncrementalIvfIndex:
     protocol is a Delta/Iceberg table (ACID appends + OPTIMIZE); the
     dataflow — frozen-quantizer assignment, partition-pruned probes,
     batch-sized nightly cost — is identical.
+
+    SINGLE-WRITER CONTRACT (round-12 verdict #7): all WRITERS of one
+    index path (``append``/``rebase``/``compact``) must be serialized.
+    In the streaming deployment this is structural — exactly one
+    foreachBatch handler owns the path and Structured Streaming runs a
+    query's batches sequentially; the nightly rebase job must not
+    overlap the stream (pause, or run it through the same handler).
+    Concurrent READERS are always safe (committed dirs are immutable and
+    the GC only collects dirs the new pointer does not name). The
+    contract is ASSERTED, not locked: every writer re-checks the pointer
+    it captured at entry immediately before its flip and raises
+    ``RuntimeError`` — preserving the other writer's commit — instead of
+    silently regressing the replay horizon (which would drop the
+    concurrent batch's rows from committed state while replay detection
+    still believes the bid was absorbed). On Delta/Iceberg the same
+    contract is enforced by the table format's optimistic-commit
+    conflict detection.
     """
 
     _NO_BASE = "-"
@@ -960,16 +977,69 @@ class IncrementalIvfIndex:
         # tree they just wrote, which a crashed-then-redelivered batch can
         # legitimately re-write under the same name.
         self._pq_memo: dict[str, bool] = {}
+        # last pointer observation, for regression detection (below)
+        self._memo_ptr: "tuple[int, int]" = (-1, -1)  # (base version, bid)
         os.makedirs(path, exist_ok=True)
 
     def current(self) -> "tuple[str | None, int]":
-        """(base dir name or None, last committed batch id)."""
+        """(base dir name or None, last committed batch id).
+
+        Memo-staleness guard (round-12 ADVICE): committed dirs are
+        immutable under THIS protocol, but an external reset that wipes
+        and recreates the index path under a live instance can reuse a
+        committed-dir name whose memoized has-parquet verdict is stale —
+        a permanent False would silently exclude a valid dir. In
+        protocol, the base version and the batch id only ever move
+        forward; observing either go BACKWARDS proves an out-of-band
+        reset happened, so the whole memo is dropped (one extra os.walk
+        per dir afterwards — the pre-memo cost, paid only on reset)."""
         from ..streaming._snapshot import read_pointer
 
         name, bid = read_pointer(self.path)
+        ver = self._base_version(name)
+        if ver < self._memo_ptr[0] or bid < self._memo_ptr[1]:
+            self._pq_memo.clear()
+        self._memo_ptr = (ver, bid)
         if name is None or name == self._NO_BASE:
             return None, bid
         return name, bid
+
+    @staticmethod
+    def _base_version(name: "str | None") -> int:
+        import re
+
+        m = re.match(r"base_v(\d+)$", name) if name else None
+        return int(m.group(1)) if m else -1
+
+    def _check_sole_writer(self, base: "str | None", last: int, action: str) -> None:
+        """SINGLE-WRITER CONTRACT (round-12 verdict #7): all writers of one
+        index path must be serialized — in the streaming deployment that
+        is structural (one foreachBatch handler owns the path; Structured
+        Streaming runs a query's batches sequentially). This guard turns
+        a contract VIOLATION from silent data loss into a loud error: a
+        writer about to flip the pointer re-checks that the pointer still
+        reads exactly what it captured at entry. Without it, an append
+        landing between rebase()'s current() read and its pointer flip is
+        LOST — rebase's new base was derived before the append and its
+        flip would regress the horizon past the appended bid, so the
+        batch's rows vanish from committed state while replay detection
+        still thinks the bid was absorbed (the at-least-once window the
+        horizon exists to close). TOCTOU note: this is detection for a
+        violated contract, not a lock — the check-to-flip window is not
+        atomic and concurrent writers remain out of contract."""
+        from ..streaming._snapshot import read_pointer
+
+        cur_name, cur_bid = read_pointer(self.path)
+        expect = base or self._NO_BASE
+        seen = cur_name or self._NO_BASE
+        if seen != expect or cur_bid != int(last):
+            raise RuntimeError(
+                f"IncrementalIvfIndex at {self.path}: single-writer contract "
+                f"violated during {action} — pointer moved from "
+                f"{expect}:{last} to {seen}:{cur_bid} between the state read "
+                f"and the commit point. Serialize all writers of this index "
+                f"path; the concurrent commit was NOT overwritten."
+            )
 
     # -- writers -------------------------------------------------------------
 
@@ -1058,6 +1128,19 @@ class IncrementalIvfIndex:
             # Spark's parquet writer never fsyncs: flush the staged tree so
             # a power-loss-durable pointer can only name a durable base.
             fsync_tree(os.path.join(self.path, new_base))
+        try:
+            self._check_sole_writer(base, last, "rebase")
+        except RuntimeError:
+            from ..streaming._snapshot import read_pointer
+
+            # the staged tree must not linger (same reclaim as audit-raise)
+            # — unless a concurrent rebase committed the SAME next-version
+            # name (then the dir is committed state, not ours to collect;
+            # both writers racing the same staging dir is already data
+            # corruption territory, which is why this raises at all)
+            if new_base != self._NO_BASE and read_pointer(self.path)[0] != new_base:
+                shutil.rmtree(os.path.join(self.path, new_base), ignore_errors=True)
+            raise
         write_pointer(self.path, new_base, last)
         for entry in os.listdir(self.path):
             if entry in (new_base, POINTER):
@@ -1103,6 +1186,16 @@ class IncrementalIvfIndex:
             # Spark never fsyncs its parquet output: flush the delta so a
             # power-loss-durable pointer can only commit a durable batch.
             fsync_tree(delta)
+        try:
+            self._check_sole_writer(base, last, f"append(bid={int(bid)})")
+        except RuntimeError:
+            from ..streaming._snapshot import read_pointer
+
+            # reclaim our staged delta ONLY if the concurrent commit did
+            # not itself absorb this bid (else the dir is committed state)
+            if int(bid) > read_pointer(self.path)[1]:
+                shutil.rmtree(delta, ignore_errors=True)
+            raise
         write_pointer(self.path, base or self._NO_BASE, int(bid))
         return True
 

@@ -29,12 +29,42 @@ is identical.
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
 import tempfile
 
 
 POINTER = "CURRENT"
+
+# fsync failures that mean "this platform or filesystem cannot fsync
+# this object" — the documented best-effort case (process-crash
+# atomicity still holds via the rename; only the power-loss guarantee
+# narrows, exactly as on a filesystem with no fsync at all). Everything
+# OUTSIDE this set — EIO, ENOSPC, EDQUOT in particular — means the
+# kernel may have DROPPED dirty pages (Linux clears the page-error state
+# on a failed fsync, so a retry would falsely succeed): proceeding to
+# the pointer flip would commit a possibly-lost tree, so those are FATAL
+# and must abort the commit before write_pointer runs (round-12 ADVICE,
+# medium).
+_FSYNC_NOT_SUPPORTED = frozenset(
+    getattr(errno, name)
+    for name in ("EINVAL", "EBADF", "ENOSYS", "ENOTSUP", "EOPNOTSUPP", "ENOTTY")
+    if hasattr(errno, name)
+)
+
+
+def _fsync_best_effort(fd: int) -> None:
+    """fsync ``fd``, swallowing only the not-supported error class.
+
+    EIO/ENOSPC/EDQUOT (and any other real I/O failure) propagate: the
+    caller must NOT flip a pointer onto a tree whose flush failed."""
+    try:
+        os.fsync(fd)
+    except OSError as exc:
+        if exc.errno in _FSYNC_NOT_SUPPORTED:
+            return
+        raise
 
 
 def read_pointer(dirpath: str) -> tuple[str | None, int]:
@@ -63,8 +93,12 @@ def write_pointer(dirpath: str, name: str, bid: int) -> None:
     either-old-or-new guarantee under power loss must ``fsync_tree`` the
     staged snapshot/delta BEFORE calling this (``SnapshotDir.commit`` and
     ``IncrementalIvfIndex``'s commit points do). The dir fsync is
-    best-effort on platforms that cannot fsync a directory (non-POSIX):
-    process-crash atomicity still holds there via the rename."""
+    best-effort ONLY for the not-supported error class (non-POSIX
+    platforms where directories are not openable/fsyncable, filesystems
+    with no dir fsync): process-crash atomicity still holds there via
+    the rename. Real I/O failures (EIO/ENOSPC/...) propagate — a
+    silently skipped dir fsync on POSIX was an invisible durability
+    downgrade (round-12 ADVICE, low)."""
     fd, tmp = tempfile.mkstemp(prefix=".ptr_", dir=dirpath)
     with os.fdopen(fd, "w") as f:
         f.write(f"{name}:{int(bid)}\n")
@@ -73,43 +107,54 @@ def write_pointer(dirpath: str, name: str, bid: int) -> None:
     os.replace(tmp, os.path.join(dirpath, POINTER))
     try:
         dfd = os.open(dirpath, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
-    except OSError:
-        return  # e.g. Windows: directories are not openable/fsyncable
+    except OSError as exc:
+        if os.name != "posix" or exc.errno in _FSYNC_NOT_SUPPORTED:
+            return  # e.g. Windows: directories are not openable/fsyncable
+        raise
     try:
-        os.fsync(dfd)
+        _fsync_best_effort(dfd)
     finally:
         os.close(dfd)
 
 
 def fsync_tree(path: str) -> None:
-    """Best-effort fsync of every file and directory under ``path``,
-    bottom-up. The pointer-file protocol's missing half for POWER-LOSS
-    durability (round-11 ADVICE): the tree a pointer is about to name is
-    written by Spark, which never fsyncs — flushing it before the flip
-    means a durable pointer can only name a durable tree. Per-entry
-    OSErrors are swallowed (same best-effort stance as the dir fsync:
-    platforms or filesystems that cannot fsync still keep process-crash
-    atomicity from the rename)."""
+    """fsync every file and directory under ``path``, bottom-up. The
+    pointer-file protocol's missing half for POWER-LOSS durability
+    (round-11 ADVICE): the tree a pointer is about to name is written by
+    Spark, which never fsyncs — flushing it before the flip means a
+    durable pointer can only name a durable tree.
+
+    Error policy (round-12 ADVICE, medium): only the NOT-SUPPORTED class
+    (ENOTSUP/EINVAL/EBADF/... — platforms or filesystems that cannot
+    fsync this object) is swallowed; those keep process-crash atomicity
+    from the rename and merely lack the extra power-loss guarantee, the
+    same as running on a no-fsync filesystem. EIO/ENOSPC/EDQUOT and any
+    other real I/O failure PROPAGATE so the caller aborts before the
+    pointer flip — on Linux a failed fsync clears the kernel page-error
+    state, so the staged tree may already have lost writes and flipping
+    the pointer onto it would durably commit the loss. ENOENT on a
+    file open is skipped (a concurrently GC'd straggler, not a flush
+    failure of the tree's own data)."""
     for root, _dirs, files in os.walk(path, topdown=False):
         for fname in files:
             try:
                 ffd = os.open(os.path.join(root, fname), os.O_RDONLY)
-            except OSError:
-                continue
+            except OSError as exc:
+                if exc.errno in (errno.ENOENT,) or exc.errno in _FSYNC_NOT_SUPPORTED:
+                    continue
+                raise
             try:
-                os.fsync(ffd)
-            except OSError:
-                pass
+                _fsync_best_effort(ffd)
             finally:
                 os.close(ffd)
         try:
             dfd = os.open(root, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
-        except OSError:
-            continue
+        except OSError as exc:
+            if exc.errno in (errno.ENOENT,) or exc.errno in _FSYNC_NOT_SUPPORTED:
+                continue
+            raise
         try:
-            os.fsync(dfd)
-        except OSError:
-            pass
+            _fsync_best_effort(dfd)
         finally:
             os.close(dfd)
 

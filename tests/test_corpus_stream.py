@@ -1775,3 +1775,147 @@ def test_rebase_audit_crash_leaves_serving_state_and_self_heals(spark, tmp_path)
         map(tuple, fresh.read().select("vec_id", "ivf_list").collect())
     ) == before
     assert sorted(os.listdir(fresh.path)) == ["CURRENT", "base_v1"]
+
+
+def test_index_memo_invalidated_on_external_reset(spark, tmp_path):
+    """Round-12 ADVICE (low): the committed-dir has-parquet memo is keyed
+    on dir path and committed dirs are immutable IN protocol — but an
+    out-of-band reset (wipe + recreate of the index path under a live
+    instance) can reuse a committed-dir NAME, leaving a stale False
+    verdict that permanently excludes the new, valid dir. current() must
+    detect the pointer regression (base version or bid going backwards)
+    and drop the memo."""
+    import shutil
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.streaming._snapshot import (
+        write_pointer,
+    )
+
+    path = str(tmp_path / "inc_reset")
+    idx = IncrementalIvfIndex(spark, path)
+
+    # a legacy-poisoned layout: committed pointer naming a parquet-less
+    # tree (pre-empty-batch-guard state the self-heal exists for)
+    os.makedirs(os.path.join(path, "base_v0"))
+    write_pointer(path, "base_v0", 3)
+    assert idx._committed_dirs() == []  # memoizes base_v0 -> False
+    assert idx._pq_memo[os.path.join(path, "base_v0")] is False
+
+    # external reset: wipe the path, recreate the SAME dir name with
+    # real data (fresh instance elsewhere ran init_base -> base_v0:-1)
+    _, standing, _ = _refresh_fixtures(spark)
+    shutil.rmtree(path)
+    fresh = IncrementalIvfIndex(spark, path)
+    fresh.init_base(standing)
+    assert fresh.current()[0] == "base_v0"
+
+    # the LIVE original instance must now see the valid dir: the bid
+    # regression (3 -> -1) proves the reset and drops the stale memo
+    assert idx.current() == ("base_v0", -1)
+    dirs = idx._committed_dirs()
+    assert dirs == [os.path.join(path, "base_v0")]
+    assert idx.read().count() == standing.count()
+
+
+def test_single_writer_contract_append_during_rebase(spark, tmp_path):
+    """Round-12 verdict #7: an append landing between rebase()'s current()
+    read and its pointer flip must NOT be silently lost. The single-writer
+    contract is asserted at the commit point: rebase re-checks the pointer
+    it captured at entry, raises RuntimeError, reclaims its staged tree,
+    and leaves the concurrent append's commit (delta dir + advanced
+    horizon) fully intact. A retry from fresh state then succeeds."""
+    import pytest as _pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    path = str(tmp_path / "inc_sole_writer")
+    idx = IncrementalIvfIndex(spark, path)
+    idx.init_base(standing)
+    assert idx.current() == ("base_v0", -1)
+
+    arrived = arriving.withColumn("ivf_list", assign_udf("embedding"))
+    arrived = arrived.localCheckpoint(eager=True)
+    n_standing, n_arrived = standing.count(), arrived.count()
+
+    # the rebase candidate: derived from committed state BEFORE the
+    # concurrent append (so it cannot contain the appended rows)
+    candidate = idx.read().repartition("ivf_list").localCheckpoint(eager=True)
+
+    # out-of-contract writer: a SECOND instance appends bid=0 while the
+    # rebase is between its state read and its flip (injected via the
+    # audit hook, which runs exactly in that window)
+    intruder = IncrementalIvfIndex(spark, path)
+
+    def audit_that_races(cand):
+        assert intruder.append(arrived, 0) is True
+        return True
+
+    with _pytest.raises(RuntimeError, match="single-writer contract"):
+        idx.rebase(candidate, audit=audit_that_races)
+
+    # the concurrent commit survived in full: horizon advanced, delta
+    # intact, committed rows = standing + appended; staged tree reclaimed
+    assert idx.current() == ("base_v0", 0)
+    assert sorted(os.listdir(path)) == ["CURRENT", "base_v0", "delta_v0"]
+    assert idx.read().count() == n_standing + n_arrived
+
+    # a retry from fresh state commits cleanly and folds the delta
+    idx.compact()
+    assert idx.current() == ("base_v1", 0)
+    assert idx.read().count() == n_standing + n_arrived
+
+
+def test_single_writer_contract_concurrent_appends(spark, tmp_path):
+    """The append-vs-append interleaving: two writers both read horizon
+    -1, writer B commits bid=1 first, then writer A's append(bid=0) must
+    raise (its flip would regress the horizon 1 -> 0, silently marking
+    bid=1 absorbed-then-lost... actually un-committing it) and must NOT
+    delete B's committed delta."""
+    import pytest as _pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    path = str(tmp_path / "inc_app_app")
+    idx_a = IncrementalIvfIndex(spark, path)
+    idx_a.init_base(standing)
+    idx_b = IncrementalIvfIndex(spark, path)
+
+    arrived = arriving.withColumn("ivf_list", assign_udf("embedding"))
+    arrived = arrived.localCheckpoint(eager=True)
+
+    # B lands bid=1 inside A's read->flip window (injected via fsync_tree,
+    # which append calls on its own staged delta right before the check)
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    real_tree = _snapshot.fsync_tree
+    fired = []
+
+    def inject(p):
+        real_tree(p)
+        if not fired and p.endswith("delta_v0"):
+            fired.append(True)
+            assert idx_b.append(arrived, 1) is True
+
+    _snapshot.fsync_tree = inject
+    try:
+        with _pytest.raises(RuntimeError, match="single-writer contract"):
+            idx_a.append(arrived, 0)
+    finally:
+        _snapshot.fsync_tree = real_tree
+
+    # B's commit intact — and A's delta_v0, already on disk when B's
+    # flip advanced the horizon past it, became committed state under
+    # B's commit (b <= last_bid): it must NOT be reclaimed, else the
+    # violation handler would delete committed data
+    assert idx_a.current() == ("base_v0", 1)
+    assert sorted(os.listdir(path)) == ["CURRENT", "base_v0", "delta_v0", "delta_v1"]
+    n = idx_a.read().count()
+    assert n == standing.count() + 2 * arrived.count()

@@ -464,8 +464,13 @@ def test_commit_fsyncs_snapshot_tree_before_pointer_flip(tmp_path, monkeypatch):
 
 def test_fsync_tree_flushes_every_file_and_directory(tmp_path, monkeypatch):
     """fsync_tree must fsync each data file and each directory of the tree
-    (bottom-up), and must swallow per-entry OSErrors (best-effort on
-    filesystems that cannot fsync) rather than abort the commit."""
+    (bottom-up). Error classes (round-12 ADVICE, medium): the
+    NOT-SUPPORTED class (ENOTSUP/EINVAL/...) is swallowed — best-effort
+    on filesystems that cannot fsync — but real I/O failures
+    (EIO/ENOSPC/EDQUOT) PROPAGATE: on Linux a failed fsync clears the
+    kernel page-error state, so the tree may have lost writes and the
+    commit must abort before the pointer flip."""
+    import errno
     import os
     import stat
 
@@ -489,8 +494,60 @@ def test_fsync_tree_flushes_every_file_and_directory(tmp_path, monkeypatch):
     _snapshot.fsync_tree(str(root))
     assert len(files) == 3 and len(dirs) == 3  # 2 parts + _SUCCESS; 2 lists + root
 
-    # best-effort: an fsync that raises must not propagate
+    # not-supported class: must not propagate (no-fsync filesystem)
     monkeypatch.setattr(
-        os, "fsync", lambda fd: (_ for _ in ()).throw(OSError("no fsync here"))
+        os,
+        "fsync",
+        lambda fd: (_ for _ in ()).throw(OSError(errno.ENOTSUP, "no fsync here")),
     )
     _snapshot.fsync_tree(str(root))  # must not raise
+
+    # fatal class: EIO means possibly-dropped pages — must propagate
+    monkeypatch.setattr(
+        os,
+        "fsync",
+        lambda fd: (_ for _ in ()).throw(OSError(errno.EIO, "I/O error")),
+    )
+    with pytest.raises(OSError):
+        _snapshot.fsync_tree(str(root))
+
+
+def test_commit_aborts_before_pointer_flip_on_fatal_fsync(tmp_path, monkeypatch):
+    """Round-12 ADVICE (medium), end-to-end: when fsync of the staged tree
+    fails with a FATAL errno (EIO/ENOSPC/EDQUOT), SnapshotDir.commit must
+    raise BEFORE write_pointer runs — the previously committed snapshot
+    stays current and nothing is GC'd. A durable pointer may only ever
+    name a durably flushed tree."""
+    import errno
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    store = _snapshot.SnapshotDir(str(tmp_path))
+    v0 = store.staging(0)
+    os.makedirs(v0)
+    with open(os.path.join(v0, "payload"), "w") as f:
+        f.write("bid=0")
+    store.commit("v0", 0)
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v0", 0)
+
+    v1 = store.staging(1)
+    os.makedirs(v1)
+    with open(os.path.join(v1, "payload"), "w") as f:
+        f.write("bid=1")
+
+    for bad in (errno.EIO, errno.ENOSPC, errno.EDQUOT):
+        monkeypatch.setattr(
+            os, "fsync", lambda fd, _e=bad: (_ for _ in ()).throw(OSError(_e, "boom"))
+        )
+        with pytest.raises(OSError):
+            store.commit("v1", 1)
+        monkeypatch.undo()
+        # the flip never happened; v0 is still current AND still on disk
+        assert _snapshot.read_pointer(str(tmp_path)) == ("v0", 0)
+        with open(os.path.join(str(tmp_path), "v0", "payload")) as f:
+            assert f.read() == "bid=0"
+
+    # with fsync healthy again the same staged tree commits cleanly
+    store.commit("v1", 1)
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v1", 1)
