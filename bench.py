@@ -2,9 +2,17 @@
 """Benchmark harness — the driver runs this per-round and records BENCH_r{N}.json.
 
 Runs every driver-contract query at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {qid:
-sec}, "sf": ...}``.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output protocol (round-12 verdict #2): stdout carries exactly TWO JSON
+lines. Line 1 is the FULL record — ``{"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {qid: sec}, ...}`` — for builder-side analysis
+and BENCH_BUILDER archiving. The FINAL line is a SMALL complete summary
+(total, sf, n_queries, plan-free anchor timings, fallback-tagged ids):
+the driver keeps only the last ~2.5 KB of stdout, and the 149-entry
+per-query dict alone overflows that, which made every official
+``BENCH_r{N}.json`` parse to null. The final line is guaranteed to fit,
+so the official artifact always ends in one parseable object.
 
 Each query is consumed with a ``noop``-format write: the full plan executes
 distributed (scan → transform → exchange) but nothing is serialized to the
@@ -20,6 +28,17 @@ official artifact useless as a regression gate for them. Isolation gives
 each id the same memory regime every round. Within a child the first pass
 is cold (pays pair/component caches) and later passes are warm, so the
 recorded minimum is the warm number — comparable round-over-round.
+
+Round-12 verdict #3: even isolated, these ids swing up to ~3× with host
+weather (the same isolated label_prop command read 1.64 s morning vs
+4.15 s afternoon on an idle guest). Each isolated child therefore also
+times ONE plan-free anchor (``lookup_pk``) inside its own session and
+reports it alongside the raw number; the artifact carries both
+(``isolated: {qid: {raw, anchor_sec}}``), so any round-over-round
+comparison can normalize by the anchor ratio instead of guessing at host
+drift. A failed child is logged to stderr and its id tagged in
+``fallback_ids`` (round-12 ADVICE: a silent fallback recorded a
+co-tenant-polluted number indistinguishable from an isolated one).
 """
 
 from __future__ import annotations
@@ -45,11 +64,21 @@ _ISOLATED_IDS = (
     "ext_graph_survivor_rank",
 )
 
+# the plan-free anchor each isolated child times in its own session: a
+# broadcast-free point lookup whose cost is dominated by fixed scan +
+# scheduling overhead, i.e. a pure host-weather probe
+_CHILD_ANCHOR = "lookup_pk"
 
-def _measure_isolated(qid: str) -> float | None:
-    """Run ``bench.py`` for one id in a fresh subprocess and return its
-    recorded minimum, or None if the child failed (caller falls back to
-    in-process measurement so the bench never loses an id)."""
+# plan-free anchors surfaced in the final-line summary (untouched since
+# round 7): the reference ruler for reading any drifted artifact
+_SUMMARY_ANCHORS = ("lookup_pk", "scan_full_eventos", "order_page_keyset")
+
+
+def _measure_isolated(qid: str) -> "tuple[float, float | None] | None":
+    """Run ``bench.py`` for one id in a fresh subprocess and return
+    ``(recorded minimum, child's anchor seconds)``, or None if the child
+    failed (caller falls back to in-process measurement — logged and
+    tagged, never silent)."""
     import subprocess
 
     env = dict(os.environ)
@@ -63,9 +92,30 @@ def _measure_isolated(qid: str) -> float | None:
             text=True,
             timeout=1800,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        return float(json.loads(line)["queries"][qid])
-    except Exception:
+        # line 1 of the child's stdout is the full record (the final line
+        # is the driver-facing summary and omits the per-query dict)
+        rec = None
+        for line in out.stdout.strip().splitlines():
+            try:
+                cand = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and qid in cand.get("queries", {}):
+                rec = cand
+                break
+        if rec is None:
+            raise ValueError(
+                f"no parseable record for {qid} in child stdout "
+                f"(rc={out.returncode}, stderr tail: {out.stderr[-500:]!r})"
+            )
+        anchor = rec.get("anchor", {}).get("sec")
+        return float(rec["queries"][qid]), anchor
+    except Exception as exc:
+        print(
+            f"bench: isolated child for {qid} failed ({exc}); falling back "
+            f"to in-process measurement — number is co-tenant-regime",
+            file=sys.stderr,
+        )
         return None
 
 
@@ -77,20 +127,20 @@ def main() -> None:
     spark = get_spark("boletia-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entrymod.queries()
+    all_queries = entrymod.queries()
+    queries = all_queries
     only = os.environ.get("SPARK_GRAFT_ONLY")
+    is_child = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED") == "1"
     if only:
         keep = set(only.split(","))
-        queries = {k: v for k, v in queries.items() if k in keep}
+        queries = {k: v for k, v in all_queries.items() if k in keep}
     timings: dict[str, float] = {}
 
     # isolate the driver-numpy-tier ids unless this IS the isolated child
     # or the caller pinned an explicit id set (they asked for exactly
     # that measurement regime)
     isolate = (
-        [q for q in _ISOLATED_IDS if q in queries]
-        if not only and os.environ.get("SPARK_GRAFT_BENCH_ISOLATED") != "1"
-        else []
+        [q for q in _ISOLATED_IDS if q in queries] if not only and not is_child else []
     )
     queries = {k: v for k, v in queries.items() if k not in isolate}
 
@@ -100,6 +150,15 @@ def main() -> None:
     # multiple passes, keep per-query minimum: the host is co-tenant-noisy
     # and a single pass conflates engine time with neighbor interference
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+    def _min_secs(fn) -> float:
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     raw: dict[str, list[float]] = {qid: [] for qid in queries}
     for _ in range(passes):
         for qid in sorted(queries):
@@ -112,34 +171,61 @@ def main() -> None:
         timings[qid] = round(min(times), 3)
         total += min(times)
 
+    # an isolated child also times the plan-free anchor in ITS session —
+    # the parent records it next to the raw number so round-over-round
+    # comparisons can divide out host weather (round-12 verdict #3)
+    child_anchor = None
+    if is_child and _CHILD_ANCHOR in all_queries:
+        child_anchor = round(_min_secs(all_queries[_CHILD_ANCHOR]), 3)
+
+    isolated_meta: dict[str, dict] = {}
+    fallback_ids: list[str] = []
     for qid in isolate:
-        t = _measure_isolated(qid)
-        if t is None:  # child failed: fall back to in-process measurement
-            fn = entrymod.queries()[qid]
-            best = float("inf")
-            for _ in range(passes):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            t = best
+        res = _measure_isolated(qid)
+        if res is None:  # child failed: fall back, tagged not silent
+            fallback_ids.append(qid)
+            t, anchor = _min_secs(all_queries[qid]), None
+        else:
+            t, anchor = res
         timings[qid] = round(t, 3)
+        isolated_meta[qid] = {"raw": round(t, 3), "anchor_sec": anchor}
         total += t
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(CPUS),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    record = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "n_queries": len(timings),
+    }
+    if child_anchor is not None:
+        record["anchor"] = {"id": _CHILD_ANCHOR, "sec": child_anchor}
+    if isolated_meta:
+        record["isolated"] = isolated_meta
+    if fallback_ids:
+        record["fallback_ids"] = fallback_ids
+    # line 1: the full record (builder-side analysis, BENCH_BUILDER files)
+    print(json.dumps(record))
+    # FINAL line: small, complete, guaranteed inside the driver's ~2.5 KB
+    # stdout tail — the official artifact's parseable object
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(CPUS),
+        "n_queries": len(timings),
+        "anchors": {a: timings[a] for a in _SUMMARY_ANCHORS if a in timings},
+        "isolated": isolated_meta,
+        "fallback_ids": fallback_ids,
+    }
+    if child_anchor is not None:
+        summary["anchor"] = {"id": _CHILD_ANCHOR, "sec": child_anchor}
+    print(json.dumps(summary))
     spark.stop()
 
 
