@@ -74,11 +74,28 @@ _CHILD_ANCHOR = "lookup_pk"
 _SUMMARY_ANCHORS = ("lookup_pk", "scan_full_eventos", "order_page_keyset")
 
 
-def _measure_isolated(qid: str) -> "tuple[float, float | None] | None":
+def _cpu_ticks() -> "tuple[int, int] | None":
+    """(steal ticks, total ticks) from /proc/stat, or None off-Linux.
+    Sampled around the measurement loop: hypervisor steal is the one
+    weather component the in-session anchor demonstrably under-captures
+    (round-13 finding: a steal burst inflated the numpy-driver-tier ids
+    ~14-25x while the plan-free anchor moved <2.5x), so the artifact
+    records it directly."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _measure_isolated(qid: str) -> "tuple[float, float | None, float | None] | None":
     """Run ``bench.py`` for one id in a fresh subprocess and return
-    ``(recorded minimum, child's anchor seconds)``, or None if the child
-    failed (caller falls back to in-process measurement — logged and
-    tagged, never silent)."""
+    ``(recorded minimum, child's anchor seconds, child's steal %)``, or
+    None if the child failed (caller falls back to in-process
+    measurement — logged and tagged, never silent)."""
     import subprocess
 
     env = dict(os.environ)
@@ -109,7 +126,7 @@ def _measure_isolated(qid: str) -> "tuple[float, float | None] | None":
                 f"(rc={out.returncode}, stderr tail: {out.stderr[-500:]!r})"
             )
         anchor = rec.get("anchor", {}).get("sec")
-        return float(rec["queries"][qid]), anchor
+        return float(rec["queries"][qid]), anchor, rec.get("steal_pct")
     except Exception as exc:
         print(
             f"bench: isolated child for {qid} failed ({exc}); falling back "
@@ -146,6 +163,8 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so q1 doesn't pay session startup
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+
+    ticks0 = _cpu_ticks()
 
     # multiple passes, keep per-query minimum: the host is co-tenant-noisy
     # and a single pass conflates engine time with neighbor interference
@@ -184,12 +203,23 @@ def main() -> None:
         res = _measure_isolated(qid)
         if res is None:  # child failed: fall back, tagged not silent
             fallback_ids.append(qid)
-            t, anchor = _min_secs(all_queries[qid]), None
+            t, anchor, steal = _min_secs(all_queries[qid]), None, None
         else:
-            t, anchor = res
+            t, anchor, steal = res
         timings[qid] = round(t, 3)
-        isolated_meta[qid] = {"raw": round(t, 3), "anchor_sec": anchor}
+        isolated_meta[qid] = {
+            "raw": round(t, 3),
+            "anchor_sec": anchor,
+            "steal_pct": steal,
+        }
         total += t
+
+    steal_pct = None
+    ticks1 = _cpu_ticks()
+    if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+        steal_pct = round(
+            100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 2
+        )
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -204,6 +234,8 @@ def main() -> None:
     }
     if child_anchor is not None:
         record["anchor"] = {"id": _CHILD_ANCHOR, "sec": child_anchor}
+    if steal_pct is not None:
+        record["steal_pct"] = steal_pct
     if isolated_meta:
         record["isolated"] = isolated_meta
     if fallback_ids:
@@ -225,6 +257,8 @@ def main() -> None:
     }
     if child_anchor is not None:
         summary["anchor"] = {"id": _CHILD_ANCHOR, "sec": child_anchor}
+    if steal_pct is not None:
+        summary["steal_pct"] = steal_pct
     print(json.dumps(summary))
     spark.stop()
 
