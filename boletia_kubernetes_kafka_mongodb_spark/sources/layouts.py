@@ -1127,7 +1127,15 @@ class IncrementalIvfIndex:
         if new_base != self._NO_BASE:
             # Spark's parquet writer never fsyncs: flush the staged tree so
             # a power-loss-durable pointer can only name a durable base.
-            fsync_tree(os.path.join(self.path, new_base))
+            # A FATAL fsync error (EIO/ENOSPC — the tree may have lost
+            # writes) aborts the commit; reclaim the staged tree eagerly,
+            # same rationale as the audit-raise path (a crash-looping
+            # rebase job would otherwise stack index-sized stray trees).
+            try:
+                fsync_tree(os.path.join(self.path, new_base))
+            except OSError:
+                shutil.rmtree(os.path.join(self.path, new_base), ignore_errors=True)
+                raise
         try:
             self._check_sole_writer(base, last, "rebase")
         except RuntimeError:
@@ -1185,7 +1193,14 @@ class IncrementalIvfIndex:
         else:
             # Spark never fsyncs its parquet output: flush the delta so a
             # power-loss-durable pointer can only commit a durable batch.
-            fsync_tree(delta)
+            # Fatal fsync error: abort before the flip and reclaim the
+            # (uncommitted — bid > last, pointer untouched) delta; a
+            # redelivery of the batch rewrites the same dir anyway.
+            try:
+                fsync_tree(delta)
+            except OSError:
+                shutil.rmtree(delta, ignore_errors=True)
+                raise
         try:
             self._check_sole_writer(base, last, f"append(bid={int(bid)})")
         except RuntimeError:

@@ -1919,3 +1919,65 @@ def test_single_writer_contract_concurrent_appends(spark, tmp_path):
     assert sorted(os.listdir(path)) == ["CURRENT", "base_v0", "delta_v0", "delta_v1"]
     n = idx_a.read().count()
     assert n == standing.count() + 2 * arrived.count()
+
+
+def test_index_fatal_fsync_aborts_commit_and_reclaims_staging(spark, tmp_path):
+    """Round-13: a FATAL fsync (EIO — possibly-dropped pages) during the
+    pre-flip flush of an IncrementalIvfIndex writer must abort BEFORE the
+    pointer flip, leave the committed state untouched, and eagerly
+    reclaim the staged tree (append's delta / rebase's candidate base) so
+    a crash-looping job cannot stack index-sized strays. Once fsync
+    heals, the same operations commit cleanly."""
+    import errno
+
+    import pytest as _pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    assign_udf, standing, arriving = _refresh_fixtures(spark)
+    path = str(tmp_path / "inc_fatal_fsync")
+    idx = IncrementalIvfIndex(spark, path)
+    idx.init_base(standing)
+    assert idx.current() == ("base_v0", -1)
+    n0 = idx.read().count()
+
+    arrived = arriving.withColumn("ivf_list", assign_udf("embedding"))
+    arrived = arrived.localCheckpoint(eager=True)
+
+    real_fsync = os.fsync
+
+    def eio(fd):
+        raise OSError(errno.EIO, "I/O error")
+
+    # append: fatal fsync -> raises, pointer unchanged, delta reclaimed
+    os.fsync = eio
+    try:
+        with _pytest.raises(OSError):
+            idx.append(arrived, 0)
+    finally:
+        os.fsync = real_fsync
+    assert idx.current() == ("base_v0", -1)
+    assert sorted(os.listdir(path)) == ["CURRENT", "base_v0"]
+    assert idx.read().count() == n0
+
+    # rebase: fatal fsync -> raises, committed base intact, staged base
+    # reclaimed (no stray base_v1)
+    candidate = idx.read().repartition("ivf_list").localCheckpoint(eager=True)
+    os.fsync = eio
+    try:
+        with _pytest.raises(OSError):
+            idx.rebase(candidate)
+    finally:
+        os.fsync = real_fsync
+    assert idx.current() == ("base_v0", -1)
+    assert sorted(os.listdir(path)) == ["CURRENT", "base_v0"]
+
+    # fsync healthy again: both operations commit
+    assert idx.append(arrived, 0) is True
+    assert idx.current() == ("base_v0", 0)
+    idx.compact()
+    assert idx.current() == ("base_v1", 0)
+    assert idx.read().count() == n0 + arrived.count()
