@@ -1649,7 +1649,14 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
     redeliver previous, EMPTY append, compact, rebase to a new quantizer,
     crash mid-append / mid-compact / mid-rebase (+ restart)} must all
     drain to the exact python-model table: committed vec_ids placed by
-    the CURRENT quantizer generation, horizon monotone."""
+    the CURRENT quantizer generation, horizon monotone.
+
+    Round-13 extension: a second failure flavor — FATAL fsync (EIO)
+    during the pre-flip flush — which, unlike the process crash, aborts
+    the commit in a still-running writer: the operation raises OSError,
+    committed state is untouched, and the writer's staged tree is
+    eagerly reclaimed (no stray delta/base for the aborted step)."""
+    import errno
     import random
 
     from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
@@ -1670,9 +1677,13 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
         pass
 
     real_wp = _snapshot.write_pointer
+    real_ft = _snapshot.fsync_tree
 
     def boom(*a, **k):
         raise _Crash("crash before pointer flip")
+
+    def eio_tree(path):
+        raise OSError(errno.EIO, "injected fatal fsync")
 
     for seed in range(5):
         rng = random.Random(4000 + seed)
@@ -1688,29 +1699,39 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
             steps += 1
             assert steps < 400, f"seed {seed}: schedule failed to drain"
             roll = rng.random()
-            crash = rng.random() < 0.3
+            failroll = rng.random()
+            crash = failroll < 0.3
+            fatal_fsync = 0.3 <= failroll < 0.45
             if crash:
                 _snapshot.write_pointer = boom
+            elif fatal_fsync:
+                _snapshot.fsync_tree = eio_tree
+            op = None
             try:
                 if roll < 0.35 and nxt < NB:
                     vids = [] if nxt in empty_bids else batch_vids[nxt]
+                    op = ("append", nxt)
                     if idx.append(assigned(vids, g), nxt):
                         committed |= set(vids)
                         last = nxt
                         nxt += 1
                 elif roll < 0.5 and nxt > 0:
                     b = rng.randrange(nxt)  # redeliver a committed batch
+                    op = ("append", b)
                     assert not idx.append(assigned(batch_vids[b], g), b)
                 elif roll < 0.7:
+                    op = ("rebase",)  # compact IS a rebase of current rows
                     idx.compact()
                 elif roll < 0.9 and committed:
                     g2 = g + 1
+                    op = ("rebase",)
                     idx.rebase(assigned(sorted(committed), g2))
                     g = g2
                 else:
                     if nxt >= NB:
                         continue
                     vids = [] if nxt in empty_bids else batch_vids[nxt]
+                    op = ("append", nxt)
                     if idx.append(assigned(vids, g), nxt):
                         committed |= set(vids)
                         last = nxt
@@ -1718,8 +1739,27 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
             except _Crash:
                 # uncommitted attempt; restart sees only committed state
                 idx = IncrementalIvfIndex(spark, path)
+            except OSError:
+                # fatal-fsync abort in a LIVE writer: no restart needed —
+                # committed state untouched and the aborted step's staged
+                # tree reclaimed. The stray-free guarantee is specific to
+                # the tree THIS op staged; earlier process crashes
+                # legitimately leave uncommitted future deltas behind.
+                assert fatal_fsync, f"seed {seed} step {steps}: unexpected OSError"
+                base, _bid = idx.current()
+                entries = set(os.listdir(path))
+                if op[0] == "append":
+                    assert f"delta_v{op[1]}" not in entries or op[1] <= _bid, (
+                        f"seed {seed} step {steps}: aborted append left a stray"
+                    )
+                else:
+                    nv = int(base.split("_v")[1]) + 1 if base else 0
+                    assert f"base_v{nv}" not in entries, (
+                        f"seed {seed} step {steps}: aborted rebase left a stray"
+                    )
             finally:
                 _snapshot.write_pointer = real_wp
+                _snapshot.fsync_tree = real_ft
             assert idx.current()[1] == last, f"seed {seed} step {steps}"
 
         want = sorted((v, (v + g) % NLISTS) for v in committed)
