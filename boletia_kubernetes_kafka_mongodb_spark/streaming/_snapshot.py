@@ -192,7 +192,24 @@ class SnapshotDir:
         pointer temps). The ``os.replace`` is the single commit point.
         The named tree is fsync'd first, so under power loss a durable
         pointer can only name a durable snapshot (Spark's writer never
-        fsyncs the parquet data files itself)."""
+        fsyncs the parquet data files itself).
+
+        Writers of one store path must be serialized (structural in the
+        streaming deployment: one foreachBatch handler owns the path).
+        As with ``IncrementalIvfIndex``, the contract is asserted at the
+        commit point: a flip that would REGRESS the batch horizon means
+        a concurrent writer committed since this writer read its state —
+        flipping would un-commit that batch AND GC its snapshot dir, so
+        raise instead (round-13; detection, not a lock)."""
+        _, cur_bid = read_pointer(self.path)
+        if int(bid) < cur_bid:
+            raise RuntimeError(
+                f"SnapshotDir at {self.path}: single-writer contract "
+                f"violated — committing bid {int(bid)} would regress the "
+                f"horizon past a concurrent commit at bid {cur_bid}. "
+                f"Serialize all writers of this store path; the "
+                f"concurrent commit was NOT overwritten."
+            )
         tree = os.path.join(self.path, name)
         if os.path.isdir(tree):
             fsync_tree(tree)

@@ -551,3 +551,48 @@ def test_commit_aborts_before_pointer_flip_on_fatal_fsync(tmp_path, monkeypatch)
     # with fsync healthy again the same staged tree commits cleanly
     store.commit("v1", 1)
     assert _snapshot.read_pointer(str(tmp_path)) == ("v1", 1)
+
+
+def test_commit_refuses_horizon_regression(tmp_path):
+    """Round-13: SnapshotDir.commit must refuse a flip that would regress
+    the batch horizon — the signature of a concurrent writer having
+    committed since this writer read its state. Flipping would un-commit
+    that batch AND the GC sweep would delete its snapshot dir, so the
+    commit raises and the concurrent commit survives intact."""
+    import os
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    store = _snapshot.SnapshotDir(str(tmp_path))
+    for bid in (0, 3):
+        sub = store.staging(bid)
+        os.makedirs(sub)
+        with open(os.path.join(sub, "payload"), "w") as f:
+            f.write(f"bid={bid}")
+        store.commit(f"v{bid}", bid)
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v3", 3)
+
+    # a stale writer (read the store before bid=3 landed) tries bid=1
+    stale = store.staging(1)
+    os.makedirs(stale)
+    with open(os.path.join(stale, "payload"), "w") as f:
+        f.write("bid=1")
+    with pytest.raises(RuntimeError, match="single-writer contract"):
+        store.commit("v1", 1)
+
+    # the concurrent commit survives: pointer AND snapshot dir intact
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v3", 3)
+    with open(os.path.join(str(tmp_path), "v3", "payload")) as f:
+        assert f.read() == "bid=3"
+
+    # equal-bid re-commit stays allowed (idempotent re-flip, no loss)
+    store.commit("v3", 3)
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v3", 3)
+
+    # and the horizon keeps moving forward normally afterwards
+    nxt = store.staging(4)
+    os.makedirs(nxt)
+    with open(os.path.join(nxt, "payload"), "w") as f:
+        f.write("bid=4")
+    store.commit("v4", 4)
+    assert _snapshot.read_pointer(str(tmp_path)) == ("v4", 4)
