@@ -67,15 +67,43 @@ def _fsync_best_effort(fd: int) -> None:
         raise
 
 
+class PointerCorruptionError(RuntimeError):
+    """The pointer file EXISTS but is unreadable, unparseable, or names a
+    snapshot that is not on disk. Under this protocol none of those states
+    is reachable (the pointer temp is fully written + fsync'd before the
+    atomic rename, and GC never removes the named tree), so they prove
+    out-of-band damage — bit rot, truncation, a partial external delete.
+    Raised INSTEAD of reporting "never committed": silently resetting a
+    durable store to empty on corruption is the exact failure mode the
+    pointer protocol exists to prevent, and is worse than crashing — the
+    next successful commit's GC would delete the real predecessor
+    snapshot, converting recoverable damage into permanent loss."""
+
+
 def read_pointer(dirpath: str) -> tuple[str | None, int]:
     """The committed ``(name, bid)`` pair from ``dirpath``'s pointer file;
-    ``(None, -1)`` when nothing has ever been committed."""
+    ``(None, -1)`` when nothing has ever been committed (no pointer file —
+    including the store dir itself not existing yet).
+
+    A pointer that exists but cannot be parsed raises
+    ``PointerCorruptionError``; I/O errors other than the two
+    "never committed" shapes (ENOENT, ENOTDIR) propagate — both were
+    previously swallowed into the never-committed answer, which turned
+    external corruption into a silent durable-state reset (round-13)."""
     try:
         with open(os.path.join(dirpath, POINTER)) as f:
-            name, bid = f.read().splitlines()[0].rsplit(":", 1)
-        return name, int(bid)
-    except (OSError, ValueError, IndexError):
+            raw = f.read()
+    except (FileNotFoundError, NotADirectoryError):
         return None, -1
+    try:
+        name, bid = raw.splitlines()[0].rsplit(":", 1)
+        return name, int(bid)
+    except (ValueError, IndexError) as exc:
+        raise PointerCorruptionError(
+            f"snapshot pointer {os.path.join(dirpath, POINTER)} exists but "
+            f"does not parse (content {raw[:80]!r}) — refusing to treat a "
+            f"corrupt durable store as empty"
+        ) from exc
 
 
 def write_pointer(dirpath: str, name: str, bid: int) -> None:
@@ -169,13 +197,24 @@ class SnapshotDir:
 
     def current(self) -> tuple[str | None, int]:
         """(absolute path of the committed snapshot dir, its batch id);
-        ``(None, -1)`` when nothing has ever been committed."""
+        ``(None, -1)`` when nothing has ever been committed.
+
+        A pointer that names a snapshot dir NOT on disk raises
+        ``PointerCorruptionError``: every committer writes the tree before
+        the flip and GC never removes the named tree, so the state is only
+        reachable by out-of-band deletion — previously it was reported as
+        "never committed", silently resetting the store (round-13)."""
         name, bid = read_pointer(self.path)
-        if name is not None:
-            sub = os.path.join(self.path, name)
-            if os.path.isdir(sub):
-                return sub, bid
-        return None, -1
+        if name is None:
+            return None, -1
+        sub = os.path.join(self.path, name)
+        if not os.path.isdir(sub):
+            raise PointerCorruptionError(
+                f"snapshot pointer at {self.path} names {name!r} (bid {bid}) "
+                f"but that snapshot dir is not on disk — the store was "
+                f"damaged out of protocol; refusing to treat it as empty"
+            )
+        return sub, bid
 
     def staging(self, bid: int) -> str:
         """Path for the next (uncommitted) snapshot. Never collides with

@@ -596,3 +596,88 @@ def test_commit_refuses_horizon_regression(tmp_path):
         f.write("bid=4")
     store.commit("v4", 4)
     assert _snapshot.read_pointer(str(tmp_path)) == ("v4", 4)
+
+
+def test_corrupt_pointer_raises_instead_of_silently_resetting(tmp_path):
+    """Round-13: a pointer file that EXISTS but is unparseable, or that
+    names a snapshot dir not on disk, proves out-of-band damage — it must
+    raise, not read as "never committed". The silent reset was worse than
+    a crash: the next successful commit's GC would delete the real
+    predecessor snapshot, converting recoverable damage into loss."""
+    import shutil
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    store_path = str(tmp_path / "store")
+    store = _snapshot.SnapshotDir(store_path)
+
+    # the two legitimate "never committed" shapes stay (None, -1)
+    assert store.current() == (None, -1)           # store dir absent
+    os.makedirs(store_path)
+    assert store.current() == (None, -1)           # store dir empty
+    flat = tmp_path / "flatfile"
+    flat.write_text("not a directory")
+    assert _snapshot.read_pointer(str(flat)) == (None, -1)  # ENOTDIR
+
+    # one real committed snapshot
+    sub = store.staging(1)
+    os.makedirs(sub)
+    with open(os.path.join(sub, "payload"), "w") as f:
+        f.write("bid=1")
+    store.commit("v1", 1)
+    assert store.current()[1] == 1
+
+    # every content-corruption flavor raises from BOTH entry points
+    ptr = os.path.join(store_path, _snapshot.POINTER)
+    for bad in ("", "no-colon-no-bid\n", "v1:notanint\n", "\n"):
+        with open(ptr, "w") as f:
+            f.write(bad)
+        with pytest.raises(_snapshot.PointerCorruptionError):
+            _snapshot.read_pointer(store_path)
+        with pytest.raises(_snapshot.PointerCorruptionError):
+            store.current()
+
+    # heal the pointer, then delete the NAMED tree out of band
+    _snapshot.write_pointer(store_path, "v1", 1)
+    assert store.current()[1] == 1
+    shutil.rmtree(os.path.join(store_path, "v1"))
+    with pytest.raises(_snapshot.PointerCorruptionError):
+        store.current()
+
+    # commit's own pre-flip horizon read refuses to run over corruption
+    with open(ptr, "w") as f:
+        f.write("garbage")
+    nxt = store.staging(2)
+    os.makedirs(nxt)
+    with open(os.path.join(nxt, "payload"), "w") as f:
+        f.write("bid=2")
+    with pytest.raises(_snapshot.PointerCorruptionError):
+        store.commit("v2", 2)
+    # the corrupt pointer was NOT GC'd or overwritten — evidence preserved
+    with open(ptr) as f:
+        assert f.read() == "garbage"
+
+
+def test_corrupt_pointer_surfaces_through_durable_stores(spark, tmp_path):
+    """The stores built on SnapshotDir (merge table, sketch state) must
+    surface pointer corruption loudly instead of falling back to the
+    legacy flat-layout probe (which would read the store as absent)."""
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    path = str(tmp_path / "tbl")
+    tbl = sinks.ParquetMergeTable(spark, path, key="j", order_col="b")
+    tbl.upsert_keep_last(_cells(spark, [(1, 1, 10)]))
+    assert _sorted(tbl.read()) == [(1, 1, 10)]
+
+    with open(os.path.join(path, _snapshot.POINTER), "w") as f:
+        f.write("torn")
+    with pytest.raises(_snapshot.PointerCorruptionError):
+        tbl.read()
+    with pytest.raises(_snapshot.PointerCorruptionError):
+        tbl.upsert_keep_last(_cells(spark, [(2, 2, 20)]))
+
+    # heal → the committed rows are still there, untouched by the episode
+    vdirs = [e for e in os.listdir(path) if e.startswith("v")]
+    assert len(vdirs) == 1
+    _snapshot.write_pointer(path, vdirs[0], 1)
+    assert _sorted(tbl.read()) == [(1, 1, 10)]
