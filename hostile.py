@@ -26,6 +26,9 @@ Configs and the scale failure each one is a proxy for:
                 read side (exactly what a 1000-executor cluster does).
 - ``novec``     vectorized parquet reader off: row-by-row decode path,
                 catches reader-specific type handling.
+- ``ansioff``   ANSI SQL mode off (Spark 4 defaults it ON): silent-null
+                casts/overflow instead of errors — results must not
+                depend on the mode either way.
 
 Run ``python hostile.py`` for the standard set, ``--configs a,b`` /
 ``--only qid1,qid2`` to narrow, ``--sf DIR`` for another scale. Each
@@ -66,6 +69,9 @@ CONFIGS: dict[str, dict[str, str]] = {
     },
     "novec": {
         "spark.sql.parquet.enableVectorizedReader": "false",
+    },
+    "ansioff": {
+        "spark.sql.ansi.enabled": "false",
     },
 }
 
