@@ -1655,7 +1655,16 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
     during the pre-flip flush — which, unlike the process crash, aborts
     the commit in a still-running writer: the operation raises OSError,
     committed state is untouched, and the writer's staged tree is
-    eagerly reclaimed (no stray delta/base for the aborted step)."""
+    eagerly reclaimed (no stray delta/base for the aborted step).
+
+    Round-13 extension #2 — POINTER CORRUPTION + heal: before a random
+    op, the CURRENT file is overwritten with garbage (or created as
+    garbage where none existed). The op must raise
+    PointerCorruptionError, destroy NOTHING (the committed trees and the
+    corrupt pointer itself survive as evidence), and after the operator
+    heals the pointer — rewriting the saved 13-byte (name, bid) pair, or
+    deleting the garbage file where none existed — the schedule resumes
+    and still drains to the exact model table."""
     import errno
     import random
 
@@ -1685,6 +1694,15 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
     def eio_tree(path):
         raise OSError(errno.EIO, "injected fatal fsync")
 
+    def heal(path, saved_ptr):
+        # the operator's recovery: restore the saved 13-byte (name, bid)
+        # pair, or delete the garbage file where none had been committed
+        if saved_ptr[0] is None:
+            os.remove(os.path.join(path, _snapshot.POINTER))
+        else:
+            real_wp(path, saved_ptr[0], saved_ptr[1])
+
+    corrupt_fired = 0
     for seed in range(5):
         rng = random.Random(4000 + seed)
         path = str(tmp_path / f"fuzz{seed}")
@@ -1702,10 +1720,16 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
             failroll = rng.random()
             crash = failroll < 0.3
             fatal_fsync = 0.3 <= failroll < 0.45
+            ptr_corrupt = 0.45 <= failroll < 0.55
+            saved_ptr = None
             if crash:
                 _snapshot.write_pointer = boom
             elif fatal_fsync:
                 _snapshot.fsync_tree = eio_tree
+            elif ptr_corrupt:
+                saved_ptr = _snapshot.read_pointer(path)
+                with open(os.path.join(path, _snapshot.POINTER), "w") as f:
+                    f.write("garbage-injected-by-fuzz")
             op = None
             try:
                 if roll < 0.35 and nxt < NB:
@@ -1729,6 +1753,8 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
                     g = g2
                 else:
                     if nxt >= NB:
+                        if ptr_corrupt:
+                            heal(path, saved_ptr)  # no op ran to observe it
                         continue
                     vids = [] if nxt in empty_bids else batch_vids[nxt]
                     op = ("append", nxt)
@@ -1739,6 +1765,20 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
             except _Crash:
                 # uncommitted attempt; restart sees only committed state
                 idx = IncrementalIvfIndex(spark, path)
+            except _snapshot.PointerCorruptionError:
+                assert ptr_corrupt, (
+                    f"seed {seed} step {steps}: corruption raise with no "
+                    f"injected corruption"
+                )
+                # destroyed NOTHING: the corrupt pointer itself survives as
+                # evidence (not GC'd, not overwritten by the failed op)
+                with open(os.path.join(path, _snapshot.POINTER)) as f:
+                    assert f.read() == "garbage-injected-by-fuzz", (
+                        f"seed {seed} step {steps}: op altered the corrupt "
+                        f"pointer instead of raising over it"
+                    )
+                heal(path, saved_ptr)
+                corrupt_fired += 1
             except OSError:
                 # fatal-fsync abort in a LIVE writer: no restart needed —
                 # committed state untouched and the aborted step's staged
@@ -1769,6 +1809,7 @@ def test_index_fuzz_append_compact_rebase_crash(spark, tmp_path):
             )
             assert got == want, f"seed {seed}"
         assert idx.current()[1] == last == NB - 1, f"seed {seed}"
+    assert corrupt_fired > 0, "pointer-corruption flavor never fired across seeds"
 
 
 def test_rebase_audit_crash_leaves_serving_state_and_self_heals(spark, tmp_path):
