@@ -993,7 +993,9 @@ class IncrementalIvfIndex:
         forward; observing either go BACKWARDS proves an out-of-band
         reset happened, so the whole memo is dropped (one extra os.walk
         per dir afterwards — the pre-memo cost, paid only on reset)."""
-        from ..streaming._snapshot import read_pointer
+        import os
+
+        from ..streaming._snapshot import PointerCorruptionError, read_pointer
 
         name, bid = read_pointer(self.path)
         ver = self._base_version(name)
@@ -1002,6 +1004,22 @@ class IncrementalIvfIndex:
         self._memo_ptr = (ver, bid)
         if name is None or name == self._NO_BASE:
             return None, bid
+        if not os.path.isdir(os.path.join(self.path, name)):
+            # Same invariant as SnapshotDir.current (round-13): rebase
+            # writes the base tree BEFORE the flip and GC never removes
+            # the named base, so a pointer naming a missing base proves
+            # out-of-band deletion. Silently excluding it (the old
+            # behavior, via _committed_dirs' has-parquet walk of the
+            # missing dir) would serve deltas only and let the next
+            # compact()/rebase() commit the shrunken state — permanent
+            # loss. A MISSING committed delta stays legitimate: 0-row
+            # batches advance the horizon without writing any dir.
+            raise PointerCorruptionError(
+                f"IncrementalIvfIndex at {self.path}: pointer names base "
+                f"{name!r} (bid {bid}) but that tree is not on disk — the "
+                f"index was damaged out of protocol; refusing to serve a "
+                f"silently shrunken state"
+            )
         return name, bid
 
     @staticmethod

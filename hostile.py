@@ -76,12 +76,18 @@ CONFIGS: dict[str, dict[str, str]] = {
 }
 
 
-def _norm(v):
-    """Driver-style cell canonicalization (mirrors tests/conftest.py)."""
+def _norm(v, duck=False):
+    """Driver-style cell canonicalization (mirrors tests/conftest.py,
+    including its ASYMMETRIC NaN rule: only the DUCKDB side NULL-maps
+    NaN — DuckDB surfaces SQL NULL aggregates as float('nan') through
+    fetchall in some paths. A SPARK-side NaN stays a distinct value, so
+    a config-sensitive regression that turns a NULL result into NaN
+    (silent-null casts are exactly what ansioff probes) is a caught
+    mismatch, not a green)."""
     import decimal
     import math
 
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or (duck and isinstance(v, float) and math.isnan(v)):
         return "\x00NULL"
     if isinstance(v, bool):
         return f"bool:{v}"
@@ -120,6 +126,7 @@ def run_child(config_name: str, sf_dir: str, only: list[str] | None) -> dict:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     qids = sorted(queries) if not only else [q for q in sorted(queries) if q in only]
+    unknown_only = sorted(set(only or []) - set(queries))
     result = {
         "config": config_name,
         "conf": CONFIGS[config_name],
@@ -129,6 +136,9 @@ def run_child(config_name: str, sf_dir: str, only: list[str] | None) -> dict:
         "mismatch": {},
         "err": {},
     }
+    if unknown_only:
+        # a typo'd --only must not produce a vacuous 0-query GREEN
+        result["err"]["__only__"] = f"unknown query ids: {unknown_only}"
     t0 = time.time()
     for qid in qids:
         try:
@@ -194,9 +204,15 @@ def main() -> int:
                "--sf", args.sf]
         if only:
             cmd += ["--only", ",".join(only)]
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
-        )
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+            )
+        except subprocess.TimeoutExpired:
+            # one slow config must not abort the rest of the sweep
+            print(f"[{name}] CHILD TIMED OUT after 3600s", file=sys.stderr)
+            failed.append(name)
+            continue
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
             None,
@@ -206,7 +222,14 @@ def main() -> int:
             print(proc.stderr[-2000:], file=sys.stderr)
             failed.append(name)
             continue
-        res = json.loads(line)
+        try:
+            res = json.loads(line)
+        except json.JSONDecodeError:
+            print(f"[{name}] CHILD OUTPUT UNPARSEABLE rc={proc.returncode}",
+                  file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            failed.append(name)
+            continue
         status = "GREEN" if not res["mismatch"] and not res["err"] else "RED"
         print(
             f"[{name}] {status}: {len(res['ok'])} ok, "

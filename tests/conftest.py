@@ -41,6 +41,9 @@ def compare_with_oracle(spark, duck, query_fn, sql, sf_dir=SF_CORRECT):
 
     DuckDB results come via fetchall (native python values) — fetchdf would
     coerce BIGINT columns to float64 and mask/introduce type mismatches.
+
+    hostile.py's ``_norm`` mirrors this normalization (including the
+    asymmetric duck-side-only NaN→NULL rule) — keep the two in sync.
     """
     sdf = query_fn(spark, sf_dir)
     spark_rows = sdf.collect()

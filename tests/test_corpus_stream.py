@@ -2062,3 +2062,53 @@ def test_index_fatal_fsync_aborts_commit_and_reclaims_staging(spark, tmp_path):
     idx.compact()
     assert idx.current() == ("base_v1", 0)
     assert idx.read().count() == n0 + arrived.count()
+
+
+def test_index_pointer_naming_missing_base_raises(spark, tmp_path):
+    """Round-13 (review finding): the missing-snapshot-raises invariant
+    must hold for the INDEX store too, not just SnapshotDir. rebase
+    writes the base tree before the flip and GC never removes the named
+    base, so a pointer naming a missing base proves out-of-band
+    deletion — previously _committed_dirs' has-parquet walk of the
+    missing dir returned False and SILENTLY excluded it: read()/probe()
+    served deltas only, and the next compact()/rebase() would commit the
+    shrunken state. A missing committed DELTA stays legitimate (0-row
+    batches advance the horizon without writing any dir)."""
+    import shutil
+
+    import pytest
+
+    from boletia_kubernetes_kafka_mongodb_spark.sources.layouts import (
+        IncrementalIvfIndex,
+    )
+    from boletia_kubernetes_kafka_mongodb_spark.streaming._snapshot import (
+        PointerCorruptionError,
+    )
+
+    path = str(tmp_path / "inc_missing_base")
+    idx = IncrementalIvfIndex(spark, path)
+    frame = spark.createDataFrame(
+        [(v, v % 4) for v in range(8)], "vec_id long, ivf_list int"
+    )
+    idx.init_base(frame)
+    assert idx.current() == ("base_v0", -1)
+
+    # legitimate: an EMPTY append advances the horizon with no delta dir
+    empty = spark.createDataFrame([], "vec_id long, ivf_list int")
+    assert idx.append(empty, 0)
+    assert idx.current() == ("base_v0", 0)
+    assert sorted(e for e in os.listdir(path) if e.startswith("delta")) == []
+
+    # out-of-band deletion of the NAMED base: every entry point raises
+    shutil.rmtree(os.path.join(path, "base_v0"))
+    with pytest.raises(PointerCorruptionError):
+        idx.current()
+    with pytest.raises(PointerCorruptionError):
+        idx.read()
+    with pytest.raises(PointerCorruptionError):
+        idx.append(frame, 1)
+    with pytest.raises(PointerCorruptionError):
+        idx.compact()
+    # a FRESH instance (no warm memo) raises identically
+    with pytest.raises(PointerCorruptionError):
+        IncrementalIvfIndex(spark, path).current()
