@@ -77,7 +77,21 @@ class PointerCorruptionError(RuntimeError):
     durable store to empty on corruption is the exact failure mode the
     pointer protocol exists to prevent, and is worse than crashing — the
     next successful commit's GC would delete the real predecessor
-    snapshot, converting recoverable damage into permanent loss."""
+    snapshot, converting recoverable damage into permanent loss.
+
+    RECOVERY (operator runbook): the raise is deliberately
+    non-destructive — the corrupt pointer and every surviving snapshot
+    dir are left exactly as found. Inspect the store path: the committed
+    candidates are the ``v{n}`` / ``base_v{n}`` / ``delta_v{n}`` dirs
+    still on disk (GC only ever runs AFTER a successful commit, so the
+    newest complete tree is the last committed state). Restore service
+    by rewriting the 13-byte pointer with ``write_pointer(path, name,
+    bid)`` naming that tree, or — if no tree survived — delete the
+    pointer file to return the store to the legitimate "never committed"
+    state and let the stream re-warm from its source. A pointer file
+    that is ABSENT (with or without surviving dirs) never raises: it is
+    indistinguishable from a crash before the first commit, which is a
+    legitimate empty state."""
 
 
 def read_pointer(dirpath: str) -> tuple[str | None, int]:

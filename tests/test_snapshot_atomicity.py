@@ -264,7 +264,14 @@ def test_merge_table_fuzz_random_schedules_with_crashes(spark, tmp_path):
     previous batch, crash mid-swap + reconstruct} must drain every
     schedule to the keep-last-by-seq merge of all batches — the
     value-idempotent MERGE contract under the full at-least-once +
-    crash-recovery generality."""
+    crash-recovery generality.
+
+    Round-13 flavor: POINTER CORRUPTION injected before a random op —
+    the merge must raise PointerCorruptionError (never serve the
+    flat-layout fallback's silently-empty table), the committed snapshot
+    dir survives untouched, and after the operator restores the saved
+    pointer the schedule drains to the same merge."""
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
     rows = [(f"k{j % 7}", j, f"v{j}") for j in range(24)]
     batches = [
         spark.createDataFrame(rows[i : i + 6], "k string, seq long, v string")
@@ -277,19 +284,36 @@ def test_merge_table_fuzz_random_schedules_with_crashes(spark, tmp_path):
             want[k] = (k, seq, v)
     want = sorted(want.values())
 
+    corrupt_total = 0
     for seed in range(5):
         rng = random.Random(2000 + seed)
         path = str(tmp_path / f"mt{seed}")
         t = _CrashyMergeTable(spark, path, key="k", order_col="seq", rng=rng)
         nxt = 0
+        corrupt_fired = 0
         while nxt < len(batches):
             roll = rng.random()
+            corrupt, saved = rng.random() < 0.2, None
+            if corrupt:
+                saved = _snapshot.read_pointer(path)
+                if saved[0] is None:
+                    corrupt = False  # nothing committed yet to corrupt
+                else:
+                    with open(os.path.join(path, _snapshot.POINTER), "w") as f:
+                        f.write("fuzz-garbage")
             try:
                 if roll < 0.25 and nxt > 0:
                     t.upsert_keep_last(batches[nxt - 1])  # redelivery
                 else:
                     t.upsert_keep_last(batches[nxt])
                     nxt += 1
+            except _snapshot.PointerCorruptionError:
+                assert corrupt, f"seed {seed}: corruption raise w/o injection"
+                # committed snapshot untouched; heal and let the schedule
+                # retry the same batch
+                assert os.path.isdir(os.path.join(path, saved[0]))
+                _snapshot.write_pointer(path, saved[0], saved[1])
+                corrupt_fired += 1
             except _CrashMidSwap:
                 # the failed merge never committed; reconstruct (restart)
                 # and let the stream redeliver — nxt not advanced past an
@@ -301,6 +325,8 @@ def test_merge_table_fuzz_random_schedules_with_crashes(spark, tmp_path):
                 )
         got = sorted(map(tuple, t.read().collect()))
         assert got == want, f"seed {seed}"
+        corrupt_total += corrupt_fired
+    assert corrupt_total > 0, "corruption flavor never fired across seeds"
 
 
 def test_heavy_hitters_handler_state_consistent_after_crashed_save(
@@ -681,3 +707,37 @@ def test_corrupt_pointer_surfaces_through_durable_stores(spark, tmp_path):
     assert len(vdirs) == 1
     _snapshot.write_pointer(path, vdirs[0], 1)
     assert _sorted(tbl.read()) == [(1, 1, 10)]
+
+
+def test_pointer_codec_roundtrip_property():
+    """Property: write_pointer → read_pointer is the identity for every
+    protocol-shaped (name, bid) pair — including the index store's "-"
+    no-base sentinel, names containing ':' (rsplit must split on the
+    LAST colon), and the full signed-bid range. Guards the parser
+    against future format edits now that a parse failure RAISES."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boletia_kubernetes_kafka_mongodb_spark.streaming import _snapshot
+
+    name_st = st.one_of(
+        st.just("-"),  # IncrementalIvfIndex._NO_BASE sentinel
+        st.from_regex(r"(v|base_v|delta_v)[0-9]{1,9}", fullmatch=True),
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.:-",
+            min_size=1,
+            max_size=40,
+        ),
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+
+        @given(name=name_st, bid=st.integers(min_value=-1, max_value=2**62))
+        @settings(max_examples=200, deadline=None)
+        def roundtrip(name, bid):
+            _snapshot.write_pointer(d, name, bid)
+            assert _snapshot.read_pointer(d) == (name, bid)
+
+        roundtrip()
