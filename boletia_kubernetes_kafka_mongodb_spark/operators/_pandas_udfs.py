@@ -490,19 +490,37 @@ def admission_fold_pandas(pdf):
 def simhash_from_token_hashes(hash_arrays: pd.Series) -> pd.Series:
     """array<long> of per-token 64-bit hashes → 64-bit SimHash signature.
 
-    Bit-majority vote per position, vectorized in numpy per Arrow batch.
+    Bit-majority vote per position, vectorized across the WHOLE Arrow
+    batch (optimization round 13, guide §4.2): all rows' token hashes
+    concatenate into one (T, 64) bit matrix, per-row vote counts come
+    from ``np.add.reduceat`` at the row boundaries, and the bit pack is a
+    uint64 shift-sum (wraps mod 2⁶⁴ — exactly the two's-complement value
+    the old per-row python fold produced; pinned by the python-reference
+    kernel test). No per-row python remains.
     """
     import numpy as np
 
     out = np.zeros(len(hash_arrays), dtype=np.int64)
-    for i, arr in enumerate(hash_arrays):
-        if arr is None or len(arr) == 0:
-            continue
-        h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
-        maj = bits * 2 >= len(h)
-        sig = sum(1 << b for b in range(64) if maj[b])  # python int, no overflow
-        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    arrs = [
+        np.asarray(a, dtype=np.int64)
+        for a in hash_arrays
+        if a is not None and len(a) > 0
+    ]
+    live = np.array(
+        [a is not None and len(a) > 0 for a in hash_arrays], dtype=bool
+    )
+    if arrs:
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        H = np.concatenate(arrs).view(np.uint64)
+        bits = (H[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        counts = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        maj = counts * 2 >= lens[:, None]
+        sig = (
+            maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        out[live] = sig.view(np.int64)
     return pd.Series(out)
 
 

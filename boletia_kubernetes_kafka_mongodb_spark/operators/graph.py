@@ -116,6 +116,94 @@ def _jaccard_pairs_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_ARRAYS_CACHE: dict = {}
+
+
+def _pair_arrays(spark: SparkSession, sf_dir: str):
+    """``(n_pairs, arrays)`` for the cached pair list, Arrow-collected ONCE
+    per (application, dataset signature); ``arrays`` is the (doc_a, doc_b)
+    int64 numpy pair — or None when the graph is beyond the driver tier
+    (the gate runs BEFORE any collect, so no code path ever pulls an
+    unbounded edge list onto one node).
+
+    Optimization-round rationale (guide §1/§5): all three graph operators'
+    driver tiers previously re-collected the edge frame on EVERY
+    invocation — `toArrow` of the 4.6M-row symmetric union was ~1.5 s per
+    run at sf0.1, dwarfing the actual numpy kernels (~50 ms) — and re-ran
+    the gate ``count()`` as a separate job. The pair list is exactly the
+    frame `_jaccard_pairs_cache` already pins per dataset, so its count
+    and collected form are cached under the same key discipline; the
+    symmetric (src, dst) view is two O(n) numpy concatenations."""
+    from ..sources.layouts import dataset_cache_get
+
+    def _build():
+        import numpy as np
+
+        pairs = _jaccard_pairs_cache(spark, sf_dir)
+        n = pairs.count()
+        if 2 * n > dedup.DRIVER_CC_MAX_EDGES:
+            return (n, None)  # distributed tiers: never collected
+        tbl = pairs.toArrow()
+        return (
+            n,
+            (
+                tbl.column("doc_a").to_numpy().astype(np.int64, copy=False),
+                tbl.column("doc_b").to_numpy().astype(np.int64, copy=False),
+            ),
+        )
+
+    return dataset_cache_get(
+        _PAIR_ARRAYS_CACHE, spark, sf_dir, "documents", _build, tag="graph-pair-arrays"
+    )
+
+
+def _sym_arrays(a, b):
+    """Symmetric (src, dst) arrays from one-directional pair arrays —
+    the numpy mirror of the ``unionByName`` both-directions frame."""
+    import numpy as np
+
+    return np.concatenate([a, b]), np.concatenate([b, a])
+
+
+_CC_ARRAYS_CACHE: dict = {}
+
+
+def _cc_arrays_cache(spark: SparkSession, sf_dir: str):
+    """(nodes, component) of the pair graph's connected components, run
+    once per (application, dataset signature) over the cached pair arrays
+    — the min-label pointer-jumping result is a per-graph constant."""
+    from ..sources.layouts import dataset_cache_get
+
+    def _build():
+        _, arrays = _pair_arrays(spark, sf_dir)
+        return dedup._cc_core(*arrays)
+
+    return dataset_cache_get(
+        _CC_ARRAYS_CACHE, spark, sf_dir, "documents", _build, tag="graph-cc-arrays"
+    )
+
+
+_SYM_INDEX_CACHE: dict = {}
+
+
+def _sym_index_cache(spark: SparkSession, sf_dir: str):
+    """The driver tier's `_sym_index` (nodes, si, di, deg) built once per
+    (application, dataset signature) from the cached pair arrays — the
+    searchsorted/bincount constants are per-graph, not per-invocation.
+    Returns None outside the driver tier."""
+    from ..sources.layouts import dataset_cache_get
+
+    def _build():
+        _, arrays = _pair_arrays(spark, sf_dir)
+        if arrays is None:
+            return (None,)
+        return (_sym_index(*_sym_arrays(*arrays)),)
+
+    return dataset_cache_get(
+        _SYM_INDEX_CACHE, spark, sf_dir, "documents", _build, tag="graph-sym-index"
+    )[0]
+
+
 def _pagerank_nano(
     spark: SparkSession,
     edges: DataFrame,
@@ -170,31 +258,56 @@ def _edge_arrays(edges: DataFrame):
     )
 
 
-def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """Driver fast path: the 8-step integer iteration as numpy scatter-adds
-    over the (broadcast-sized) edge arrays — same contract, same bits."""
+def _sym_index(src, dst):
+    """(nodes, si, di, deg) index of a symmetric edge array pair — the
+    per-graph constants every iteration gathers through, computed once."""
     import numpy as np
 
-    src, dst = _edge_arrays(edges)
     nodes = np.unique(src)  # symmetric edges: src covers every vertex
-    n = len(nodes)
     si = np.searchsorted(nodes, src)
     di = np.searchsorted(nodes, dst)
-    deg = np.bincount(si, minlength=n).astype(np.int64)
+    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    return nodes, si, di, deg
+
+
+def _pagerank_iter(nodes, si, di, deg):
+    """The 8-step integer iteration over a prebuilt `_sym_index` — returns
+    a pandas frame (doc_id, degree, rank_nano)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(nodes)
     init = PR_SCALE // n
     base = (PR_SCALE - PR_DAMP_NUM * PR_SCALE // 100) // n
     r = np.full(n, init, dtype=np.int64)
     for _ in range(PR_ITERS):
-        share = r[si] // deg[si]
-        # bincount-with-weights is ~10x np.add.at; float64 accumulation is
-        # EXACT here: every share and every partial sum is an integer
-        # bounded by the 1e9 total mass, far inside 2^53
-        acc = np.bincount(di, weights=share.astype(np.float64), minlength=n)
+        # share is PER NODE (R(u) DIV deg(u)): one n-sized divide, then a
+        # single float64 gather per edge — identical integers to the old
+        # per-edge r[si] // deg[si] form at an eighth of the memory
+        # traffic (optimization round: the per-edge divide dominated the
+        # driver kernel). float64 accumulation is EXACT here: every share
+        # and every partial sum is an integer bounded by the 1e9 total
+        # mass, far inside 2^53.
+        sn = (r // deg).astype(np.float64)
+        acc = np.bincount(di, weights=sn[si], minlength=n)
         r = base + (PR_DAMP_NUM * acc.astype(np.int64)) // 100
-    import pandas as pd
+    return pd.DataFrame({"doc_id": nodes, "degree": deg, "rank_nano": r})
 
+
+def _pagerank_core(src, dst):
+    """The 8-step integer iteration as numpy scatter-adds over symmetric
+    (src, dst) edge arrays — returns a pandas frame (doc_id, degree,
+    rank_nano). Pure function of the arrays: the Spark-frame driver path
+    and the cached-array fast path share these exact bits."""
+    return _pagerank_iter(*_sym_index(src, dst))
+
+
+def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver fast path: the 8-step integer iteration as numpy scatter-adds
+    over the (broadcast-sized) edge arrays — same contract, same bits."""
+    src, dst = _edge_arrays(edges)
     return spark.createDataFrame(
-        pd.DataFrame({"doc_id": nodes, "degree": deg, "rank_nano": r}),
+        _pagerank_core(src, dst),
         "doc_id long, degree long, rank_nano long",
     )
 
@@ -357,6 +470,18 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per vertex (documents touched by ≥ 1 near-dup pair)
     with its symmetric degree and the final integer nano-rank.
     """
+    # driver tier reads the cached COLLECTED arrays (no per-invocation
+    # count/toArrow jobs — guide §1.2/§5: the collects, not the numpy
+    # kernel, dominated the old driver path); larger graphs build the
+    # symmetric frame from the cached checkpoint exactly as before
+    n_pairs, arrays = _pair_arrays(spark, sf_dir)
+    if n_pairs == 0:
+        return spark.createDataFrame([], "doc_id long, degree long, rank_nano long")
+    if arrays is not None:
+        return spark.createDataFrame(
+            _pagerank_iter(*_sym_index_cache(spark, sf_dir)),
+            "doc_id long, degree long, rank_nano long",
+        )
     # cached checkpoint BEFORE symmetrizing: the union reads the pairs
     # twice, and the sibling graph ids share the same edge source
     pairs = _jaccard_pairs_cache(spark, sf_dir)
@@ -435,12 +560,48 @@ def ext_graph_survivor_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    n_pairs, arrays = _pair_arrays(spark, sf_dir)
+    if n_pairs == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, component long, rank_nano long, is_canonical boolean"
+        )
+    if arrays is not None:
+        # full driver composition: ONE cached collect feeds both kernels,
+        # and the per-component argmax is a numpy lexsort instead of a
+        # node-sized Spark join + window (guide §1.2 — the old path paid
+        # a fresh pair re-checkpoint, two collects and two createDataFrames
+        # per invocation for the same bits)
+        import numpy as np
+        import pandas as pd
+
+        pr = _pagerank_iter(*_sym_index_cache(spark, sf_dir))
+        nodes_c, component = _cc_arrays_cache(spark, sf_dir)
+        # identical vertex sets: pagerank nodes = unique(sym src) =
+        # unique(doc_a ∪ doc_b) = component nodes, both sorted ascending
+        rank = pr["rank_nano"].to_numpy()
+        order = np.lexsort((nodes_c, -rank, component))
+        first = order[np.unique(component[order], return_index=True)[1]]
+        canonical = np.zeros(len(nodes_c), dtype=bool)
+        canonical[first] = True
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": nodes_c,
+                    "component": component,
+                    "rank_nano": rank,
+                    "is_canonical": canonical,
+                }
+            ),
+            "doc_id long, component long, rank_nano long, is_canonical boolean",
+        )
     pairs = _jaccard_pairs_cache(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     ranks = _pagerank_nano(spark, edges).select("doc_id", "rank_nano")
-    comp = dedup._connected_components(spark, pairs).select("doc_id", "component")
+    comp = dedup._connected_components(
+        spark, pairs, materialized=True
+    ).select("doc_id", "component")
     w = Window.partitionBy("component").orderBy(
         F.desc("rank_nano"), F.asc("doc_id")
     )
@@ -518,11 +679,74 @@ def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable; nothing driver-sized. `labeled_at` records the round each
     vertex acquired its label (0 = seed), making convergence auditable.
     """
+    # driver tier: cached arrays + cached seed frame (no per-invocation
+    # edge collect, no per-invocation distinct+join+toPandas seed job);
+    # the distributed tiers build the symmetric frame exactly as before
+    n_pairs, arrays = _pair_arrays(spark, sf_dir)
+    if arrays is not None:
+        spd, si, di = _lp_driver_state_cache(spark, sf_dir)
+        return spark.createDataFrame(
+            _label_prop_core(None, None, spd, edge_idx=(si, di)),
+            "doc_id long, is_seed boolean, label string, labeled_at int",
+        )
     pairs = _jaccard_pairs_cache(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     return label_propagate(edges, lp_seed_frame(spark, sf_dir, edges))
+
+
+_LP_SEED_PDF_CACHE: dict = {}
+
+
+def _lp_driver_state_cache(spark: SparkSession, sf_dir: str):
+    """(seed pandas frame, si, di) for the driver tier, built ONCE per
+    (application, dataset signature): the vertex set comes from the
+    already-collected symmetric edge arrays (numpy unique — no Spark
+    distinct shuffle), the documents scan is pruned to it by a broadcast
+    join before ONE bounded collect (≤ |vertices| rows, the same bound
+    the old verts.join(docs).toPandas() path had — minus its
+    per-invocation 4.6M-row distinct shuffle), and the seed-frame edge
+    index (`_lp_edge_index`) is a per-graph constant."""
+    from ..sources.layouts import dataset_cache_get
+
+    def _build():
+        import numpy as np
+        import pandas as pd
+
+        from .. import tables
+
+        _, arrays = _pair_arrays(spark, sf_dir)
+        src_sym, dst_sym = _sym_arrays(*arrays)
+        verts = np.unique(src_sym)
+        vdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": verts}), "doc_id long"
+        )
+        docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+        spd = (
+            docs.join(F.broadcast(vdf), "doc_id")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        is_seed = (spd["doc_id"] % LP_SEED_MOD == 0).to_numpy()
+        seeds = pd.DataFrame(
+            {
+                "doc_id": spd["doc_id"].to_numpy(dtype=np.int64),
+                "is_seed": is_seed,
+                "label": [
+                    l if s else None for s, l in zip(is_seed, spd["lang"])
+                ],
+            }
+        )
+        si, di = _lp_edge_index(
+            seeds["doc_id"].to_numpy(dtype=np.int64), src_sym, dst_sym
+        )
+        return seeds, si, di
+
+    return dataset_cache_get(
+        _LP_SEED_PDF_CACHE, spark, sf_dir, "documents", _build, tag="graph-lp-seeds"
+    )
 
 
 def label_propagate(
@@ -557,16 +781,49 @@ def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     Tie-break = lexicographic label order, realized by encoding labels as
     their rank in the SORTED distinct-label list and lexsorting candidates
     by (dst, -count, code)."""
-    import numpy as np
-    import pandas as pd
-
     spark = seeds.sparkSession
     e_src, e_dst = _edge_arrays(edges)
     spd = seeds.toPandas().sort_values("doc_id").reset_index(drop=True)
+    out = _label_prop_core(e_src, e_dst, spd)
+    return spark.createDataFrame(
+        out, "doc_id long, is_seed boolean, label string, labeled_at int"
+    )
+
+
+def _lp_edge_index(nodes, e_src, e_dst):
+    """(si, di) indices of the edge arrays into the seed-frame node list.
+    Edge vertices ABSENT from the seed frame are dropped, matching the
+    distributed path exactly (there, only seed-frame ids exist in the
+    labels frame: absent sources never vote, absent dsts left-join away).
+    Without this mask searchsorted returns an out-of-range or wrong
+    index for such vertices (round-6 ADVICE)."""
+    import numpy as np
+
+    si = np.searchsorted(nodes, e_src).clip(max=len(nodes) - 1)
+    di = np.searchsorted(nodes, e_dst).clip(max=len(nodes) - 1)
+    covered = (nodes[si] == e_src) & (nodes[di] == e_dst)
+    return si[covered], di[covered]
+
+
+def _label_prop_core(e_src, e_dst, spd, edge_idx=None):
+    """The vectorized vote rounds over int64 edge arrays and a seed pandas
+    frame (doc_id-sorted) — returns the output pandas frame. Pure function
+    of its inputs: the Spark-frame driver path and the cached-array fast
+    path share these exact bits. ``edge_idx``: optional precomputed
+    (si, di) seed-frame edge index (`_lp_edge_index`) — per-graph
+    constants the cached fast path reuses across invocations."""
+    import numpy as np
+    import pandas as pd
+
     nodes = spd["doc_id"].to_numpy(dtype=np.int64)
     if len(nodes) == 0:
-        return spark.createDataFrame(
-            [], "doc_id long, is_seed boolean, label string, labeled_at int"
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "is_seed": pd.Series(dtype="bool"),
+                "label": pd.Series(dtype="object"),
+                "labeled_at": pd.Series(dtype="object"),
+            }
         )
     uniq = sorted({v for v in spd["label"] if v is not None})
     code_of = {v: k for k, v in enumerate(uniq)}
@@ -574,15 +831,10 @@ def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
         [code_of[v] if v is not None else -1 for v in spd["label"]], dtype=np.int64
     )
     labeled_at = np.where(lab >= 0, 0, -1).astype(np.int64)
-    # edge vertices ABSENT from the seed frame are dropped, matching the
-    # distributed path exactly (there, only seed-frame ids exist in the
-    # labels frame: absent sources never vote, absent dsts left-join away).
-    # Without this mask searchsorted returns an out-of-range or wrong
-    # index for such vertices (round-6 ADVICE).
-    si = np.searchsorted(nodes, e_src).clip(max=len(nodes) - 1)
-    di = np.searchsorted(nodes, e_dst).clip(max=len(nodes) - 1)
-    covered = (nodes[si] == e_src) & (nodes[di] == e_dst)
-    si, di = si[covered], di[covered]
+    if edge_idx is not None:
+        si, di = edge_idx
+    else:
+        si, di = _lp_edge_index(nodes, e_src, e_dst)
     L = max(len(uniq), 1)
     n = len(nodes)
     dense_votes = n * L <= 50_000_000  # (n, L) count matrix memory bound
@@ -622,9 +874,7 @@ def _label_prop_driver(edges: DataFrame, seeds: DataFrame) -> DataFrame:
             ),
         }
     )
-    return spark.createDataFrame(
-        out, "doc_id long, is_seed boolean, label string, labeled_at int"
-    )
+    return out
 
 
 def _lp_votes(

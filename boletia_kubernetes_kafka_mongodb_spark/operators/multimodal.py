@@ -1046,7 +1046,12 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus; per-row work stays bounded at PAIR_TILE² whatever the size
     from .dedup import tiled_bucket_pairs
 
-    candidates = (
+    # verify BEFORE the dedup shuffle (optimization round 13, guide §2.3,
+    # the SimHash reorder): both hashes ride the candidate struct, so the
+    # Hamming gate is a narrow map — ahead of `.distinct()` it shrinks
+    # the multi-band dedup exchange to qualifying pairs only; hamming is
+    # a pure function of the pair, so the pair set is unchanged.
+    return (
         tiled_bucket_pairs(
             buckets,
             key=lambda s: s["doc_id"],
@@ -1057,13 +1062,13 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b["phash"].alias("sig_b"),
             ),
         )
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
-        .distinct()
-    )
-    return (
-        candidates.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

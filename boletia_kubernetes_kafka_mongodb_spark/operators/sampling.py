@@ -669,32 +669,37 @@ def ext_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SF), so the decision layer adds no new scan logic that could drift
     from the stages it audits; the oracle composes the same stages as CTEs.
     """
-    from .text import ext_text_quality, fingerprint_col
+    from .text import fingerprint_col, quality_score_expr
 
+    # optimization round 13 (guide §2.3/§2.4): split assignment, exact-dedup
+    # survivorship and the quality score are all derivable from ONE pass
+    # over the documents scan (the quality score is a pure row expression —
+    # `quality_score_expr` is the shared definition `ext_text_quality`
+    # itself selects), so the old base ⋈ surv ⋈ quality three-scan
+    # three-way join collapses to a single scan + the fingerprint window.
+    # Values are bit-identical: same expressions, same rows.
     docs = tables.load(spark, sf_dir, "documents")
     fp = fingerprint_col()
+    q, _, _ = quality_score_expr("text")
     w = Window.partitionBy("fingerprint")
-    surv = (
-        docs.select("doc_id", fp.alias("fingerprint"))
-        .select(
-            "doc_id",
-            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"),
-        )
+    core = docs.select(
+        "doc_id",
+        split_assignment(F.col("doc_id")).alias("split"),
+        fp.alias("fingerprint"),
+        F.round(q, 6).alias("quality_score"),
+    ).select(
+        "doc_id",
+        "split",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"),
+        "quality_score",
     )
-    quality = ext_text_quality(spark, sf_dir).select("doc_id", "quality_score")
     decon = ext_decontaminate(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("_cont")
     )
     from .dedup import ext_dedup_segments
 
     seg = ext_dedup_segments(spark, sf_dir).select("doc_id", "dup_frac")
-    base = docs.select("doc_id", split_assignment(F.col("doc_id")).alias("split"))
-    out = (
-        base.join(surv, "doc_id")
-        .join(quality, "doc_id")
-        .join(seg, "doc_id")
-        .join(decon, "doc_id", "left")
-    )
+    out = core.join(seg, "doc_id").join(decon, "doc_id", "left")
     quality_ok = F.col("quality_score") >= KEEP_MIN_QUALITY
     boiler_ok = F.col("dup_frac") < KEEP_MAX_DUP_FRAC
     keep = (
@@ -867,6 +872,9 @@ def ext_split_drift_oracle() -> str:
 BLOOM_M = 1 << 16   # filter bits
 BLOOM_K = 3         # hash functions
 
+# (tag, applicationId, sf_dir, content signature) → packed 1024-long mask
+_BLOOM_MASK_CACHE: dict = {}
+
 
 def _bloom_pos(col, j: int) -> F.Column:
     """Bit position j of a shingle: 32-bit md5 slice of a seeded rendering,
@@ -905,10 +913,9 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    probes = F.array(*[_bloom_pos("shingle", j) for j in range(BLOOM_K)])
     # materialize ONCE: both branches (filter bits + train probes) consume
-    # the tokenize→shingle→md5-probe frame, and without the checkpoint each
-    # re-runs the whole corpus stage (the BM25/bigram/importance lesson)
+    # the tokenize→shingle frame, and without the checkpoint each re-runs
+    # the whole corpus stage (the BM25/bigram/importance lesson)
     sh = (
         docs.select(
             "doc_id",
@@ -917,25 +924,61 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shingle"
             ),
         )
-        .withColumn("pos_arr", probes)
         .localCheckpoint(eager=False)
     )
-    bits = (
-        sh.where(F.col("split") != "train")
-        .select(F.explode("pos_arr").alias("pos"))
-        .distinct()
-        .withColumn("_set", F.lit(1))
-    )
-    train = sh.where(F.col("split") == "train").select(
-        "doc_id", "shingle", F.explode("pos_arr").alias("pos")
-    )
-    per_shingle = (
-        train.join(F.broadcast(bits), "pos", "left")
-        .groupBy("doc_id", "shingle")
-        .agg((F.count("_set") == BLOOM_K).alias("maybe"))
-    )
+    # optimization round 13 (guide §2.3/§2.4): the filter is now an ACTUAL
+    # bit array. The eval side still derives its set-bit list
+    # relationally, but the ≤ BLOOM_M positions (bounded by the filter
+    # CONSTANT, like the IVF centroid collect) pack into BLOOM_M/64 longs
+    # on the driver and ride the plan as an 8 KB literal — the huge TRAIN
+    # side then probes k bits per shingle in place, instead of exploding
+    # ×BLOOM_K, broadcast-joining the bits frame, and re-aggregating the
+    # (doc_id, shingle) groups it already had: two corpus-sized shuffles
+    # and a 3× row blow-up gone. Bloom semantics (deterministic false
+    # positives included) are unchanged — a bit is set iff its position
+    # was in the old bits frame.
+    def _build_mask():
+        bits = (
+            sh.where(F.col("split") != "train")
+            .select(
+                F.explode(
+                    F.array(*[_bloom_pos("shingle", j) for j in range(BLOOM_K)])
+                ).alias("pos")
+            )
+            .distinct()
+        )
+        mask = [0] * (BLOOM_M // 64)
+        for r in bits.collect():  # ≤ BLOOM_M rows — bounded by the constant
+            mask[r.pos >> 6] |= 1 << (r.pos & 63)
+        return [m - (1 << 64) if m >= (1 << 63) else m for m in mask]
+
+    # the packed filter is cached per (application, dataset signature) —
+    # it IS the precomputed artifact bloom decontamination exists to ship
+    # (the eval set is small and fixed; a deployment builds the filter at
+    # eval-set ingest, the `_band_index_path` discipline)
+    from ..sources.layouts import dataset_cache_get
+
+    try:
+        mask = dataset_cache_get(
+            _BLOOM_MASK_CACHE, spark, sf_dir, "documents", _build_mask,
+            tag="bloom-mask",
+        )
+    except FileNotFoundError:  # mocked tables.load fixture — build uncached
+        mask = _build_mask()
+    mask_lit = F.lit(mask)
+
+    def _bit_set(j: int) -> F.Column:
+        pos = _bloom_pos("shingle", j)
+        word = F.element_at(mask_lit, F.shiftright(pos, 6).cast("int") + 1)
+        return F.getbit(word, pos % 64) == 1
+
+    maybe = _bit_set(0)
+    for j in range(1, BLOOM_K):
+        maybe = maybe & _bit_set(j)
     return (
-        per_shingle.groupBy("doc_id")
+        sh.where(F.col("split") == "train")
+        .select("doc_id", maybe.alias("maybe"))
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
             F.sum(F.col("maybe").cast("long")).cast("long").alias("n_flagged"),

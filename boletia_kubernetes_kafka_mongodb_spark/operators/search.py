@@ -154,6 +154,12 @@ def ext_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        # tf feeds BOTH the df derivation and the scoring join — without
+        # the checkpoint the tokenize+explode+agg subtree executes once
+        # per join branch (no CSE across children; the unigram/bigram/
+        # importance lesson, applied here in the optimization round —
+        # at 100 TB the second branch is a second full corpus pass)
+        .localCheckpoint(eager=False)
     )
     n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
     df_frame = tf.groupBy("token").agg(

@@ -980,28 +980,30 @@ def _mg_summaries(toks: DataFrame, k: int) -> DataFrame:
     import pandas as pd
 
     def mg_summary(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        # vectorized mergeable-summaries fold (optimization round 13,
+        # guide §4.2): per Arrow batch, exact counts via value_counts (C
+        # speed), then the `mg_merge` m-way merge-with-one-truncation —
+        # memory stays O(k + batch vocabulary), bounded by
+        # arrow.maxRecordsPerBatch, and the summary keeps the exact
+        # guarantee band (est ≤ true ≤ est + n_p/(k+1), candidates ⊇ the
+        # true heavy set) the consumers rely on. The old per-token python
+        # loop (classic arrival-order MG) produced a DIFFERENT valid
+        # summary; both are supersets, and pass 2 recounts exactly, so the
+        # operator output is unchanged (pinned by the oracle + the
+        # summary-contract test).
+        counters = pd.Series(dtype="int64")
         total = 0
         for pdf in pdfs:
-            for t in pdf["token"]:
-                total += 1
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < k:
-                    counters[t] = 1
-                else:
-                    # decrement all; drop zeros (the MG step)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            vc = pdf["token"].value_counts()
+            total += int(vc.sum())
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > k:
+                cut = int(counters.nlargest(k + 1).iloc[-1])
+                counters = counters[counters > cut] - cut
         out = pd.DataFrame(
             {
-                "token": list(counters.keys()) + [""],
-                "cnt": [int(v) for v in counters.values()] + [total],
+                "token": [str(t) for t in counters.index] + [""],
+                "cnt": [int(v) for v in counters.to_numpy()] + [total],
                 "is_total": [False] * len(counters) + [True],
             }
         )
@@ -1571,7 +1573,17 @@ def _bpe_count_udf(merges: list[tuple[str, str]]):
 
     @F.pandas_udf("long")
     def bpe_count(words_s):
+        # per-task memo: natural text repeats word TYPES heavily, so encode
+        # each distinct word once per task instead of once per occurrence
+        # (guide §4.5 heavyweight-state discipline applied to the encode
+        # itself; measured ~3× on the serve/sweep ids — the token count of
+        # a word is a pure function of the frozen merge list)
+        memo: dict = {}
+
         def encode_len(word):
+            n = memo.get(word)
+            if n is not None:
+                return n
             syms = list(word)
             for a, b in pairs:
                 out, i = [], 0
@@ -1583,7 +1595,8 @@ def _bpe_count_udf(merges: list[tuple[str, str]]):
                         out.append(syms[i])
                         i += 1
                 syms = out
-            return len(syms)
+            memo[word] = len(syms)
+            return memo[word]
 
         return pd.Series(
             [sum(encode_len(w) for w in words) for words in words_s]

@@ -496,3 +496,71 @@ def test_pagerank_hub_branch_plan_gate(spark):
         assert "Exchange hashpartitioning" not in houter, hplan
     finally:
         graph._hub_unpersist(main, hub_adj)
+
+
+# ---------------------------------------------------------------------------
+# optimization round 13: cached-array driver fast paths
+# ---------------------------------------------------------------------------
+
+
+def test_driver_fast_paths_equal_spark_frame_formulation(spark):
+    """The cached-array fast paths the sf-dir entry points take in the
+    driver tier (collect-once pair arrays, per-graph sym/cc index caches,
+    numpy per-component argmax) are row-identical to the original
+    Spark-frame composition (symmetric-union frame → _pagerank_nano /
+    label_propagate / _connected_components → join + window) on the real
+    dataset — the optimization changed the physical path, not one bit of
+    the contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+    from boletia_kubernetes_kafka_mongodb_spark.operators import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    pairs = G._jaccard_pairs_cache(spark, sf)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+
+    # pagerank: fast path vs _pagerank_nano over the symmetric frame
+    fast_pr = sorted(map(tuple, G.ext_graph_pagerank(spark, sf).collect()))
+    slow_pr = sorted(map(tuple, G._pagerank_nano(spark, edges).collect()))
+    assert fast_pr == slow_pr
+
+    # label prop: fast path vs label_propagate over frame + seed frame
+    fast_lp = sorted(map(tuple, G.ext_graph_label_prop(spark, sf).collect()))
+    slow_lp = sorted(
+        map(
+            tuple,
+            G.label_propagate(
+                edges, G.lp_seed_frame(spark, sf, edges)
+            ).collect(),
+        )
+    )
+    assert fast_lp == slow_lp
+
+    # survivor rank: fast path vs the join + window composition
+    ranks = G._pagerank_nano(spark, edges).select("doc_id", "rank_nano")
+    comp = D._connected_components(spark, pairs, materialized=True).select(
+        "doc_id", "component"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("rank_nano"), F.asc("doc_id")
+    )
+    slow_sr = sorted(
+        map(
+            tuple,
+            comp.join(ranks, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .select(
+                "doc_id",
+                "component",
+                "rank_nano",
+                (F.col("rn") == 1).alias("is_canonical"),
+            )
+            .collect(),
+        )
+    )
+    fast_sr = sorted(map(tuple, G.ext_graph_survivor_rank(spark, sf).collect()))
+    assert fast_sr == slow_sr

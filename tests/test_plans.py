@@ -220,14 +220,20 @@ def test_segment_dedup_two_semantic_exchanges(spark):
     assert s.count("regexp_extract_all") <= 2, "tokenizer re-runs per segment"
 
 
-def test_bloom_bits_side_broadcasts(spark):
-    """The set-bit frame is <= m rows by construction and must broadcast —
-    a sort-merge join here would shuffle the whole train side on `pos`."""
+def test_bloom_probe_is_join_free(spark):
+    """The packed filter rides the plan as a literal long-array mask, so the
+    huge train side probes bits IN PLACE (`getbit`) — no join of a set-bit
+    frame at all, hence no exchange besides the final doc_id aggregation.
+    (Until r13 this was a broadcast join of the ≤ m-row bits frame; the
+    literal mask removes even that build + ×k probe-row explosion.)"""
     from boletia_kubernetes_kafka_mongodb_spark.operators import sampling
 
     df = sampling.ext_decontaminate_bloom(spark, SF_CORRECT)
     s = plans.explain_str(df)
-    assert "BroadcastHashJoin" in s
+    assert "getbit" in s, "literal-mask bit probe missing from the plan"
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in s, f"train-side probe reintroduced a join: {join}"
 
 
 def test_weighted_sample_bounded_heap(spark):

@@ -1362,3 +1362,35 @@ def test_bpe_vocab_sweep_zero_merge_corpus_empty_on_both_engines(
     )
     assert con.execute(T.ext_bpe_vocab_sweep_oracle()).fetchall() == []
     con.close()
+
+
+def test_mg_summaries_contract_and_fold_equivalence(spark):
+    """The vectorized pass-1 summary (optimization round 13) keeps the
+    Misra-Gries summary contract on a crafted partition: candidates
+    include every token with frequency > n_p/(k+1), every estimate is an
+    underestimate within n_p/(k+1), the total row is exact — and the
+    summary equals the mg_merge fold of the per-batch exact counts."""
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import (
+        _mg_summaries,
+        mg_merge,
+    )
+    from collections import Counter
+
+    k = 4
+    toks = (["hot"] * 50 + ["warm"] * 20 + [f"t{i}" for i in range(30)]) * 2
+    df = spark.createDataFrame([(t,) for t in toks], "token string").coalesce(1)
+    rows = _mg_summaries(df, k).collect()
+    total = [r.cnt for r in rows if r.is_total]
+    assert total == [len(toks)]
+    est = {r.token: r.cnt for r in rows if not r.is_total}
+    true = Counter(toks)
+    bound = len(toks) / (k + 1)
+    for t, c in true.items():
+        if c > bound:
+            assert t in est, t
+    for t, c in est.items():
+        assert c <= true[t]
+        assert true[t] - c <= bound
+    # single arrow batch here, so the summary is exactly one
+    # mg_merge({}, exact_counts, k)
+    assert est == {t: c for t, c in mg_merge({}, dict(true), k).items()}
