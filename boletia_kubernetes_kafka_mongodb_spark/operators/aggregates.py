@@ -1649,14 +1649,21 @@ def agg_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         "user_id",
     )
-    dau = d.groupBy("week", "day").agg(
-        F.countDistinct("user_id").cast("long").alias("dau")
+    # optimization round 13 (guide §2.3/§2.4): both branches previously
+    # rescanned events and ran their own count-distinct expansion. One
+    # shared (week, day, user_id) distinct — materialized once — now
+    # feeds both: DAU is a plain count over it, and WAU's distinct runs
+    # over the already-deduped (much smaller) frame. countDistinct over
+    # a frame with duplicate rows removed is unchanged by construction.
+    du = d.distinct().localCheckpoint(eager=False)
+    dau = du.groupBy("week", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
     )
     per_week = dau.groupBy("week").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("dau").cast("long").alias("dau_sum"),
     )
-    wau = d.groupBy("week").agg(
+    wau = du.groupBy("week").agg(
         F.countDistinct("user_id").cast("long").alias("wau")
     )
     joined = per_week.join(wau, "week").withColumn(

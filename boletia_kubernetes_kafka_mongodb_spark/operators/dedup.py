@@ -1259,15 +1259,19 @@ def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
     seg_arr = _segment_array()
+    from pyspark.sql.window import Window
+
+    # optimization round 13 (guide §2.4): segs fed the count branch and
+    # the join-back — two tokenize+segment passes of the corpus per plan.
+    # A count window over ``seg`` (the `ext_ngram_novelty` one-shuffle
+    # shape) replaces agg+join-back: one corpus pass, one exchange on the
+    # segment key, identical counts (the window count per seg IS the
+    # groupBy count), no checkpoint barrier.
     segs = toks.select("doc_id", F.explode(seg_arr).alias("seg"))
-    cnt = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("c"))
-    per = (
-        segs.join(cnt, "seg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum((F.col("c") > 1).cast("long")).alias("n_dup_segments"),
-        )
+    wf = segs.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("seg")))
+    per = wf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_segments"),
     )
     return (
         docs.select("doc_id")
@@ -1449,6 +1453,24 @@ def ext_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_W = 12  # overlapping-window width in tokens (exact-substring dedup)
 
 
+def _substring_window_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint (doc_id, wh) frame of `ext_dedup_substring` — the
+    tokenize + per-position md5 narrow map. Exposed separately so the plan
+    gate can assert the md5-in-narrow-map shape that the operator's
+    localCheckpoint truncates out of its final physical plan."""
+    docs = tables.load(spark, sf_dir, "documents", fan=True)
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    n = F.size("t")
+    wh_arr = F.when(
+        n >= SUBSTR_W,
+        F.transform(
+            F.sequence(F.lit(0), n - SUBSTR_W),
+            lambda i: F.md5(F.array_join(F.slice(F.col("t"), i + 1, SUBSTR_W), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(wh_arr).alias("wh"))
+
+
 def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc repeated-substring measurement — the exact-substring dedup
     direction of Lee et al., "Deduplicating Training Data Makes Language
@@ -1466,17 +1488,13 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy), join back on the same key, one doc_id agg. Collision risk at
     md5/128-bit is negligible at any corpus size.
     """
+    # optimization round 13 (guide §2.4): wins feeds both the per-window
+    # distinct-doc count and the join back — uncheckpointed, the
+    # tokenize + per-window md5 map (the expensive part: one md5 per
+    # token position) executed once PER BRANCH. Materialized once, the
+    # frame is |token positions| × (doc_id + 32-byte key).
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    toks = docs.select("doc_id", tokens_col("text").alias("t"))
-    n = F.size("t")
-    wh_arr = F.when(
-        n >= SUBSTR_W,
-        F.transform(
-            F.sequence(F.lit(0), n - SUBSTR_W),
-            lambda i: F.md5(F.array_join(F.slice(F.col("t"), i + 1, SUBSTR_W), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = toks.select("doc_id", F.explode(wh_arr).alias("wh"))
+    wins = _substring_window_hashes(spark, sf_dir).localCheckpoint(eager=False)
     # distinct-doc count per window: dedupe (wh, doc) then count — two
     # map-side-combining aggregates, no count_distinct shuffle of raw rows
     docs_per_win = (
@@ -1556,29 +1574,39 @@ def ext_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
     seg_arr = _segment_array()
+    from pyspark.sql.window import Window
+
+    # optimization round 13 (guide §2.4): segs fed the count branch and
+    # the reassembly join, and toks additionally fed the totals branch —
+    # THREE tokenize+segment passes of the corpus in one plan. A count
+    # window over ``seg`` (the `ext_ngram_novelty` one-shuffle shape)
+    # replaces agg+join-back, and ONE doc_id aggregation now produces
+    # kept count, total count AND the reassembled text (`collect_list`
+    # drops the NULLs the `when` guard leaves on repeated segments, so
+    # the kept-only reassembly needs no pre-filter); totals derive from
+    # the same pass (a doc's segment count IS ceil(|t|/W) by
+    # `_segment_array` construction; zero-token docs emit no segments
+    # and coalesce to 0 exactly as ceil(0/W) did), so the remaining docs
+    # scan reads doc_id only — no tokenizer.
     segs = toks.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
-    cnt = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("c"))
-    kept = (
-        segs.join(cnt, "seg")
-        .where(F.col("c") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                    lambda x: x.getField("seg"),
+    wf = segs.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("seg")))
+    keep = F.col("c") == 1
+    per = wf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "seg")))
                 ),
-                " ",
-            ).alias("clean_text"),
-        )
-    )
-    totals = toks.select(
-        "doc_id",
-        F.ceil(F.size("t") / F.lit(float(SEGMENT_W))).cast("int").alias("n_total"),
+                lambda x: x.getField("seg"),
+            ),
+            " ",
+        ).alias("clean_text"),
     )
     return (
-        totals.join(kept, "doc_id", "left")
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
@@ -1695,7 +1723,11 @@ def er_resolve(identities: DataFrame) -> DataFrame:
         # in ONE task; chunk-pair keys spread it over T² tasks (the
         # EMBED_BLOCKS tiling pattern applied to ER)
         F.pmod(F.xxhash64("email"), F.lit(ER_TILES)).cast("int").alias("chunk"),
-    )
+    ).localCheckpoint(eager=False)
+    # optimization round 13 (guide §2.4): banded feeds BOTH tile-expansion
+    # branches — uncheckpointed, the whole upstream identities aggregation
+    # (a full reservas scan + groupBy) executed once per branch. The frame
+    # is 2×|identities| rows (one per band key), cheap to materialize.
     a = banded.select(
         F.col("domain").alias("d"),
         F.col("band_len").alias("bl"),

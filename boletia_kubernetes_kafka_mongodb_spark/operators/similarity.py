@@ -694,29 +694,31 @@ def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the honest price of measuring recall (run on a sampled query set
     in production; here the fixed batch IS the sample).
     """
-    ann = ext_ann_ivf_batch(spark, sf_dir).select("query_id", "vec_id")
-    exact = ext_topk_batch(spark, sf_dir).select("query_id", "vec_id")
-    hits = (
-        ann.join(exact, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    ann = ext_ann_ivf_batch(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
     )
-    # denominator = the exact side's ACTUAL per-query list size, not the
-    # constant BATCH_TOPK: a corpus with fewer than k eligible vectors
-    # would otherwise understate recall and overstate the list size
-    # (round-7 ADVICE)
+    exact = ext_topk_batch(spark, sf_dir).select("query_id", "vec_id")
+    # optimization round 13 (guide §2.4): the exact side previously fed
+    # TWO branches (the hits inner join and the per-query list-size
+    # denominator), so the brute-force reference scan — the audit's one
+    # expensive pass — executed once per branch. One LEFT join of the
+    # (rank-sized, broadcast) ANN list onto the exact list now computes
+    # both in a single aggregation: every exact row counts toward k, the
+    # matched ones toward hits. Denominator semantics unchanged (the
+    # exact side's ACTUAL per-query list size, round-7 ADVICE).
     return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("k"))
-        .join(F.broadcast(hits), "query_id", "left")
+        exact.join(F.broadcast(ann), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count("_hit").cast("long").alias("hits"),
+        )
         .select(
             "query_id",
             "k",
-            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+            "hits",
             F.round(
-                F.coalesce(F.col("h"), F.lit(0)).cast("double")
-                / F.col("k").cast("double"),
-                6,
+                F.col("hits").cast("double") / F.col("k").cast("double"), 6
             ).alias("recall"),
         )
     )
@@ -2884,6 +2886,10 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= MMR_POOL)
         .drop("rank")
+        # optimization round 13 (guide §2.4): cand feeds both sides of the
+        # pool×pool pair build — uncheckpointed, the corpus-sized scoring
+        # + top-pool cut ran once per side. The frame is MMR_POOL rows.
+        .localCheckpoint(eager=False)
     )
     a = cand.select(
         F.col("vec_id").alias("a"),

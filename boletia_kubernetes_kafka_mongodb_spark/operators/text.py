@@ -789,7 +789,12 @@ def ext_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket is then "1 + #thresholds strictly below its score" — a narrow
     map. Same output as ntile up to threshold ties, O(1) driver state.
     """
-    lp = ext_text_unigram_logprob(spark, sf_dir)
+    # optimization round 13 (guide §2.4): lp feeds BOTH the percentile
+    # branch and the bucketing branch; without a checkpoint the whole
+    # unigram-LM chain (occ→freq→lm→join→doc agg) executed twice —
+    # `occ` alone was materialized upstream. The per-doc frame is one
+    # row per document, cheap to keep.
+    lp = ext_text_unigram_logprob(spark, sf_dir).localCheckpoint(eager=False)
     pcts = [i / QUALITY_N_BUCKETS for i in range(1, QUALITY_N_BUCKETS)]
     th = lp.agg(F.percentile("avg_logprob", pcts).alias("t"))
     bucketed = lp.crossJoin(F.broadcast(th)).select(
@@ -1148,11 +1153,26 @@ def cms_report(toks: DataFrame, d: int, w: int, topn: int) -> DataFrame:
     mergeable across shards/days. The probe side explodes only the
     ``topn`` audited keys against the broadcast (≤ d·w rows) sketch."""
     probes = _cms_probes(d, w)
-    cells = _cms_cells(toks, d, w)
-    exact = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact")
+    # optimization round 13 (guide §2.3/§2.4): one corpus pass, vocab-sized
+    # everything after. The counter table is a pure function of the
+    # (token, count) frame — a cell holds Σ count(token) over the tokens
+    # hashing into it, identically whether summed per occurrence or per
+    # type — so both the sketch and the exact audit side derive from ONE
+    # tf aggregation; the d seeded md5s run once per DISTINCT token
+    # instead of once per occurrence, and the corpus is scanned once, not
+    # twice. (`_cms_cells` keeps the per-occurrence fold for the
+    # streaming twin, whose micro-batches merge cells incrementally.)
+    tf = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .localCheckpoint(eager=False)
     )
-    top = exact.orderBy(F.col("n_exact").desc(), F.col("token").asc()).limit(topn)
+    cells = (
+        tf.select(F.explode(probes).alias("p"), "n_exact")
+        .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .agg(F.sum("n_exact").cast("long").alias("cnt"))
+    )
+    top = tf.orderBy(F.col("n_exact").desc(), F.col("token").asc()).limit(topn)
     probed = top.select("token", "n_exact", F.explode(probes).alias("p")).select(
         "token", "n_exact", F.col("p.j").alias("j"), F.col("p.b").alias("b")
     )
@@ -1952,16 +1972,25 @@ def ext_tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents", fan=True).select(
         "lang", split_assignment("doc_id").alias("split"), "text"
     )
+    # optimization round 13 (guide §2.4): `held` feeds two branches (the
+    # distinct-word encode frame + the final per-lang fold) and
+    # `train_words` feeds two more (alphabet derivation + the known-word
+    # join) — uncheckpointed, each branch re-ran the full corpus
+    # tokenize+explode+agg subtree, putting FIVE documents scans in one
+    # plan. Both frames are vocab-sized, so materializing them once is
+    # free and the plan drops to the two semantic corpus passes.
     held = (
         docs.where(F.col("split") == "test")
         .select("lang", F.explode(tokens_col("text")).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     train_words = (
         docs.where(F.col("split") != "test")
         .select(F.explode(tokens_col("text")).alias("w"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     train_chars = (
         train_words.select(F.explode(F.split("w", "")).alias("ch")).distinct()
