@@ -1137,35 +1137,39 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-activity week, activity tracked per week offset — the other
     product-analytics staple. Week 0 retention is 1.0 by construction.
 
-    Plan: one ``user_id`` agg for first-seen, join back on the same key
-    (AQE broadcasts the per-user frame when small; at 100 TB it co-shuffles
-    with the events side on user_id), then one (cohort, offset) agg with a
-    distinct-user count. The cohort-size denominator comes from a window
-    over the AGGREGATED frame (≤ cohorts×offsets rows), not a second pass.
+    Plan (optimization round 13, guide §2.3/§2.4): ONE events pass reduces
+    to the distinct ``(user_id, week)`` frame (a map-side-combining
+    aggregate of narrow keys); the per-user first week is a ``min`` window
+    over that deduped frame — no second events scan, no join back, and the
+    (cohort, offset) count is a PLAIN count, because each (user, week) row
+    maps to exactly one (cohort_week, week_offset): within a user, cohort
+    is fixed and distinct weeks give distinct offsets, so per-(cohort,
+    offset) distinct users ≡ rows of the deduped frame. ``date_trunc`` is
+    monotone, so min(trunc(ts)) ≡ trunc(min(ts)) — cohorts unchanged. The
+    old shape scanned events twice, co-shuffled the full event rows with
+    the per-user frame, and paid a count_distinct expansion; this one
+    shuffles deduped (user, week) pairs only. The cohort-size denominator
+    still comes from a window over the AGGREGATED frame (≤ cohorts×offsets
+    rows), not a second pass.
     """
     from pyspark.sql.window import Window
 
     ev = tables.load(spark, sf_dir, "events", fan=True)
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
     act = (
-        ev.join(first, "user_id")
+        uw.withColumn(
+            "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
+        )
         .select(
-            "user_id",
             "cohort_week",
-            (
-                F.datediff(
-                    F.date_trunc("week", F.col("ts")).cast("date"),
-                    F.col("cohort_week"),
-                )
-                / 7
-            )
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
             .cast("int")
             .alias("week_offset"),
         )
         .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
     w = Window.partitionBy("cohort_week")
     return act.select(

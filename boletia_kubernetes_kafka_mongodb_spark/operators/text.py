@@ -1274,6 +1274,8 @@ def ext_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ext_text_unigram_logprob` one order up. Docs with < 2 tokens carry a
     NULL score (no bigrams to judge).
     """
+    from pyspark.sql.window import Window
+
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     t = tokens_col("text")
     n = F.size(t)
@@ -1292,25 +1294,30 @@ def ext_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     lm2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
-    ctx = lm2.groupBy("prev").agg(F.sum("c2").alias("c1prev"))
-    uni = (
-        lm2.groupBy("cur").agg(F.sum("c2").alias("c1cur"))
-    )
-    scalars = uni.agg(
-        F.count(F.lit(1)).cast("double").alias("v"),
-        F.sum("c1cur").alias("t_total"),
+    # optimization round 13 (guide §2.4): the context totals and unigram
+    # totals used to be separate groupBys JOINED back onto lm2 (two extra
+    # vocab aggregations + two joins = ~8 AQE stages per invocation); two
+    # window sums over lm2 carry the identical values — c1prev/c1cur are
+    # per-key sums either way — and the scalars collapse to ONE tiny agg
+    # on lm2 (V = distinct cur; T = Σc2 regardless of grouping). All sums
+    # are integer-valued doubles, so regrouping is bit-exact.
+    wprev = Window.partitionBy("prev")
+    wcur = Window.partitionBy("cur")
+    scalars = lm2.agg(
+        F.count_distinct("cur").cast("double").alias("v"),
+        F.sum("c2").alias("t_total"),
     )
     lam = F.lit(BIGRAM_LAMBDA)
     p = lam * F.col("c2") / F.col("c1prev") + (F.lit(1.0) - lam) * (
         F.col("c1cur") + 1.0
     ) / (F.col("t_total") + F.col("v"))
-    # assemble the full LM on the VOCAB-sized frames first (bigram-key ×
-    # context × unigram joins never touch corpus-scale rows), so the
-    # corpus-sized tf2 frame pays exactly ONE join — three shuffles of the
-    # big side collapse to one
+    # assemble the full LM on the VOCAB-sized frame first (the window
+    # sums never touch corpus-scale rows), so the corpus-sized tf2 frame
+    # pays exactly ONE join — three shuffles of the big side collapse to
+    # one
     lm_full = (
-        lm2.join(ctx, "prev")
-        .join(uni, "cur")
+        lm2.withColumn("c1prev", F.sum("c2").over(wprev))
+        .withColumn("c1cur", F.sum("c2").over(wcur))
         .crossJoin(F.broadcast(scalars))
         .select("prev", "cur", F.log(p).alias("logp"))
     )
@@ -1806,10 +1813,19 @@ def ext_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     N-merge fit ARE the k-merge fit), so one cached fit serves every
     ablation point.
 
-    Plan: ONE corpus scan with one Arrow encode kernel per ablation point
-    (each closing over a merge-list prefix), one global agg, then a
-    KS-sized literal union — corpus cost is a single pass regardless of
-    how many points the sweep reads. Oracle: the recursive BPE CTE
+    Plan (optimization round 13, guide §2.3/§4): ONE corpus scan reduces
+    to the (word, tf) TYPE frame (tokenize+explode+groupBy, all JVM);
+    the per-ablation-point encode kernels then run over the VOCAB-sized
+    type frame only, and every total is a tf-weighted sum —
+    Σ_occurrences len_k(w) ≡ Σ_types tf(w)·len_k(w) exactly (integer),
+    n_words ≡ Σ tf, n_chars ≡ Σ tf·length(w). The corpus never crosses
+    the Python boundary at all (the old shape shipped every document's
+    full token array through Arrow once per ablation point); the python
+    work drops from O(occurrences × points) to O(types × points). One
+    global agg, then a KS-sized literal union — corpus cost is a single
+    JVM pass regardless of how many points the sweep reads. Oracle
+    unchanged: it already encodes DISTINCT words and joins tf back —
+    this is the same program. The recursive BPE CTE
     retains every intermediate rank's state, so the encode CTE read AT
     rank k is exactly the k-merge tokenizer — the ablation replays from
     the same program as training, no second fit. Determinism: BIGINT
@@ -1829,18 +1845,31 @@ def ext_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility double, chars_per_token double",
         )
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    toks = tokens_col("text")
-    cols = [
-        F.size(toks).cast("long").alias("nw"),
-        F.length(F.array_join(toks, "")).cast("long").alias("nc"),
-    ]
-    for k in ks:
-        cols.append(_bpe_count_udf(merges[:k])(toks).alias(f"nb{k}"))
-    tot = docs.select(*cols).agg(
-        F.sum("nw").cast("long").alias("n_words"),
-        F.sum("nc").cast("long").alias("n_chars"),
-        *[F.sum(f"nb{k}").cast("long").alias(f"nb{k}") for k in ks],
+    tf = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    enc = tf.select(
+        "tf",
+        F.length("w").cast("long").alias("wlen"),
+        *[
+            _bpe_count_udf(merges[:k])(F.array(F.col("w"))).alias(f"len{k}")
+            for k in ks
+        ],
+    )
+    # tot feeds one union branch PER ablation point — uncheckpointed, the
+    # whole corpus pass + every encode kernel re-executed once per point
+    # (plan showed the full subtree ×|ks| under the Union). The frame is
+    # ONE row; materialize it and the union branches read that row.
+    tot = enc.agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.sum(F.col("tf") * F.col("wlen")).cast("long").alias("n_chars"),
+        *[
+            F.sum(F.col("tf") * F.col(f"len{k}")).cast("long").alias(f"nb{k}")
+            for k in ks
+        ],
+    ).localCheckpoint(eager=False)
     rows = [
         tot.select(
             F.lit(k).cast("int").alias("n_merges"),
@@ -1972,25 +2001,32 @@ def ext_tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents", fan=True).select(
         "lang", split_assignment("doc_id").alias("split"), "text"
     )
-    # optimization round 13 (guide §2.4): `held` feeds two branches (the
-    # distinct-word encode frame + the final per-lang fold) and
+    # optimization round 13 (guide §2.3/§2.4): `held` feeds two branches
+    # (the distinct-word encode frame + the final per-lang fold) and
     # `train_words` feeds two more (alphabet derivation + the known-word
     # join) — uncheckpointed, each branch re-ran the full corpus
     # tokenize+explode+agg subtree, putting FIVE documents scans in one
-    # plan. Both frames are vocab-sized, so materializing them once is
-    # free and the plan drops to the two semantic corpus passes.
-    held = (
-        docs.where(F.col("split") == "test")
-        .select("lang", F.explode(tokens_col("text")).alias("w"))
-        .groupBy("lang", "w")
+    # plan. Further: held and train_words each tokenized the corpus once
+    # (two semantic passes); ONE labeled aggregation — keyed
+    # (is_test, lang, w) — now feeds both, so the corpus is tokenized,
+    # exploded and shuffled exactly once, and both frames are vocab-sized
+    # cuts of the one materialization. held ≡ the test-side rows (lang is
+    # per-doc, so grouping by it costs nothing on the test side);
+    # train_words ≡ distinct w over the non-test rows (a vocab-sized
+    # distinct, not a corpus pass).
+    by_split = (
+        docs.select(
+            (F.col("split") == "test").alias("is_test"),
+            "lang",
+            F.explode(tokens_col("text")).alias("w"),
+        )
+        .groupBy("is_test", "lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .localCheckpoint(eager=False)
     )
+    held = by_split.where(F.col("is_test")).select("lang", "w", "tf")
     train_words = (
-        docs.where(F.col("split") != "test")
-        .select(F.explode(tokens_col("text")).alias("w"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        by_split.where(~F.col("is_test")).select("w").distinct()
     )
     train_chars = (
         train_words.select(F.explode(F.split("w", "")).alias("ch")).distinct()
