@@ -567,6 +567,41 @@ def _shingles(toks):
     return F.array_distinct(out)
 
 
+def _shingles_sql(toks_sql: str) -> str:
+    """The `_shingles` expression as ONE Spark-SQL string over an inlined
+    token-array expression — operator-for-operator the same tree the Column
+    form builds (slice/zip_with/CASE/concat_ws/array_distinct), parsed in a
+    single JVM call. Optimization round 13 (guide §7.3, driver time):
+    constructing the Column form costs ~45 ms of py4j round-trips PER
+    invocation; `F.expr` of this string costs ~1 ms. Equality of the two
+    forms is pinned by tests/test_dedup.py::test_expr_string_builders_match_column_forms."""
+    n = SHINGLE_N
+    ng = f"greatest(size({toks_sql}) - {n - 1}, 1)"
+    out = f"slice({toks_sql}, 1, {ng})"
+    for k in range(1, n):
+        out = (
+            f"zip_with({out}, slice({toks_sql}, {k + 1}, {ng}), "
+            "(a, b) -> CASE WHEN b IS NULL THEN a ELSE concat_ws(' ', a, b) END)"
+        )
+    return f"array_distinct({out})"
+
+
+def _tokens_text_sql() -> str:
+    """SQL text of ``tokens_col("text")`` (the third argument is explicit:
+    Spark's SQL function defaults idx to 1, the Column API passes 0)."""
+    from .text import TOKEN_RE
+
+    return f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+
+
+def _shingles_text() -> F.Column:
+    """``_shingles(tokens_col("text"))`` built via one `F.expr` parse —
+    the form every operator call site uses (they all shingle the `text`
+    column); the Column builder above stays as the semantic reference the
+    equivalence test compares against."""
+    return F.expr(_shingles_sql(_tokens_text_sql()))
+
+
 MINHASH_MOD = (1 << 31) - 1  # Mersenne prime: universal-hash modulus
 BAND_FOLD_P = 1_000_003      # band-bucket polynomial base
 
@@ -623,7 +658,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     that doesn't shuffle at all beats any agg.
     """
     shingle_hashes = F.transform(
-        _shingles(tokens_col("text")), lambda s: shingle_hash31(s)
+        _shingles_text(), lambda s: shingle_hash31(s)
     )
     with_hashes = docs.select(
         "doc_id", F.explode(F.array(shingle_hashes)).alias("hs")
@@ -636,6 +671,22 @@ def _minhash_sig_over_hs() -> F.Column:
     shingle-hash array behind a Generate barrier — see
     `minhash_signatures` for why the barrier is load-bearing). Shared by
     the signature stage and the accuracy audit's members-only pass."""
+    # optimization round 13 (guide §7.3, driver time): the 32 transform
+    # lambdas cost ~0.44 s of py4j round-trips per invocation when built as
+    # Column objects; ONE `F.expr` parse of the identical tree costs ~2 ms.
+    # `h` is a long, so the int literals promote exactly as `F.lit(a) * h`
+    # did; equality pinned by test_expr_string_builders_match_column_forms.
+    sql = "array(" + ", ".join(
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_MOD}L))"
+        for a, b in minhash_perm_constants()
+    ) + ")"
+    return F.expr(sql)
+
+
+def _minhash_sig_over_hs_column_form() -> F.Column:
+    """The original Column-builder form of `_minhash_sig_over_hs` — kept as
+    the semantic reference the equivalence test compares the expr-string
+    form against (and as documentation of the tree being parsed)."""
     m = F.lit(MINHASH_MOD)
 
     def _perm(a: int, b: int):
@@ -657,25 +708,22 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     index is only valid if the probe computes keys identically."""
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
-    m, p = F.lit(MINHASH_MOD), F.lit(BAND_FOLD_P)
     # polynomial fold mod M instead of xxhash64 over the joined string:
     # engine-independent (the oracle replays the identical fold), and a
     # bucket collision only ever ADDS a candidate — the exact-Jaccard
-    # verify stage prices and filters it, so correctness is unaffected
+    # verify stage prices and filters it, so correctness is unaffected.
+    # The 8 fold lambdas are parsed as ONE expr string (guide §7.3 driver
+    # time, the `_minhash_sig_over_hs` move); `v` is a long so the int
+    # literals promote exactly as the F.lit forms did.
+    folds_sql = "array(" + ", ".join(
+        f"aggregate(slice(sig, {b * rows_per_band + 1}, {rows_per_band}), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, v) -> (acc * {BAND_FOLD_P}L + v) % {MINHASH_MOD}L)"
+        for b in range(LSH_BANDS)
+    ) + ")"
     return sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: (acc * p + v) % m,
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(folds_sql)).alias("band", "bucket"),
     )
 
 
@@ -768,7 +816,7 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = sides.select("doc_id").distinct()
     member_docs = docs.join(F.broadcast(members), "doc_id", "inner")
     shingles_df = member_docs.select(
-        "doc_id", _shingles(tokens_col("text")).alias("sh")
+        "doc_id", _shingles_text().alias("sh")
     )
     joined = shingles_df.join(F.broadcast(sides), "doc_id", "inner")
     paired = joined.groupBy("doc_a", "doc_b").agg(
@@ -1983,7 +2031,7 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full exchange of the exploded frame (plan audited; the two remaining
     # shuffles are the count window on h and the per-doc re-agg)
     ex = docs.select(
-        "doc_id", F.explode(_shingles(tokens_col("text"))).alias("s")
+        "doc_id", F.explode(_shingles_text()).alias("s")
     ).select("doc_id", md5_hash64(F.col("s")).alias("h"))
     wf = ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
     per = wf.groupBy("doc_id").agg(
@@ -2084,7 +2132,7 @@ def ext_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     member_feats = (
         docs.join(F.broadcast(members), "doc_id", "inner")
         .select(
-            "doc_id", F.explode(F.array(_shingles(tokens_col("text")))).alias("sh")
+            "doc_id", F.explode(F.array(_shingles_text())).alias("sh")
         )
         .select(
             "doc_id",

@@ -509,14 +509,13 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join + count(marker) then yields per-eval-doc totals in the same
     shuffle as the aggregation.
     """
-    from .dedup import _shingles
-    from .text import tokens_col
+    from .dedup import _shingles_text
 
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     sh = docs.select(
         "doc_id",
         split_assignment("doc_id").alias("split"),
-        F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias("shingle"),
+        F.explode(F.array_distinct(_shingles_text())).alias("shingle"),
     )
     # DELIBERATELY not checkpointed (A/B-measured): both join branches do
     # re-run the tokenize->shingle narrow stage, but materializing the
@@ -909,8 +908,7 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positives included, which is what makes this oracle-checkable.
     Guarantee (tested): flagged ⊇ the exact operator's train-side hits.
     """
-    from .dedup import _shingles
-    from .text import tokens_col
+    from .dedup import _shingles_text
 
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     # materialize ONCE: both branches (filter bits + train probes) consume
@@ -920,7 +918,7 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             split_assignment("doc_id").alias("split"),
-            F.explode(F.array_distinct(_shingles(tokens_col("text")))).alias(
+            F.explode(F.array_distinct(_shingles_text())).alias(
                 "shingle"
             ),
         )

@@ -1834,37 +1834,36 @@ def ext_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     signs = rp_sign_matrix()
-    sqrt_m = F.sqrt(F.lit(float(RP_OUT_DIM)))
+    # optimization round 13 (guide §7.3, driver time): the 8 fold columns
+    # each carried a 64-literal sign array — ~500 py4j round-trips (~0.7 s)
+    # per invocation when built as Column objects. Each is now ONE `F.expr`
+    # parse of the identical tree (`D` suffixes keep every literal a
+    # double, exactly what `F.lit(float)` produced); values pinned equal to
+    # the Column form by test_embed_project_expr_matches_column_form.
+    sqrt_m_sql = f"sqrt({float(RP_OUT_DIM)}D)"
     proj_cols = []
     for j in range(RP_OUT_DIM):
-        srow = F.array(*[F.lit(s) for s in signs[j]])
-        y = (
-            F.aggregate(
-                F.zip_with("x", srow, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / sqrt_m
+        srow = ", ".join(f"{s}D" for s in signs[j])
+        proj_cols.append(
+            F.expr(
+                f"round(aggregate(zip_with(x, array({srow}), (a, b) -> a * b), "
+                f"0.0D, (acc, v) -> acc + v) / {sqrt_m_sql}, 6)"
+            ).alias(f"p{j}")
         )
-        proj_cols.append(F.round(y, 6).alias(f"p{j}"))
     out = base.select(
         "vec_id",
-        F.sqrt(
-            F.aggregate(
-                F.transform("x", lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v
-            )
+        F.expr(
+            "sqrt(aggregate(transform(x, v -> v * v), 0.0D, (acc, v) -> acc + v))"
         ).alias("norm_x"),
         *proj_cols,
     )
-    ysq = F.lit(0.0)
-    for j in range(RP_OUT_DIM):
-        ysq = ysq + F.col(f"p{j}") * F.col(f"p{j}")
+    ysq = " + ".join(f"p{j} * p{j}" for j in range(RP_OUT_DIM))
     return out.select(
         "vec_id",
         *[f"p{j}" for j in range(RP_OUT_DIM)],
-        F.when(F.col("norm_x") > 0, F.round(F.sqrt(ysq) / F.col("norm_x"), 6)).alias(
-            "norm_ratio"
-        ),
+        F.expr(
+            f"CASE WHEN norm_x > 0 THEN round(sqrt({ysq}) / norm_x, 6) END"
+        ).alias("norm_ratio"),
     )
 
 

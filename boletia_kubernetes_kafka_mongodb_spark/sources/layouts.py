@@ -631,11 +631,10 @@ def probe_minhash_band_index(
     """
     from ..operators.dedup import (
         JACCARD_THRESHOLD,
-        _shingles,
+        _shingles_text,
         minhash_band_keys,
     )
     from ..operators.sampling import split_assignment
-    from ..operators.text import tokens_col
 
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     new_docs = docs.where(split_assignment("doc_id") == "test")
@@ -659,7 +658,7 @@ def probe_minhash_band_index(
         F.broadcast(members.withColumnRenamed("member", "doc_id")), "doc_id"
     )
     sh = member_docs.select(
-        F.col("doc_id").alias("member"), _shingles(tokens_col("text")).alias("sh")
+        F.col("doc_id").alias("member"), _shingles_text().alias("sh")
     )
     joined = sh.join(F.broadcast(sides), "member")
     paired = joined.groupBy("doc_id", "dup_of").agg(

@@ -799,3 +799,59 @@ def test_minhash_accuracy_audit(spark, duck):
         entrymod.queries()["ext_dedup_minhash_accuracy"],
         entrymod.oracle_sql()["ext_dedup_minhash_accuracy"],
     )
+
+
+def test_expr_string_builders_match_column_forms(spark):
+    """Optimization round 13 (guide §7.3 driver time): the shingle and
+    32-perm-signature builders are parsed from single SQL strings instead
+    of ~500 py4j Column calls per invocation. The expr-string forms must be
+    VALUE-IDENTICAL to the original Column-builder forms on real data —
+    shingles compared as sets (array_distinct order is engine-internal but
+    both forms share it, so exact list equality is asserted), signatures
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import dedup as D
+    from boletia_kubernetes_kafka_mongodb_spark.operators.text import tokens_col
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    both = docs.select(
+        "doc_id",
+        D._shingles(tokens_col("text")).alias("ref"),
+        D._shingles_text().alias("opt"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r.ref == r.opt, r.doc_id
+
+    hs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.transform(
+                    D._shingles_text(), lambda s: D.shingle_hash31(s)
+                )
+            )
+        ).alias("hs"),
+    )
+    sigs = hs.select(
+        "doc_id",
+        D._minhash_sig_over_hs_column_form().alias("ref"),
+        D._minhash_sig_over_hs().alias("opt"),
+    ).collect()
+    for r in sigs:
+        assert r.ref == r.opt, r.doc_id
+
+    # band fold: the expr-string fold inside minhash_band_keys must equal a
+    # pure-python replay of (acc*P + v) % M over each band's signature slice
+    rpb = D.MINHASH_PERMS // D.LSH_BANDS
+    sig_by_doc = {r.doc_id: r.opt for r in sigs}
+    keys = D.minhash_band_keys(docs).collect()
+    assert len(keys) == len(sig_by_doc) * D.LSH_BANDS
+    for r in keys:
+        sl = sig_by_doc[r.doc_id][r.band * rpb : r.band * rpb + rpb]
+        acc = 0
+        for v in sl:
+            acc = (acc * D.BAND_FOLD_P + v) % D.MINHASH_MOD
+        assert acc == r.bucket, (r.doc_id, r.band)

@@ -591,3 +591,46 @@ def test_ann_index_promote_oracle_parity(spark, duck):
     compare_with_oracle(
         spark, duck, S.ext_ann_index_promote, S.ext_ann_index_promote_oracle()
     )
+
+
+def test_embed_project_expr_matches_python_reference(spark):
+    """Optimization round 13 (guide §7.3): the 8 projection folds are
+    parsed from SQL strings (one 64-literal array each) instead of ~500
+    py4j calls. The fold is a SEQUENTIAL left-to-right IEEE double sum, so
+    a pure-python replay of the same order must agree bit-for-bit (compared
+    post-round at the operator's own 6dp grain), including the norm_ratio
+    guard for zero vectors."""
+    import math
+
+    from boletia_kubernetes_kafka_mongodb_spark import tables
+    from boletia_kubernetes_kafka_mongodb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.vec_id: r for r in S.ext_embed_project(spark, sf).collect()}
+    emb = {
+        r.vec_id: r.embedding
+        for r in tables.load(spark, sf, "embeddings").collect()
+        if r.embedding is not None and len(r.embedding) == S.RP_IN_DIM
+    }
+    assert set(out) == set(emb) and len(out) > 0
+    signs = S.rp_sign_matrix()
+    sqrt_m = math.sqrt(float(S.RP_OUT_DIM))
+    for vid, x in emb.items():
+        xs = [float(v) for v in x]
+        ps = []
+        for j in range(S.RP_OUT_DIM):
+            acc = 0.0
+            for a, b in zip(xs, signs[j]):
+                acc += a * b
+            ps.append(round(acc / sqrt_m, 6))
+        row = out[vid]
+        assert [getattr(row, f"p{j}") for j in range(S.RP_OUT_DIM)] == ps, vid
+        nx = 0.0
+        for v in xs:
+            nx += v * v
+        nx = math.sqrt(nx)
+        ysq = 0.0
+        for j in range(S.RP_OUT_DIM):
+            ysq = ysq + ps[j] * ps[j]
+        expect = round(math.sqrt(ysq) / nx, 6) if nx > 0 else None
+        assert row.norm_ratio == expect, vid
