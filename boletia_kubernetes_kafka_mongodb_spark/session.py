@@ -29,10 +29,17 @@ def get_spark(app_name: str = "boletia-spark", cpus: str | int | None = None) ->
       embedding ops); core relational operators never leave the JVM.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # parameterized (optimization round 13): 32 is the LOCAL default — an
+    # upper bound AQE coalesces below at test SFs. A cluster run sets
+    # SPARK_SHUFFLE_PARTITIONS to ~2-3x total executor cores (guide §2.2:
+    # size post-shuffle partitions toward 100 MB-1 GB); the value is
+    # deliberately NOT derived from the local core count so the driver's
+    # lower-core bench runs measure scaling, not a retuned config.
+    shuffle_parts = os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
