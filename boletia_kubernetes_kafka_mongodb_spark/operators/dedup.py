@@ -1314,7 +1314,11 @@ def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A count window over ``seg`` (the `ext_ngram_novelty` one-shuffle
     # shape) replaces agg+join-back: one corpus pass, one exchange on the
     # segment key, identical counts (the window count per seg IS the
-    # groupBy count), no checkpoint barrier.
+    # groupBy count), no checkpoint barrier. (A singleton-owner variant —
+    # groupBy(seg)+min(doc_id), narrow ceil(|t|/W) denominator — was
+    # built and interleaved-A/B'd this round: a wash at sf0.1, the extra
+    # tokenize branch cancels the singleton-only re-agg saving. Left in
+    # this form.)
     segs = toks.select("doc_id", F.explode(seg_arr).alias("seg"))
     wf = segs.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("seg")))
     per = wf.groupBy("doc_id").agg(
@@ -1502,10 +1506,10 @@ SUBSTR_W = 12  # overlapping-window width in tokens (exact-substring dedup)
 
 
 def _substring_window_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-checkpoint (doc_id, wh) frame of `ext_dedup_substring` — the
-    tokenize + per-position md5 narrow map. Exposed separately so the plan
-    gate can assert the md5-in-narrow-map shape that the operator's
-    localCheckpoint truncates out of its final physical plan."""
+    """The (doc_id, wh) frame of `ext_dedup_substring` — the tokenize +
+    per-position md5 narrow map. Exposed separately as the plan-gate seam
+    for the md5-in-narrow-map shape (one tokenizer, hashes built before
+    the explode)."""
     docs = tables.load(spark, sf_dir, "documents", fan=True)
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
     n = F.size("t")
@@ -1532,46 +1536,55 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: windows are md5-hashed IN the narrow map, so the exploded
     frame carries a fixed 32-byte key instead of a W-token string — the
     stride-1 blowup is |tokens| rows of constant width, not W× the corpus
-    text. One shuffle on the window hash (distinct-doc count via two-level
-    groupBy), join back on the same key, one doc_id agg. Collision risk at
-    md5/128-bit is negligible at any corpus size.
+    text. One combining shuffle on (wh, doc), one on wh, then only the
+    single-document hashes re-aggregate (see the in-body note); the
+    per-doc window count is a narrow map. Collision risk at md5/128-bit
+    is negligible at any corpus size.
     """
-    # optimization round 13 (guide §2.4): wins feeds both the per-window
-    # distinct-doc count and the join back — uncheckpointed, the
-    # tokenize + per-window md5 map (the expensive part: one md5 per
-    # token position) executed once PER BRANCH. Materialized once, the
-    # frame is |token positions| × (doc_id + 32-byte key).
+    # optimization round 13 take 2 (guide §2.3/§2.4 — singleton-owner
+    # aggregation): an instance lies on a cross-doc repeated run unless
+    # its window hash is confined to ONE document, and a one-document
+    # hash's owner (plus its within-doc instance count) is recoverable
+    # from the (wh, doc_id)-level aggregate itself — min(doc_id) and
+    # sum(c). So the plan is: one combining groupBy(wh, doc_id) (the same
+    # exchange the previous DISTINCT paid), one combining groupBy(wh)
+    # over it, then a re-agg of the n_docs=1 groups ONLY (16-byte rows).
+    # The previous form joined the full wins frame back onto the count
+    # frame (a second full-frame exchange on wh) and re-aggregated every
+    # instance by doc_id (a third); both are gone, and with a single
+    # consumer the wins frame no longer needs a checkpoint
+    # materialization. The denominator is narrow: stride-1 windowing
+    # emits exactly max(|t| − W + 1, 0) instances per doc, one tokenize
+    # regex per doc (CPU, vs a corpus-sized shuffle at 100 TB).
     docs = tables.load(spark, sf_dir, "documents", fan=True)
-    wins = _substring_window_hashes(spark, sf_dir).localCheckpoint(eager=False)
-    # distinct-doc count per window: dedupe (wh, doc) then count — two
-    # map-side-combining aggregates, no count_distinct shuffle of raw rows
-    docs_per_win = (
-        wins.select("wh", "doc_id")
-        .distinct()
-        .groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    wins = _substring_window_hashes(spark, sf_dir)
+    per_doc_win = wins.groupBy("wh", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    per = (
-        wins.join(docs_per_win, "wh")
+    owners = per_doc_win.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("doc_id"),
+        F.sum("c").alias("ct"),
+    )
+    uniq = (
+        owners.where(F.col("n_docs") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_windows"),
-        )
+        .agg(F.sum("ct").cast("long").alias("n_nondup"))
     )
-    return (
-        docs.select("doc_id")
-        .join(per, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
-            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
-            F.round(
-                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
-                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
-                4,
-            ).alias("dup_frac"),
-        )
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    n = F.size("t")
+    # when() leaves NULL-text docs (n is -1/NULL) at 0 like the explode did
+    n_win = F.when(n >= SUBSTR_W, n - SUBSTR_W + 1).otherwise(F.lit(0))
+    sizes = toks.select("doc_id", n_win.cast("long").alias("n_windows"))
+    n_dup = F.col("n_windows") - F.coalesce("n_nondup", F.lit(0))
+    return sizes.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        n_dup.cast("long").alias("n_dup_windows"),
+        F.round(
+            n_dup.cast("double") / F.greatest(F.col("n_windows"), F.lit(1)),
+            4,
+        ).alias("dup_frac"),
     )
 
 
@@ -2016,6 +2029,17 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a count window over the shingle key (ONE shuffle, not agg+join-
     back) → per-doc re-aggregation. Zero-shingle docs surface with
     n_shingles = 0 and NULL novelty via the left join from ``documents``.
+
+    Optimization round 13 NOTE (measured, left alone): two structural
+    alternatives were built and interleaved-A/B'd at sf0.1 — (a)
+    singleton-owner aggregation (groupBy(h) + min(doc_id), per-doc size
+    from a second narrow shingle pass) and (b) the same over a
+    localCheckpoint of the exploded frame. Both lost (+21 % / +25 % vs
+    this form): the dominant cost is the shingle construction itself
+    (0.93 s of the 1.6 s — one HOF pass over every token), so any shape
+    that constructs twice or materializes the exploded frame pays more
+    than the window exchange it saves. This form constructs exactly once
+    and streams straight into the one exchange.
 
     Hash note: df counts collide only when md5-64 collides; both engines
     hash identically so parity is unconditional, and at 2⁶⁴ the expected

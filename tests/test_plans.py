@@ -319,10 +319,10 @@ def test_cooccurrence_pairs_from_distinct_baskets(spark):
 def test_substring_windows_hash_in_narrow_map(spark):
     """Window hashes are computed pre-explode (md5 visible in the plan,
     tokenizer exactly once) — the shuffle carries fixed-width keys. Since
-    r13 the (doc_id, wh) frame is localCheckpoint-ed (both consumers read
-    the one materialization), so the md5/tokenizer shape is gated on the
-    exposed pre-checkpoint frame and the final plan must carry no
-    tokenizer at all (it reads the checkpoint, not the corpus)."""
+    the r13 singleton-owner rewrite the wins frame has ONE consumer (no
+    checkpoint needed) and the per-doc window count is a separate narrow
+    tokenize, so the final plan carries exactly one tokenizer per semantic
+    branch (two total) — never one per window position."""
     from boletia_kubernetes_kafka_mongodb_spark.operators import dedup
 
     pre = plans.explain_str(dedup._substring_window_hashes(spark, SF_CORRECT))
@@ -332,7 +332,7 @@ def test_substring_windows_hash_in_narrow_map(spark):
     df = dedup.ext_dedup_substring(spark, SF_CORRECT)
     s = plans.explain_str(df)
     assert "CartesianProduct" not in s
-    assert s.count("regexp_extract_all") <= 1, "corpus re-tokenized past the checkpoint"
+    assert s.count("regexp_extract_all") <= 2, "tokenizer re-runs per window"
 
 
 def test_entity_resolution_tiled_equi_join(spark):
