@@ -43,141 +43,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver records only the FIRST 50 entries in dict
-    order per round. Round-13 window (the standing rotation rule, paid
-    exactly as the r12 verdict precomputed): positions 1-50 are the FULL
-    r10 cohort — the 50 ids whose latest attestation is round 10 in the
-    cross-round histogram (r10: 50, r11: 49, r12: 50), in sorted order.
-    The window has ZERO slack, so round 13 changes no other registered
-    output: every r13 code change is infra/measurement/durability work
-    (bench final-line summary JSON, anchor-normalized isolated bench
-    children, fsync error-class handling per ADVICE, the committed-dir
-    memo invalidation on pointer regression, the single-writer
-    interleaving fuzz for IncrementalIvfIndex) with zero registered-
-    output cost. After r13 the histogram is r11: 49, r12: 50, r13: 50 —
-    no id older than round 11.
+    order per round. Round-14 window (the standing rotation rule): the
+    FULL r11 cohort — the 49 ids whose latest attestation is round 11 in
+    the cross-round histogram (r11: 49, r12: 50, r13: 50) — plus
+    ``ext_dedup_minhash_accuracy`` from the r12 cohort, because the r13
+    verdict (#6) ordered every semantics-adjacent r13 rewrite into the
+    r14 attestation window: ext_heavy_hitters, ext_dedup_substring,
+    agg_retention_cohorts, ext_text_bigram_logprob,
+    ext_decontaminate_bloom (all r11 cohort, covered by the rotation)
+    and ext_dedup_minhash_accuracy (r12, the one manual pick). After r14
+    the histogram is r12: 49, r13: 50, r14: 50 — no id older than
+    round 12.
     """
     return {
-        # --- r13 window positions 1-50: the full r10 cohort (every id
-        # whose latest attestation is round 10), in sorted order ---
-        "agg_count_reservations": aggregates.agg_count_reservations,
-        "agg_ewma_daily": aggregates.agg_ewma_daily,
-        "agg_pivot_estado": aggregates.agg_pivot_estado,
-        "agg_rollup_category": aggregates.agg_rollup_category,
-        "agg_running_capacity": aggregates.agg_running_capacity,
-        "agg_sessionize": aggregates.agg_sessionize,
-        "agg_sliding_window": aggregates.agg_sliding_window,
-        "agg_time_window": windows.agg_time_window,
-        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
-        "agg_value_quantiles": aggregates.agg_value_quantiles,
-        "cancel_increment": mutations.cancel_increment,
-        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
-        "cdc_route_messages": cdc.cdc_route_messages,
-        "event_cancel_update": mutations.event_cancel_update,
-        "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
-        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
-        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
-        "ext_approx_distinct": aggregates.ext_approx_distinct,
-        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
-        "ext_asof_join": joins.ext_asof_join,
-        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
-        "ext_dedup_containment": dedup.ext_dedup_containment,
-        "ext_dedup_embedding": dedup.ext_dedup_embedding,
-        "ext_dedup_exact": dedup.ext_dedup_exact,
-        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
-        "ext_embed_drift": similarity.ext_embed_drift,
-        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
-        "ext_quality_calibration": text.ext_quality_calibration,
-        "ext_quality_classifier": text.ext_quality_classifier,
-        "ext_quality_threshold": text.ext_quality_threshold,
-        "ext_range_join": joins.ext_range_join,
-        "ext_tokenizer_oov": text.ext_tokenizer_oov,
-        "ext_topk_batch": similarity.ext_topk_batch,
-        "ext_topk_similarity": similarity.ext_topk_similarity,
-        "fn_json_props_extract": cdc.fn_json_props_extract,
-        "insert_dedup_unique": mutations.insert_dedup_unique,
-        "join_availability": joins.join_availability,
-        "join_cancel_inventory": joins.join_cancel_inventory,
-        "join_cascade": joins.join_cascade,
-        "join_exists_anti": joins.join_exists_anti,
-        "notify_render": notifications.notify_render,
-        "order_latest_per_email": ordering.order_latest_per_email,
-        "order_topn_disponible": ordering.order_topn_disponible,
-        "order_user_event_ranks": ordering.order_user_event_ranks,
-        "reserva_cancel_flag": mutations.reserva_cancel_flag,
-        "reserve_admission_exact": admission.admission_ledger_batch,
-        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
-        "setop_churn_emails": ordering.setop_churn_emails,
-        "sink_upsert_clone": cdc.sink_upsert_clone,
-        "sql_availability": scans.sql_availability,
-        # --- position > 50 from here: green r11/r12 driver rows,
-        # output-unchanged this round (sorted for auditability) ---
+        # --- r14 window positions 1-50: the full r11 cohort (every id
+        # whose latest attestation is round 11, 49 ids, sorted) plus
+        # ext_dedup_minhash_accuracy (r12 cohort; the one r14-verdict
+        # semantics-adjacent rewrite not already inside the cohort) ---
         "agg_anomaly_zscore": aggregates.agg_anomaly_zscore,
         "agg_cube_source_lang": aggregates.agg_cube_source_lang,
         "agg_funnel_stages": aggregates.agg_funnel_stages,
-        "agg_latency_bands": aggregates.agg_latency_bands,
         "agg_retention_cohorts": aggregates.agg_retention_cohorts,
-        "agg_user_stickiness": aggregates.agg_user_stickiness,
         "agg_value_histogram": aggregates.agg_value_histogram,
         "cdc_broker_metrics": cdc.cdc_broker_metrics,
-        "cdc_scd2_history": cdc.cdc_scd2_history,
-        "ext_ann_index_promote": similarity.ext_ann_index_promote,
         "ext_ann_ivf_batch": similarity.ext_ann_ivf_batch,
         "ext_ann_ivf_topk": similarity.ext_ann_ivf_topk,
         "ext_ann_lsh_topk": similarity.ext_ann_lsh_topk,
-        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
-        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
         "ext_approx_quantiles_incremental": aggregates.ext_approx_quantiles_incremental,
         "ext_approx_quantiles_sketch": aggregates.ext_approx_quantiles_sketch,
         "ext_bm25_search": search.ext_bm25_search,
-        "ext_bpe_merges": text.ext_bpe_merges,
         "ext_cooccurrence": aggregates.ext_cooccurrence,
         "ext_corpus_budget_select": sampling.ext_corpus_budget_select,
-        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
         "ext_corpus_stats": text.ext_corpus_stats,
         "ext_decontaminate": sampling.ext_decontaminate,
         "ext_decontaminate_bloom": sampling.ext_decontaminate_bloom,
         "ext_dedup_clusters": dedup.ext_dedup_clusters,
-        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
         "ext_dedup_incremental": dedup.ext_dedup_incremental,
-        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
-        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
-        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
         "ext_dedup_segments": dedup.ext_dedup_segments,
-        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
         "ext_dedup_simhash": dedup.ext_dedup_simhash,
         "ext_dedup_substring": dedup.ext_dedup_substring,
-        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
-        "ext_embed_project": similarity.ext_embed_project,
-        "ext_embed_quantize": similarity.ext_embed_quantize,
-        "ext_entity_resolution": dedup.ext_entity_resolution,
-        "ext_freq_countmin": text.ext_freq_countmin,
-        "ext_graph_label_prop": graph.ext_graph_label_prop,
-        "ext_graph_pagerank": graph.ext_graph_pagerank,
-        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
         "ext_heavy_hitters": text.ext_heavy_hitters,
-        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
-        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
-        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
-        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
-        "ext_mmr_diversify": similarity.ext_mmr_diversify,
         "ext_multimodal_dedup": multimodal.ext_multimodal_dedup,
         "ext_multimodal_features": multimodal.ext_multimodal_features,
         "ext_multimodal_framesample": multimodal.ext_multimodal_framesample,
         "ext_multimodal_meta": multimodal.ext_multimodal_meta,
         "ext_multimodal_phash": multimodal.ext_multimodal_phash,
-        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
-        "ext_ngram_novelty": dedup.ext_ngram_novelty,
-        "ext_percolate_match": search.ext_percolate_match,
         "ext_quality_buckets": text.ext_quality_buckets,
-        "ext_quality_psi": text.ext_quality_psi,
-        "ext_sample_chunks": sampling.ext_sample_chunks,
         "ext_sample_importance": sampling.ext_sample_importance,
-        "ext_sample_mixture": sampling.ext_sample_mixture,
-        "ext_sample_pack": sampling.ext_sample_pack,
         "ext_sample_quota": sampling.ext_sample_quota,
         "ext_sample_split": sampling.ext_sample_split,
         "ext_sample_weighted": sampling.ext_sample_weighted,
-        "ext_semdedup": similarity.ext_semdedup,
         "ext_shard_manifest": sampling.ext_shard_manifest,
         "ext_split_drift": sampling.ext_split_drift,
         "ext_split_leakage_safe": sampling.ext_split_leakage_safe,
@@ -188,28 +103,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_langid": text.ext_text_langid,
         "ext_text_pii_mask": text.ext_text_pii_mask,
         "ext_text_quality": text.ext_text_quality,
-        "ext_text_readability": text.ext_text_readability,
         "ext_text_repetition": text.ext_text_repetition,
         "ext_text_sentiment": text.ext_text_sentiment,
         "ext_text_tokens": text.ext_text_tokens,
-        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
         "ext_text_winnowing": text.ext_text_winnowing,
         "ext_tfidf_terms": search.ext_tfidf_terms,
+        "ext_vocab_coverage": text.ext_vocab_coverage,
+        "ext_dedup_minhash_accuracy": dedup.ext_dedup_minhash_accuracy,
+        # --- position > 50 from here: green r12/r13 driver rows,
+        # output-unchanged this round (sorted for auditability) ---
+        "agg_count_reservations": aggregates.agg_count_reservations,
+        "agg_ewma_daily": aggregates.agg_ewma_daily,
+        "agg_latency_bands": aggregates.agg_latency_bands,
+        "agg_pivot_estado": aggregates.agg_pivot_estado,
+        "agg_rollup_category": aggregates.agg_rollup_category,
+        "agg_running_capacity": aggregates.agg_running_capacity,
+        "agg_sessionize": aggregates.agg_sessionize,
+        "agg_sliding_window": aggregates.agg_sliding_window,
+        "agg_time_window": windows.agg_time_window,
+        "agg_unpivot_estado": aggregates.agg_unpivot_estado,
+        "agg_user_stickiness": aggregates.agg_user_stickiness,
+        "agg_value_quantiles": aggregates.agg_value_quantiles,
+        "cancel_increment": mutations.cancel_increment,
+        "cascade_cancel_updateall": mutations.cascade_cancel_updateall,
+        "cdc_route_messages": cdc.cdc_route_messages,
+        "cdc_scd2_history": cdc.cdc_scd2_history,
+        "event_cancel_update": mutations.event_cancel_update,
+        "ext_ann_index_promote": similarity.ext_ann_index_promote,
+        "ext_ann_index_refresh": similarity.ext_ann_index_refresh,
+        "ext_ann_ivfpq_topk": similarity.ext_ann_ivfpq_topk,
+        "ext_ann_ndcg_audit": similarity.ext_ann_ndcg_audit,
+        "ext_ann_pq_topk": similarity.ext_ann_pq_topk,
+        "ext_ann_recall_audit": similarity.ext_ann_recall_audit,
+        "ext_approx_distinct": aggregates.ext_approx_distinct,
+        "ext_approx_distinct_kmv": aggregates.ext_approx_distinct_kmv,
+        "ext_asof_join": joins.ext_asof_join,
+        "ext_bpe_merges": text.ext_bpe_merges,
+        "ext_bpe_vocab_sweep": text.ext_bpe_vocab_sweep,
+        "ext_corpus_keep_list": sampling.ext_corpus_keep_list,
+        "ext_dedup_containment": dedup.ext_dedup_containment,
+        "ext_dedup_edit_distance": dedup.ext_dedup_edit_distance,
+        "ext_dedup_embedding": dedup.ext_dedup_embedding,
+        "ext_dedup_exact": dedup.ext_dedup_exact,
+        "ext_dedup_incremental_near": dedup.ext_dedup_incremental_near,
+        "ext_dedup_minhash_lsh": dedup.ext_dedup_minhash_lsh,
+        "ext_dedup_ngram_jaccard": dedup.ext_dedup_ngram_jaccard,
+        "ext_dedup_semantic_clusters": dedup.ext_dedup_semantic_clusters,
+        "ext_distinct_users_exact": aggregates.ext_distinct_users_exact,
+        "ext_embed_drift": similarity.ext_embed_drift,
+        "ext_embed_project": similarity.ext_embed_project,
+        "ext_embed_quantize": similarity.ext_embed_quantize,
+        "ext_entity_resolution": dedup.ext_entity_resolution,
+        "ext_freq_countmin": text.ext_freq_countmin,
+        "ext_graph_label_prop": graph.ext_graph_label_prop,
+        "ext_graph_pagerank": graph.ext_graph_pagerank,
+        "ext_graph_survivor_rank": graph.ext_graph_survivor_rank,
+        "ext_hybrid_search_rrf": search.ext_hybrid_search_rrf,
+        "ext_kmeans_assign_counts": similarity.ext_kmeans_assign_counts,
+        "ext_kmeans_embeddings": similarity.ext_kmeans_embeddings,
+        "ext_kmv_set_ops": aggregates.ext_kmv_set_ops,
+        "ext_knn_label_transfer": similarity.ext_knn_label_transfer,
+        "ext_mmr_diversify": similarity.ext_mmr_diversify,
+        "ext_multimodal_resize": multimodal.ext_multimodal_resize,
+        "ext_ngram_novelty": dedup.ext_ngram_novelty,
+        "ext_percolate_match": search.ext_percolate_match,
+        "ext_quality_calibration": text.ext_quality_calibration,
+        "ext_quality_classifier": text.ext_quality_classifier,
+        "ext_quality_psi": text.ext_quality_psi,
+        "ext_quality_threshold": text.ext_quality_threshold,
+        "ext_range_join": joins.ext_range_join,
+        "ext_sample_chunks": sampling.ext_sample_chunks,
+        "ext_sample_mixture": sampling.ext_sample_mixture,
+        "ext_sample_pack": sampling.ext_sample_pack,
+        "ext_semdedup": similarity.ext_semdedup,
+        "ext_text_readability": text.ext_text_readability,
+        "ext_text_unigram_logprob": text.ext_text_unigram_logprob,
         "ext_tokenizer_apply": text.ext_tokenizer_apply,
         "ext_tokenizer_fertility": text.ext_tokenizer_fertility,
-        "ext_vocab_coverage": text.ext_vocab_coverage,
+        "ext_tokenizer_oov": text.ext_tokenizer_oov,
+        "ext_topk_batch": similarity.ext_topk_batch,
+        "ext_topk_similarity": similarity.ext_topk_similarity,
         "ext_vocab_topk": text.ext_vocab_topk,
         "filter_compound_eq": scans.filter_compound_eq,
         "filter_range_guard": scans.filter_range_guard,
         "filter_state_machine": cdc.filter_state_machine,
+        "fn_json_props_extract": cdc.fn_json_props_extract,
+        "insert_dedup_unique": mutations.insert_dedup_unique,
         "join_attribution": joins.join_attribution,
+        "join_availability": joins.join_availability,
         "join_availability_bucketed": joins.join_availability_bucketed,
+        "join_cancel_inventory": joins.join_cancel_inventory,
+        "join_cascade": joins.join_cascade,
+        "join_exists_anti": joins.join_exists_anti,
         "lookup_pk": scans.lookup_pk,
         "lookup_point_unique": scans.lookup_point_unique,
+        "notify_render": notifications.notify_render,
+        "order_latest_per_email": ordering.order_latest_per_email,
         "order_page_keyset": ordering.order_page_keyset,
+        "order_topn_disponible": ordering.order_topn_disponible,
+        "order_user_event_ranks": ordering.order_user_event_ranks,
         "project_rename_detreserva": scans.project_rename_detreserva,
+        "reserva_cancel_flag": mutations.reserva_cancel_flag,
+        "reserve_admission_exact": admission.admission_ledger_batch,
+        "reserve_guarded_decrement": mutations.reserve_guarded_decrement,
         "scan_full_eventos": scans.scan_full_eventos,
         "scan_full_inventario": scans.scan_full_inventario,
+        "setop_churn_emails": ordering.setop_churn_emails,
+        "sink_upsert_clone": cdc.sink_upsert_clone,
+        "sql_availability": scans.sql_availability,
     }
 
 

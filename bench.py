@@ -136,6 +136,36 @@ def _measure_isolated(qid: str) -> "tuple[float, float | None, float | None] | N
         return None
 
 
+# byte ceiling for the FINAL stdout line: the driver's tail keeps ~2.5 KB,
+# and the final line must sit ENTIRELY inside it to parse — 2300 leaves
+# slack for the newline and tail-boundary fuzz
+_FINAL_LINE_BUDGET = 2300
+
+
+def split_final_queries(
+    summary: dict, timings: "dict[str, float]"
+) -> "tuple[dict[str, float], dict[str, float]]":
+    """Split per-query timings into (final-line dict, penultimate-line
+    dict): slowest ids go to the final line (2-decimal, packed greedily
+    until the full final line would exceed ``_FINAL_LINE_BUDGET`` bytes),
+    the rest to the penultimate. Pure so the byte-budget test can pin it."""
+    probe = dict(summary)
+    by_cost = sorted(timings, key=lambda q: (-timings[q], q))
+    part2: dict[str, float] = {}
+    for qid in by_cost:
+        cand = dict(part2)
+        cand[qid] = round(timings[qid], 2)
+        probe["queries"] = cand
+        probe["queries_part"] = "2/2"
+        if len(json.dumps(probe, separators=(",", ":"))) > _FINAL_LINE_BUDGET:
+            break
+        part2 = cand
+    part1 = {
+        q: round(timings[q], 2) for q in by_cost if q not in part2
+    }
+    return part2, part1
+
+
 def main() -> None:
     from boletia_kubernetes_kafka_mongodb_spark.session import get_spark
 
@@ -242,8 +272,16 @@ def main() -> None:
         record["fallback_ids"] = fallback_ids
     # line 1: the full record (builder-side analysis, BENCH_BUILDER files)
     print(json.dumps(record))
-    # FINAL line: small, complete, guaranteed inside the driver's ~2.5 KB
-    # stdout tail — the official artifact's parseable object
+    # FINAL lines (round-13 verdict #1a): the driver keeps only the last
+    # ~2.5 KB of stdout, so the official artifact is whatever parses from
+    # that tail. A compact 2-decimal no-space per-query dict for all 149
+    # ids measures ~4.1 KB — the KEY bytes alone (2.8 KB) exceed the tail,
+    # so one line can never carry everything (byte math pinned in
+    # tests/test_bench_tail.py). Protocol: split the per-query dict across
+    # TWO tagged final lines, slowest ids LAST so the guaranteed-parseable
+    # FINAL line (summary + queries part 2/2, kept ≤ _FINAL_LINE_BUDGET
+    # bytes) carries the perf-relevant ids; the penultimate line (part
+    # 1/2) holds the remainder, its tail end recoverable by scraping.
     summary = {
         "metric": "total_query_wall_sec",
         "value": round(total, 3),
@@ -259,7 +297,21 @@ def main() -> None:
         summary["anchor"] = {"id": _CHILD_ANCHOR, "sec": child_anchor}
     if steal_pct is not None:
         summary["steal_pct"] = steal_pct
-    print(json.dumps(summary))
+    part2, part1 = split_final_queries(summary, timings)
+    if part1:
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_sec",
+                    "queries_part": "1/2",
+                    "queries": part1,
+                },
+                separators=(",", ":"),
+            )
+        )
+        summary["queries_part"] = "2/2"
+    summary["queries"] = part2
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

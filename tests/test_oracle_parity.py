@@ -68,6 +68,9 @@ def test_driver_canonicalizable_schema(spark, qid):
     assert not bad, f"{qid}: non-scalar driver-facing columns {bad}"
 
 
+@pytest.mark.slow  # full tier: the driver's CORRECTNESS gate runs this
+# same comparison itself; in the fast tier operators are covered by unit/
+# plan/kernel tests + the full-registry schema gate above
 @pytest.mark.parametrize("qid", QIDS)
 def test_oracle_parity(spark, duck, qid):
     q = entrymod.queries()[qid]

@@ -332,7 +332,17 @@ def test_substring_windows_hash_in_narrow_map(spark):
     df = dedup.ext_dedup_substring(spark, SF_CORRECT)
     s = plans.explain_str(df)
     assert "CartesianProduct" not in s
-    assert s.count("regexp_extract_all") <= 2, "tokenizer re-runs per window"
+    # round-13 ADVICE: exact count, not <=. The legitimate plan carries
+    # EXACTLY two tokenizers (wins branch + per-doc denominator); a
+    # regression that duplicates the wins-branch tokenizer (a second
+    # consumer of the wins frame without restoring the checkpoint) must
+    # fail this gate, not hide under an upper bound.
+    assert s.count("regexp_extract_all") == 2, (
+        "tokenizer count drifted from the one-per-semantic-branch shape"
+    )
+    # and the md5-over-slice window hash must appear exactly once in the
+    # final plan — the wins subtree has ONE consumer
+    assert s.count("md5") == 1, "window-hash subtree duplicated"
 
 
 def test_entity_resolution_tiled_equi_join(spark):
